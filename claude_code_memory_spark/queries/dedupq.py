@@ -1,0 +1,166 @@
+"""Deduplication query catalog (training-data pipeline surface):
+exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup —
+each oracle-checked where SQL can express the identical pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from claude_code_memory_spark.operators import dedup as D
+from claude_code_memory_spark.queries.base import register, table
+
+# Shared DuckDB fragments ---------------------------------------------------
+
+_DD_TOKENIZE = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 1)"
+)
+
+# distinct 3-gram shingles, duckdb: tokens t -> list of concat slices
+_DD_SHINGLES = f"""
+  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)]) AS shingles
+  FROM (SELECT doc_id, {_DD_TOKENIZE} AS toks FROM documents)
+  WHERE len(toks) >= 3
+"""
+
+
+@register(
+    "dedup_exact_kept",
+    oracle="""
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM documents e
+      WHERE e.doc_id < d.doc_id
+        AND md5(trim(regexp_replace(lower(e.text), '\\s+', ' ', 'g')))
+          = md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')))
+    )
+    """,
+)
+def dedup_exact_kept(spark, sf_dir):
+    """Exact dedup: ids kept after normalizing + hashing (min-id wins)."""
+    d = table(spark, sf_dir, "documents")
+    return D.exact_dedup(d).select("doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_DD_SHINGLES}),
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs >= 0.2 via inverted shingle index."""
+    d = table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, threshold=0.2, n=3)
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    r = num_hashes // bands
+    sig_elems = ", ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5('{i}:' || s)), 'min')"
+        for i in range(num_hashes)
+    )
+    band_elems = ", ".join(
+        f"md5(array_to_string(sig[{j * r + 1}:{j * r + r}], '|'))" for j in range(bands)
+    )
+    return f"""
+    WITH sh AS ({_DD_SHINGLES}),
+    sig AS (SELECT doc_id, [{sig_elems}] AS sig, shingles FROM sh),
+    banded AS (
+      SELECT doc_id, i - 1 AS band_idx, bandv[i] AS band_key
+      FROM (SELECT doc_id, [{band_elems}] AS bandv FROM sig), range(1, {bands} + 1) t(i)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT id_a, id_b,
+             len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+             (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles))) AS jac
+      FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+    SELECT id_a, id_b, round(jac, 6) AS jaccard FROM verified
+    WHERE round(jac, 6) >= {threshold}
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle(), headline=True)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16) + LSH(4 bands) candidates, exact-Jaccard verified >= 0.5."""
+    d = table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, threshold=0.5, n=3, num_hashes=16, bands=4)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tokw AS (
+      SELECT doc_id, token, count(*) AS w FROM (
+        SELECT doc_id, unnest({_DD_TOKENIZE}) AS token FROM documents)
+      GROUP BY doc_id, token),
+    tokh AS (
+      SELECT doc_id, w,
+             ('0x' || substr(md5(token), 1, 8))::UBIGINT::BIGINT AS h
+      FROM tokw),
+    votes AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (h // CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN w ELSE -w END) AS v
+      FROM tokh, range(0, 32) t(b) GROUP BY doc_id, b)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """Per-document 32-bit SimHash (md5 hash family) — BIGINT column."""
+    d = table(spark, sf_dir, "documents")
+    return D.simhash32_table(d)
+
+
+@register(
+    "dedup_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.4
+    """,
+)
+def dedup_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cos >= 0.4), blocked by label.
+
+    Label blocking stands in for the LSH/IVF bucketing used at scale —
+    the self-join never goes N x N."""
+    from claude_code_memory_spark.functions.vector import cosine_similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "label"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "label"
+    )
+    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_similarity(F.col("emb_a"), F.col("emb_b"))
+    return (
+        pairs.withColumn("cos", F.round(cos, 6))
+        .filter(F.col("cos") >= 0.4)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,262 @@
+"""Vector / keyword / hybrid search queries (SURVEY.md §2.6 T1-T4, §2.4 A1,
+§2.3 J1/J8) over the `embeddings` and `documents` tables — oracle-checked
+against DuckDB's list functions.
+
+The query vector is always embeddings[vec_id=0], joined in relationally
+(no driver-side literals) so the Spark plan and the oracle see bit-equal
+inputs. Cosine is computed in float64 on both sides and rounded to 6
+decimals before ranking — float32 storage + float64 math is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from claude_code_memory_spark.functions.vector import cosine_similarity
+from claude_code_memory_spark.queries.base import register, table
+
+# DuckDB fragment: cosine(a,b) in float64 with explicit casts.
+_DD_COS = (
+    "round(list_dot_product(a.embedding::DOUBLE[], q.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6)"
+)
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ("spark", "join", "filter", "window")
+
+
+def _query_vec_join(spark, sf_dir):
+    """embeddings crossed with the single query-vector row (broadcast)."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    return emb.crossJoin(F.broadcast(q))
+
+
+@register(
+    "dense_topk",
+    oracle=f"""
+    SELECT a.vec_id, {_DD_COS} AS score
+    FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE a.vec_id <> 0
+    ORDER BY score DESC, a.vec_id ASC
+    LIMIT 10
+    """,
+    headline=True,
+)
+def dense_topk(spark, sf_dir):
+    # T1: dense semantic top-k (storage/qdrant.py:827-886)
+    scored = (
+        _query_vec_join(spark, sf_dir)
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), F.col("q_vec")), 6).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
+
+
+@register(
+    "dense_topk_filtered",
+    oracle=f"""
+    SELECT a.vec_id, a.label, {_DD_COS} AS score
+    FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE a.vec_id <> 0 AND a.label IN (2, 5, 7) AND {_DD_COS} >= 0.0
+    ORDER BY score DESC, a.vec_id ASC
+    LIMIT 10
+    """,
+)
+def dense_topk_filtered(spark, sf_dir):
+    # T1+F2/F3: payload filter (label) + score threshold before top-k
+    scored = (
+        _query_vec_join(spark, sf_dir)
+        .filter((F.col("vec_id") != 0) & F.col("label").isin(2, 5, 7))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_similarity(F.col("embedding"), F.col("q_vec")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= 0.0)
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
+
+
+@register(
+    "knn_per_label",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT a.label, a.vec_id, {_DD_COS} AS score,
+             row_number() OVER (ORDER BY {_DD_COS} DESC, a.vec_id ASC) AS rn_all
+      FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE a.vec_id <> 0)
+    QUALIFY row_number() OVER (PARTITION BY label ORDER BY score DESC, vec_id ASC) <= 3
+    """,
+)
+def knn_per_label(spark, sf_dir):
+    # W1-style grouped top-k over vector scores
+    scored = (
+        _query_vec_join(spark, sf_dir)
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "label",
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), F.col("q_vec")), 6).alias("score"),
+        )
+    )
+    w_all = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    w_grp = Window.partitionBy("label").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn_all", F.row_number().over(w_all))
+        .withColumn("rnk", F.row_number().over(w_grp))
+        .filter(F.col("rnk") <= 3)
+        .drop("rnk")
+    )
+
+
+def _bm25_scores_spark(spark, sf_dir, terms):
+    """BM25 (robertson idf, k1=1.2 b=0.75) of fixed query terms over
+    documents — A1 corpus fit + T2 scoring as one declarative plan."""
+    from claude_code_memory_spark.functions.text import tokenize
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_docs = d.count()
+    avgdl_row = doclen.agg(F.avg("dl").alias("avgdl")).collect()[0]
+    avgdl = float(avgdl_row["avgdl"])
+    term_list = list(terms)
+    tf = (
+        toks.filter(F.col("token").isin(term_list))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    idf = df_.select(
+        "token",
+        F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .join(doclen, "doc_id")
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (BM25_K1 + 1))
+            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))),
+        )
+    )
+    return scored.groupBy("doc_id").agg(F.round(F.sum("term_score"), 6).alias("score"))
+
+
+def _bm25_oracle(terms, limit_clause=""):
+    quoted = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                        x -> length(x) > 1)) AS token
+      FROM documents),
+    doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                     (SELECT avg(dl) FROM doclen) AS avgdl),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+           WHERE token IN ({quoted}) GROUP BY doc_id, token),
+    idf AS (SELECT token, ln((stats.n_docs - df + 0.5) / (df + 0.5)) AS idf
+            FROM (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token), stats),
+    scored AS (
+      SELECT tf.doc_id,
+             idf.idf * (tf.tf * ({BM25_K1} + 1)) /
+               (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * doclen.dl / stats.avgdl)) AS ts
+      FROM tf JOIN idf USING (token) JOIN doclen USING (doc_id), stats)
+    SELECT doc_id, round(sum(ts), 6) AS score FROM scored GROUP BY doc_id
+    {limit_clause}
+    """
+
+
+@register(
+    "bm25_keyword_topk",
+    oracle=_bm25_oracle(
+        BM25_QUERY_TERMS, "ORDER BY score DESC, doc_id ASC LIMIT 10"
+    ),
+    headline=True,
+)
+def bm25_keyword_topk(spark, sf_dir):
+    # T2/A1: sparse keyword search with the reference's BM25 (robertson)
+    scores = _bm25_scores_spark(spark, sf_dir, BM25_QUERY_TERMS)
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+@register(
+    "hybrid_rrf_search",
+    oracle=f"""
+    WITH dense_scored AS (
+      SELECT a.vec_id AS doc_id, {_DD_COS} AS score
+      FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ),
+    dense AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS dense_rank
+      FROM dense_scored ORDER BY score DESC, doc_id ASC LIMIT 30
+    ),
+    bm25 AS ({_bm25_oracle(BM25_QUERY_TERMS)}),
+    sparse AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS sparse_rank
+      FROM bm25 ORDER BY score DESC, doc_id ASC LIMIT 30
+    )
+    SELECT coalesce(d.doc_id, s.doc_id) AS doc_id,
+           round(coalesce(0.5 / (60 + d.dense_rank), 0)
+               + coalesce(0.5 / (60 + s.sparse_rank), 0), 6) AS rrf_score
+    FROM dense d FULL OUTER JOIN sparse s ON d.doc_id = s.doc_id
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT 10
+    """,
+    headline=True,
+)
+def hybrid_rrf_search(spark, sf_dir):
+    # T3/J1: the reference's flagship — hybrid search fusing dense cosine
+    # and BM25 keyword rankings with RRF (k=60, alpha=0.5, 3x over-fetch).
+    # documents.doc_id and embeddings.vec_id are aligned 1:1.
+    from claude_code_memory_spark.operators.topk import rrf_fuse
+
+    dense = (
+        _query_vec_join(spark, sf_dir)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_similarity(F.col("embedding"), F.col("q_vec")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(30)
+    )
+    sparse = (
+        _bm25_scores_spark(spark, sf_dir, BM25_QUERY_TERMS)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(30)
+    )
+    return rrf_fuse(dense, sparse, k=10, id_col="doc_id").select("doc_id", "rrf_score")
+
+
+@register(
+    "knn_join_queries",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT qv.vec_id AS q_id, a.vec_id,
+             {_DD_COS} AS score,
+             row_number() OVER (PARTITION BY qv.vec_id
+                                ORDER BY {_DD_COS} DESC, a.vec_id ASC) AS rnk
+      FROM embeddings a,
+           (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) qv(vec_id, embedding),
+           LATERAL (SELECT qv.embedding AS embedding) q
+      WHERE a.vec_id <> qv.vec_id)
+    WHERE rnk <= 5
+    """,
+)
+def knn_join_queries(spark, sf_dir):
+    # J8: brute-force k-NN join — 5 query vectors vs the whole corpus
+    from claude_code_memory_spark.operators.similarity import knn_join_sql
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return knn_join_sql(queries, emb, k=5).select("q_id", "vec_id", "score", "rnk")

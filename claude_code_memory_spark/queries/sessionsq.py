@@ -1,0 +1,123 @@
+"""Event/session query catalog (W4/ST8 sessionization + streaming's batch
+twins). `events.ts` is LONG nanoseconds on the Spark side (nanosAsLong)
+and a µs-precision TIMESTAMP in DuckDB — all math is done in µs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from claude_code_memory_spark.queries.base import register, table
+
+_GAP_US = 3600 * 1_000_000  # 1 hour, reference chat/parser.py:52-56
+_WIN_US = 300 * 1_000_000  # 5-minute tumbling windows
+
+
+def _events_us(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return e.withColumn("ts_us", F.expr("ts div 1000"))
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+    flagged AS (
+      SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w >= {_GAP_US}
+                     THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    sessions AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us,
+           round(sum(value), 4) AS total_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    headline=True,
+)
+def sessionize_events(spark, sf_dir):
+    """ST8: inactivity-gap sessionization (gap >= 1h) + per-session stats."""
+    e = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    is_new = F.when(prev.isNull() | (F.col("ts_us") - prev >= _GAP_US), 1).otherwise(0)
+    s = e.withColumn(
+        "session_id", F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).cast("long").alias("duration_us"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+@register(
+    "tumbling_window_counts",
+    oracle=f"""
+    SELECT CAST(epoch_us(ts) // {_WIN_US} AS BIGINT) AS window_id,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_counts(spark, sf_dir):
+    """Batch twin of the streaming tumbling-window aggregation."""
+    e = _events_us(spark, sf_dir)
+    return e.groupBy(
+        F.expr(f"ts_us div {_WIN_US}").alias("window_id"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+
+
+@register(
+    "debounce_last_event_wins",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_type, ts_us AS last_ts_us, value AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def debounce_last_event_wins(spark, sf_dir):
+    """ST2's batch shape: per-key last-event-wins coalescing
+    (watcher/debounce.py:149-260)."""
+    e = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts_us").alias("last_ts_us"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           count(*) AS n,
+           round(avg(value), 6) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def events_json_props(spark, sf_dir):
+    """Semi-structured payload: JSON property extraction + aggregation
+    (the reference stores nested metadata dicts in every payload)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_mod")
+    ).agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))

@@ -1,0 +1,136 @@
+"""Text-analysis query catalog: language ID, quality scoring, token
+counting, fingerprinting (the training-data-pipeline surface), plus the
+reference's scalar text functions (X4/X12/X13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from claude_code_memory_spark.functions.text import STOPWORDS
+from claude_code_memory_spark.operators import textanalysis as TA
+from claude_code_memory_spark.queries.base import register, table
+
+_DD_TOKENIZE = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 1)"
+)
+
+
+def _dd_stopword_ratio(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter({_DD_TOKENIZE}, t -> list_contains([{words}], t)))::DOUBLE"
+        f" / greatest(len({_DD_TOKENIZE}), 1)"
+    )
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {_dd_stopword_ratio('de')} AS s_de,
+             {_dd_stopword_ratio('en')} AS s_en,
+             {_dd_stopword_ratio('es')} AS s_es,
+             {_dd_stopword_ratio('fr')} AS s_fr
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS pred_lang,
+           round(s_en, 6) AS en_stopword_ratio
+    FROM scored
+    """,
+)
+def text_language_id(spark, sf_dir):
+    """Heuristic language ID (stopword-overlap argmax, ties → first code)."""
+    d = table(spark, sf_dir, "documents")
+    return TA.language_id(d)
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           round(len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           round({_dd_stopword_ratio('en')}, 6) AS stopword_ratio,
+           floor((least(length(text) / 500.0, 1.0) * 0.4
+               + least({_dd_stopword_ratio('en')} * 5.0, 1.0) * 0.3
+               + greatest(1.0 - (len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE
+                                 / greatest(length(text), 1)) * 5.0, 0.0) * 0.3) * 1e6 + 0.5)
+             / 1e6 AS quality
+    FROM documents
+    """,
+)
+def text_quality_scores(spark, sf_dir):
+    """Gopher/C4-style quality heuristics as one narrow projection."""
+    d = table(spark, sf_dir, "documents")
+    return TA.quality_scores(d)
+
+
+@register(
+    "text_token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_ish_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_llm_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark, sf_dir):
+    """X13 family: whitespace, BPE-ish regex, and len/4 token counts."""
+    d = table(spark, sf_dir, "documents")
+    return TA.token_counts(d)
+
+
+@register(
+    "text_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_DD_TOKENIZE})), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprints(spark, sf_dir):
+    """Order-insensitive document fingerprint (md5 of sorted token set)."""
+    d = table(spark, sf_dir, "documents")
+    return TA.fingerprints(d)
+
+
+@register(
+    "text_complexity",
+    oracle="""
+    SELECT doc_id,
+           1 + len(regexp_extract_all(text,
+                 '\\b(if|elif|else|for|while|try|except|with|and|or|case)\\b')) AS complexity
+    FROM documents
+    """,
+)
+def text_complexity(spark, sf_dir):
+    """X12: control-keyword complexity score over document text."""
+    from claude_code_memory_spark.functions.text import complexity_score
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", complexity_score("text").alias("complexity"))
+
+
+@register(
+    "text_camel_spacing",
+    oracle="""
+    SELECT DISTINCT p_type,
+           lower(replace(regexp_replace(p_type, '([a-z0-9])([A-Z])', '\\1 \\2', 'g'), '_', ' '))
+             AS spaced
+    FROM part
+    """,
+)
+def text_camel_spacing(spark, sf_dir):
+    """X4: camelCase/underscore → spaced lowercase (BM25 content prep)."""
+    from claude_code_memory_spark.functions.text import camel_to_spaced
+
+    p = table(spark, sf_dir, "part")
+    return p.select("p_type", camel_to_spaced("p_type").alias("spaced")).distinct()
