@@ -1,0 +1,271 @@
+"""CodeMemoryEngine — the public façade: index / search / read_graph /
+get_implementation (the reference's CoreIndexer + MCP surface, T6/T7).
+
+Reference entry points:
+- CoreIndexer.index / incremental mode detection  indexer.py:110-134, 374-393
+- CoreIndexer.search_similar                      indexer.py:741-792
+- MCP: search_similar(query, entityTypes, limit, searchMode),
+       read_graph(entity, mode, limit),
+       get_implementation(entityName, scope)      README.md:306-323
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from claude_code_memory_spark.embeddings import bm25 as bm25_mod
+from claude_code_memory_spark.embeddings.hash_embedder import (
+    DEFAULT_DIM,
+    embed_text,
+    hash_embedder_udf,
+)
+from claude_code_memory_spark.operators.joins import (
+    dedup_new_content,
+    orphan_relations,
+    phantom_calls,
+    valid_relations,
+)
+from claude_code_memory_spark.operators.topk import (
+    dense_topk,
+    overfetch_limit,
+    rrf_fuse,
+    sparse_topk,
+)
+from claude_code_memory_spark.plans.chunks import (
+    entity_metadata_chunks,
+    implementation_chunks,
+    relation_chunks,
+)
+from claude_code_memory_spark.plans.incremental import TableStore, merge_replace_by_file
+from claude_code_memory_spark.sources.files import (
+    diff_against_state,
+    scan_project,
+    to_file_state,
+)
+from claude_code_memory_spark.sources.python_parser import parse_python_files, split_parsed
+
+
+class CodeMemoryEngine:
+    """One instance per collection (= per project namespace)."""
+
+    def __init__(self, spark: SparkSession, workdir: str, dim: int = DEFAULT_DIM):
+        from claude_code_memory_spark.session import ensure_package_shipped
+
+        self.spark = spark
+        self.store = TableStore(spark, workdir)
+        self.dim = dim
+        ensure_package_shipped(spark)  # UDF stages import package code on workers
+
+    # -- indexing ----------------------------------------------------------
+
+    def index(self, project_dir: str, *, incremental: bool = True) -> dict:
+        """Scan → diff → parse → chunk → dedup-embed → merge → cleanup.
+
+        Returns counters (files, entities, relations, chunks, skipped)."""
+        self.store.vacuum()  # safe point: no pipeline in flight
+        files = scan_project(self.spark, project_dir)
+        state = self.store.read("file_state") if incremental else None
+        changed, deleted, _unchanged = diff_against_state(files, state)
+        changed = changed.cache()
+        n_changed = changed.count()
+
+        replaced = changed.select("relative_path").unionByName(
+            deleted.select("relative_path")
+        ).distinct().select(F.col("relative_path").alias("file_path"))
+
+        parsed = parse_python_files(changed).cache()
+        entities, relations, impl = split_parsed(parsed)
+
+        # J4: pre-storage orphan filter — entity universe = stored ∪ batch
+        stored_entities = self.store.read("entities")
+        universe = entities.select("entity_name")
+        if stored_entities is not None:
+            universe = universe.unionByName(stored_entities.select("entity_name"))
+        relations = valid_relations(relations, universe.distinct())
+
+        meta = entity_metadata_chunks(entities, impl)
+        impl_ch = implementation_chunks(impl)
+        rel_ch = relation_chunks(relations)
+        chunks = meta.unionByName(impl_ch).unionByName(rel_ch)
+
+        # J6: dedup vs stored content hashes — skip re-embedding unchanged
+        stored_chunks = self.store.read("chunks")
+        to_embed = chunks
+        n_skipped = 0
+        if stored_chunks is not None:
+            before = chunks.count()
+            to_embed = dedup_new_content(chunks, stored_chunks)
+            n_skipped = before - to_embed.count()
+
+        # embed once per distinct content hash, join back (cluster-wide memo)
+        distinct_content = to_embed.select("content_hash", "content").dropDuplicates(
+            ["content_hash"]
+        )
+        embedded = distinct_content.withColumn(
+            "dense", hash_embedder_udf(self.dim)(F.col("content"))
+        ).drop("content")
+        vectors = to_embed.join(embedded, "content_hash").select(
+            "point_id",
+            "dense",
+            F.lit(None).cast("array<int>").alias("sparse_indices"),
+            F.lit(None).cast("array<float>").alias("sparse_values"),
+            "entity_name",
+            "entity_type",
+            "chunk_type",
+            "file_path",
+            "content_hash",
+        )
+
+        # fixed merge order: delete-replaced → insert (processors.py:155-179)
+        merge_replace_by_file(self.store, "entities", entities, replaced)
+        merge_replace_by_file(self.store, "relations", relations, replaced)
+        merge_replace_by_file(self.store, "chunks", chunks, replaced)
+        merge_replace_by_file(self.store, "vectors", vectors, replaced)
+
+        # J2: post-merge orphan cleanup on the merged tables
+        self._orphan_cleanup()
+
+        # BM25 model refit over merged metadata chunks (A1)
+        merged_chunks = self.store.read("chunks")
+        model = bm25_mod.fit(merged_chunks.filter(F.col("chunk_type") == "metadata"))
+        sparse = bm25_mod.transform(model, merged_chunks)
+        vec = self.store.read("vectors").drop("sparse_indices", "sparse_values")
+        self.store.write(
+            "vectors",
+            vec.join(sparse, "point_id", "left").select(
+                "point_id", "dense", "sparse_indices", "sparse_values",
+                "entity_name", "entity_type", "chunk_type", "file_path", "content_hash",
+            ),
+        )
+        self._bm25 = model
+
+        # K4: state update
+        self.store.write("file_state", to_file_state(files))
+
+        counters = {
+            "files_changed": n_changed,
+            "entities": entities.count(),
+            "relations": relations.count(),
+            "chunks": chunks.count(),
+            "chunks_skipped_unchanged": n_skipped,
+        }
+        changed.unpersist()
+        parsed.unpersist()
+        return counters
+
+    def _orphan_cleanup(self) -> None:
+        """J2/J3: drop relations with missing endpoints or phantom calls."""
+        entities = self.store.read("entities")
+        relations = self.store.read("relations")
+        if entities is None or relations is None:
+            return
+        valid = valid_relations(relations, entities)
+        impl = self.store.read("chunks").filter(F.col("chunk_type") == "implementation")
+        phantoms = phantom_calls(valid, impl)
+        cleaned = valid.exceptAll(
+            phantoms.select(*valid.columns)
+        )
+        self.store.write("relations", cleaned)
+
+    # -- model accessors -----------------------------------------------------
+
+    def bm25_model(self) -> bm25_mod.BM25Model:
+        if not hasattr(self, "_bm25"):
+            chunks = self.store.read("chunks")
+            self._bm25 = bm25_mod.fit(chunks.filter(F.col("chunk_type") == "metadata"))
+        return self._bm25
+
+    # -- search ------------------------------------------------------------
+
+    def search(
+        self,
+        query: str,
+        *,
+        mode: str = "semantic",
+        k: int = 10,
+        entity_types: list[str] | None = None,
+        chunk_type: str | None = None,
+        score_threshold: float = 0.0,
+        alpha: float = 0.5,
+    ) -> DataFrame:
+        """T1-T4: semantic / keyword / hybrid top-k with payload filters."""
+        if mode not in ("semantic", "keyword", "hybrid"):
+            raise ValueError(f"invalid search mode: {mode}")  # qdrant.py:722-801
+        vectors = self.store.read("vectors")
+        if entity_types:
+            vectors = vectors.filter(F.col("entity_type").isin(entity_types))
+        if chunk_type:
+            vectors = vectors.filter(F.col("chunk_type") == chunk_type)
+
+        fetch = overfetch_limit(k) if mode == "hybrid" else k
+
+        def dense(limit):
+            return dense_topk(
+                vectors,
+                embed_text(query, self.dim),
+                limit,
+                id_col="point_id",
+                vec_col="dense",
+                score_threshold=score_threshold if mode != "hybrid" else None,
+            )
+
+        def sparse(limit):
+            terms = bm25_mod.query_terms(self.bm25_model(), query)
+            return sparse_topk(vectors, terms, limit, id_col="point_id")
+
+        if mode == "semantic":
+            result = dense(k)
+        elif mode == "keyword":
+            result = sparse(k)
+        else:
+            result = rrf_fuse(dense(fetch), sparse(fetch), k, id_col="point_id", alpha=alpha)
+
+        chunks = self.store.read("chunks").select(
+            "point_id", "entity_name", "chunk_type", "file_path", "content"
+        )
+        return result.join(chunks, "point_id", "left")
+
+    # -- graph surface (T7) --------------------------------------------------
+
+    def read_graph(self, entity: str, *, mode: str = "smart", limit: int = 50) -> DataFrame:
+        """Relations touching an entity; mode='bfs2' adds 2-hop neighbors
+        (iterative-join BFS — the Spark shape of graph traversal)."""
+        rel = self.store.read("relations")
+        direct = rel.filter(
+            (F.col("from_entity") == entity) | (F.col("to_entity") == entity)
+        )
+        if mode == "bfs2":
+            frontier = (
+                direct.select(F.col("from_entity").alias("n"))
+                .unionByName(direct.select(F.col("to_entity").alias("n")))
+                .distinct()
+            )
+            hop2 = rel.join(
+                F.broadcast(frontier),
+                (rel.from_entity == F.col("n")) | (rel.to_entity == F.col("n")),
+                "left_semi",
+            )
+            direct = direct.unionByName(hop2).distinct()
+        return direct.limit(limit)
+
+    def get_implementation(self, entity_name: str, *, scope: str = "minimal") -> DataFrame:
+        """Implementation chunks for an entity; scope='dependencies' also
+        returns implementations of entities it calls (README.md:318-323)."""
+        chunks = self.store.read("chunks").filter(F.col("chunk_type") == "implementation")
+        own = chunks.filter(F.col("entity_name") == entity_name)
+        if scope == "minimal":
+            return own
+        rel = self.store.read("relations")
+        callees = rel.filter(
+            (F.col("from_entity") == entity_name) & (F.col("relation_type") == "calls")
+        ).select(F.col("to_entity").alias("__callee"))
+        deps = chunks.join(
+            F.broadcast(callees), chunks.entity_name == F.col("__callee"), "left_semi"
+        )
+        return own.unionByName(deps).distinct()
+
+    def stats(self) -> DataFrame:
+        """A2: collection statistics report."""
+        chunks = self.store.read("chunks")
+        return chunks.groupBy("chunk_type", "entity_type").agg(F.count("*").alias("n"))

@@ -1,0 +1,105 @@
+"""Incremental index maintenance: the deterministic multi-statement merge
+choreography of the reference's batch pipeline (SURVEY.md §3.1 steps 5-9).
+
+Reference flow per batch (indexer.py:1374-1459, unified_processor.py:26-166):
+  1. parse changed files
+  2. pre-storage orphan filter on relations (J4, indexer.py:1132-1210)
+  3. content-hash dedup vs stored chunks — skip re-embedding (J6)
+  4. delete replaced/deleted-file points, insert new points
+  5. orphan + phantom relation cleanup (J2/J3)
+  6. file_state update (K4)
+
+Storage is plain parquet "tables" under a collection directory. Merge =
+read-current ∖ replaced ∪ new, written to a new snapshot directory and
+atomically repointed (the parquet stand-in for Delta's MERGE — on a real
+cluster swap TableStore for Delta/Iceberg and each step below becomes a
+single MERGE INTO / DELETE statement; ordering stays explicit because the
+dedup-vs-just-deleted hazard (processors.py:155-179) forbids reordering).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = ("entities", "relations", "chunks", "vectors", "file_state")
+
+
+class TableStore:
+    """Snapshot-versioned parquet tables with an atomically-updated pointer.
+
+    Write path: new snapshot dir per commit + `_current` pointer file
+    rename — readers never observe a half-written table (the reference's
+    tmp+rename atomic state write, indexer.py:1544-1718, generalized)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _pointer(self, table: str) -> str:
+        return os.path.join(self.root, table, "_current")
+
+    def exists(self, table: str) -> bool:
+        return os.path.exists(self._pointer(table))
+
+    def read(self, table: str) -> DataFrame | None:
+        if not self.exists(table):
+            return None
+        with open(self._pointer(table)) as fh:
+            snap = json.load(fh)["snapshot"]
+        return self.spark.read.parquet(os.path.join(self.root, table, snap))
+
+    def write(self, table: str, df: DataFrame) -> None:
+        self._counter = getattr(self, "_counter", 0) + 1
+        snap = f"snap-{int(time.time() * 1000)}-{os.getpid()}-{self._counter}"
+        path = os.path.join(self.root, table, snap)
+        df.write.mode("overwrite").parquet(path)
+        tmp = self._pointer(table) + ".tmp"
+        os.makedirs(os.path.dirname(tmp), exist_ok=True)
+        with open(tmp, "w") as fh:
+            json.dump({"snapshot": snap}, fh)
+        os.replace(tmp, self._pointer(table))  # atomic pointer swap
+        # No GC here: lazy DataFrames captured earlier in the pipeline may
+        # still reference older snapshots (Delta's time-travel + deferred
+        # VACUUM solves the same hazard). vacuum() runs between pipelines.
+
+    def vacuum(self) -> None:
+        """Delete all non-current snapshots. Call only between pipelines,
+        when no live DataFrame references older snapshots."""
+        for table in os.listdir(self.root):
+            pointer = self._pointer(table)
+            if not os.path.exists(pointer):
+                continue
+            with open(pointer) as fh:
+                keep = json.load(fh)["snapshot"]
+            tdir = os.path.join(self.root, table)
+            for d in os.listdir(tdir):
+                if d.startswith("snap-") and d != keep:
+                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+
+
+def merge_replace_by_file(
+    store: TableStore, table: str, new_rows: DataFrame, replaced_files: DataFrame
+) -> None:
+    """MERGE emulation: drop all rows of replaced/deleted files, append new.
+
+    `replaced_files` is a 1-column DF (file_path). The anti-join is the
+    delete; union is the insert. Order is fixed: the delete set is computed
+    from the *current* snapshot before the write starts."""
+    current = store.read(table)
+    if current is None:
+        store.write(table, new_rows)
+        return
+    from pyspark.sql import functions as F
+
+    kept = current.join(
+        F.broadcast(replaced_files.select(F.col("file_path").alias("__rf"))),
+        current["file_path"] == F.col("__rf"),
+        "left_anti",
+    )
+    store.write(table, kept.unionByName(new_rows, allowMissingColumns=True))

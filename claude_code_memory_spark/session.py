@@ -33,6 +33,37 @@ def get_spark(app_name: str = "claude_code_memory_spark", cpus: int | None = Non
     )
 
 
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Driver-side sys.path edits don't propagate to Spark's worker
+    processes, so any UDF that references package code would die with
+    ModuleNotFoundError when the consumer runs outside the repo root.
+    Zipping the package and `addPyFile`-ing it is the standard deployment
+    path and works identically on a real cluster."""
+    if getattr(spark, "_ccms_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    import claude_code_memory_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"claude_code_memory_spark-{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zpath)
+    spark._ccms_shipped = True
+
+
 def tune_for_oracle(spark: SparkSession) -> SparkSession:
     """Settings required for deterministic, DuckDB-comparable output.
 

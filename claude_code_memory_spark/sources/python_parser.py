@@ -1,0 +1,285 @@
+"""Python source parser: files → entities + relations + implementation
+chunks, as one Arrow-batched mapInPandas stage.
+
+Reference semantics (S3/S4, analysis/parser.py:119-1490): tree-sitter +
+Jedi extract functions/classes/methods/variables/imports with docstrings,
+signatures, line spans, call/inherit/import relations, and implementation
+chunks. tree-sitter/Jedi aren't in this container; stdlib `ast` gives the
+same entity/relation surface for Python (the reference's primary
+language). The parser is a *row-set flatMap*: one file row explodes into N
+typed records — exactly the ParserResult (entities, relations,
+implementation_chunks) of parser.py:46-84.
+
+Scale: per-file work is independent → embarrassingly parallel; Arrow
+batches amortize serde; the parser object is reused per executor batch
+iterator (the reference's per-run parser reuse, SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import ast
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+# One unioned record schema with a discriminator; split downstream.
+PARSED_SCHEMA = (
+    "record_kind string, entity_name string, entity_type string, file_path string, "
+    "line_number int, end_line_number int, observations array<string>, signature string, "
+    "docstring string, from_entity string, to_entity string, relation_type string, "
+    "import_type string, content string, complexity int"
+)
+
+_CONTROL_NODES = (
+    ast.If,
+    ast.For,
+    ast.While,
+    ast.Try,
+    ast.ExceptHandler,
+    ast.With,
+    ast.BoolOp,
+    ast.Match,
+)
+
+
+def _complexity(node: ast.AST) -> int:
+    # X12: cyclomatic-ish = 1 + count of control constructs (parser.py:1175-1181)
+    return 1 + sum(isinstance(n, _CONTROL_NODES) for n in ast.walk(node))
+
+
+def _signature(fn: ast.FunctionDef | ast.AsyncFunctionDef) -> str:
+    args = [a.arg for a in fn.args.posonlyargs + fn.args.args]
+    if fn.args.vararg:
+        args.append("*" + fn.args.vararg.arg)
+    args += [a.arg for a in fn.args.kwonlyargs]
+    if fn.args.kwarg:
+        args.append("**" + fn.args.kwarg.arg)
+    return f"{fn.name}({', '.join(args)})"
+
+
+def _call_names(node: ast.AST) -> set[str]:
+    # X9: function-call extraction (parser.py:1109-1159) — AST beats regex
+    out = set()
+    for n in ast.walk(node):
+        if isinstance(n, ast.Call):
+            f = n.func
+            if isinstance(f, ast.Name):
+                out.add(f.id)
+            elif isinstance(f, ast.Attribute):
+                out.add(f.attr)
+    return out
+
+
+def _entity_rec(name, etype, path, lineno, end_lineno, obs, sig=None, doc=None):
+    return dict(
+        record_kind="entity",
+        entity_name=name,
+        entity_type=etype,
+        file_path=path,
+        line_number=lineno,
+        end_line_number=end_lineno,
+        observations=obs,
+        signature=sig,
+        docstring=doc,
+        from_entity=None,
+        to_entity=None,
+        relation_type=None,
+        import_type=None,
+        content=None,
+        complexity=None,
+    )
+
+
+def _relation_rec(src, dst, rtype, path, import_type=None):
+    return dict(
+        record_kind="relation",
+        entity_name=None,
+        entity_type=None,
+        file_path=path,
+        line_number=None,
+        end_line_number=None,
+        observations=None,
+        signature=None,
+        docstring=None,
+        from_entity=src,
+        to_entity=dst,
+        relation_type=rtype,
+        import_type=import_type,
+        content=None,
+        complexity=None,
+    )
+
+
+def _impl_rec(name, etype, path, lineno, end_lineno, content, complexity):
+    return dict(
+        record_kind="implementation",
+        entity_name=name,
+        entity_type=etype,
+        file_path=path,
+        line_number=lineno,
+        end_line_number=end_lineno,
+        observations=None,
+        signature=None,
+        docstring=None,
+        from_entity=None,
+        to_entity=None,
+        relation_type=None,
+        import_type=None,
+        content=content,
+        complexity=complexity,
+    )
+
+
+def parse_python_source(path: str, source: str) -> list[dict]:
+    """Parse one Python file into typed records. Syntax errors yield just
+    the file entity (reference: parser degrades gracefully,
+    tests/unit/test_parser.py:210)."""
+    recs: list[dict] = []
+    n_lines = source.count("\n") + 1
+    try:
+        tree = ast.parse(source)
+    except SyntaxError:
+        recs.append(
+            _entity_rec(path, "file", path, 1, n_lines, [f"Python file {path} (syntax error)"])
+        )
+        return recs
+
+    mod_doc = ast.get_docstring(tree)
+    recs.append(
+        _entity_rec(
+            path, "file", path, 1, n_lines, [f"Python file {path}"], doc=mod_doc
+        )
+    )
+
+    def handle_function(fn, parent_name: str | None, etype: str):
+        qual = f"{parent_name}.{fn.name}" if parent_name else fn.name
+        doc = ast.get_docstring(fn)
+        obs = [f"{'Method' if etype == 'method' else 'Function'} {_signature(fn)}"]
+        if doc:
+            obs.append(doc.split("\n")[0])
+        recs.append(
+            _entity_rec(qual, etype, path, fn.lineno, fn.end_lineno, obs, _signature(fn), doc)
+        )
+        recs.append(_relation_rec(parent_name or path, qual, "contains", path))
+        seg = ast.get_source_segment(source, fn) or ""
+        recs.append(
+            _impl_rec(qual, etype, path, fn.lineno, fn.end_lineno, seg, _complexity(fn))
+        )
+        for callee in sorted(_call_names(fn)):
+            if callee != fn.name:
+                recs.append(_relation_rec(qual, callee, "calls", path))
+
+    for node in tree.body:
+        if isinstance(node, (ast.Import, ast.ImportFrom)):
+            if isinstance(node, ast.Import):
+                for alias in node.names:
+                    recs.append(
+                        _entity_rec(alias.name, "import", path, node.lineno, node.end_lineno,
+                                    [f"Imports module {alias.name}"])
+                    )
+                    recs.append(_relation_rec(path, alias.name, "imports", path, "module"))
+            else:
+                mod = node.module or ""
+                for alias in node.names:
+                    recs.append(
+                        _entity_rec(f"{mod}.{alias.name}" if mod else alias.name, "import",
+                                    path, node.lineno, node.end_lineno,
+                                    [f"Imports {alias.name} from {mod}"])
+                    )
+                    recs.append(_relation_rec(path, mod or alias.name, "imports", path, "from"))
+        elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            handle_function(node, None, "function")
+        elif isinstance(node, ast.ClassDef):
+            doc = ast.get_docstring(node)
+            obs = [f"Class {node.name}"]
+            if doc:
+                obs.append(doc.split("\n")[0])
+            recs.append(
+                _entity_rec(node.name, "class", path, node.lineno, node.end_lineno, obs, None, doc)
+            )
+            recs.append(_relation_rec(path, node.name, "contains", path))
+            seg = ast.get_source_segment(source, node) or ""
+            recs.append(
+                _impl_rec(node.name, "class", path, node.lineno, node.end_lineno, seg,
+                          _complexity(node))
+            )
+            for base in node.bases:
+                base_name = (
+                    base.id if isinstance(base, ast.Name)
+                    else base.attr if isinstance(base, ast.Attribute) else None
+                )
+                if base_name:
+                    recs.append(_relation_rec(node.name, base_name, "inherits", path))
+            for item in node.body:
+                if isinstance(item, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    handle_function(item, node.name, "method")
+        elif isinstance(node, ast.Assign):
+            # module-level variables incl. tuple unpacking (parser.py:521-641)
+            targets = []
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    targets.append(t.id)
+                elif isinstance(t, (ast.Tuple, ast.List)):
+                    targets += [e.id for e in t.elts if isinstance(e, ast.Name)]
+            for name in targets:
+                etype = "constant" if name.isupper() else "variable"
+                recs.append(
+                    _entity_rec(name, etype, path, node.lineno, node.end_lineno,
+                                [f"{'Constant' if etype == 'constant' else 'Variable'} {name}"])
+                )
+                recs.append(_relation_rec(path, name, "contains", path))
+    return recs
+
+
+def parse_python_files(files: DataFrame) -> DataFrame:
+    """S3 as a DataFrame transform: (source_files rows) → parsed records."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.split(" ")[0] for f in PARSED_SCHEMA.split(", ")]
+        for pdf in batches:
+            all_recs: list[dict] = []
+            for _, row in pdf.iterrows():
+                if row.get("language") == "py" and row.get("content"):
+                    all_recs.extend(parse_python_source(row["relative_path"], row["content"]))
+            if all_recs:
+                yield pd.DataFrame(all_recs, columns=cols)
+
+    return files.mapInPandas(run, schema=PARSED_SCHEMA)
+
+
+def split_parsed(parsed: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(entities, relations, implementation chunks) from the unioned records.
+
+    Callers should cache `parsed` first — one parse, three slices."""
+    from pyspark.sql import functions as F
+
+    entities = parsed.filter(F.col("record_kind") == "entity").select(
+        "entity_name",
+        "entity_type",
+        "file_path",
+        "line_number",
+        "end_line_number",
+        "observations",
+        "signature",
+        "docstring",
+    )
+    relations = parsed.filter(F.col("record_kind") == "relation").select(
+        "from_entity",
+        "to_entity",
+        "relation_type",
+        F.lit(None).cast("string").alias("context"),
+        F.lit(1.0).alias("confidence"),
+        "import_type",
+        "file_path",
+    )
+    impl = parsed.filter(F.col("record_kind") == "implementation").select(
+        "entity_name",
+        "entity_type",
+        "file_path",
+        "line_number",
+        "end_line_number",
+        "content",
+        "complexity",
+    )
+    return entities, relations, impl

@@ -1,0 +1,81 @@
+"""End-to-end engine tests: index → search → incremental re-index →
+deletion propagation (the reference's integration-test surface)."""
+
+import os
+import textwrap
+
+from pyspark.sql import functions as F
+
+from claude_code_memory_spark.api import CodeMemoryEngine
+
+
+def test_index_and_search(spark, temp_repo, tmp_path):
+    eng = CodeMemoryEngine(spark, str(tmp_path / "store"))
+    counters = eng.index(temp_repo)
+    assert counters["files_changed"] == 3  # empty.py has no bytes to index
+    assert counters["entities"] > 8
+    assert counters["chunks"] > counters["entities"] / 2
+
+    # semantic search is deterministic with the hash embedder
+    r1 = eng.search("compute totals", mode="semantic", k=5).collect()
+    r2 = eng.search("compute totals", mode="semantic", k=5).collect()
+    assert [x["point_id"] for x in r1] == [x["point_id"] for x in r2]
+    assert len(r1) == 5
+
+    # keyword search surfaces the entity whose name matches the term
+    kw = eng.search("helper", mode="keyword", k=5).collect()
+    assert any(row["entity_name"] and "helper" in row["entity_name"] for row in kw)
+
+    # hybrid returns rrf_score and respects k
+    hy = eng.search("helper numbers", mode="hybrid", k=3).collect()
+    assert len(hy) <= 3 and all(row["rrf_score"] > 0 for row in hy)
+
+    # filters (F2): restrict to classes
+    cls = eng.search("processor", mode="semantic", k=10, entity_types=["class"]).collect()
+    assert all(row["chunk_type"] in ("metadata", "implementation", "relation") for row in cls)
+
+
+def test_incremental_noop_and_change(spark, temp_repo, tmp_path):
+    eng = CodeMemoryEngine(spark, str(tmp_path / "store"))
+    eng.index(temp_repo)
+
+    # no-op re-index: nothing changed → everything dedup-skipped
+    c2 = eng.index(temp_repo)
+    assert c2["files_changed"] == 0
+
+    # modify one file → only its chunks re-embed
+    with open(os.path.join(temp_repo, "util.py"), "a") as fh:
+        fh.write("\ndef extra():\n    return 42\n")
+    c3 = eng.index(temp_repo)
+    assert c3["files_changed"] == 1
+    ents = eng.store.read("entities")
+    assert ents.filter(F.col("entity_name") == "extra").count() == 1
+
+
+def test_deletion_propagation(spark, temp_repo, tmp_path):
+    eng = CodeMemoryEngine(spark, str(tmp_path / "store"))
+    eng.index(temp_repo)
+    assert eng.store.read("entities").filter(F.col("entity_name") == "Derived").count() == 1
+
+    os.remove(os.path.join(temp_repo, "util.py"))
+    eng.index(temp_repo)
+    ents = eng.store.read("entities")
+    assert ents.filter(F.col("entity_name") == "Derived").count() == 0
+    # orphan cleanup removed relations touching deleted entities (J2)
+    rels = eng.store.read("relations")
+    assert rels.filter(F.col("to_entity") == "Base").count() == 0
+
+
+def test_graph_and_implementation(spark, temp_repo, tmp_path):
+    eng = CodeMemoryEngine(spark, str(tmp_path / "store"))
+    eng.index(temp_repo)
+
+    g = eng.read_graph("compute").collect()
+    assert any(r["to_entity"] == "helper" for r in g)
+
+    impl = eng.get_implementation("compute", scope="dependencies").collect()
+    names = {r["entity_name"] for r in impl}
+    assert "compute" in names and "helper" in names
+
+    st = eng.stats().collect()
+    assert sum(r["n"] for r in st) > 10

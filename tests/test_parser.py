@@ -1,0 +1,58 @@
+"""Parser tests — mirror the reference's tests/unit/test_parser.py cases:
+simple function (:99), class+methods (:126), imports (:187), syntax errors
+(:210), empty files (:227), docstrings (:239)."""
+
+from claude_code_memory_spark.sources.files import scan_project
+from claude_code_memory_spark.sources.python_parser import parse_python_files, split_parsed
+
+
+def _parse(spark, temp_repo):
+    files = scan_project(spark, temp_repo)
+    parsed = parse_python_files(files).cache()
+    return split_parsed(parsed)
+
+
+def test_entities_extracted(spark, temp_repo):
+    entities, relations, impl = _parse(spark, temp_repo)
+    by_name = {r["entity_name"]: r for r in entities.collect()}
+    # functions and classes
+    assert by_name["helper"]["entity_type"] == "function"
+    assert by_name["compute"]["entity_type"] == "function"
+    assert by_name["Processor"]["entity_type"] == "class"
+    assert by_name["Processor.run"]["entity_type"] == "method"
+    # docstrings and signatures
+    assert by_name["helper"]["docstring"] == "Add two numbers."
+    assert by_name["helper"]["signature"] == "helper(a, b)"
+    # variables, constants, tuple unpack
+    assert by_name["MAX_SIZE"]["entity_type"] == "constant"
+    assert by_name["x"]["entity_type"] == "variable"
+    assert by_name["y"]["entity_type"] == "variable"
+    # imports
+    assert by_name["os"]["entity_type"] == "import"
+    # files, including syntax-error files (graceful degradation)
+    file_entities = [n for n, r in by_name.items() if r["entity_type"] == "file"]
+    assert any("broken.py" in n for n in file_entities)
+
+
+def test_empty_source_graceful():
+    from claude_code_memory_spark.sources.python_parser import parse_python_source
+
+    recs = parse_python_source("empty.py", "")
+    assert len(recs) == 1 and recs[0]["entity_type"] == "file"
+
+
+def test_relations_extracted(spark, temp_repo):
+    entities, relations, impl = _parse(spark, temp_repo)
+    rels = {(r["from_entity"], r["relation_type"], r["to_entity"]) for r in relations.collect()}
+    assert ("compute", "calls", "helper") in rels
+    assert ("Derived", "inherits", "Base") in rels
+    assert ("Processor", "contains", "Processor.run") in rels
+    assert any(r[1] == "imports" and r[2] == "os" for r in rels)
+
+
+def test_implementation_chunks(spark, temp_repo):
+    entities, relations, impl = _parse(spark, temp_repo)
+    rows = {r["entity_name"]: r for r in impl.collect()}
+    assert "def helper(a, b):" in rows["helper"]["content"]
+    assert rows["compute"]["complexity"] >= 3  # for + if + base
+    assert rows["helper"]["line_number"] < rows["helper"]["end_line_number"]

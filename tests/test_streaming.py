@@ -1,0 +1,99 @@
+"""Streaming tests: debounce coalescing + the event-driven incremental
+pipeline (memory/file sources drive a real Structured Streaming query)."""
+
+import json
+import os
+import time
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from claude_code_memory_spark.streaming.debounce import coalesce_events, debounced_stream
+
+
+def test_coalesce_last_event_wins(spark):
+    events = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", "created", "a.py", "h1"),
+            ("2024-01-01 00:00:01", "modified", "a.py", "h2"),
+            ("2024-01-01 00:00:02", "modified", "a.py", "h3"),
+            ("2024-01-01 00:00:00", "created", "b.py", "h9"),
+        ],
+        "event_time string, event_type string, file_path string, sha256 string",
+    ).withColumn("event_time", F.to_timestamp("event_time"))
+    got = {r["file_path"]: r["sha256"] for r in coalesce_events(events).collect()}
+    assert got == {"a.py": "h3", "b.py": "h9"}
+
+
+def test_debounced_stream_drops_duplicates(spark, tmp_path):
+    """Burst of N duplicate events for one file within the window → the
+    streaming query emits each (path, hash) once (ST3)."""
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    rows = [
+        {"event_time": "2024-01-01T00:00:00.000Z", "event_type": "modified",
+         "file_path": "a.py", "sha256": "h1"},
+        {"event_time": "2024-01-01T00:00:00.500Z", "event_type": "modified",
+         "file_path": "a.py", "sha256": "h1"},  # duplicate burst
+        {"event_time": "2024-01-01T00:00:01.000Z", "event_type": "modified",
+         "file_path": "b.py", "sha256": "h2"},
+    ]
+    with open(events_dir / "batch1.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+    from claude_code_memory_spark.streaming.pipeline import file_event_stream
+
+    stream = debounced_stream(file_event_stream(spark, str(events_dir)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("debounced_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT file_path, sha256 FROM debounced_out").collect()
+    finally:
+        q.stop()
+    pairs = sorted((r["file_path"], r["sha256"]) for r in out)
+    assert pairs == [("a.py", "h1"), ("b.py", "h2")]
+
+
+def test_streaming_incremental_index(spark, temp_repo, tmp_path):
+    """ST4 end-to-end: an event file lands → foreachBatch re-enters the
+    batch pipeline → new entity appears in the store."""
+    from claude_code_memory_spark.api import CodeMemoryEngine
+    from claude_code_memory_spark.streaming.pipeline import start_watch
+
+    eng = CodeMemoryEngine(spark, str(tmp_path / "store"))
+    eng.index(temp_repo)
+    assert eng.store.read("entities").filter(F.col("entity_name") == "added_fn").count() == 0
+
+    # mutate the project, then emit the corresponding event
+    with open(os.path.join(temp_repo, "main.py"), "a") as fh:
+        fh.write("\ndef added_fn():\n    return 7\n")
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    ev = {
+        "event_time": datetime.now(timezone.utc).isoformat(),
+        "event_type": "modified",
+        "file_path": "main.py",
+        "sha256": "new",
+    }
+    q = start_watch(eng, str(events_dir), temp_repo, quiet_seconds=1)
+    try:
+        with open(events_dir / "ev1.json", "w") as fh:
+            fh.write(json.dumps(ev) + "\n")
+        deadline = time.time() + 60
+        found = False
+        while time.time() < deadline and not found:
+            q.processAllAvailable()
+            found = (
+                eng.store.read("entities").filter(F.col("entity_name") == "added_fn").count() == 1
+            )
+            if not found:
+                time.sleep(1)
+    finally:
+        q.stop()
+    assert found
