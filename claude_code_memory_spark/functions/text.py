@@ -33,13 +33,18 @@ def tokenize(col: Column | str) -> Column:
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct n-gram word shingles of a text column (for MinHash/Jaccard).
 
-    tokens -> sliding windows of n joined by single spaces. Empty array for
-    texts with fewer than n tokens.
-    """
+    Implemented as a zip of n shifted copies of the token array (all
+    literal-offset slices → stays in codegen). The naive
+    `transform(sequence(...), i -> slice(toks, i, n))` form is ~4x slower:
+    a Column-start slice per element drops to interpreted eval, O(n^2) per
+    document. Empty array for texts with fewer than n tokens."""
     toks = tokenize(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.array_distinct(sh)
+    shifted = [F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0))) for k in range(n)]
+    z = F.arrays_zip(*[s.alias(f"t{k}") for k, s in enumerate(shifted)])
+    full = F.filter(z, lambda x: x[f"t{n-1}"].isNotNull())
+    return F.array_distinct(
+        F.transform(full, lambda x: F.concat_ws(" ", *[x[f"t{k}"] for k in range(n)]))
+    )
 
 
 def camel_to_spaced(col: Column | str) -> Column:

@@ -105,15 +105,51 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature as ARRAY<STRING>: element i = min over shingles of
-    md5(f"{i}:" + shingle). md5-derived hash family → identical in any
-    engine (the DuckDB oracle replays it verbatim)."""
+MINHASH_PRIME = 2147483647  # 2^31 - 1: (p-1)^2 < 2^62, no BIGINT overflow
+
+
+def minhash_params(num_hashes: int = 16, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) coefficients for the h_i(x) = (a*x+b) mod p
+    universal hash family — literals shared by the Spark plan and the
+    DuckDB oracle."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MINHASH_PRIME, num_hashes, dtype=np.int64)
+    b = rng.integers(0, MINHASH_PRIME, num_hashes, dtype=np.int64)
+    return [(int(x), int(y)) for x, y in zip(a, b)]
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16, seed: int = 42) -> Column:
+    """MinHash signature as ARRAY<BIGINT> over the (a*x+b) mod p family,
+    where x = first-8-hex of md5(shingle) reduced mod p.
+
+    One md5 per shingle (not per shingle*per hash): the base hash is
+    computed once and the 16 permutations are two integer ops each —
+    ~10x cheaper than an md5-per-function family at equal quality."""
+    return minhash_signature_from_base(minhash_base(shingles), num_hashes, seed)
+
+
+def minhash_base(shingles: Column) -> Column:
+    """Base integer hash per shingle: first-8-hex of md5, reduced mod p.
+
+    Materialize this as its own column before building the signature —
+    embedded directly in all `num_hashes` sub-expressions it would be
+    re-evaluated per hash function (16x the md5 work; Catalyst does not
+    CSE across array-lambda boundaries)."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % MINHASH_PRIME,
+    )
+
+
+def minhash_signature_from_base(base: Column, num_hashes: int = 16, seed: int = 42) -> Column:
+    def perm(a: int, b: int):
+        # single-arg closure: PySpark derives HOF arity from the signature
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_PRIME
+
     return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(base, perm(a, b))) for a, b in minhash_params(num_hashes, seed)]
     )
 
 
@@ -134,18 +170,31 @@ def minhash_lsh_pairs(
     sets → keep pairs ≥ threshold. Returns (id_a, id_b, jaccard)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sh = shingle_docs(docs, id_col=id_col, text_col=text_col, n=n)
-    sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    # the shingle table feeds three consumers (signatures + both sides of
+    # the Jaccard verify) — cache it or the tokenize/shingle expression
+    # tree executes three times
+    sh = shingle_docs(docs, id_col=id_col, text_col=text_col, n=n).cache()
+    sig = sh.withColumn("base", minhash_base(F.col("shingles"))).withColumn(
+        "sig", minhash_signature_from_base(F.col("base"), num_hashes)
+    )
     band_cols = [
         F.md5(
-            F.concat_ws("|", F.slice(F.col("sig"), j * rows_per_band + 1, rows_per_band))
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.slice(F.col("sig"), j * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            )
         ).alias(f"band_{j}")
         for j in range(bands)
     ]
+    # cache: the band table is self-joined — without materialization the
+    # whole md5+signature pipeline executes twice (once per join side)
     banded = sig.select(
         id_col,
         F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key"),
-    )
+    ).cache()
     left = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
     right = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
     candidates = (

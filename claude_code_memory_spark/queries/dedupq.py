@@ -67,17 +67,26 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    from claude_code_memory_spark.operators.dedup import MINHASH_PRIME, minhash_params
+
     r = num_hashes // bands
+    p = MINHASH_PRIME
     sig_elems = ", ".join(
-        f"list_aggregate(list_transform(shingles, s -> md5('{i}:' || s)), 'min')"
-        for i in range(num_hashes)
+        f"list_aggregate(list_transform(base, x -> ({a}::BIGINT * x + {b}) % {p}), 'min')"
+        for a, b in minhash_params(num_hashes)
     )
     band_elems = ", ".join(
-        f"md5(array_to_string(sig[{j * r + 1}:{j * r + r}], '|'))" for j in range(bands)
+        f"md5(array_to_string(list_transform(sig[{j * r + 1}:{j * r + r}], v -> v::VARCHAR), '|'))"
+        for j in range(bands)
     )
     return f"""
     WITH sh AS ({_DD_SHINGLES}),
-    sig AS (SELECT doc_id, [{sig_elems}] AS sig, shingles FROM sh),
+    based AS (
+      SELECT doc_id, shingles,
+             list_transform(shingles,
+               s -> ('0x' || substr(md5(s), 1, 8))::UBIGINT::BIGINT % {p}) AS base
+      FROM sh),
+    sig AS (SELECT doc_id, [{sig_elems}] AS sig, shingles FROM based),
     banded AS (
       SELECT doc_id, i - 1 AS band_idx, bandv[i] AS band_key
       FROM (SELECT doc_id, [{band_elems}] AS bandv FROM sig), range(1, {bands} + 1) t(i)),
