@@ -43,7 +43,8 @@ from claude_code_memory_spark.sources.files import (
     scan_project,
     to_file_state,
 )
-from claude_code_memory_spark.sources.python_parser import parse_python_files, split_parsed
+from claude_code_memory_spark.sources.python_parser import split_parsed
+from claude_code_memory_spark.sources.registry import parse_files
 
 
 class CodeMemoryEngine:
@@ -74,7 +75,7 @@ class CodeMemoryEngine:
             deleted.select("relative_path")
         ).distinct().select(F.col("relative_path").alias("file_path"))
 
-        parsed = parse_python_files(changed).cache()
+        parsed = parse_files(changed).cache()
         entities, relations, impl = split_parsed(parsed)
 
         # J4: pre-storage orphan filter — entity universe = stored ∪ batch
