@@ -1,0 +1,109 @@
+"""CLI — the reference's `claude-indexer` surface (cli_full.py:96-1073).
+
+    python -m claude_code_memory_spark index  -p <project> -c <collection>
+    python -m claude_code_memory_spark search "query" -c <collection>
+           [--mode semantic|keyword|hybrid] [--type <entity_type>] [-k N]
+    python -m claude_code_memory_spark graph  <entity> -c <collection> [--bfs]
+    python -m claude_code_memory_spark impl   <entity> -c <collection> [--deps]
+    python -m claude_code_memory_spark stats  -c <collection>
+    python -m claude_code_memory_spark watch  -p <project> -c <collection> --events <dir>
+
+Collections live under $CCMS_HOME (default ~/.claude_code_memory_spark).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _engine(collection: str):
+    from claude_code_memory_spark.api import CodeMemoryEngine
+    from claude_code_memory_spark.session import get_spark
+
+    home = os.environ.get(
+        "CCMS_HOME", os.path.join(os.path.expanduser("~"), ".claude_code_memory_spark")
+    )
+    spark = get_spark(f"ccms-{collection}")
+    spark.sparkContext.setLogLevel("ERROR")
+    return CodeMemoryEngine(spark, os.path.join(home, collection))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="claude_code_memory_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_index = sub.add_parser("index")
+    p_index.add_argument("-p", "--project", required=True)
+    p_index.add_argument("-c", "--collection", required=True)
+    p_index.add_argument("--full", action="store_true", help="non-incremental rebuild")
+
+    p_search = sub.add_parser("search")
+    p_search.add_argument("query")
+    p_search.add_argument("-c", "--collection", required=True)
+    p_search.add_argument("--mode", default="semantic",
+                          choices=["semantic", "keyword", "hybrid"])
+    p_search.add_argument("--type", dest="entity_type", default=None)
+    p_search.add_argument("-k", type=int, default=10)
+    p_search.add_argument("--threshold", type=float, default=0.0)
+
+    p_graph = sub.add_parser("graph")
+    p_graph.add_argument("entity")
+    p_graph.add_argument("-c", "--collection", required=True)
+    p_graph.add_argument("--bfs", action="store_true")
+    p_graph.add_argument("--limit", type=int, default=50)
+
+    p_impl = sub.add_parser("impl")
+    p_impl.add_argument("entity")
+    p_impl.add_argument("-c", "--collection", required=True)
+    p_impl.add_argument("--deps", action="store_true")
+
+    p_stats = sub.add_parser("stats")
+    p_stats.add_argument("-c", "--collection", required=True)
+
+    p_watch = sub.add_parser("watch")
+    p_watch.add_argument("-p", "--project", required=True)
+    p_watch.add_argument("-c", "--collection", required=True)
+    p_watch.add_argument("--events", required=True, help="event JSONL directory")
+    p_watch.add_argument("--quiet-seconds", type=float, default=2.0)
+
+    args = ap.parse_args(argv)
+    eng = _engine(args.collection)
+
+    if args.cmd == "index":
+        counters = eng.index(args.project, incremental=not args.full)
+        print(counters)
+    elif args.cmd == "search":
+        types = [args.entity_type] if args.entity_type else None
+        eng.search(
+            args.query, mode=args.mode, k=args.k,
+            entity_types=types, score_threshold=args.threshold,
+        ).show(args.k, truncate=60)
+    elif args.cmd == "graph":
+        eng.read_graph(args.entity, mode="bfs2" if args.bfs else "smart",
+                       limit=args.limit).show(args.limit, truncate=60)
+    elif args.cmd == "impl":
+        rows = eng.get_implementation(
+            args.entity, scope="dependencies" if args.deps else "minimal"
+        ).collect()
+        for r in rows:
+            print(f"# {r['entity_name']} ({r['file_path']}:{r['line_number']})")
+            print(r["content"])
+            print()
+    elif args.cmd == "stats":
+        eng.stats().orderBy("chunk_type", "entity_type").show(100)
+    elif args.cmd == "watch":
+        from claude_code_memory_spark.streaming.pipeline import start_watch
+
+        q = start_watch(eng, args.events, args.project, quiet_seconds=args.quiet_seconds)
+        print(f"watching {args.project} (events from {args.events}); Ctrl-C to stop")
+        try:
+            q.awaitTermination()
+        except KeyboardInterrupt:
+            q.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -8,6 +8,7 @@ from claude_code_memory_spark.queries.base import REGISTRY, oracle_sql_map, quer
 from claude_code_memory_spark.queries import (  # noqa: F401,E402
     dedupq,
     relational,
+    relational2,
     search,
     sessionsq,
     textopsq,
