@@ -78,12 +78,15 @@ class CodeMemoryEngine:
         parsed = parse_files(changed).cache()
         entities, relations, impl = split_parsed(parsed)
 
-        # J4: pre-storage orphan filter — entity universe = stored ∪ batch
+        # J4: pre-storage orphan filter — entity universe = stored ∪ batch.
+        # Only calls/inherits require a resolvable target; imports and
+        # `uses` keep external targets (modules, data files) — the
+        # reference whitelists external files too (qdrant.py:2183-2213).
         stored_entities = self.store.read("entities")
         universe = entities.select("entity_name")
         if stored_entities is not None:
             universe = universe.unionByName(stored_entities.select("entity_name"))
-        relations = valid_relations(relations, universe.distinct())
+        relations = self._filter_resolvable(relations, universe.distinct())
 
         meta = entity_metadata_chunks(entities, impl)
         impl_ch = implementation_chunks(impl)
@@ -155,13 +158,21 @@ class CodeMemoryEngine:
         parsed.unpersist()
         return counters
 
+    @staticmethod
+    def _filter_resolvable(relations: DataFrame, universe: DataFrame) -> DataFrame:
+        """Endpoint-existence check for calls/inherits only; imports/uses/
+        contains pass through (external modules, data files, own children)."""
+        needs_target = relations.filter(F.col("relation_type").isin("calls", "inherits"))
+        passthrough = relations.filter(~F.col("relation_type").isin("calls", "inherits"))
+        return valid_relations(needs_target, universe).unionByName(passthrough)
+
     def _orphan_cleanup(self) -> None:
         """J2/J3: drop relations with missing endpoints or phantom calls."""
         entities = self.store.read("entities")
         relations = self.store.read("relations")
         if entities is None or relations is None:
             return
-        valid = valid_relations(relations, entities)
+        valid = self._filter_resolvable(relations, entities.select("entity_name"))
         impl = self.store.read("chunks").filter(F.col("chunk_type") == "implementation")
         phantoms = phantom_calls(valid, impl)
         cleaned = valid.exceptAll(

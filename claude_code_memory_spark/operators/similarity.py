@@ -123,23 +123,30 @@ def knn_join_numpy(
             cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
             sims = cmat @ qm.T  # (batch, n_queries)
             cids = pdf[c_id].to_numpy(dtype=np.int64)
-            n = min(k, len(cids))
             out = []
             for j in range(qm.shape[0]):
                 col = sims[:, j]
-                # partition then sort the local top-n (score desc, id asc)
-                idx = np.argpartition(-col, n - 1)[:n] if len(col) > n else np.arange(len(col))
-                order = np.lexsort((cids[idx], -col[idx]))
+                # self-match excluded BEFORE the local top-k, or a query
+                # whose own vector is in this batch returns k-1 rows
+                mask = cids != qi[j]
+                mcids, mcol = cids[mask], col[mask]
+                n = min(k, len(mcids))
+                if n == 0:
+                    continue
+                idx = (
+                    np.argpartition(-mcol, n - 1)[:n] if len(mcol) > n else np.arange(len(mcol))
+                )
+                order = np.lexsort((mcids[idx], -mcol[idx]))
                 sel = idx[order]
                 out.append(
                     pd.DataFrame(
-                        {q_id: qi[j], c_id: cids[sel], "score": np.round(col[sel], 6)}
+                        {q_id: qi[j], c_id: mcids[sel], "score": np.round(mcol[sel], 6)}
                     )
                 )
-            yield pd.concat(out, ignore_index=True)
+            if out:
+                yield pd.concat(out, ignore_index=True)
 
     local_topk = corpus.select(c_id, c_vec).mapInPandas(score_batches, schema=schema)
-    local_topk = local_topk.filter(F.col(q_id) != F.col(c_id))
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
     return local_topk.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
@@ -147,6 +154,54 @@ def knn_join_numpy(
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))
+
+
+def ivf_build(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    *,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF index build: MLlib KMeans centroids + a cluster-id column.
+
+    Returns (embeddings + `ivf_cluster`, centroid matrix). On a real
+    cluster, write the result partitioned by `ivf_cluster` so a probe scan
+    prunes to nprobe/n_centroids of the data at the file level."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = embeddings.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="__v", predictionCol="ivf_cluster").fit(
+        with_vec
+    )
+    assigned = model.transform(with_vec).drop("__v")
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    return assigned, centers
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centers: np.ndarray,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: rank centroids by distance to the query (driver-side,
+    centroids are tiny), scan only the nprobe nearest clusters, exact
+    top-k within. Recall rises with nprobe; nprobe = n_centroids is exact."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    dists = np.linalg.norm(centers - q, axis=1)
+    probe = [int(c) for c in np.argsort(dists)[:nprobe]]
+    candidates = indexed.filter(F.col("ivf_cluster").isin(probe))
+    scored = candidates.select(
+        id_col,
+        F.round(cosine_similarity(F.col(vec_col), vector_lit(q)), 6).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
 def lsh_bucket_topk(

@@ -58,6 +58,33 @@ def _signature(fn: ast.FunctionDef | ast.AsyncFunctionDef) -> str:
     return f"{fn.name}({', '.join(args)})"
 
 
+# X14: file-operation detection table (parser.py:1198-1290, table :1206-1242)
+_FILE_OP_FUNCS = frozenset(
+    "open load loads dump dumps safe_load read_csv to_csv read_json read_parquet "
+    "reader writer Path get post read_text write_text parse".split()
+)
+
+
+def _file_op_relations(owner: str, node: ast.AST, path: str) -> list[dict]:
+    """Calls like open('x.txt') / json.load / pd.read_csv('d.csv') with a
+    string-literal argument → (owner, uses, <filename>) relations."""
+    out: list[dict] = []
+    for n in ast.walk(node):
+        if not isinstance(n, ast.Call):
+            continue
+        f = n.func
+        name = f.id if isinstance(f, ast.Name) else f.attr if isinstance(f, ast.Attribute) else None
+        if name not in _FILE_OP_FUNCS:
+            continue
+        for arg in n.args[:1]:
+            if isinstance(arg, ast.Constant) and isinstance(arg.value, str) and arg.value:
+                # skip open-mode pseudo-files like 'r'/'w' (F7, parser.py:836-853)
+                if len(arg.value) <= 2 and arg.value in ("r", "w", "a", "rb", "wb", "r+"):
+                    continue
+                out.append(_relation_rec(owner, arg.value, "uses", path, name))
+    return out
+
+
 def _call_names(node: ast.AST) -> set[str]:
     # X9: function-call extraction (parser.py:1109-1159) — AST beats regex
     out = set()
@@ -169,6 +196,7 @@ def parse_python_source(path: str, source: str) -> list[dict]:
         for callee in sorted(_call_names(fn)):
             if callee != fn.name:
                 recs.append(_relation_rec(qual, callee, "calls", path))
+        recs.extend(_file_op_relations(qual, fn, path))
 
     for node in tree.body:
         if isinstance(node, (ast.Import, ast.ImportFrom)):

@@ -22,6 +22,7 @@ from claude_code_memory_spark.sources.config_parsers import (
 )
 from claude_code_memory_spark.sources.javascript_parser import parse_javascript_source
 from claude_code_memory_spark.sources.markdown_parser import parse_markdown_source
+from claude_code_memory_spark.sources.web_parsers import parse_css_source, parse_html_source
 from claude_code_memory_spark.sources.python_parser import (
     PARSED_SCHEMA,
     parse_python_source,
@@ -39,6 +40,8 @@ PARSERS: dict[str, Parser] = {
     "txt": parse_text_source,
     "csv": parse_csv_source,
     "ini": parse_ini_source,
+    "html": parse_html_source,
+    "css": parse_css_source,
 }
 
 
