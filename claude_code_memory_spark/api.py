@@ -121,11 +121,12 @@ class CodeMemoryEngine:
             "content_hash",
         )
 
-        # fixed merge order: delete-replaced → insert (processors.py:155-179)
+        # fixed merge order: delete-replaced → insert (processors.py:155-179);
+        # chunks/vectors partition on chunk_type (metadata-first pruning)
         merge_replace_by_file(self.store, "entities", entities, replaced)
         merge_replace_by_file(self.store, "relations", relations, replaced)
-        merge_replace_by_file(self.store, "chunks", chunks, replaced)
-        merge_replace_by_file(self.store, "vectors", vectors, replaced)
+        merge_replace_by_file(self.store, "chunks", chunks, replaced, ["chunk_type"])
+        merge_replace_by_file(self.store, "vectors", vectors, replaced, ["chunk_type"])
 
         # J2: post-merge orphan cleanup on the merged tables
         self._orphan_cleanup()
@@ -141,6 +142,7 @@ class CodeMemoryEngine:
                 "point_id", "dense", "sparse_indices", "sparse_values",
                 "entity_name", "entity_type", "chunk_type", "file_path", "content_hash",
             ),
+            ["chunk_type"],
         )
         self._bm25 = model
 

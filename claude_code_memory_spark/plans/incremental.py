@@ -54,11 +54,18 @@ class TableStore:
             snap = json.load(fh)["snapshot"]
         return self.spark.read.parquet(os.path.join(self.root, table, snap))
 
-    def write(self, table: str, df: DataFrame) -> None:
+    def write(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
         self._counter = getattr(self, "_counter", 0) + 1
         snap = f"snap-{int(time.time() * 1000)}-{os.getpid()}-{self._counter}"
         path = os.path.join(self.root, table, snap)
-        df.write.mode("overwrite").parquet(path)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            # e.g. chunks/vectors partitioned by chunk_type: the reference's
+            # metadata-first progressive disclosure (README.md:209, 335-339)
+            # becomes parquet partition pruning — a chunk_type-filtered
+            # search never lists the implementation partitions
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
         tmp = self._pointer(table) + ".tmp"
         os.makedirs(os.path.dirname(tmp), exist_ok=True)
         with open(tmp, "w") as fh:
@@ -84,7 +91,11 @@ class TableStore:
 
 
 def merge_replace_by_file(
-    store: TableStore, table: str, new_rows: DataFrame, replaced_files: DataFrame
+    store: TableStore,
+    table: str,
+    new_rows: DataFrame,
+    replaced_files: DataFrame,
+    partition_by: list[str] | None = None,
 ) -> None:
     """MERGE emulation: drop all rows of replaced/deleted files, append new.
 
@@ -93,7 +104,7 @@ def merge_replace_by_file(
     from the *current* snapshot before the write starts."""
     current = store.read(table)
     if current is None:
-        store.write(table, new_rows)
+        store.write(table, new_rows, partition_by)
         return
     from pyspark.sql import functions as F
 
@@ -102,4 +113,6 @@ def merge_replace_by_file(
         current["file_path"] == F.col("__rf"),
         "left_anti",
     )
-    store.write(table, kept.unionByName(new_rows, allowMissingColumns=True))
+    store.write(
+        table, kept.unionByName(new_rows, allowMissingColumns=True), partition_by
+    )

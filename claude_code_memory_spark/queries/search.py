@@ -118,15 +118,23 @@ def knn_per_label(spark, sf_dir):
 
 def _bm25_scores_spark(spark, sf_dir, terms):
     """BM25 (robertson idf, k1=1.2 b=0.75) of fixed query terms over
-    documents — A1 corpus fit + T2 scoring as one declarative plan."""
+    documents — A1 corpus fit + T2 scoring as ONE declarative plan.
+
+    Corpus stats (n_docs, avgdl) ride along as a broadcast 1-row cross
+    join instead of driver-side count()/collect() actions — the whole
+    score is a single Spark job."""
     from claude_code_memory_spark.functions.text import tokenize
 
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokenize("text")).alias("token"))
     doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    n_docs = d.count()
-    avgdl_row = doclen.agg(F.avg("dl").alias("avgdl")).collect()[0]
-    avgdl = float(avgdl_row["avgdl"])
+    # n_docs counts ALL documents (oracle parity), avgdl averages docs
+    # that produced tokens
+    stats = F.broadcast(
+        d.agg(F.count("*").cast("double").alias("n_docs")).crossJoin(
+            doclen.agg(F.avg("dl").alias("avgdl"))
+        )
+    )
     term_list = list(terms)
     tf = (
         toks.filter(F.col("token").isin(term_list))
@@ -134,18 +142,19 @@ def _bm25_scores_spark(spark, sf_dir, terms):
         .agg(F.count("*").alias("tf"))
     )
     df_ = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    idf = df_.select(
+    idf = df_.crossJoin(stats).select(
         "token",
-        F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
     )
     scored = (
         tf.join(F.broadcast(idf), "token")
         .join(doclen, "doc_id")
+        .crossJoin(stats)
         .withColumn(
             "term_score",
             F.col("idf")
             * (F.col("tf") * (BM25_K1 + 1))
-            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))),
+            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))),
         )
     )
     return scored.groupBy("doc_id").agg(F.round(F.sum("term_score"), 6).alias("score"))
