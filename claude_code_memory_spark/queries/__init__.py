@@ -9,6 +9,7 @@ from claude_code_memory_spark.queries import (  # noqa: F401,E402
     dedupq,
     relational,
     relational2,
+    relational3,
     search,
     sessionsq,
     textopsq,

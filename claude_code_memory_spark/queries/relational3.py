@@ -1,0 +1,217 @@
+"""Third relational batch: more TPC-H-shaped coverage (q6/q10/q17 twins,
+ROLLUP grouping sets) and the temporal-join surface (as-of join, range
+join) built on operators/asof.py. All oracle-checked; the ASOF oracle
+uses DuckDB's native ASOF JOIN, making it a genuinely independent
+implementation of the same semantics.
+
+`events.ts` is LONG nanoseconds on the Spark side (nanosAsLong) and a
+µs TIMESTAMP in DuckDB — all event math is done in µs, as in sessionsq.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from claude_code_memory_spark.operators.asof import asof_join, range_join_pairs
+from claude_code_memory_spark.queries.base import register, table
+
+_5MIN_US = 300 * 1_000_000
+
+
+def _typed_events_us(spark, sf_dir, event_type):
+    e = table(spark, sf_dir, "events")
+    return e.filter(F.col("event_type") == event_type).select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us"), "value"
+    )
+
+
+@register(
+    "q6_revenue_delta",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_delta(spark, sf_dir):
+    """TPC-H q6 shape: pure filter + aggregate. Every predicate is a plain
+    column comparison, so all four reach the parquet scan as PushedFilters
+    and row groups outside the shipdate range are skipped entirely."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           round(c.c_acctbal, 4) AS acctbal
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H q10 shape: who returned the most revenue. lineitem (largest)
+    filters on returnflag before the joins; customer is broadcast (small
+    dim), so the only big shuffle is lineitem⋈orders on orderkey."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round(F.col("c_acctbal"), 4).alias("acctbal"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 6) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cut
+          FROM lineitem GROUP BY l_partkey) t
+      ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < t.qty_cut
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H q17 shape: correlated avg-per-part subquery, decorrelated to
+    a pre-aggregated join. The per-part average aggregates map-side to one
+    row per partkey before its shuffle; the brand filter broadcasts."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    cut = li.groupBy("l_partkey").agg((0.2 * F.avg("l_quantity")).alias("qty_cut"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(cut, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
+    )
+
+
+@register(
+    "agg_rollup_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup_orders(spark, sf_dir):
+    """Grouping sets: subtotal hierarchy status → (status, priority) →
+    grand total in one pass (Spark expands rollup into a single shuffle)."""
+    o = table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+               FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, epoch_us(ts) AS ts_us, value
+               FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id, p.ts_us, p.value,
+           v.ts_us AS matched_ts_us, v.value AS matched_value
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    """As-of join: each purchase picks up the latest page view at or
+    before it for the same user (operators/asof.py; DuckDB's native ASOF
+    JOIN is the oracle — an independent implementation of the semantics)."""
+    purchases = _typed_events_us(spark, sf_dir, "purchase")
+    views = _typed_events_us(spark, sf_dir, "view").drop("event_id")
+    return asof_join(
+        purchases,
+        views,
+        on="user_id",
+        ts_col="ts_us",
+        payload_cols=("ts_us", "value"),
+    ).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value",
+        F.col("matched_ts_us"),
+        F.col("matched_value"),
+    )
+
+
+@register(
+    "range_join_click_to_purchase",
+    oracle=f"""
+    WITH c AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+               WHERE event_type = 'purchase')
+    SELECT c.user_id, count(*) AS n_pairs,
+           round(sum(p.value), 4) AS total_value
+    FROM c JOIN p
+      ON p.user_id = c.user_id
+     AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + {_5MIN_US}
+    GROUP BY c.user_id
+    """,
+)
+def range_join_click_to_purchase(spark, sf_dir):
+    """Interval join: purchases within 5 minutes after a click by the same
+    user, aggregated per user. The user_id equality keeps the plan a hash
+    join with the time range as a residual filter — no nested-loop."""
+    clicks = _typed_events_us(spark, sf_dir, "click").select("user_id", "ts_us")
+    purchases = _typed_events_us(spark, sf_dir, "purchase").select(
+        "user_id", "ts_us", "value"
+    )
+    pairs = range_join_pairs(
+        clicks,
+        purchases,
+        on="user_id",
+        ts_col="ts_us",
+        max_gap=_5MIN_US,
+        right_cols=("value",),
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.sum("value_b"), 4).alias("total_value"),
+    )

@@ -126,29 +126,47 @@ def _bm25_scores_spark(spark, sf_dir, terms):
     from claude_code_memory_spark.functions.text import tokenize
 
     d = table(spark, sf_dir, "documents")
+    term_list = list(terms)
+    # ONE tokenize pass: per-doc length and the tf of every query term come
+    # out of a single codegen hash aggregation with map-side combine, so
+    # the corpus is read and tokenized once and the shuffle carries one row
+    # per document — the doclen/tf split of the textbook formulation
+    # tokenizes the corpus twice and shuffles it twice. The tf columns then
+    # unpivot to (doc_id, token, tf) rows; everything downstream (df, idf,
+    # scoring) touches only docs that actually contain a query term.
     toks = d.select("doc_id", F.explode(tokenize("text")).alias("token"))
-    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"__tf_{i}")
+            for i, t in enumerate(term_list)
+        ],
+    )
     # n_docs counts ALL documents (oracle parity), avgdl averages docs
     # that produced tokens
     stats = F.broadcast(
         d.agg(F.count("*").cast("double").alias("n_docs")).crossJoin(
-            doclen.agg(F.avg("dl").alias("avgdl"))
+            per_doc.filter(F.col("dl") > 0).agg(F.avg("dl").alias("avgdl"))
         )
     )
-    term_list = list(terms)
-    tf = (
-        toks.filter(F.col("token").isin(term_list))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
+    token_tf = F.explode(
+        F.arrays_zip(
+            F.array(*[F.lit(t) for t in term_list]).alias("token"),
+            F.array(*[F.col(f"__tf_{i}") for i in range(len(term_list))]).alias("tf"),
+        )
     )
-    df_ = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    tf = (
+        per_doc.select("doc_id", "dl", token_tf.alias("z"))
+        .select("doc_id", "dl", F.col("z.token").alias("token"), F.col("z.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     idf = df_.crossJoin(stats).select(
         "token",
         F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
     )
     scored = (
         tf.join(F.broadcast(idf), "token")
-        .join(doclen, "doc_id")
         .crossJoin(stats)
         .withColumn(
             "term_score",

@@ -147,3 +147,55 @@ def test_merge_ranked(spark):
     b = spark.createDataFrame([(2, 0.95), (3, 0.1)], "point_id long, score double")
     rows = [r["point_id"] for r in merge_ranked([a, b], k=2).collect()]
     assert rows == [2, 1]
+
+
+# --- as-of / range joins --------------------------------------------------
+
+
+def test_asof_join_backward_inclusive_and_null(spark):
+    from claude_code_memory_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 200, "p2"), (2, 50, "p3")],
+        "user_id long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 150, 15.0), (1, 250, 25.0), (2, 60, 6.0)],
+        "user_id long, ts long, value double",
+    )
+    out = asof_join(
+        left, right, on="user_id", ts_col="ts", payload_cols=("ts", "value")
+    )
+    rows = {r["tag"]: r for r in out.collect()}
+    # equal ts matches (inclusive)
+    assert rows["p1"]["matched_ts"] == 100 and rows["p1"]["matched_value"] == 10.0
+    # latest earlier row, not the later one
+    assert rows["p2"]["matched_ts"] == 150
+    # no right row at or before -> NULL payload
+    assert rows["p3"]["matched_ts"] is None and rows["p3"]["matched_value"] is None
+
+
+def test_asof_join_tolerance(spark):
+    from claude_code_memory_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 1000, "x")], "k long, ts long, tag string")
+    right = spark.createDataFrame([(1, 100, 1.0)], "k long, ts long, value double")
+    wide = asof_join(left, right, on="k", ts_col="ts", payload_cols=("ts", "value"))
+    tight = asof_join(
+        left, right, on="k", ts_col="ts", payload_cols=("ts", "value"), tolerance=500
+    )
+    assert wide.collect()[0]["matched_ts"] == 100
+    assert tight.collect()[0]["matched_ts"] is None
+
+
+def test_range_join_pairs(spark):
+    from claude_code_memory_spark.operators.asof import range_join_pairs
+
+    left = spark.createDataFrame([(1, 100), (1, 300)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 150), (1, 250), (1, 600), (2, 150)], "k long, ts long"
+    )
+    out = range_join_pairs(left, right, on="k", ts_col="ts", max_gap=200)
+    pairs = {(r["ts_a"], r["ts_b"]) for r in out.collect()}
+    # k=1: 150 and 250 fall in [100, 300]; 600 is beyond 300+200; k=2 unmatched
+    assert pairs == {(100, 150), (100, 250)}
