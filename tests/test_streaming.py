@@ -97,3 +97,65 @@ def test_streaming_incremental_index(spark, temp_repo, tmp_path):
     finally:
         q.stop()
     assert found
+
+
+def test_stateful_sessionize_applyinpandaswithstate(spark, tmp_path):
+    """Two micro-batches for one user: batch 2 starts >= gap after batch 1's
+    last event, so the first session is emitted (closed by DATA, not by
+    wall-clock) with correct count/sum; the second stays open in state."""
+    from claude_code_memory_spark.streaming.stateful import stateful_sessionize
+
+    src = tmp_path / "sess_events"
+    src.mkdir()
+    gap_us = 1_000_000  # 1s inactivity closes a session
+
+    def write(fname, rows):
+        p = src / fname
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write("b1.jsonl", [
+        {"user_id": 1, "ts_us": 100_000, "value": 1.0},
+        {"user_id": 1, "ts_us": 300_000, "value": 2.0},
+    ])
+    write("b2.jsonl", [
+        {"user_id": 1, "ts_us": 5_000_000, "value": 7.0},  # > gap later
+    ])
+    # force file order = batch order (FileStreamSource sorts by mtime)
+    now = time.time()
+    os.utime(src / "b1.jsonl", (now - 10, now - 10))
+    os.utime(src / "b2.jsonl", (now, now))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_us long, value double")
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch:
+        .json(str(src))                   # state must survive batch 1 → 2
+    )
+    out = stateful_sessionize(stream, gap_us=gap_us, emit_timeout_ms=3_600_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        # a stateful query keeps running timeout-check batches, so
+        # processAllAvailable() never quiesces — poll the sink instead
+        deadline = time.time() + 120
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("select * from sessions_out").collect()
+            if rows:
+                break
+            if q.exception():
+                raise AssertionError(q.exception())
+            time.sleep(1)
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["user_id"], r["session_start_us"], r["session_end_us"],
+                r["n_events"], r["total_value"]) == (1, 100_000, 300_000, 2, 3.0)
+    finally:
+        q.stop()
