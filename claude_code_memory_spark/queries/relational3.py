@@ -215,3 +215,35 @@ def range_join_click_to_purchase(spark, sf_dir):
         F.count("*").alias("n_pairs"),
         F.round(F.sum("value_b"), 4).alias("total_value"),
     )
+
+
+@register(
+    "join_salted_status_revenue",
+    oracle="""
+    SELECT o.o_orderstatus,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice), 4) AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_salted_status_revenue(spark, sf_dir):
+    """Fact-fact join executed through the deterministic salted-join
+    operator (operators/skew.py) — same result as the plain join (the
+    oracle), with the left shuffle spread over 16 sub-keys per key. The
+    manual path for skew that AQE's shuffle-split can't reach."""
+    from claude_code_memory_spark.operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = (
+        table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus")
+    )
+    return (
+        salted_join(li, o, "l_orderkey", num_salts=16)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+        )
+    )

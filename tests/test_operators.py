@@ -199,3 +199,25 @@ def test_range_join_pairs(spark):
     pairs = {(r["ts_a"], r["ts_b"]) for r in out.collect()}
     # k=1: 150 and 250 fall in [100, 300]; 600 is beyond 300+200; k=2 unmatched
     assert pairs == {(100, 150), (100, 250)}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from claude_code_memory_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(1, f"a{i}") for i in range(50)] + [(2, "b"), (3, "c")],  # key 1 is hot
+        "k long, lv string",
+    )
+    right = spark.createDataFrame([(1, "X"), (2, "Y"), (4, "Z")], "k long, rv string")
+    plain = {(r["k"], r["lv"], r["rv"]) for r in left.join(right, "k").collect()}
+    salted = {
+        (r["k"], r["lv"], r["rv"])
+        for r in salted_join(left, right, "k", num_salts=8).collect()
+    }
+    assert salted == plain and len(plain) == 51
+    # left join keeps unmatched left rows exactly once
+    lj = salted_join(left, right, "k", num_salts=8, how="left")
+    assert lj.filter("k = 3").count() == 1
+    import pytest
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", how="full")
