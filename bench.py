@@ -52,11 +52,21 @@ def main() -> None:
     for t in ("lineitem", "orders", "customer", "nation", "region",
               "documents", "embeddings", "events"):
         table(spark, sf_dir, t).count()
+    # median of 3 runs per query: single-shot numbers on a shared machine
+    # carry ±50% scheduler/page-cache noise; the median is what's
+    # reproducible. Caches are cleared between runs so each run re-executes
+    # the full pipeline (queries that cache intermediates pay that cost in
+    # every run, same as a cold execution).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name, fn in headline.items():
-        t0 = time.time()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(runs):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            samples.append(time.time() - t0)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0

@@ -102,6 +102,31 @@ class CodeMemoryEngine:
             to_embed = dedup_new_content(chunks, stored_chunks)
             n_skipped = before - to_embed.count()
 
+        # BM25 model, amortized (UD4/A1 at scale): reuse the persisted
+        # model and sparse-encode only this batch; refit — and rewrite all
+        # sparse vectors — only when the metadata corpus drifted >20%
+        # since the fit. The reference refits on any corpus change
+        # (bm25.py:86-161), affordable at its 100k-doc cap but O(corpus)
+        # per batch at ours. Staleness between refits: new terms are not
+        # yet searchable and IDFs lag slightly — the standard incremental
+        # index trade (search-engine segment models behave the same way).
+        batch_meta = chunks.filter(F.col("chunk_type") == "metadata")
+        corpus_meta = batch_meta.select("point_id", "content_bm25")
+        if stored_chunks is not None:
+            stored_meta = (
+                stored_chunks.filter(F.col("chunk_type") == "metadata")
+                .join(F.broadcast(replaced), "file_path", "left_anti")
+                .select("point_id", "content_bm25")
+            )
+            corpus_meta = corpus_meta.unionByName(stored_meta)
+        model = self._load_bm25()
+        n_corpus = corpus_meta.count()
+        refit = model is None or abs(n_corpus - model.n_docs) > 0.2 * max(model.n_docs, 1)
+        if refit:
+            model = bm25_mod.fit(corpus_meta)
+            model.save(self._bm25_path())
+        self._bm25 = model
+
         # embed once per distinct content hash, join back (cluster-wide memo)
         distinct_content = to_embed.select("content_hash", "content").dropDuplicates(
             ["content_hash"]
@@ -109,17 +134,30 @@ class CodeMemoryEngine:
         embedded = distinct_content.withColumn(
             "dense", hash_embedder_udf(self.dim)(F.col("content"))
         ).drop("content")
-        vectors = to_embed.join(embedded, "content_hash").select(
-            "point_id",
-            "dense",
-            F.lit(None).cast("array<int>").alias("sparse_indices"),
-            F.lit(None).cast("array<float>").alias("sparse_values"),
-            "entity_name",
-            "entity_type",
-            "chunk_type",
-            "file_path",
-            "content_hash",
+        sparse_batch = bm25_mod.transform(model, to_embed)
+        vector_cols = [
+            "point_id", "dense", "sparse_indices", "sparse_values",
+            "entity_name", "entity_type", "chunk_type", "file_path", "content_hash",
+        ]
+        vectors = (
+            to_embed.join(embedded, "content_hash")
+            .join(sparse_batch, "point_id", "left")
+            .select(*vector_cols)
         )
+        # Chunks whose content is unchanged were skipped above to avoid
+        # re-embedding — but the merge below still deletes every row of a
+        # replaced file, so their stored vectors must be carried over
+        # (reference: dedup skips the embedding call, not the upsert —
+        # content_processor.py:45-61).
+        if stored_chunks is not None and n_skipped:
+            skipped = chunks.join(to_embed.select("point_id"), "point_id", "left_anti")
+            stored_by_hash = (
+                self.store.read("vectors")
+                .select("content_hash", "dense", "sparse_indices", "sparse_values")
+                .dropDuplicates(["content_hash"])
+            )
+            reused = skipped.join(stored_by_hash, "content_hash").select(*vector_cols)
+            vectors = vectors.unionByName(reused)
 
         # fixed merge order: delete-replaced → insert (processors.py:155-179);
         # chunks/vectors partition on chunk_type (metadata-first pruning)
@@ -131,20 +169,18 @@ class CodeMemoryEngine:
         # J2: post-merge orphan cleanup on the merged tables
         self._orphan_cleanup()
 
-        # BM25 model refit over merged metadata chunks (A1)
-        merged_chunks = self.store.read("chunks")
-        model = bm25_mod.fit(merged_chunks.filter(F.col("chunk_type") == "metadata"))
-        sparse = bm25_mod.transform(model, merged_chunks)
-        vec = self.store.read("vectors").drop("sparse_indices", "sparse_values")
-        self.store.write(
-            "vectors",
-            vec.join(sparse, "point_id", "left").select(
-                "point_id", "dense", "sparse_indices", "sparse_values",
-                "entity_name", "entity_type", "chunk_type", "file_path", "content_hash",
-            ),
-            ["chunk_type"],
-        )
-        self._bm25 = model
+        if refit and stored_chunks is not None:
+            # periodic compaction: re-encode every stored sparse vector
+            # under the fresh vocabulary/IDFs (skipped on a first build —
+            # everything was just encoded with the fresh model)
+            merged_chunks = self.store.read("chunks")
+            sparse = bm25_mod.transform(model, merged_chunks)
+            vec = self.store.read("vectors").drop("sparse_indices", "sparse_values")
+            self.store.write(
+                "vectors",
+                vec.join(sparse, "point_id", "left").select(*vector_cols),
+                ["chunk_type"],
+            )
 
         # K4: state update
         self.store.write("file_state", to_file_state(files))
@@ -184,10 +220,26 @@ class CodeMemoryEngine:
 
     # -- model accessors -----------------------------------------------------
 
+    def _bm25_path(self) -> str:
+        import os
+
+        return os.path.join(self.store.root, "bm25_model")
+
+    def _load_bm25(self) -> bm25_mod.BM25Model | None:
+        import os
+
+        path = self._bm25_path()
+        if not os.path.exists(os.path.join(path, "stats.parquet")):
+            return None
+        return bm25_mod.BM25Model.load(self.spark, path)
+
     def bm25_model(self) -> bm25_mod.BM25Model:
         if not hasattr(self, "_bm25"):
-            chunks = self.store.read("chunks")
-            self._bm25 = bm25_mod.fit(chunks.filter(F.col("chunk_type") == "metadata"))
+            model = self._load_bm25()
+            if model is None:
+                chunks = self.store.read("chunks")
+                model = bm25_mod.fit(chunks.filter(F.col("chunk_type") == "metadata"))
+            self._bm25 = model
         return self._bm25
 
     # -- search ------------------------------------------------------------

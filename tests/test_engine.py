@@ -50,6 +50,13 @@ def test_incremental_noop_and_change(spark, temp_repo, tmp_path):
     assert c3["files_changed"] == 1
     ents = eng.store.read("entities")
     assert ents.filter(F.col("entity_name") == "extra").count() == 1
+    # regression: unchanged-content chunks in a changed file were dedup-
+    # skipped for embedding, but their vector rows must survive the merge
+    # (every chunk keeps exactly one vector row)
+    assert c3["chunks_skipped_unchanged"] > 0
+    n_chunks = eng.store.read("chunks").count()
+    n_vectors = eng.store.read("vectors").count()
+    assert n_vectors == n_chunks
 
 
 def test_deletion_propagation(spark, temp_repo, tmp_path):
