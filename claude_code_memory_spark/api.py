@@ -71,6 +71,19 @@ class CodeMemoryEngine:
         changed = changed.cache()
         n_changed = changed.count()
 
+        # early exit (reference indexer.py:303): a no-op re-index must not
+        # rewrite any table — at 100 TB the common scheduled run touches
+        # nothing and should cost one file-listing join
+        if n_changed == 0 and state is not None and deleted.isEmpty():
+            changed.unpersist()
+            return {
+                "files_changed": 0,
+                "entities": 0,
+                "relations": 0,
+                "chunks": 0,
+                "chunks_skipped_unchanged": 0,
+            }
+
         replaced = changed.select("relative_path").unionByName(
             deleted.select("relative_path")
         ).distinct().select(F.col("relative_path").alias("file_path"))
@@ -335,3 +348,76 @@ class CodeMemoryEngine:
         """A2: collection statistics report."""
         chunks = self.store.read("chunks")
         return chunks.groupBy("chunk_type", "entity_type").agg(F.count("*").alias("n"))
+
+    # -- manual memories & collection clear (K3) -----------------------------
+
+    def add_memory(self, name: str, content: str, entity_type: str = "documentation") -> None:
+        """Store a manual memory: a metadata chunk+vector with NULL
+        file_path — the reference's manual memories, which
+        ``clear(preserve_manual=True)`` keeps (qdrant.py:1341-1353)."""
+        from claude_code_memory_spark.functions.hashing import (
+            content_hash,
+            md5_8,
+            point_id,
+        )
+
+        row = self.spark.createDataFrame(
+            [(name, entity_type, content)], "entity_name string, entity_type string, content string"
+        )
+        chunk_id = F.concat_ws(
+            "::", F.lit(""), F.col("entity_type"), F.col("entity_name"),
+            F.lit("metadata"), md5_8(F.col("content")),
+        )
+        chunk = row.select(
+            chunk_id.alias("chunk_id"),
+            point_id(chunk_id).alias("point_id"),
+            "entity_name",
+            "entity_type",
+            F.lit("metadata").alias("chunk_type"),
+            "content",
+            F.concat_ws(" ", "entity_name", "entity_name", "content").alias("content_bm25"),
+            content_hash(F.col("content")).alias("content_hash"),
+            F.lit(False).alias("has_implementation"),
+            F.lit(None).cast("string").alias("file_path"),
+            F.lit(None).cast("int").alias("line_number"),
+            F.lit(None).cast("int").alias("end_line_number"),
+        )
+        dense = chunk.withColumn("dense", hash_embedder_udf(self.dim)(F.col("content")))
+        model = self._load_bm25()
+        if model is None and self.store.read("chunks") is not None:
+            model = self.bm25_model()
+        if model is not None:
+            dense = dense.join(bm25_mod.transform(model, chunk), "point_id", "left")
+        else:  # memory added before any index: no corpus to weight against
+            dense = dense.withColumn(
+                "sparse_indices", F.lit(None).cast("array<int>")
+            ).withColumn("sparse_values", F.lit(None).cast("array<float>"))
+        vector = dense.select(
+            "point_id", "dense", "sparse_indices", "sparse_values",
+            "entity_name", "entity_type", "chunk_type", "file_path", "content_hash",
+        )
+        stored_c = self.store.read("chunks")
+        stored_v = self.store.read("vectors")
+        new_c = stored_c.unionByName(chunk) if stored_c is not None else chunk
+        new_v = stored_v.unionByName(vector) if stored_v is not None else vector
+        self.store.write("chunks", new_c, ["chunk_type"])
+        self.store.write("vectors", new_v, ["chunk_type"])
+
+    def clear(self, *, preserve_manual: bool = True) -> None:
+        """K3: clear the collection. ``preserve_manual=True`` keeps chunks/
+        vectors with NULL file_path (manual memories) and drops everything
+        auto-indexed + all relation chunks (qdrant.py:1303-1401)."""
+        for t in ("entities", "relations", "file_state"):
+            df = self.store.read(t)
+            if df is not None:
+                self.store.write(t, df.limit(0))
+        for t in ("chunks", "vectors"):
+            df = self.store.read(t)
+            if df is None:
+                continue
+            kept = (
+                df.filter(F.col("file_path").isNull() & (F.col("chunk_type") != "relation"))
+                if preserve_manual
+                else df.limit(0)
+            )
+            self.store.write(t, kept, ["chunk_type"])

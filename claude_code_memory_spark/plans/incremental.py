@@ -51,8 +51,16 @@ class TableStore:
         if not self.exists(table):
             return None
         with open(self._pointer(table)) as fh:
-            snap = json.load(fh)["snapshot"]
-        return self.spark.read.parquet(os.path.join(self.root, table, snap))
+            meta = json.load(fh)
+        reader = self.spark.read
+        if "schema" in meta:
+            # an empty table writes no parquet part files (Spark skips
+            # file creation for row-less tasks), so schema inference has
+            # nothing to read — the pointer carries the schema instead
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(meta["schema"])))
+        return reader.parquet(os.path.join(self.root, table, meta["snapshot"]))
 
     def write(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
         self._counter = getattr(self, "_counter", 0) + 1
@@ -69,7 +77,7 @@ class TableStore:
         tmp = self._pointer(table) + ".tmp"
         os.makedirs(os.path.dirname(tmp), exist_ok=True)
         with open(tmp, "w") as fh:
-            json.dump({"snapshot": snap}, fh)
+            json.dump({"snapshot": snap, "schema": df.schema.json()}, fh)
         os.replace(tmp, self._pointer(table))  # atomic pointer swap
         # No GC here: lazy DataFrames captured earlier in the pipeline may
         # still reference older snapshots (Delta's time-travel + deferred

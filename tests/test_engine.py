@@ -86,3 +86,51 @@ def test_graph_and_implementation(spark, temp_repo, tmp_path):
 
     st = eng.stats().collect()
     assert sum(r["n"] for r in st) > 10
+
+
+def test_manual_memory_and_clear(spark, temp_repo, tmp_path):
+    """K3: clear(preserve_manual=True) keeps manual memories (NULL
+    file_path), drops all auto-indexed content and relation chunks
+    (qdrant.py:1303-1401); preserve_manual=False wipes everything."""
+    eng = CodeMemoryEngine(spark, str(tmp_path / "store"))
+    eng.index(temp_repo)
+    eng.add_memory("deploy_ritual", "always run smoke tests before deploying")
+    # semantic search with the exact content scores cosine 1.0 (the
+    # deterministic hash embedder) — must be the top hit. (Keyword terms
+    # NOT in the fitted vocabulary stay unsearchable until the next refit:
+    # documented staleness of the persisted-model design.)
+    top = eng.search("always run smoke tests before deploying", mode="semantic", k=1).collect()
+    assert top and top[0]["entity_name"] == "deploy_ritual"
+
+    eng.clear(preserve_manual=True)
+    chunks = eng.store.read("chunks")
+    assert chunks.count() == 1
+    assert chunks.collect()[0]["entity_name"] == "deploy_ritual"
+    assert eng.store.read("vectors").count() == 1
+    assert eng.store.read("entities").count() == 0
+    # state cleared too: next index() is a full rebuild, not a false no-op
+    assert eng.index(temp_repo)["files_changed"] > 0
+
+    eng.clear(preserve_manual=False)
+    assert eng.store.read("chunks").count() == 0
+
+
+def test_noop_reindex_rewrites_nothing(spark, temp_repo, tmp_path):
+    """Early exit: an unchanged project must not produce new table
+    snapshots (at scale the scheduled re-index is a listing join, not a
+    rewrite)."""
+    import glob
+
+    store_dir = str(tmp_path / "store")
+    eng = CodeMemoryEngine(spark, store_dir)
+    eng.index(temp_repo)
+
+    def pointers():
+        return {
+            p: open(p).read() for p in glob.glob(os.path.join(store_dir, "*", "_current"))
+        }
+
+    before = pointers()
+    out = eng.index(temp_repo)
+    assert out["files_changed"] == 0
+    assert pointers() == before  # no table advanced to a new snapshot
