@@ -284,3 +284,34 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def contaminated_docs(
+    train: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Decontamination probe: training docs sharing any n-gram shingle with
+    a benchmark/eval set — the standard pretraining hygiene check (an
+    n-gram-overlap variant of J6's dedup probe, applied across corpora).
+
+    Inverted-index left-semi join: benchmark shingles are the (small)
+    build side and broadcast; cost ∝ postings of benchmark shingles, not
+    |train| x |benchmark|. Returns (id, n_hits) per contaminated doc.
+    """
+    tr = shingle_docs(train, id_col=id_col, text_col=text_col, n=n).select(
+        id_col, F.explode("shingles").alias("shingle")
+    )
+    bench = (
+        shingle_docs(benchmark, id_col=id_col, text_col=text_col, n=n)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(bench), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )

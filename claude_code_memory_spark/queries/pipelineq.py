@@ -1,0 +1,134 @@
+"""Training-data pipeline queries: deterministic splits, stratified
+sampling, decontamination, and a 2-hop graph traversal over the driver
+tables (the relational twin of api.read_graph's BFS, T7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from claude_code_memory_spark.operators.dedup import contaminated_docs
+from claude_code_memory_spark.operators.sampling import (
+    BUCKETS,
+    deterministic_split,
+    stratified_sample,
+)
+from claude_code_memory_spark.queries.base import register, table
+
+# DuckDB twin of sampling.hash_bucket
+_DD_BUCKET = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT % 10000"
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+    SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM (
+      SELECT doc_id, n_chars,
+             CASE WHEN {_DD_BUCKET} < 8000 THEN 'train'
+                  WHEN {_DD_BUCKET} < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    GROUP BY split
+    """,
+)
+def split_train_val_test(spark, sf_dir):
+    """80/10/10 deterministic split: pure function of doc_id, so the split
+    is identical on any cluster size/partitioning (rand()-based splits are
+    not) and the oracle replays it exactly."""
+    d = table(spark, sf_dir, "documents")
+    s = deterministic_split(
+        d, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id"
+    )
+    return s.groupBy("split").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@register(
+    "sample_stratified_by_lang",
+    oracle=f"""
+    SELECT lang, count(*) AS n_docs
+    FROM documents
+    WHERE (lang = 'en' AND {_DD_BUCKET} < 2000)
+       OR (lang = 'de' AND {_DD_BUCKET} < 5000)
+    GROUP BY lang
+    """,
+)
+def sample_stratified_by_lang(spark, sf_dir):
+    """Per-language deterministic downsampling (20% en, 50% de, drop the
+    rest) — the reproducible twin of DataFrame.sampleBy for corpus
+    rebalancing."""
+    d = table(spark, sf_dir, "documents")
+    s = stratified_sample(
+        d, {"en": 0.2, "de": 0.5}, stratum_col="lang", key_col="doc_id"
+    )
+    return s.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "decontaminate_vs_benchmark",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> length(x) > 1) AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+4], ' ')
+                                           FOR i IN range(1, greatest(len(t) - 4, 0) + 1)])) AS shingle
+      FROM toks WHERE len(t) >= 5),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+    train AS (SELECT * FROM sh WHERE doc_id >= 20)
+    SELECT train.doc_id, count(*) AS n_hits
+    FROM train JOIN bench USING (shingle)
+    GROUP BY train.doc_id
+    """,
+)
+def decontaminate_vs_benchmark(spark, sf_dir):
+    """Contamination probe: training docs (id >= 20) sharing any 5-gram
+    with the benchmark set (id < 20). Benchmark shingles broadcast; cost
+    scales with their postings, not the corpus cross product."""
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 20)
+    train = d.filter(F.col("doc_id") >= 20)
+    return contaminated_docs(train, bench, n=5)
+
+
+@register(
+    "graph_bfs2_brand_parts",
+    oracle="""
+    WITH seeds AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+    hop1 AS (
+      SELECT DISTINCT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM seeds)),
+    hop2 AS (
+      SELECT DISTINCT l_partkey FROM lineitem
+      WHERE l_suppkey IN (SELECT l_suppkey FROM hop1))
+    SELECT count(*) AS n_seed_parts,
+           (SELECT count(*) FROM hop1) AS n_suppliers,
+           (SELECT count(*) FROM hop2) AS n_reachable_parts
+    FROM seeds
+    """,
+)
+def graph_bfs2_brand_parts(spark, sf_dir):
+    """2-hop BFS over the part—supplier bipartite graph (iterative
+    semi-joins — the same plan shape as api.read_graph(mode='bfs2'), T7):
+    Brand#1 parts → their suppliers → every part those suppliers ship."""
+    li = table(spark, sf_dir, "lineitem")
+    seeds = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    hop1 = (
+        li.join(F.broadcast(seeds), li.l_partkey == seeds.p_partkey, "left_semi")
+        .select("l_suppkey")
+        .distinct()
+    )
+    hop2 = (
+        li.join(F.broadcast(hop1.select(F.col("l_suppkey").alias("__s"))),
+                li.l_suppkey == F.col("__s"), "left_semi")
+        .select("l_partkey")
+        .distinct()
+    )
+    return (
+        seeds.agg(F.count("*").alias("n_seed_parts"))
+        .crossJoin(hop1.agg(F.count("*").alias("n_suppliers")))
+        .crossJoin(hop2.agg(F.count("*").alias("n_reachable_parts")))
+    )

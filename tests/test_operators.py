@@ -221,3 +221,44 @@ def test_salted_join_matches_plain_join(spark):
     import pytest
     with pytest.raises(ValueError):
         salted_join(left, right, "k", how="full")
+
+
+def test_deterministic_split_and_stratified_sample(spark):
+    from claude_code_memory_spark.operators.sampling import (
+        deterministic_split,
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(1000)], "id long, lang string"
+    )
+    s = deterministic_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="id")
+    counts = {r["split"]: r["n"] for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] + counts["val"] + counts["test"] == 1000
+    assert 700 < counts["train"] < 900  # ~80%, hash noise allowed
+    # rerun → identical assignment (pure function of content)
+    s2 = deterministic_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="id")
+    assert s.exceptAll(s2).count() == 0
+
+    sub = stratified_sample(df, {"en": 0.5}, stratum_col="lang", key_col="id")
+    got = sub.groupBy("lang").count().collect()
+    assert len(got) == 1 and got[0]["lang"] == "en"  # unlisted strata dropped
+    assert 230 < got[0]["count"] < 430  # ~50% of ~667
+
+
+def test_contaminated_docs(spark):
+    from claude_code_memory_spark.operators.dedup import contaminated_docs
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "totally unrelated text about spark partitions and shuffles here"),
+            (11, "he said the quick brown fox jumps high"),  # shares a 5-gram
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r["doc_id"]: r["n_hits"] for r in contaminated_docs(train, bench, n=5).collect()}
+    assert 11 in hits and 10 not in hits
