@@ -68,6 +68,21 @@ def main() -> None:
             samples.append(time.time() - t0)
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
+    # engine-specific extra: vector index-build throughput (embed every
+    # document with the deterministic hash embedder — the pandas-UDF path
+    # every real embedder provider shares — and materialize the vectors)
+    from pyspark.sql import functions as F
+    from claude_code_memory_spark.embeddings.hash_embedder import hash_embedder_udf
+    from claude_code_memory_spark.queries.base import table
+
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    t0 = time.time()
+    docs.select(hash_embedder_udf(512)(F.col("text")).alias("v")).agg(
+        F.sum(F.element_at("v", 1))
+    ).collect()
+    embed_sec = time.time() - t0
+
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     out = {
@@ -76,6 +91,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "extras": {"embed_vectors_per_sec": round(n_docs / max(embed_sec, 1e-9), 1)},
     }
     print(json.dumps(out))
 

@@ -247,3 +247,61 @@ def join_salted_status_revenue(spark, sf_dir):
             F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
         )
     )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H q4 shape: EXISTS decorrelated to a left-semi join. The
+    lineitem side filters on returnflag before the semi join, and the
+    orders date range is pushed to the scan."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "multimodal_binary_stats",
+    oracle="""
+    SELECT source AS modality,
+           count(*) AS n_payloads,
+           sum(octet_length(encode(text))) AS total_bytes,
+           min(sha256(text)) AS min_digest
+    FROM documents
+    GROUP BY source
+    """,
+)
+def multimodal_binary_stats(spark, sf_dir):
+    """Multimodal-column pattern on oracle-checkable data: treat each
+    document's bytes as an opaque binary payload keyed by a modality
+    column, and aggregate size/digest metadata WITHOUT decoding payloads
+    (the pruned-metadata-scan shape of operators/multimodal.py — at
+    100 TB the scan reads only the modality + length columns, never the
+    blobs)."""
+    d = table(spark, sf_dir, "documents")
+    payloads = d.select(
+        F.col("source").alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return payloads.groupBy("modality").agg(
+        F.count("*").alias("n_payloads"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+        F.min(F.sha2("payload", 256)).alias("min_digest"),
+    )
