@@ -77,6 +77,9 @@ def main() -> None:
 
     docs = table(spark, sf_dir, "documents")
     n_docs = docs.count()
+    # warm the Python-worker/Arrow path first (no headline query uses a
+    # pandas UDF, so the first UDF job pays worker spawn, not embedding)
+    docs.limit(64).select(hash_embedder_udf(512)(F.col("text"))).collect()
     t0 = time.time()
     docs.select(hash_embedder_udf(512)(F.col("text")).alias("v")).agg(
         F.sum(F.element_at("v", 1))

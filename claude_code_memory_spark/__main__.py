@@ -57,7 +57,21 @@ def main(argv: list[str] | None = None) -> int:
     p_impl = sub.add_parser("impl")
     p_impl.add_argument("entity")
     p_impl.add_argument("-c", "--collection", required=True)
-    p_impl.add_argument("--deps", action="store_true")
+    p_impl.add_argument("--scope", default="minimal",
+                        choices=["minimal", "logical", "dependencies"])
+    p_impl.add_argument("--deps", action="store_true",
+                        help="shorthand for --scope dependencies")
+
+    p_mem = sub.add_parser("memory", help="store a manual memory")
+    p_mem.add_argument("name")
+    p_mem.add_argument("content")
+    p_mem.add_argument("-c", "--collection", required=True)
+    p_mem.add_argument("--type", dest="entity_type", default="documentation")
+
+    p_clear = sub.add_parser("clear", help="clear collection")
+    p_clear.add_argument("-c", "--collection", required=True)
+    p_clear.add_argument("--all", action="store_true",
+                         help="also drop manual memories")
 
     p_stats = sub.add_parser("stats")
     p_stats.add_argument("-c", "--collection", required=True)
@@ -84,13 +98,18 @@ def main(argv: list[str] | None = None) -> int:
         eng.read_graph(args.entity, mode="bfs2" if args.bfs else "smart",
                        limit=args.limit).show(args.limit, truncate=60)
     elif args.cmd == "impl":
-        rows = eng.get_implementation(
-            args.entity, scope="dependencies" if args.deps else "minimal"
-        ).collect()
+        scope = "dependencies" if args.deps else args.scope
+        rows = eng.get_implementation(args.entity, scope=scope).collect()
         for r in rows:
             print(f"# {r['entity_name']} ({r['file_path']}:{r['line_number']})")
             print(r["content"])
             print()
+    elif args.cmd == "memory":
+        eng.add_memory(args.name, args.content, entity_type=args.entity_type)
+        print(f"stored manual memory: {args.name}")
+    elif args.cmd == "clear":
+        eng.clear(preserve_manual=not args.all)
+        print("cleared" + ("" if args.all else " (manual memories preserved)"))
     elif args.cmd == "stats":
         eng.stats().orderBy("chunk_type", "entity_type").show(100)
     elif args.cmd == "watch":

@@ -329,13 +329,30 @@ class CodeMemoryEngine:
         return direct.limit(limit)
 
     def get_implementation(self, entity_name: str, *, scope: str = "minimal") -> DataFrame:
-        """Implementation chunks for an entity; scope='dependencies' also
-        returns implementations of entities it calls (README.md:318-323)."""
+        """Implementation chunks for an entity (README.md:318-323):
+        'minimal' = just its code; 'logical' = + entities in the same
+        containment group (parent's other children — class helpers);
+        'dependencies' = + everything it calls."""
+        if scope not in ("minimal", "logical", "dependencies"):
+            raise ValueError(f"invalid scope: {scope}")
         chunks = self.store.read("chunks").filter(F.col("chunk_type") == "implementation")
         own = chunks.filter(F.col("entity_name") == entity_name)
         if scope == "minimal":
             return own
         rel = self.store.read("relations")
+        if scope == "logical":
+            parents = rel.filter(
+                (F.col("to_entity") == entity_name) & (F.col("relation_type") == "contains")
+            ).select(F.col("from_entity").alias("__p"))
+            siblings = (
+                rel.filter(F.col("relation_type") == "contains")
+                .join(F.broadcast(parents), rel.from_entity == F.col("__p"), "left_semi")
+                .select(F.col("to_entity").alias("__sib"))
+            )
+            group = chunks.join(
+                F.broadcast(siblings), chunks.entity_name == F.col("__sib"), "left_semi"
+            )
+            return own.unionByName(group).distinct()
         callees = rel.filter(
             (F.col("from_entity") == entity_name) & (F.col("relation_type") == "calls")
         ).select(F.col("to_entity").alias("__callee"))

@@ -134,3 +134,34 @@ def test_noop_reindex_rewrites_nothing(spark, temp_repo, tmp_path):
     out = eng.index(temp_repo)
     assert out["files_changed"] == 0
     assert pointers() == before  # no table advanced to a new snapshot
+
+
+def test_get_implementation_logical_scope(spark, tmp_path):
+    """scope='logical' returns the entity plus its containment group —
+    for a method, the class's other members (README.md:322 '+ helpers')."""
+    import pytest
+
+    proj = tmp_path / "lproj"
+    proj.mkdir()
+    (proj / "m.py").write_text(
+        textwrap.dedent(
+            """
+            class Processor:
+                def run(self, data):
+                    return self.helper2(data)
+
+                def helper2(self, d):
+                    return d
+            """
+        )
+    )
+    eng = CodeMemoryEngine(spark, str(tmp_path / "store"))
+    eng.index(str(proj))
+    minimal = {r["entity_name"] for r in
+               eng.get_implementation("Processor.run", scope="minimal").collect()}
+    logical = {r["entity_name"] for r in
+               eng.get_implementation("Processor.run", scope="logical").collect()}
+    assert minimal == {"Processor.run"}
+    assert {"Processor.run", "Processor.helper2"} <= logical
+    with pytest.raises(ValueError):
+        eng.get_implementation("Processor.run", scope="bogus")

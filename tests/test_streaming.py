@@ -159,3 +159,59 @@ def test_stateful_sessionize_applyinpandaswithstate(spark, tmp_path):
                 r["n_events"], r["total_value"]) == (1, 100_000, 300_000, 2, 3.0)
     finally:
         q.stop()
+
+
+def test_streaming_tumbling_window_with_watermark(spark, tmp_path):
+    """Event-time tumbling windows with a watermark: a window is appended
+    only once the watermark (max event time - delay) passes its end —
+    late-data semantics the reference's wall-clock watcher cannot express
+    (batch twin: tumbling_window_counts)."""
+    src = tmp_path / "win_events"
+    src.mkdir()
+
+    def write(fname, rows):
+        with open(src / fname, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write("b1.jsonl", [
+        {"ts": "2024-01-01T00:00:05.000Z", "event_type": "click", "value": 1.0},
+        {"ts": "2024-01-01T00:00:40.000Z", "event_type": "click", "value": 2.0},
+        {"ts": "2024-01-01T00:00:50.000Z", "event_type": "view", "value": 5.0},
+    ])
+    write("b2.jsonl", [
+        # 5 minutes later: watermark (max ts - 10s) passes the first window
+        {"ts": "2024-01-01T00:05:00.000Z", "event_type": "click", "value": 9.0},
+    ])
+    now = time.time()
+    os.utime(src / "b1.jsonl", (now - 10, now - 10))
+    os.utime(src / "b2.jsonl", (now, now))
+
+    from pyspark.sql import functions as F2
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 seconds")
+        .groupBy(F2.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(F2.count("*").alias("n"), F2.sum("value").alias("total"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "win_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {(r["event_type"], r["w"].start.second): (r["n"], r["total"])
+                for r in spark.sql("select * from win_out").collect()}
+        # only the minute-0 windows are finalized; the minute-5 window is
+        # still open (watermark has not passed its end)
+        assert rows == {("click", 0): (2, 3.0), ("view", 0): (1, 5.0)}
+    finally:
+        q.stop()
