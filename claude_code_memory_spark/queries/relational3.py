@@ -305,3 +305,33 @@ def multimodal_binary_stats(spark, sf_dir):
         F.sum(F.octet_length("payload")).alias("total_bytes"),
         F.min(F.sha2("payload", 256)).alias("min_digest"),
     )
+
+
+@register(
+    "q19_disjunctive_filter",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 10 AND l.l_quantity >= 10)
+       OR (p.p_brand = 'Brand#3' AND p.p_size <= 20 AND l.l_quantity >= 20)
+       OR (p.p_brand = 'Brand#5' AND p.p_size <= 30 AND l.l_quantity >= 5)
+    """,
+)
+def q19_disjunctive_filter(spark, sf_dir):
+    """TPC-H q19 shape: OR-of-ANDs across both join sides. Catalyst
+    derives the common supersets (brand IN (...), size <= 30) as pushable
+    conjuncts for the scans while the full disjunction stays a post-join
+    residual — exactly what you want at scale."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_brand") == "Brand#5") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 5))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )

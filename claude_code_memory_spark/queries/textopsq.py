@@ -134,3 +134,57 @@ def text_camel_spacing(spark, sf_dir):
 
     p = table(spark, sf_dir, "part")
     return p.select("p_type", camel_to_spaced("p_type").alias("spaced")).distinct()
+
+
+_DD_QUALITY = f"""
+    floor((least(length(text) / 500.0, 1.0) * 0.4
+        + least({_dd_stopword_ratio('en')} * 5.0, 1.0) * 0.3
+        + greatest(1.0 - (len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE
+                          / greatest(length(text), 1)) * 5.0, 0.0) * 0.3) * 1e6 + 0.5)
+      / 1e6
+"""
+
+
+@register(
+    "corpus_filter_funnel",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)) AS ws_tokens,
+             {_DD_QUALITY} AS quality
+      FROM documents)
+    SELECT
+      count(*)                                                     AS n_total,
+      count(*) FILTER (n_chars >= 200)                             AS n_len_ok,
+      count(*) FILTER (n_chars >= 200 AND ws_tokens >= 30)         AS n_tokens_ok,
+      count(*) FILTER (n_chars >= 200 AND ws_tokens >= 30
+                       AND quality >= 0.5)                         AS n_quality_ok
+    FROM scored
+    """,
+)
+def corpus_filter_funnel(spark, sf_dir):
+    """Pretraining filter funnel: how many documents survive each hygiene
+    gate (length → token count → composite quality) — ONE scan computing
+    all stages as conditional aggregates, the shape a 100 TB corpus
+    report must have (N passes over the corpus would be N scans)."""
+    from claude_code_memory_spark.functions.text import (
+        quality_score,
+        whitespace_token_count,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        F.length("text").alias("n_chars"),
+        whitespace_token_count("text").alias("ws_tokens"),
+        quality_score("text").alias("quality"),
+    )
+    len_ok = F.col("n_chars") >= 200
+    tok_ok = len_ok & (F.col("ws_tokens") >= 30)
+    q_ok = tok_ok & (F.col("quality") >= 0.5)
+    return scored.agg(
+        F.count("*").alias("n_total"),
+        F.sum(len_ok.cast("long")).alias("n_len_ok"),
+        F.sum(tok_ok.cast("long")).alias("n_tokens_ok"),
+        F.sum(q_ok.cast("long")).alias("n_quality_ok"),
+    )
