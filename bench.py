@@ -75,7 +75,11 @@ def main() -> None:
     from claude_code_memory_spark.embeddings.hash_embedder import hash_embedder_udf
     from claude_code_memory_spark.queries.base import table
 
-    docs = table(spark, sf_dir, "documents")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # repartition: a single small parquet file reads as one partition,
+    # which would measure one core; the metric is the embed stage's
+    # throughput, and any real corpus has >> cpus input splits
+    docs = table(spark, sf_dir, "documents").repartition(cpus)
     n_docs = docs.count()
     # warm the Python-worker/Arrow path first (no headline query uses a
     # pandas UDF, so the first UDF job pays worker spawn, not embedding)
