@@ -11,6 +11,7 @@ from claude_code_memory_spark.queries import (  # noqa: F401,E402
     relational,
     relational2,
     relational3,
+    relational4,
     search,
     sessionsq,
     textopsq,
