@@ -36,3 +36,38 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all testdata tables as temp views (for the SQL API)."""
     for t in TPCH_TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str | list[str],
+    buckets: int,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Persist a table bucketed (and bucket-sorted) on its join key.
+
+    This is the co-located-join primitive for 100 TB deployments: two
+    tables bucketed on the same key with the same bucket count join with
+    ZERO shuffle — each task reads bucket i of both sides. Same for
+    groupBy on the bucket key. The shuffle happens once at write time and
+    is amortized over every subsequent join/agg (the fact↔fact joins this
+    engine repeats every incremental run: chunks⋈vectors on point_id,
+    relations⟂entities on entity name, lineitem⋈orders on orderkey).
+
+    `sort=True` also orders rows within each bucket file so the
+    sort-merge join skips its Sort step (plan shows SortMergeJoin with
+    neither Exchange nor Sort above the scans).
+
+    Bucket-count sizing: pick so one bucket of the larger table ≈
+    100-200 MB (fits an executor's task comfortably); bucket counts of
+    joined tables must be equal (or integer multiples with
+    spark.sql.bucketing.coalesceBucketsInJoin.enabled)."""
+    keys = [key] if isinstance(key, str) else key
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
