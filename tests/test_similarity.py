@@ -64,3 +64,44 @@ def test_lsh_bucket_subset_of_corpus(spark, emb):
     assert 0 < len(rows) <= 10
     # the query's own vector lands in its own bucket with score 1.0
     assert rows[0]["vec_id"] == 0 and abs(rows[0]["score"] - 1.0) < 1e-5
+
+
+def test_quantized_topk_recall_and_error_bound(spark, sf_dir):
+    """Quantized search must rank nearly identically to exact float search
+    (the codes carry ~8 significant bits/dim) and reconstruction error must
+    respect the step/2 bound everywhere."""
+    from pyspark.sql import functions as F
+
+    from claude_code_memory_spark.operators.quantize import (
+        dequantize_vector,
+        quantize_table,
+        quantize_vector,
+        quantized_topk,
+    )
+    from claude_code_memory_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+
+    exact = {r["vec_id"] for r in brute_force_topk(emb, qvec, 10).collect()}
+    qt = quantize_table(emb, vec_col="embedding")
+    approx = {r["vec_id"] for r in quantized_topk(qt, qvec, 10).collect()}
+    assert len(exact & approx) >= 8  # >= 80% recall@10 on 8-bit codes
+
+    # error bound: |x - x̂| <= qstep / 2 for every element of every vector
+    e2 = emb.select("embedding", quantize_vector("embedding").alias("q"))
+    violations = (
+        e2.select(
+            F.array_max(
+                F.zip_with(
+                    F.col("embedding"),
+                    dequantize_vector("q"),
+                    lambda a, b: F.abs(a.cast("double") - b),
+                )
+            ).alias("max_err"),
+            (F.col("q.qstep") / 2 + 1e-12).alias("bound"),
+        )
+        .filter(F.col("max_err") > F.col("bound"))
+        .count()
+    )
+    assert violations == 0
