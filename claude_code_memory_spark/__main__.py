@@ -95,7 +95,7 @@ def main(argv: list[str] | None = None) -> int:
             entity_types=types, score_threshold=args.threshold,
         ).show(args.k, truncate=60)
     elif args.cmd == "graph":
-        eng.read_graph(args.entity, mode="bfs2" if args.bfs else "smart",
+        eng.read_graph(args.entity, mode="bfs2" if args.bfs else "relationships",
                        limit=args.limit).show(args.limit, truncate=60)
     elif args.cmd == "impl":
         scope = "dependencies" if args.deps else args.scope

@@ -307,26 +307,92 @@ class CodeMemoryEngine:
 
     # -- graph surface (T7) --------------------------------------------------
 
-    def read_graph(self, entity: str, *, mode: str = "smart", limit: int = 50) -> DataFrame:
-        """Relations touching an entity; mode='bfs2' adds 2-hop neighbors
-        (iterative-join BFS — the Spark shape of graph traversal)."""
+    def read_graph(
+        self,
+        entity: str,
+        *,
+        mode: str = "relationships",
+        limit: int | None = None,
+        entity_types: list[str] | None = None,
+    ) -> DataFrame:
+        """T7 MCP ``read_graph(entity, mode, limit, entityTypes)`` parity
+        (reference README.md:313-317). Modes:
+
+        - ``relationships`` — edges touching the entity;
+        - ``entities`` — the neighbor *entity rows* (joined to the
+          entities table, where ``entity_types`` filters apply);
+        - ``raw`` — the full 1-hop subgraph: every edge between members
+          of the neighborhood, not only edges touching the focus;
+        - ``smart`` — deterministic summary (per relation_type ×
+          direction: count + up to 5 sample neighbors). The reference's
+          'smart' is an LLM summary — an engine *consumer*; this is the
+          aggregation it would consume;
+        - ``bfs2`` — 2-hop expansion via iterative semi-joins (the Spark
+          shape of graph traversal).
+
+        Default limits follow the reference: 150 for smart, 300 otherwise
+        (README.md:318). ``entity_types`` filters by the *neighbor*
+        entity's type in every mode."""
+        if mode not in ("smart", "entities", "relationships", "raw", "bfs2"):
+            raise ValueError(f"invalid read_graph mode: {mode}")
+        limit = limit if limit is not None else (150 if mode == "smart" else 300)
         rel = self.store.read("relations")
         direct = rel.filter(
             (F.col("from_entity") == entity) | (F.col("to_entity") == entity)
         )
-        if mode == "bfs2":
-            frontier = (
-                direct.select(F.col("from_entity").alias("n"))
-                .unionByName(direct.select(F.col("to_entity").alias("n")))
+        neighbor = F.when(F.col("from_entity") == entity, F.col("to_entity")).otherwise(
+            F.col("from_entity")
+        )
+        if entity_types:
+            # keep edges whose neighbor is a known entity of a wanted type
+            wanted = (
+                self.store.read("entities")
+                .filter(F.col("entity_type").isin(entity_types))
+                .select(F.col("entity_name").alias("__n"))
                 .distinct()
             )
-            hop2 = rel.join(
-                F.broadcast(frontier),
-                (rel.from_entity == F.col("n")) | (rel.to_entity == F.col("n")),
-                "left_semi",
+            direct = direct.withColumn("__nb", neighbor).join(
+                F.broadcast(wanted), F.col("__nb") == F.col("__n"), "left_semi"
+            ).drop("__nb")
+
+        if mode == "relationships":
+            return direct.limit(limit)
+        if mode == "entities":
+            names = direct.select(neighbor.alias("__n")).distinct()
+            return (
+                self.store.read("entities")
+                .join(F.broadcast(names), F.col("entity_name") == F.col("__n"), "left_semi")
+                .limit(limit)
             )
-            direct = direct.unionByName(hop2).distinct()
-        return direct.limit(limit)
+        if mode == "smart":
+            return (
+                direct.withColumn("__nb", neighbor)
+                .withColumn(
+                    "direction",
+                    F.when(F.col("from_entity") == entity, F.lit("out")).otherwise(
+                        F.lit("in")
+                    ),
+                )
+                .groupBy("relation_type", "direction")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.slice(F.sort_array(F.collect_set("__nb")), 1, 5).alias("sample"),
+                )
+                .orderBy(F.desc("n"), "relation_type", "direction")
+                .limit(limit)
+            )
+        # raw / bfs2: expand to the neighborhood's edges
+        frontier = (
+            direct.select(F.col("from_entity").alias("n"))
+            .unionByName(direct.select(F.col("to_entity").alias("n")))
+            .distinct()
+        )
+        hop = rel.join(
+            F.broadcast(frontier),
+            (rel.from_entity == F.col("n")) | (rel.to_entity == F.col("n")),
+            "left_semi",
+        )
+        return direct.unionByName(hop).distinct().limit(limit)
 
     def get_implementation(self, entity_name: str, *, scope: str = "minimal") -> DataFrame:
         """Implementation chunks for an entity (README.md:318-323):

@@ -80,6 +80,20 @@ def test_graph_and_implementation(spark, temp_repo, tmp_path):
     g = eng.read_graph("compute").collect()
     assert any(r["to_entity"] == "helper" for r in g)
 
+    # mode parity with the MCP surface (README.md:313-318)
+    ents = eng.read_graph("compute", mode="entities").collect()
+    assert "helper" in {r["entity_name"] for r in ents}
+    fns_only = eng.read_graph("compute", mode="entities", entity_types=["function"]).collect()
+    assert all(r["entity_type"] == "function" for r in fns_only)
+    smart = eng.read_graph("compute", mode="smart").collect()
+    assert any(r["relation_type"] == "calls" and "helper" in r["sample"] for r in smart)
+    raw = eng.read_graph("compute", mode="raw").count()
+    assert raw >= len(g)  # raw is the neighborhood superset
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        eng.read_graph("compute", mode="bogus")
+
     impl = eng.get_implementation("compute", scope="dependencies").collect()
     names = {r["entity_name"] for r in impl}
     assert "compute" in names and "helper" in names
