@@ -262,3 +262,21 @@ def test_contaminated_docs(spark):
     )
     hits = {r["doc_id"]: r["n_hits"] for r in contaminated_docs(train, bench, n=5).collect()}
     assert 11 in hits and 10 not in hits
+
+
+def test_approx_aggregates_within_tolerance(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) and percentile_approx are the
+    scale path for distinct/quantile over 100 TB: both are map-side
+    mergeable sketches, so the shuffle carries one sketch per partition
+    instead of the full key set. Correctness contract is bounded error."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_orderkey").alias("exact"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_exact"),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+    assert abs(row["p50_approx"] - row["p50_exact"]) <= 1.0
