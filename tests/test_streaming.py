@@ -215,3 +215,63 @@ def test_streaming_tumbling_window_with_watermark(spark, tmp_path):
         assert rows == {("click", 0): (2, 3.0), ("view", 0): (1, 5.0)}
     finally:
         q.stop()
+
+
+def test_streaming_session_window_by_inactivity(spark, tmp_path):
+    """ST8 in its Spark-native form: `session_window(ts, gap)` closes a
+    session when event-time inactivity exceeds the gap, and the watermark
+    finalizes it (append mode emits only closed sessions). The reference's
+    chat sessionization (chat/parser.py:272-288) is this with a 1-hour gap
+    on wall-clock; event-time + watermark is the at-scale-correct version."""
+    src = tmp_path / "sess_events"
+    src.mkdir()
+
+    def write(fname, rows):
+        with open(src / fname, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write("b1.jsonl", [
+        {"ts": "2024-01-01T00:00:00.000Z", "user_id": 1, "value": 1.0},
+        {"ts": "2024-01-01T00:00:10.000Z", "user_id": 1, "value": 2.0},
+        {"ts": "2024-01-01T00:02:00.000Z", "user_id": 1, "value": 4.0},
+    ])
+    write("b2.jsonl", [
+        # far-future event advances the watermark past both earlier sessions
+        {"ts": "2024-01-01T00:10:00.000Z", "user_id": 2, "value": 8.0},
+    ])
+    now = time.time()
+    os.utime(src / "b1.jsonl", (now - 10, now - 10))
+    os.utime(src / "b2.jsonl", (now, now))
+
+    from pyspark.sql import functions as F2
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 seconds")
+        .groupBy(F2.session_window("ts", "30 seconds").alias("s"), "user_id")
+        .agg(F2.count("*").alias("n"), F2.sum("value").alias("total"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            (r["user_id"], r["s"].start.minute): (r["n"], r["total"])
+            for r in spark.sql("select * from sess_out").collect()
+        }
+        # session 1: events at :00 and :10 merge (gap < 30s), closes at :40
+        # session 2: the :02:00 event alone
+        # user 2's 00:10 session is still open → not emitted
+        assert rows == {(1, 0): (2, 3.0), (1, 2): (1, 4.0)}
+    finally:
+        q.stop()
