@@ -38,6 +38,37 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cols: str | list[str],
+    num_files: int = 32,
+) -> None:
+    """Range-cluster a table on its hot filter column(s) before writing.
+
+    `repartitionByRange` gives each output file a disjoint key range, so
+    every file's parquet footer carries tight min/max stats and a range
+    predicate skips whole row groups at scan time — the difference
+    between reading 100 TB and reading the one date-slice a query wants.
+    `sortWithinPartitions` additionally orders pages inside each file
+    (page-level stats + better compression on the clustered column).
+
+    Caveats that silently disable the pruning this buys (measured in
+    tests/test_layout.py):
+    - timestamps must be written as TIMESTAMP_MICROS (session.py sets
+      it); the INT96 default has no comparable stats;
+    - TIMESTAMP_NTZ predicates are NOT pushed to parquet row-group stats
+      by Spark even with micros storage — cluster on a TIMESTAMP(_LTZ)
+      or epoch BIGINT column instead when scans must prune."""
+    keys = [cols] if isinstance(cols, str) else list(cols)
+    (
+        df.repartitionByRange(num_files, *keys)
+        .sortWithinPartitions(*keys)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

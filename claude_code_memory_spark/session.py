@@ -26,6 +26,11 @@ def get_spark(app_name: str = "claude_code_memory_spark", cpus: int | None = Non
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (the default) writes timestamps with no usable min/max
+        # stats, silently disabling row-group pruning on every time-range
+        # predicate; micros restores it (measured: 60k → 16k rows scanned
+        # on a range-clustered table, tests/test_layout.py)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
