@@ -173,3 +173,36 @@ def dedup_embedding_neardup(spark, sf_dir):
         .filter(F.col("cos") >= 0.4)
         .select("id_a", "id_b", "cos")
     )
+
+
+@register(
+    "dedup_duplicate_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle(threshold=0.5)}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs),
+    reach(node, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node
+    )
+    SELECT node AS doc_id, min(comp) AS component
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def dedup_duplicate_clusters(spark, sf_dir):
+    """MinHash-LSH pairs (>= 0.5 Jaccard) grouped into duplicate clusters
+    via min-label connected components (operators/components.py) — the
+    pairs → clusters step every production dedup pass needs. The oracle
+    computes the same fixpoint with a recursive CTE; the Spark side is
+    O(diameter) iterative joins with checkpointed lineage."""
+    from claude_code_memory_spark.operators.components import connected_components
+
+    d = table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, threshold=0.5, n=3, num_hashes=16, bands=4)
+    return (
+        connected_components(pairs, src="id_a", dst="id_b")
+        .select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+        .orderBy("doc_id")
+    )

@@ -280,3 +280,25 @@ def test_approx_aggregates_within_tolerance(spark, sf_dir):
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
     assert abs(row["p50_approx"] - row["p50_exact"]) <= 1.0
+
+
+def test_connected_components_and_canonical_dedup(spark):
+    """Chain 1-2-3-4 and pair 7-8 collapse to two components; min-id
+    survives dedup_keep_canonical, untouched docs pass through."""
+    from claude_code_memory_spark.operators.components import (
+        connected_components,
+        dedup_keep_canonical,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], "src long, dst long"
+    )
+    comp = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4, 7, 8, 99)], "doc_id long, text string"
+    )
+    pairs = edges.withColumnRenamed("src", "id_a").withColumnRenamed("dst", "id_b")
+    kept = sorted(r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect())
+    assert kept == [1, 7, 99]
