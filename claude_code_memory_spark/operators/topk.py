@@ -90,6 +90,59 @@ def sparse_topk(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+def build_postings(
+    chunks: DataFrame,
+    *,
+    id_col: str = "point_id",
+    indices_col: str = "sparse_indices",
+    values_col: str = "sparse_values",
+) -> DataFrame:
+    """Materialized inverted index: (term_index, point_id, weight).
+
+    `sparse_topk` explodes the stored sparse vectors on every query —
+    fine for one-off scans, wrong for a query-serving corpus. Exploding
+    ONCE into a postings table and persisting it with
+    `io.write_clustered(postings, path, "term_index")` turns each query
+    into a term_index-IN-list scan: row groups holding non-query terms
+    are pruned (tests/test_layout.py mechanics), so per-query IO is
+    proportional to the touched postings lists — the inverted-index
+    property that makes keyword search sublinear, same reason Qdrant
+    keeps a sparse index structure (storage/qdrant.py:228-239)."""
+    return chunks.select(
+        id_col,
+        F.explode(F.arrays_zip(F.col(indices_col), F.col(values_col))).alias("t"),
+    ).select(
+        F.col(f"t.{indices_col}").alias("term_index"),
+        id_col,
+        F.col(f"t.{values_col}").alias("weight"),
+    )
+
+
+def sparse_topk_postings(
+    postings: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "point_id",
+) -> DataFrame:
+    """T2 over a materialized postings table. The IN-list predicate on
+    term_index is a plain pushable filter (reaches the parquet scan of a
+    clustered postings table); the broadcast join contributes the
+    per-term query weights. Result is identical to `sparse_topk`."""
+    terms = [r["term_index"] for r in query_terms.select("term_index").collect()]
+    if not terms:
+        return (
+            postings.sparkSession.createDataFrame([], f"{id_col} long, score double")
+        )
+    hits = postings.filter(F.col("term_index").isin(terms)).join(
+        F.broadcast(query_terms), "term_index"
+    )
+    scored = hits.groupBy(id_col).agg(
+        F.round(F.sum(F.col("weight") * F.col("term_weight")), 6).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
 def rrf_fuse(
     dense: DataFrame,
     sparse: DataFrame,

@@ -302,3 +302,52 @@ def test_connected_components_and_canonical_dedup(spark):
     pairs = edges.withColumnRenamed("src", "id_a").withColumnRenamed("dst", "id_b")
     kept = sorted(r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect())
     assert kept == [1, 7, 99]
+
+
+def test_sparse_postings_equivalence_and_pruning(spark, tmp_path):
+    """sparse_topk_postings == sparse_topk on the same data, and a
+    term-clustered postings table prunes row groups for the IN-list scan."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from claude_code_memory_spark.io import write_clustered
+    from claude_code_memory_spark.operators.topk import (
+        build_postings,
+        sparse_topk,
+        sparse_topk_postings,
+    )
+    from tests.test_layout import scan_rows
+
+    rng = random.Random(7)
+    rows = []
+    for pid in range(2000):
+        idx = sorted(rng.sample(range(500), 6))
+        rows.append((pid, idx, [round(rng.random(), 3) + 0.1 for _ in idx]))
+    chunks = spark.createDataFrame(
+        rows, "point_id long, sparse_indices array<int>, sparse_values array<float>"
+    )
+    qt = spark.createDataFrame(
+        [(3, 1.5), (77, 2.0), (401, 0.5)], "term_index int, term_weight double"
+    )
+
+    direct = {(r["point_id"], r["score"]) for r in sparse_topk(chunks, qt, 10).collect()}
+    postings = build_postings(chunks)
+    via_postings = {
+        (r["point_id"], r["score"])
+        for r in sparse_topk_postings(postings, qt, 10).collect()
+    }
+    assert direct == via_postings
+
+    path = str(tmp_path / "postings")
+    write_clustered(postings, path, "term_index", num_files=8)
+    stored = spark.read.parquet(path)
+    total = stored.count()
+    hit = stored.filter(F.col("term_index").isin([3, 77, 401]))
+    assert scan_rows(hit) < 0.45 * total  # 3 query terms -> ~3 of 8 range-files  # row groups without query terms skipped
+    # and the clustered postings produce the same result too
+    clustered_res = {
+        (r["point_id"], r["score"])
+        for r in sparse_topk_postings(stored, qt, 10).collect()
+    }
+    assert clustered_res == direct
