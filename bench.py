@@ -90,15 +90,61 @@ def main() -> None:
     ).collect()
     embed_sec = time.time() - t0
 
+    # exact top-k QPS: 20 sequential brute-force searches with distinct
+    # query vectors over the embeddings table (BASELINE.md benchmark plan:
+    # "queries/sec exact top-k at N vectors")
+    from claude_code_memory_spark.operators.similarity import brute_force_topk
+
+    emb = table(spark, sf_dir, "embeddings").cache()
+    n_vecs = emb.count()
+    qvecs = [r["embedding"] for r in emb.filter(F.col("vec_id") < 20).collect()]
+    brute_force_topk(emb, qvecs[0], 10).collect()  # warm
+    t0 = time.time()
+    for qv in qvecs:
+        brute_force_topk(emb, qv, 10).collect()
+    topk_qps = len(qvecs) / max(time.time() - t0, 1e-9)
+    emb.unpersist()
+
+    # incremental re-index ratio (BASELINE.md: "changed-only vs full";
+    # reference claims 15x, README.md:178): full index of this engine's
+    # own codebase vs the no-op incremental pass over it
+    import shutil
+    import tempfile
+
+    from claude_code_memory_spark.api import CodeMemoryEngine
+
+    store = tempfile.mkdtemp(prefix="bench_store_")
+    try:
+        pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "claude_code_memory_spark")
+        eng = CodeMemoryEngine(spark, store)
+        t0 = time.time()
+        eng.index(pkg_dir)
+        t_full = time.time() - t0
+        t0 = time.time()
+        eng.index(pkg_dir)
+        t_noop = time.time() - t0
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    dense_t, hybrid_t = timings.get("dense_topk"), timings.get("hybrid_rrf_search")
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "extras": {"embed_vectors_per_sec": round(n_docs / max(embed_sec, 1e-9), 1)},
+        "extras": {
+            "embed_vectors_per_sec": round(n_docs / max(embed_sec, 1e-9), 1),
+            "exact_topk_qps": round(topk_qps, 2),
+            "exact_topk_corpus_vectors": n_vecs,
+            "hybrid_rrf_overhead_vs_dense": (
+                round(hybrid_t / dense_t, 2) if dense_t and hybrid_t else None
+            ),
+            "incremental_reindex_speedup": round(t_full / max(t_noop, 1e-9), 1),
+        },
     }
     print(json.dumps(out))
 
