@@ -188,3 +188,80 @@ def corpus_filter_funnel(spark, sf_dir):
         F.sum(tok_ok.cast("long")).alias("n_tokens_ok"),
         F.sum(q_ok.cast("long")).alias("n_quality_ok"),
     )
+
+
+@register(
+    "text_repetition_signals",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DD_TOKENIZE} AS toks FROM documents),
+    tok_counts AS (
+      SELECT doc_id, t, count(*) AS c
+      FROM (SELECT doc_id, unnest(toks) AS t FROM toks) GROUP BY 1, 2),
+    tok_stats AS (
+      SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_token_frac
+      FROM tok_counts GROUP BY doc_id),
+    bigs AS (
+      SELECT doc_id,
+             [toks[i] || ' ' || toks[i+1]
+              FOR i IN range(1, greatest(len(toks) - 1, 0) + 1)] AS bgs
+      FROM toks),
+    bg_counts AS (
+      SELECT doc_id, b, count(*) AS c
+      FROM (SELECT doc_id, unnest(bgs) AS b FROM bigs) GROUP BY 1, 2),
+    bg_stats AS (
+      SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bigram_frac
+      FROM bg_counts GROUP BY doc_id)
+    SELECT d.doc_id,
+           round(coalesce(ts.top_token_frac, 0), 6) AS top_token_frac,
+           round(coalesce(bs.top_bigram_frac, 0), 6) AS top_bigram_frac
+    FROM documents d
+    LEFT JOIN tok_stats ts USING (doc_id)
+    LEFT JOIN bg_stats bs USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def text_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. 2021, published corpus
+    hygiene rules): the fraction of tokens covered by the modal token and
+    the fraction of word-bigrams covered by the modal bigram — high values
+    mark boilerplate/spam for removal before training. One explode +
+    two-level aggregate per signal, all map-side combinable; the bigram
+    build is a JVM array transform, no UDF."""
+    from claude_code_memory_spark.functions.text import tokenize
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize("text").alias("toks"))
+    bigrams = toks.withColumn(
+        "bgs",
+        F.when(
+            F.size("toks") >= 2,
+            F.transform(
+                F.slice("toks", 1, F.size("toks") - 1),
+                lambda x, i: F.concat_ws(" ", x, F.get(F.col("toks"), i + F.lit(1))),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+
+    def modal_frac(df, arr_col, out_name):
+        counts = (
+            df.select("doc_id", F.explode(arr_col).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+        )
+        return counts.groupBy("doc_id").agg(
+            (F.max("c").cast("double") / F.sum("c")).alias(out_name)
+        )
+
+    ts = modal_frac(toks, "toks", "top_token_frac")
+    bs = modal_frac(bigrams, "bgs", "top_bigram_frac")
+    return (
+        d.select("doc_id")
+        .join(ts, "doc_id", "left")
+        .join(bs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.coalesce("top_token_frac", F.lit(0.0)), 6).alias("top_token_frac"),
+            F.round(F.coalesce("top_bigram_frac", F.lit(0.0)), 6).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
