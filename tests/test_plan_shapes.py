@@ -1,0 +1,67 @@
+"""Plan-shape regression guards.
+
+The scale properties PLANS.md documents are invariants, not accidents:
+these tests pin the shuffle count / top-k strategy of representative
+queries so a refactor that silently introduces an extra Exchange (or
+degrades TakeOrderedAndProject into a global Sort) fails CI instead of
+fleet-wide at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from claude_code_memory_spark.queries.base import REGISTRY
+
+
+def plan_of(spark, name, sf_dir) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def count_shuffles(plan: str) -> int:
+    # each physical shuffle prints as an "Exchange hashpartitioning/..." or
+    # rangepartitioning/SinglePartition node; broadcasts print as
+    # "BroadcastExchange" and are not shuffles
+    return sum(
+        1
+        for line in plan.splitlines()
+        if line.lstrip().startswith("(") and " Exchange " not in line and
+        line.split(") ", 1)[-1].startswith("Exchange")
+    )
+
+
+def test_q6_single_shuffle(spark, sf_dir):
+    # pure filter+agg: the only exchange is the 1-row final aggregate
+    plan = plan_of(spark, "q6_revenue_delta", sf_dir)
+    assert count_shuffles(plan) == 1
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_dense_topk_no_shuffle(spark, sf_dir):
+    # brute-force top-k must be scan → project → TakeOrderedAndProject:
+    # zero shuffles, per-partition heaps merged on the driver
+    plan = plan_of(spark, "dense_topk", sf_dir)
+    assert count_shuffles(plan) == 0
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_group_agg_shape(spark, sf_dir):
+    # partial agg → exchange on group keys → final agg (+ tiny result sort)
+    plan = plan_of(spark, "q1_pricing_summary", sf_dir)
+    assert count_shuffles(plan) <= 2
+    assert "HashAggregate" in plan
+
+
+def test_q18_topk_not_global_sort(spark, sf_dir):
+    plan = plan_of(spark, "q18_large_volume_customers", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    # order-dependent session logic: exactly one exchange (user key);
+    # sort happens within partitions
+    plan = plan_of(spark, "sessionize_events", sf_dir)
+    assert count_shuffles(plan) == 1
