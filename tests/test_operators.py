@@ -351,3 +351,43 @@ def test_sparse_postings_equivalence_and_pruning(spark, tmp_path):
         for r in sparse_topk_postings(stored, qt, 10).collect()
     }
     assert clustered_res == direct
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE's runtime skew handling (session.py enables skewJoin): a 90%-hot
+    key gets its partition split, visible as `skew=true` on the
+    SortMergeJoin node of the executed plan.
+
+    Subtlety this test pins: the OptimizeSkewedJoin rule declines when the
+    join feeds another shuffle (splitting would break the downstream
+    partitioning guarantee) unless forceOptimizeSkewedJoin is set — which
+    is exactly why operators/skew.py::salted_join exists for skewed
+    join→aggregate pipelines."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 300_000, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).union(spark.createDataFrame([(0, 0)], "k long, v long"))
+        j = left.join(right, "k")
+        rows = j.collect()
+        assert len(rows) == 570_001
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"skew=true", plan)) >= 1
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
