@@ -9,7 +9,6 @@ fleet-wide at 100 TB.
 
 from __future__ import annotations
 
-import pytest
 
 from claude_code_memory_spark.queries.base import REGISTRY
 
