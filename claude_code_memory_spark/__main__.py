@@ -76,6 +76,11 @@ def main(argv: list[str] | None = None) -> int:
     p_stats = sub.add_parser("stats")
     p_stats.add_argument("-c", "--collection", required=True)
 
+    p_chat = sub.add_parser("chat", help="index a conversation JSONL")
+    p_chat.add_argument("--file", required=True, help="chat JSONL path")
+    p_chat.add_argument("-c", "--collection", required=True)
+    p_chat.add_argument("--gap-hours", type=float, default=1.0)
+
     p_watch = sub.add_parser("watch")
     p_watch.add_argument("-p", "--project", required=True)
     p_watch.add_argument("-c", "--collection", required=True)
@@ -110,6 +115,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "clear":
         eng.clear(preserve_manual=not args.all)
         print("cleared" + ("" if args.all else " (manual memories preserved)"))
+    elif args.cmd == "chat":
+        print(eng.index_chat(args.file, gap_seconds=int(args.gap_hours * 3600)))
     elif args.cmd == "stats":
         eng.stats().orderBy("chunk_type", "entity_type").show(100)
     elif args.cmd == "watch":

@@ -486,6 +486,54 @@ class CodeMemoryEngine:
         self.store.write("chunks", new_c, ["chunk_type"])
         self.store.write("vectors", new_v, ["chunk_type"])
 
+    def index_chat(self, jsonl_path: str, *, gap_seconds: int = 3600) -> dict:
+        """S11/ST8/UD7/A8: the reference's chat-history pipeline
+        (`claude-indexer chat index`): parse conversation JSONL →
+        sessionize by ≥1h inactivity (chat/parser.py:272-288) →
+        categorize+language-detect (deterministic summarizer stub, same
+        output schema as the LLM one) → chat chunks → embed → append.
+
+        Incremental: conversations whose chunk content_hash is already
+        stored are skipped (same J6 dedup probe as code chunks), so
+        re-running over a growing JSONL embeds only new/changed sessions."""
+        from claude_code_memory_spark.sources.chat import (
+            categorize,
+            chat_chunks,
+            conversations,
+            read_chat_jsonl,
+        )
+
+        msgs = read_chat_jsonl(self.spark, jsonl_path)
+        convs = categorize(conversations(msgs, gap_seconds))
+        chunk = chat_chunks(convs)
+        stored_c = self.store.read("chunks")
+        n_total = chunk.count()
+        if stored_c is not None:
+            chunk = dedup_new_content(chunk, stored_c.select("content_hash"))
+        chunk = chunk.localCheckpoint()  # stable ids across the two writes
+        n_new = chunk.count()
+        dense = chunk.withColumn("dense", hash_embedder_udf(self.dim)(F.col("content")))
+        model = self._load_bm25()
+        if model is None and stored_c is not None:
+            model = self.bm25_model()
+        if model is not None:
+            dense = dense.join(bm25_mod.transform(model, chunk), "point_id", "left")
+        else:
+            dense = dense.withColumn(
+                "sparse_indices", F.lit(None).cast("array<int>")
+            ).withColumn("sparse_values", F.lit(None).cast("array<float>"))
+        vector = dense.select(
+            "point_id", "dense", "sparse_indices", "sparse_values",
+            "entity_name", "entity_type", "chunk_type", "file_path", "content_hash",
+        )
+        stored_v = self.store.read("vectors")
+        new_c = stored_c.unionByName(chunk) if stored_c is not None else chunk
+        new_v = stored_v.unionByName(vector) if stored_v is not None else vector
+        self.store.write("chunks", new_c, ["chunk_type"])
+        self.store.write("vectors", new_v, ["chunk_type"])
+        return {"conversations": n_total, "chunks_new": n_new,
+                "chunks_skipped_unchanged": n_total - n_new}
+
     def clear(self, *, preserve_manual: bool = True) -> None:
         """K3: clear the collection. ``preserve_manual=True`` keeps chunks/
         vectors with NULL file_path (manual memories) and drops everything

@@ -179,3 +179,41 @@ def test_get_implementation_logical_scope(spark, tmp_path):
     assert {"Processor.run", "Processor.helper2"} <= logical
     with pytest.raises(ValueError):
         eng.get_implementation("Processor.run", scope="bogus")
+
+
+def test_index_chat_end_to_end(spark, tmp_path):
+    """Chat JSONL → sessionized conversations → categorized chunks →
+    searchable vectors, with incremental skip on re-run and survival of
+    preserve-manual clear (reference `claude-indexer chat index`)."""
+    import json as _json
+
+    msgs = [
+        {"chat_id": "c1", "ts": "2024-01-01T10:00:00Z", "role": "user",
+         "content": "there is an error and a traceback in my build"},
+        {"chat_id": "c1", "ts": "2024-01-01T10:05:00Z", "role": "assistant",
+         "content": "let me fix the bug"},
+        {"chat_id": "c1", "ts": "2024-01-01T12:00:00Z", "role": "user",
+         "content": "now implement the new feature and create the schema"},
+    ]
+    p = tmp_path / "chat.jsonl"
+    with open(p, "w") as fh:
+        for m in msgs:
+            fh.write(_json.dumps(m) + "\n")
+
+    eng = CodeMemoryEngine(spark, str(tmp_path / "store"))
+    r1 = eng.index_chat(str(p))
+    assert r1 == {"conversations": 2, "chunks_new": 2, "chunks_skipped_unchanged": 0}
+
+    hits = eng.search("traceback error", mode="semantic", chunk_type="chat_summary", k=5)
+    rows = hits.collect()
+    assert rows and all(r["chunk_type"] == "chat_summary" for r in rows)
+    assert any(r["entity_name"] == "c1" for r in rows)
+
+    # re-run: everything dedup-skipped
+    r2 = eng.index_chat(str(p))
+    assert r2["chunks_new"] == 0 and r2["chunks_skipped_unchanged"] == 2
+
+    # chat chunks have NULL file_path → preserved by preserve-manual clear
+    eng.clear(preserve_manual=True)
+    assert eng.store.read("chunks").filter(
+        F.col("chunk_type") == "chat_summary").count() == 2
