@@ -22,7 +22,7 @@ _DD_BUCKET = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIG
 @register(
     "split_train_val_test",
     oracle=f"""
-    SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM (
       SELECT doc_id, n_chars,
              CASE WHEN {_DD_BUCKET} < 8000 THEN 'train'

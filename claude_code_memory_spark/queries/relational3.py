@@ -282,7 +282,7 @@ def q4_order_priority(spark, sf_dir):
     oracle="""
     SELECT source AS modality,
            count(*) AS n_payloads,
-           sum(octet_length(encode(text))) AS total_bytes,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            min(sha256(text)) AS min_digest
     FROM documents
     GROUP BY source
