@@ -532,12 +532,9 @@ class CodeMemoryEngine:
             "point_id", "dense", "sparse_indices", "sparse_values",
             "entity_name", "entity_type", "chunk_type", "file_path", "content_hash",
         )
-        stored_c = self.store.read("chunks")
-        stored_v = self.store.read("vectors")
-        new_c = stored_c.unionByName(chunk) if stored_c is not None else chunk
-        new_v = stored_v.unionByName(vector) if stored_v is not None else vector
-        self.store.write("chunks", new_c, ["chunk_type"])
-        self.store.write("vectors", new_v, ["chunk_type"])
+        # O(1 row) append: prior snapshot dirs untouched
+        self.store.append("chunks", chunk, ["chunk_type"])
+        self.store.append("vectors", vector, ["chunk_type"])
 
     def index_chat(self, jsonl_path: str, *, gap_seconds: int = 3600) -> dict:
         """S11/ST8/UD7/A8: the reference's chat-history pipeline
@@ -579,11 +576,9 @@ class CodeMemoryEngine:
             "point_id", "dense", "sparse_indices", "sparse_values",
             "entity_name", "entity_type", "chunk_type", "file_path", "content_hash",
         )
-        stored_v = self.store.read("vectors")
-        new_c = stored_c.unionByName(chunk) if stored_c is not None else chunk
-        new_v = stored_v.unionByName(vector) if stored_v is not None else vector
-        self.store.write("chunks", new_c, ["chunk_type"])
-        self.store.write("vectors", new_v, ["chunk_type"])
+        # O(new chunks) append: prior snapshot dirs untouched
+        self.store.append("chunks", chunk, ["chunk_type"])
+        self.store.append("vectors", vector, ["chunk_type"])
         return {"conversations": n_total, "chunks_new": n_new,
                 "chunks_skipped_unchanged": n_total - n_new}
 

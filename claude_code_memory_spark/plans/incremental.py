@@ -47,11 +47,19 @@ class TableStore:
     def exists(self, table: str) -> bool:
         return os.path.exists(self._pointer(table))
 
-    def read(self, table: str) -> DataFrame | None:
+    def _manifest(self, table: str) -> dict | None:
         if not self.exists(table):
             return None
         with open(self._pointer(table)) as fh:
             meta = json.load(fh)
+        if "snapshot" in meta:  # pre-append single-snapshot pointer format
+            meta["snapshots"] = [meta.pop("snapshot")]
+        return meta
+
+    def read(self, table: str) -> DataFrame | None:
+        meta = self._manifest(table)
+        if meta is None:
+            return None
         reader = self.spark.read
         if "schema" in meta:
             # an empty table writes no parquet part files (Spark skips
@@ -60,12 +68,22 @@ class TableStore:
             from pyspark.sql.types import StructType
 
             reader = reader.schema(StructType.fromJson(json.loads(meta["schema"])))
-        return reader.parquet(os.path.join(self.root, table, meta["snapshot"]))
+        parts = [
+            reader.parquet(os.path.join(self.root, table, s))
+            for s in meta["snapshots"]
+        ]
+        # one DataFrame per manifest entry, unioned lazily: partition
+        # pruning (e.g. chunk_type=metadata) still applies inside each
+        # snapshot dir, and no snapshot is rewritten to serve a read
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
 
-    def write(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
+    def _new_snapshot_dir(self, table: str, df: DataFrame,
+                          partition_by: list[str] | None) -> str:
         self._counter = getattr(self, "_counter", 0) + 1
         snap = f"snap-{int(time.time() * 1000)}-{os.getpid()}-{self._counter}"
-        path = os.path.join(self.root, table, snap)
         writer = df.write.mode("overwrite")
         if partition_by:
             # e.g. chunks/vectors partitioned by chunk_type: the reference's
@@ -73,28 +91,60 @@ class TableStore:
             # becomes parquet partition pruning — a chunk_type-filtered
             # search never lists the implementation partitions
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(path)
+        writer.parquet(os.path.join(self.root, table, snap))
+        return snap
+
+    def _commit(self, table: str, snapshots: list[str], schema_json: str) -> None:
         tmp = self._pointer(table) + ".tmp"
         os.makedirs(os.path.dirname(tmp), exist_ok=True)
         with open(tmp, "w") as fh:
-            json.dump({"snapshot": snap, "schema": df.schema.json()}, fh)
+            json.dump({"snapshots": snapshots, "schema": schema_json}, fh)
         os.replace(tmp, self._pointer(table))  # atomic pointer swap
         # No GC here: lazy DataFrames captured earlier in the pipeline may
         # still reference older snapshots (Delta's time-travel + deferred
         # VACUUM solves the same hazard). vacuum() runs between pipelines.
 
+    def write(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
+        snap = self._new_snapshot_dir(table, df, partition_by)
+        self._commit(table, [snap], df.schema.json())
+
+    # Auto-compact when a table accumulates this many append snapshots:
+    # the small-file problem is the append trade-off, and folding N dirs
+    # into one periodically is exactly Delta/Iceberg OPTIMIZE. O(corpus)
+    # once per MAX_SNAPSHOTS appends = amortized O(1) per append.
+    MAX_SNAPSHOTS = 32
+
+    def append(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
+        """Append rows as an additional manifest snapshot — O(new rows) IO,
+        prior snapshot dirs untouched (the Delta-append this store
+        emulates; round 1 appended by rewriting the whole table)."""
+        meta = self._manifest(table)
+        if meta is None:
+            self.write(table, df, partition_by)
+            return
+        snap = self._new_snapshot_dir(table, df, partition_by)
+        snapshots = meta["snapshots"] + [snap]
+        if len(snapshots) >= self.MAX_SNAPSHOTS:
+            merged = self.read(table).unionByName(
+                self.spark.read.schema(df.schema).parquet(
+                    os.path.join(self.root, table, snap)
+                )
+            )
+            self.write(table, merged, partition_by)
+            return
+        self._commit(table, snapshots, meta.get("schema", df.schema.json()))
+
     def vacuum(self) -> None:
         """Delete all non-current snapshots. Call only between pipelines,
         when no live DataFrame references older snapshots."""
         for table in os.listdir(self.root):
-            pointer = self._pointer(table)
-            if not os.path.exists(pointer):
+            meta = self._manifest(table)
+            if meta is None:
                 continue
-            with open(pointer) as fh:
-                keep = json.load(fh)["snapshot"]
+            keep = set(meta["snapshots"])
             tdir = os.path.join(self.root, table)
             for d in os.listdir(tdir):
-                if d.startswith("snap-") and d != keep:
+                if d.startswith("snap-") and d not in keep:
                     shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
 
 
