@@ -68,14 +68,19 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via inverted shingle index.
 
     explode(shingles) → self-join on shingle → |A∩B| per pair →
     jaccard = inter / (|A| + |B| - inter). `max_shingle_freq` drops
-    shingles appearing in more than that many docs (boilerplate guard at
-    scale; off by default so results match the exact oracle)."""
+    shingles appearing in more than that many docs BEFORE the self-join:
+    posting lists are otherwise unbounded and the join is quadratic in
+    posting length, so one boilerplate shingle shared by 1M docs would
+    emit 10^12 pairs. The finite default makes the scale-safe path the
+    default path (capped shingles shrink the intersection count only —
+    an underestimate of jaccard for boilerplate-heavy pairs, the standard
+    trade); pass None for the exact all-postings variant."""
     sh = shingle_docs(docs, id_col=id_col, text_col=text_col, n=n)
     sizes = sh.select(F.col(id_col).alias("__sid"), F.size("shingles").alias("__size"))
     inv = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))

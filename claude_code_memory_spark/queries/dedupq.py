@@ -47,7 +47,12 @@ def dedup_exact_kept(spark, sf_dir):
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH sh AS ({_DD_SHINGLES}),
-    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    -- replay the operator's default posting-list cap (max_shingle_freq):
+    -- shingles in more than 10000 docs are dropped before the self-join
+    inv AS (
+      SELECT doc_id, shingle FROM inv0
+      QUALIFY count(*) OVER (PARTITION BY shingle) <= 10000),
     sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -61,7 +66,9 @@ def dedup_exact_kept(spark, sf_dir):
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard pairs >= 0.2 via inverted shingle index."""
+    """Exact 3-gram Jaccard pairs >= 0.2 via inverted shingle index,
+    with the scale-safe default posting cap active (the oracle replays
+    the cap)."""
     d = table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(d, threshold=0.2, n=3)
 

@@ -121,6 +121,28 @@ def test_jaccard_and_minhash_agree_on_clones(spark):
     assert (1, 2) in mh
 
 
+def test_jaccard_posting_cap_drops_boilerplate(spark):
+    """max_shingle_freq bounds posting lists: a shingle shared by every
+    doc is dropped before the self-join, so boilerplate alone cannot
+    pair up otherwise-unrelated docs (the 100 TB guard, on by default)."""
+    boiler = "subscribe to our newsletter today"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta"),
+            (2, boiler + " epsilon zeta eta theta"),
+            (3, boiler + " iota kappa lam mu"),
+        ],
+        "doc_id long, text string",
+    )
+    # uncapped: the shared boilerplate shingles push pairs over 0.25
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.25, max_shingle_freq=None)
+    assert uncapped.count() == 3
+    # cap=2 drops shingles present in all 3 docs; only boilerplate-internal
+    # shingles survive in pairs, jaccard falls below the threshold
+    capped = ngram_jaccard_pairs(docs, threshold=0.25, max_shingle_freq=2)
+    assert capped.count() == 0
+
+
 def test_simhash_close_for_similar_docs(spark):
     docs = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta epsilon"), (3, "xyz qrs")],
