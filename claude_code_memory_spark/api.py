@@ -89,32 +89,47 @@ class CodeMemoryEngine:
             deleted.select("relative_path")
         ).distinct().select(F.col("relative_path").alias("file_path"))
 
+        from pyspark.sql import Observation
+
         parsed = parse_files(changed).cache()
-        entities, relations, impl = split_parsed(parsed)
+        entities_raw, relations, impl = split_parsed(parsed)
+        # Counter plumbing: observe() piggybacks the counts onto actions the
+        # pipeline already runs (the bm25 corpus count and the merge writes)
+        # — zero extra jobs — instead of the round-1 4-5 dedicated .count()
+        # jobs per batch. Placement rule: each observed node must appear
+        # exactly once in the plan of the query that first executes it
+        # (CollectMetrics aggregates per traversal), so relations are
+        # observed AFTER _filter_resolvable (which scans its input twice).
+        obs_entities, obs_relations = Observation(), Observation()
+        obs_chunks, obs_skipped = Observation(), Observation()
+        # universe/changed_names below use entities_raw (unobserved) so the
+        # observed node appears exactly once per query (via the chunk path)
+        entities = entities_raw.observe(obs_entities, F.count(F.lit(1)).alias("n"))
 
         # J4: pre-storage orphan filter — entity universe = stored ∪ batch.
         # Only calls/inherits require a resolvable target; imports and
         # `uses` keep external targets (modules, data files) — the
         # reference whitelists external files too (qdrant.py:2183-2213).
         stored_entities = self.store.read("entities")
-        universe = entities.select("entity_name")
+        universe = entities_raw.select("entity_name")
         if stored_entities is not None:
             universe = universe.unionByName(stored_entities.select("entity_name"))
-        relations = self._filter_resolvable(relations, universe.distinct())
+        relations = self._filter_resolvable(relations, universe.distinct()).observe(
+            obs_relations, F.count(F.lit(1)).alias("n")
+        )
 
         meta = entity_metadata_chunks(entities, impl)
         impl_ch = implementation_chunks(impl)
         rel_ch = relation_chunks(relations)
-        chunks = meta.unionByName(impl_ch).unionByName(rel_ch)
+        chunks = meta.unionByName(impl_ch).unionByName(rel_ch).observe(
+            obs_chunks, F.count(F.lit(1)).alias("n")
+        )
 
         # J6: dedup vs stored content hashes — skip re-embedding unchanged
         stored_chunks = self.store.read("chunks")
         to_embed = chunks
-        n_skipped = 0
         if stored_chunks is not None:
-            before = chunks.count()
             to_embed = dedup_new_content(chunks, stored_chunks)
-            n_skipped = before - to_embed.count()
 
         # BM25 model, amortized (UD4/A1 at scale): reuse the persisted
         # model and sparse-encode only this batch; refit — and rewrite all
@@ -163,8 +178,10 @@ class CodeMemoryEngine:
         # replaced file, so their stored vectors must be carried over
         # (reference: dedup skips the embedding call, not the upsert —
         # content_processor.py:45-61).
-        if stored_chunks is not None and n_skipped:
-            skipped = chunks.join(to_embed.select("point_id"), "point_id", "left_anti")
+        if stored_chunks is not None:
+            skipped = chunks.join(
+                to_embed.select("point_id"), "point_id", "left_anti"
+            ).observe(obs_skipped, F.count(F.lit(1)).alias("n"))
             stored_by_hash = (
                 self.store.read("vectors")
                 .select("content_hash", "dense", "sparse_indices", "sparse_values")
@@ -184,7 +201,7 @@ class CodeMemoryEngine:
         # added, changed, or deleted in THIS batch can have become invalid;
         # the rest of the table is untouched (reference smart filtering,
         # storage/diff_layers.py:80-110)
-        changed_names = entities.select("entity_name")
+        changed_names = entities_raw.select("entity_name")
         if stored_entities is not None:
             changed_names = changed_names.unionByName(
                 stored_entities.join(
@@ -209,16 +226,32 @@ class CodeMemoryEngine:
         # K4: state update
         self.store.write("file_state", to_file_state(files))
 
+        # all four observations were filled by actions above (the bm25
+        # corpus count and the merge writes) — no extra jobs here
         counters = {
             "files_changed": n_changed,
-            "entities": entities.count(),
-            "relations": relations.count(),
-            "chunks": chunks.count(),
-            "chunks_skipped_unchanged": n_skipped,
+            "entities": self._obs_n(obs_entities),
+            "relations": self._obs_n(obs_relations),
+            "chunks": self._obs_n(obs_chunks),
+            "chunks_skipped_unchanged": (
+                self._obs_n(obs_skipped) if stored_chunks is not None else 0
+            ),
         }
         changed.unpersist()
         parsed.unpersist()
         return counters
+
+    @staticmethod
+    def _obs_n(obs) -> int:
+        """Observation counter with an empty-plan fallback: AQE's
+        PropagateEmptyRelation can prune a CollectMetrics node whose input
+        is provably empty (e.g. a deletion-only batch), in which case the
+        metrics row is empty and decoding raises — a pruned node means
+        zero rows flowed through it."""
+        try:
+            return obs.get["n"]
+        except Exception:
+            return 0
 
     @staticmethod
     def _filter_resolvable(relations: DataFrame, universe: DataFrame) -> DataFrame:

@@ -150,6 +150,19 @@ def test_noop_reindex_rewrites_nothing(spark, temp_repo, tmp_path):
     assert pointers() == before  # no table advanced to a new snapshot
 
 
+def test_counters_match_stored_tables(spark, temp_repo, tmp_path):
+    """index() counters come from observe() metrics piggybacked on the
+    pipeline's own actions (no dedicated .count() jobs) — they must equal
+    the actual stored table sizes on a fresh build."""
+    eng = CodeMemoryEngine(spark, str(tmp_path / "store"))
+    c = eng.index(temp_repo)
+    assert c["entities"] == eng.store.read("entities").count()
+    assert c["chunks"] == eng.store.read("chunks").count()
+    # relations counter = post-J4 count, >= stored (J2/J3 may clean more)
+    assert c["relations"] >= eng.store.read("relations").count()
+    assert c["chunks_skipped_unchanged"] == 0  # nothing stored yet
+
+
 def test_incremental_cleanup_is_delta_scoped(spark, temp_repo, tmp_path):
     """A 1-file incremental index with no resulting orphans must write the
     relations table exactly once (the file-replace merge) — the J2/J3
