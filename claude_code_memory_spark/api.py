@@ -25,6 +25,7 @@ from claude_code_memory_spark.operators.joins import (
     orphan_relations,
     phantom_calls,
     relations_touching,
+    stale_imports,
     valid_relations,
 )
 from claude_code_memory_spark.operators.topk import (
@@ -288,9 +289,48 @@ class CodeMemoryEngine:
             F.col("chunk_type") == "implementation"
         )
         phantoms = phantom_calls(candidates, impl)
+
+        # J2-imports: import relations whose target module no longer
+        # resolves (reference resolve_module_name, qdrant.py:2044-2143).
+        # A renamed module's IMPORTERS are not caught by the name-equality
+        # J7 scope (their to_entity is the dotted module name, not the
+        # file path), so candidates are widened to imports whose target's
+        # last segment matches a changed file's basename — a broadcast
+        # semi-join against the tiny changed set.
+        import_cands = relations.filter(F.col("relation_type") == "imports")
+        if changed_names is not None:
+            from claude_code_memory_spark.operators.joins import _SOURCE_EXT_RE
+
+            changed_base = (
+                changed_names.filter(F.col("entity_name").rlike(_SOURCE_EXT_RE))
+                .select(
+                    F.regexp_replace(
+                        F.element_at(F.split("entity_name", "/"), -1),
+                        _SOURCE_EXT_RE,
+                        "",
+                    ).alias("__cb")
+                )
+                .distinct()
+            )
+            by_base = import_cands.withColumn(
+                "__tl",
+                F.element_at(
+                    F.split(F.regexp_replace("to_entity", r"^\.+", ""), r"\."), -1
+                ),
+            ).join(
+                F.broadcast(changed_base), F.col("__tl") == F.col("__cb"), "left_semi"
+            ).drop("__tl")
+            import_cands = (
+                candidates.filter(F.col("relation_type") == "imports")
+                .unionByName(by_base)
+                .distinct()
+            )
+        stale = stale_imports(import_cands, entities)
+
         return (
             missing_endpoint.select(*self._REL_KEY)
             .unionByName(phantoms.select(*self._REL_KEY))
+            .unionByName(stale.select(*self._REL_KEY))
             .distinct()
         )
 

@@ -111,6 +111,138 @@ def dedup_new_content(
     return chunks.join(existing.select(hash_col).distinct(), on=hash_col, how="left_anti")
 
 
+# External-file extensions the reference whitelists as valid relation
+# targets even when no entity exists for them (qdrant.py:2183-2213)
+FILE_REFERENCE_EXTENSIONS = (
+    "json csv txt xml yaml yml xlsx xls ini toml html css log md pdf doc docx "
+    "png jpg jpeg gif svg bin dat".split()
+)
+
+# Source extensions stripped when building the module-basename index
+_SOURCE_EXT_RE = r"\.(py|js|jsx|ts|tsx)$"
+
+
+def _module_indices(entities, name_col: str):
+    """The reference's four O(1) lookup indices (qdrant.py:2044-2100) as
+    four tiny DataFrames built from file-entity names: direct names,
+    basenames (with paths), directory components, dotted module keys.
+    All are bounded by the file count — broadcast-side by construction."""
+    from pyspark.sql import functions as F
+
+    files = entities.filter(
+        F.col(name_col).rlike(_SOURCE_EXT_RE)
+    ).select(F.col(name_col).alias("path")).distinct()
+    p = (
+        files.withColumn("parts", F.split("path", "/"))
+        .withColumn(
+            "basename", F.regexp_replace(F.element_at("parts", -1), _SOURCE_EXT_RE, "")
+        )
+        .withColumn("dirparts", F.expr("slice(parts, 1, size(parts) - 1)"))
+    )
+    basenames = p.select("basename", "path")
+    dirs = p.select(F.explode("dirparts").alias("dir")).distinct()
+    # every dotted suffix of the dir path + basename: a/b/c.py →
+    # {a.b.c, b.c} (qdrant.py:2072-2080)
+    module_keys = (
+        p.withColumn(
+            "mkeys",
+            F.expr(
+                "CASE WHEN size(dirparts) = 0 THEN array() ELSE "
+                "transform(sequence(1, size(dirparts)), i -> "
+                "  concat_ws('.', concat(slice(dirparts, i, size(dirparts) - i + 1), "
+                "             array(basename)))) END"
+            ),
+        )
+        .select(F.explode("mkeys").alias("mkey"))
+        .distinct()
+    )
+    return basenames, dirs, module_keys
+
+
+def stale_imports(
+    relations: DataFrame,
+    entities: DataFrame,
+    *,
+    from_col: str = "from_entity",
+    to_col: str = "to_entity",
+    type_col: str = "relation_type",
+    name_col: str = "entity_name",
+) -> DataFrame:
+    """J2-imports: `imports` relations whose target no longer resolves to
+    any project module and is not external.
+
+    Re-expresses the reference's resolve_module_name indices
+    (storage/qdrant.py:2044-2143) relationally: the four lookup dicts
+    become four broadcastable index DataFrames and each resolution branch
+    becomes a semi-join; a relation survives if ANY branch resolves it.
+    Additions over the reference: stdlib top-level modules are always
+    whitelisted (`import os` must survive cleanup) alongside the
+    reference's external-file-extension whitelist."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    im = relations.filter(F.col(type_col) == "imports")
+    im = (
+        im.withColumn("__clean", F.regexp_replace(F.col(to_col), r"^\.+", ""))
+        .withColumn("__segs", F.split("__clean", r"\."))
+        .withColumn("__last", F.element_at("__segs", -1))
+        .withColumn("__first", F.element_at("__segs", 1))
+        .withColumn("__relative", F.col(to_col).startswith("."))
+        .withColumn("__dotted", F.size("__segs") > 1)
+    )
+
+    # whitelists: stdlib top-level (public sys.stdlib_module_names) and
+    # external file references by extension
+    stdlib = sorted(sys.stdlib_module_names)
+    ext_ok = F.lower(F.element_at(F.split(F.col(to_col), r"\."), -1)).isin(
+        *FILE_REFERENCE_EXTENSIONS
+    ) & F.col(to_col).contains(".")
+    kept_external = im.filter(F.col("__first").isin(*stdlib) | ext_ok)
+    check = im.join(kept_external.select(from_col, to_col), [from_col, to_col], "left_anti")
+
+    basenames, dirs, module_keys = _module_indices(entities, name_col)
+    bset = F.broadcast(basenames.select(F.col("basename").alias("__b")).distinct())
+    names = F.broadcast(entities.select(F.col(name_col).alias("__dn")).distinct())
+
+    resolved = [
+        # direct entity-name match
+        check.join(names, check[to_col] == F.col("__dn"), "left_semi"),
+        # relative: basename of the cleaned name
+        check.filter("__relative").join(
+            bset, F.col("__clean") == F.col("__b"), "left_semi"
+        ),
+        # relative dotted: last segment is a known basename AND the
+        # slash-form of the cleaned name appears in that file's path
+        check.filter(F.col("__relative") & F.col("__dotted"))
+        .join(F.broadcast(basenames), F.col("__last") == F.col("basename"), "inner")
+        .filter(F.col("path").contains(F.regexp_replace("__clean", r"\.", "/")))
+        .drop("basename", "path"),
+        # absolute dotted: full module-key match, or last-segment basename
+        check.filter(F.col("__dotted") & ~F.col("__relative")).join(
+            F.broadcast(module_keys), F.col("__clean") == F.col("mkey"), "left_semi"
+        ),
+        check.filter(F.col("__dotted") & ~F.col("__relative")).join(
+            bset, F.col("__last") == F.col("__b"), "left_semi"
+        ),
+        # bare name: package directory component — plus a basename
+        # fallback the reference lacks (its bare-name branch is
+        # directory-only, qdrant.py:2135-2139, which would orphan
+        # `from helpers import x` in a flat project with helpers.py)
+        check.filter(~F.col("__dotted") & ~F.col("__relative")).join(
+            F.broadcast(dirs), F.col("__clean") == F.col("dir"), "left_semi"
+        ),
+        check.filter(~F.col("__dotted") & ~F.col("__relative")).join(
+            bset, F.col("__clean") == F.col("__b"), "left_semi"
+        ),
+    ]
+    ok = resolved[0].select(from_col, to_col)
+    for r in resolved[1:]:
+        ok = ok.unionByName(r.select(from_col, to_col))
+    stale = check.join(ok.distinct(), [from_col, to_col], "left_anti")
+    return stale.drop("__clean", "__segs", "__last", "__first", "__relative", "__dotted")
+
+
 def relations_touching(
     relations: DataFrame,
     changed_entities: DataFrame,

@@ -150,6 +150,32 @@ def test_noop_reindex_rewrites_nothing(spark, temp_repo, tmp_path):
     assert pointers() == before  # no table advanced to a new snapshot
 
 
+def test_renamed_module_import_cleanup(spark, tmp_path):
+    """Renaming a module drops the stale import edges of its (unchanged)
+    importers, while stdlib imports survive — reference resolve_module_name
+    (qdrant.py:2044-2143) wired into the scoped cleanup."""
+    proj = tmp_path / "proj"
+    proj.mkdir()
+    (proj / "helpers.py").write_text("def greet():\n    return 'hi'\n")
+    (proj / "app.py").write_text(
+        "import os\nfrom helpers import greet\n\n\ndef main():\n    return greet()\n"
+    )
+    eng = CodeMemoryEngine(spark, str(tmp_path / "store"))
+    eng.index(str(proj))
+    rels = eng.store.read("relations")
+    imports = {r["to_entity"] for r in rels.filter(F.col("relation_type") == "imports").collect()}
+    assert {"os", "helpers"} <= imports
+
+    # rename the module; app.py itself is untouched
+    os.rename(proj / "helpers.py", proj / "helpers_v2.py")
+    (proj / "helpers_v2.py").write_text("def greet():\n    return 'hi'\n")
+    eng.index(str(proj))
+    rels = eng.store.read("relations")
+    imports = {r["to_entity"] for r in rels.filter(F.col("relation_type") == "imports").collect()}
+    assert "helpers" not in imports, "stale import edge survived the rename"
+    assert "os" in imports, "stdlib import was wrongly cleaned"
+
+
 def test_counters_match_stored_tables(spark, temp_repo, tmp_path):
     """index() counters come from observe() metrics piggybacked on the
     pipeline's own actions (no dedicated .count() jobs) — they must equal

@@ -66,6 +66,39 @@ def test_phantom_calls(spark, graph):
     assert ("a", "b") not in got
 
 
+def test_stale_imports_resolution_branches(spark):
+    """J2-imports: each resolve_module_name branch (reference
+    qdrant.py:2100-2143) as a semi-join — stdlib and external files
+    whitelisted, unresolvable project-shaped targets flagged stale."""
+    from claude_code_memory_spark.operators.joins import stale_imports
+
+    entities = spark.createDataFrame(
+        [("pkg/mod.py",), ("pkg/util.py",), ("helpers.py",), ("greet",)],
+        "entity_name string",
+    )
+    rels = spark.createDataFrame(
+        [
+            ("app.py", "os", "imports"),            # stdlib → kept
+            ("app.py", "os.path", "imports"),       # stdlib dotted → kept
+            ("app.py", "pkg.mod", "imports"),       # module key → kept
+            ("app.py", ".mod", "imports"),          # relative basename → kept
+            ("app.py", ".pkg.mod", "imports"),      # relative dotted path → kept
+            ("app.py", "pkg", "imports"),           # directory component → kept
+            ("app.py", "helpers", "imports"),       # bare basename → kept
+            ("app.py", "data.json", "imports"),     # file-extension → kept
+            ("app.py", "pkg.gone", "imports"),      # unresolvable → STALE
+            ("app.py", "vanished", "imports"),      # unresolvable bare → STALE
+            ("app.py", "pkg.gone", "calls"),        # not an import → untouched
+        ],
+        "from_entity string, to_entity string, relation_type string",
+    )
+    stale = {
+        (r["to_entity"], r["relation_type"])
+        for r in stale_imports(rels, entities).collect()
+    }
+    assert stale == {("pkg.gone", "imports"), ("vanished", "imports")}
+
+
 def test_replacement_diff(spark):
     stored = spark.createDataFrame(
         [("f.py", "a", "h1"), ("f.py", "b", "h2"), ("f.py", "gone", "h3")],
