@@ -22,6 +22,8 @@ LANGUAGE_BY_EXT = {
     "py": "py",
     "js": "js",
     "jsx": "js",
+    "mjs": "js",
+    "cjs": "js",
     "ts": "ts",
     "tsx": "ts",
     "md": "md",

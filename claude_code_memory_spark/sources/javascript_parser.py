@@ -1,28 +1,234 @@
-"""JavaScript/TypeScript parser (regex-based approximation).
+"""JavaScript/TypeScript parser (scanner-based, tree-sitter-free).
 
-Reference semantics (S5, analysis/javascript_parser.py:19-1197):
-functions (declarations, arrow consts, methods), classes + inheritance,
-React components (uppercase function returning JSX), imports (default /
-named / namespace), exports. The reference uses tree-sitter; tree-sitter
-isn't in this container, so this extractor covers the same entity surface
-with line-anchored regexes — per-file inside the shared mapInPandas stage.
+Reference semantics (S5, analysis/javascript_parser.py:19-1197): functions
+(declarations, arrow/function-expression consts, generators, methods),
+classes (+extends/+implements, abstract), TS interfaces (:111-121,
+:395-436), type aliases and enums, module-level variables with full
+destructuring support (:806-1010 — object/array patterns, renames,
+defaults, rest, nesting), class fields (:129-131), imports
+(default/named/namespace/bare/require/dynamic), decorator relations
+(:688-711), exception relations (:664-687), JSON-loading relations
+(:486-541), per-function call extraction (:326-336) and complexity
+(:337-354), React-component heuristics.
+
+The reference drives tree-sitter; that library is not in this container,
+so the same surface is covered by a two-pass scanner: pass 1 masks
+comments and string/template bodies (preserving line structure) so pass 2
+can track real brace depth, class scopes, and declaration extents with
+line-anchored regexes. Runs per-file inside the shared mapInPandas stage.
 """
 
 from __future__ import annotations
 
 import re
 
-_FUNC = re.compile(r"^\s*(?:export\s+)?(?:default\s+)?(?:async\s+)?function\s+(\w+)\s*\(([^)]*)\)")
-_ARROW = re.compile(r"^\s*(?:export\s+)?(?:const|let|var)\s+(\w+)\s*=\s*(?:async\s*)?(?:\([^)]*\)|\w+)\s*=>")
-_CLASS = re.compile(r"^\s*(?:export\s+)?(?:default\s+)?class\s+(\w+)(?:\s+extends\s+([\w.]+))?")
-_METHOD = re.compile(r"^\s{2,}(?:async\s+)?(?:static\s+)?(\w+)\s*\(([^)]*)\)\s*\{")
-_IMPORT = re.compile(r"^\s*import\s+(?:(\w+)|\{([^}]*)\}|\*\s+as\s+(\w+))?\s*(?:,\s*\{([^}]*)\})?\s*from\s+['\"]([^'\"]+)['\"]")
-_BARE_IMPORT = re.compile(r"^\s*import\s+['\"]([^'\"]+)['\"]")
-_REQUIRE = re.compile(r"(?:const|let|var)\s+(?:\{[^}]*\}|\w+)\s*=\s*require\(['\"]([^'\"]+)['\"]\)")
-_CALL = re.compile(r"\b([a-zA-Z_]\w*)\s*\(")
-_JS_KEYWORDS = frozenset(
-    "if for while switch catch function return new typeof await import require console".split()
+# --- pass 1: masking ------------------------------------------------------
+
+
+def mask_source(src: str) -> str:
+    """Replace comment bodies and string/template contents with spaces,
+    preserving every newline and column, so structural regexes and brace
+    counting never fire inside literals."""
+    out = list(src)
+    i, n = 0, len(src)
+    CODE, LINE, BLOCK, SQ, DQ, TPL = range(6)
+    state = CODE
+    while i < n:
+        c = src[i]
+        nxt = src[i + 1] if i + 1 < n else ""
+        if state == CODE:
+            if c == "/" and nxt == "/":
+                state = LINE
+                i += 2
+                continue
+            if c == "/" and nxt == "*":
+                state = BLOCK
+                out[i] = out[i + 1] = " "
+                i += 2
+                continue
+            if c == "'":
+                state = SQ
+            elif c == '"':
+                state = DQ
+            elif c == "`":
+                state = TPL
+            i += 1
+            continue
+        if state == LINE:
+            if c == "\n":
+                state = CODE
+            else:
+                out[i] = " "
+            i += 1
+            continue
+        if state == BLOCK:
+            if c == "*" and nxt == "/":
+                state = CODE
+                out[i] = out[i + 1] = " "
+                i += 2
+                continue
+            if c != "\n":
+                out[i] = " "
+            i += 1
+            continue
+        # string states: mask contents, keep the quotes and newlines
+        if c == "\\" and i + 1 < n:
+            out[i] = " "
+            if src[i + 1] != "\n":
+                out[i + 1] = " "
+            i += 2
+            continue
+        if (state == SQ and c == "'") or (state == DQ and c == '"') or (
+            state == TPL and c == "`"
+        ):
+            state = CODE
+        elif (state in (SQ, DQ) and c == "\n"):
+            state = CODE  # unterminated string: fail open at EOL
+        elif c != "\n":
+            out[i] = " "
+        i += 1
+    return "".join(out)
+
+
+# --- pass 2: structure ----------------------------------------------------
+
+_EXPORT = r"(?:export\s+)?(?:default\s+)?(?:declare\s+)?(?:abstract\s+)?"
+_FUNC = re.compile(
+    rf"^\s*{_EXPORT}(?:async\s+)?function\s*(\*?)\s*(\w+)\s*(\([^)]*\)?)"
 )
+_ARROW = re.compile(
+    rf"^\s*{_EXPORT}(?:const|let|var)\s+(\w+)(?:\s*:\s*[^=]+)?\s*=\s*"
+    r"(?:async\s*)?(?:\([^)]*\)?|\w+)\s*(?::\s*[\w<>,\[\]\s.|&]+)?\s*=>"
+)
+_FUNC_EXPR = re.compile(
+    rf"^\s*{_EXPORT}(?:const|let|var)\s+(\w+)\s*=\s*(?:async\s+)?function\b"
+)
+_CLASS = re.compile(
+    rf"^\s*{_EXPORT}class\s+(\w+)"
+    r"(?:\s+extends\s+([\w.]+)(?:<[^>]*>)?)?"
+    r"(?:\s+implements\s+([\w.,\s<>]+?))?\s*\{"
+)
+_INTERFACE = re.compile(
+    rf"^\s*{_EXPORT}interface\s+(\w+)(?:<[^>]*>)?"
+    r"(?:\s+extends\s+([\w.,\s<>]+?))?\s*\{"
+)
+_TYPE_ALIAS = re.compile(rf"^\s*{_EXPORT}type\s+(\w+)(?:<[^>]*>)?\s*=")
+_ENUM = re.compile(rf"^\s*{_EXPORT}(?:const\s+)?enum\s+(\w+)\s*\{{")
+_VAR_DECL = re.compile(
+    rf"^\s*{_EXPORT}(?:const|let|var)\s+([^=;]+?)\s*(?:=|;|$)"
+)
+_ASSIGN = re.compile(r"^\s*(\w+)\s*=\s*[^=]")
+_METHOD = re.compile(
+    r"^\s*(?:public\s+|private\s+|protected\s+|static\s+|readonly\s+|abstract\s+"
+    r"|override\s+|async\s+|\*\s*|get\s+|set\s+)*(#?\w+)\s*(?:<[^>]*>)?\s*"
+    r"(\([^)]*\)?)\s*(?::\s*[\w<>,\[\]\s.|&{}]+?)?\s*\{"
+)
+_FIELD = re.compile(
+    r"^\s*(?:public\s+|private\s+|protected\s+|static\s+|readonly\s+"
+    r"|declare\s+|override\s+)*(#?\w+)\s*(?:\?|!)?\s*(?::[^=;]+)?(?:=|;)"
+)
+_IMPORT = re.compile(
+    r"^\s*import\s+(?:type\s+)?(?:(\w+)|\{([^}]*)\}|\*\s+as\s+(\w+))?"
+    r"\s*(?:,\s*(?:\{([^}]*)\}|\*\s+as\s+(\w+)))?\s*from\s+['\"]([^'\"]+)['\"]"
+)
+_BARE_IMPORT = re.compile(r"^\s*import\s+['\"]([^'\"]+)['\"]")
+_REQUIRE = re.compile(
+    r"(?:const|let|var)\s+(?:\{[^}]*\}|\w+)\s*=\s*require\s*\(\s*['\"]([^'\"]+)['\"]"
+)
+_DYNAMIC_IMPORT = re.compile(r"\bimport\s*\(\s*['\"]([^'\"]+)['\"]")
+_DECORATOR = re.compile(r"^\s*@(\w+)")
+_THROW = re.compile(r"\bthrow\s+new\s+(\w+)")
+_JSON_LOAD = re.compile(
+    r"\b(?:fetch|require|import)\s*\(\s*['\"]([^'\"]+\.json)['\"]"
+)
+_CALL = re.compile(r"\b(\w+)\s*\(")
+_CALL_KEYWORDS = frozenset(
+    "if for while switch catch function return new typeof await import require "
+    "super constructor".split()
+)
+_COMPLEXITY = re.compile(r"\bif\b|\bfor\b|\bwhile\b|\bcase\b|\bcatch\b|&&|\|\||\?")
+
+
+def _complexity(body: str) -> int:
+    return 1 + len(_COMPLEXITY.findall(body))
+
+
+def _destructured_names(pattern: str) -> list[str]:
+    """Individual bound names from a declaration pattern: identifiers,
+    {a, b: c, d = 1, ...rest, nested: {x}}, [x, , y, ...z] — the
+    reference's recursive pattern walk (:909-1010) on the pattern text."""
+    pattern = pattern.strip()
+    if not pattern:
+        return []
+    if re.fullmatch(r"\w+(?:\s*:\s*[\w<>,\[\]\s.|&{}]+)?", pattern):
+        return [pattern.split(":")[0].strip()]
+    if pattern[0] not in "{[":
+        m = re.match(r"^(\w+)", pattern)
+        return [m.group(1)] if m else []
+    inner, depth = pattern[1:-1] if pattern[-1] in "}]" else pattern[1:], 0
+    parts, buf = [], []
+    for ch in inner:
+        if ch in "{[(":
+            depth += 1
+        elif ch in "}])":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    names: list[str] = []
+    for part in parts:
+        part = part.strip()
+        if not part:
+            continue
+        if part.startswith("..."):
+            names.extend(_destructured_names(part[3:]))
+            continue
+        part = part.split("=")[0].strip()  # strip defaults
+        if ":" in part and not part.startswith(("{", "[")):
+            # rename or nested: {key: target} — bind the TARGET side
+            _, _, target = part.partition(":")
+            names.extend(_destructured_names(target.strip()))
+        elif part.startswith(("{", "[")):
+            names.extend(_destructured_names(part))
+        else:
+            m = re.match(r"^(#?\w+)", part)
+            if m:
+                names.append(m.group(1))
+    return names
+
+
+def _end_of_block(masked_lines: list[str], start_idx: int) -> int:
+    """Line index (0-based) of the close of the body block of the
+    declaration starting at start_idx. The body opener is the LAST '{' on
+    the declaration line (param-list destructuring braces like
+    `function f({a, b}) {` open and close before it), else the first '{'
+    on a following line."""
+    pos = masked_lines[start_idx].rfind("{")
+    i = start_idx
+    if pos < 0:
+        # Allman-style body: only a line that OPENS with '{' counts —
+        # otherwise an expression-bodied arrow would swallow the next
+        # declaration's block
+        for i in range(start_idx + 1, min(start_idx + 3, len(masked_lines))):
+            if masked_lines[i].lstrip().startswith("{"):
+                pos = masked_lines[i].find("{")
+                break
+        else:
+            return start_idx
+    depth = 0
+    for j in range(i, len(masked_lines)):
+        seg = masked_lines[j][pos:] if j == i else masked_lines[j]
+        for ch in seg:
+            if ch == "{":
+                depth += 1
+            elif ch == "}":
+                depth -= 1
+                if depth == 0:
+                    return j
+    return len(masked_lines) - 1
 
 
 def parse_javascript_source(path: str, source: str) -> list[dict]:
@@ -34,70 +240,282 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
 
     recs: list[dict] = []
     lines = source.splitlines()
+    masked = mask_source(source).splitlines()
+    # keep the two views aligned even on trailing-newline edge cases
+    while len(masked) < len(lines):
+        masked.append("")
+    n_lines = len(lines) or 1
+    is_ts = path.endswith((".ts", ".tsx"))
     recs.append(
-        _entity_rec(path, "file", path, 1, len(lines) or 1, [f"JavaScript file {path}"])
+        _entity_rec(
+            path, "file", path, 1, n_lines,
+            [("TypeScript" if is_ts else "JavaScript") + f" file {path}"],
+        )
     )
 
-    current_class: str | None = None
-    current_class_indent = 0
-    for i, line in enumerate(lines, start=1):
-        if current_class is not None and line.strip().startswith("}") and (
-            len(line) - len(line.lstrip()) <= current_class_indent
-        ):
-            current_class = None
+    # JSON-loading patterns are file-level relations (reference
+    # _extract_json_loading_patterns, :486-541): one pass over the whole
+    # source, not per-scope, so loads inside skipped function bodies count
+    for jf in sorted(set(_JSON_LOAD.findall(source))):
+        recs.append(_relation_rec(path, jf, "uses", path))
 
-        m = _CLASS.match(line)
+    def add_entity(name, etype, line_no, end_no, obs, sig=None, parent=None):
+        recs.append(_entity_rec(name, etype, path, line_no, end_no, obs, sig=sig))
+        recs.append(_relation_rec(parent or path, name, "contains", path))
+
+    def add_impl(name, etype, i0, i1):
+        body = "\n".join(lines[i0 : i1 + 1])
+        recs.append(_impl_rec(name, etype, path, i0 + 1, i1 + 1, body, _complexity(body)))
+        return body
+
+    def add_calls(owner, masked_body):
+        seen = set()
+        for m in _CALL.finditer(masked_body):
+            callee = m.group(1)
+            if callee not in _CALL_KEYWORDS and callee != owner and callee not in seen:
+                seen.add(callee)
+                recs.append(_relation_rec(owner, callee, "calls", path))
+
+    class_stack: list[tuple[str, int]] = []  # (name, entry depth)
+    depth = 0
+    pending_decorators: list[str] = []
+    i = 0
+    while i < len(lines):
+        raw, msk = lines[i], masked[i]
+        line_no = i + 1
+        in_class = class_stack[-1][0] if class_stack else None
+        class_depth = class_stack[-1][1] if class_stack else -1
+
+        dm = _DECORATOR.match(msk)
+        if dm:
+            pending_decorators.append(dm.group(1))
+            depth += msk.count("{") - msk.count("}")
+            i += 1
+            continue
+
+        def consume_decorators(target):
+            while pending_decorators:
+                deco = pending_decorators.pop()
+                recs.append(_relation_rec(target, deco, "uses", path, "decorator"))
+
+        matched = False
+
+        m = _CLASS.match(msk)
         if m:
-            name, base = m.group(1), m.group(2)
-            current_class = name
-            current_class_indent = len(line) - len(line.lstrip())
+            name, base, implements = m.group(1), m.group(2), m.group(3)
+            end = _end_of_block(masked, i)
             obs = [f"Class {name}"]
-            # React class component heuristic
-            if base and ("Component" in base):
+            if base and "Component" in base:
                 obs.append("React class component")
-            recs.append(_entity_rec(name, "class", path, i, None, obs))
-            recs.append(_relation_rec(path, name, "contains", path))
+            if "abstract" in msk.split("class")[0]:
+                obs.append("Abstract class")
+            if "export" in msk.split("class")[0]:
+                obs.append("Exported")
+            add_entity(name, "class", line_no, end + 1, obs)
+            add_impl(name, "class", i, end)
+            consume_decorators(name)
             if base:
-                recs.append(_relation_rec(name, base.split(".")[-1], "inherits", path))
-            continue
-
-        m = _FUNC.match(line) or _ARROW.match(line)
-        if m:
-            name = m.group(1)
-            etype = "function"
-            obs = [f"Function {name}"]
-            if name[0].isupper():
-                obs.append("Possible React component")
-            recs.append(_entity_rec(name, etype, path, i, None, obs))
-            recs.append(_relation_rec(path, name, "contains", path))
-            continue
-
-        if current_class:
-            m = _METHOD.match(line)
-            if m and m.group(1) not in _JS_KEYWORDS:
-                qual = f"{current_class}.{m.group(1)}"
                 recs.append(
-                    _entity_rec(qual, "method", path, i, None, [f"Method {m.group(1)}"])
+                    _relation_rec(name, base.split(".")[-1], "inherits", path)
                 )
-                recs.append(_relation_rec(current_class, qual, "contains", path))
+            if implements:
+                for iface in implements.split(","):
+                    iface = re.sub(r"<.*", "", iface).strip()
+                    if iface:
+                        recs.append(_relation_rec(name, iface, "implements", path))
+            class_stack.append((name, depth))
+            # enter the class body: continue scanning inside it
+            depth += msk.count("{") - msk.count("}")
+            i += 1
+            continue
 
-        m = _IMPORT.match(line)
+        m = _INTERFACE.match(msk)
+        if m and is_ts:
+            name, extends = m.group(1), m.group(2)
+            end = _end_of_block(masked, i)
+            obs = [f"TypeScript interface: {name}"]
+            if "export" in msk.split("interface")[0]:
+                obs.append("Exported")
+            add_entity(name, "interface", line_no, end + 1, obs)
+            add_impl(name, "interface", i, end)
+            if extends:
+                for iface in extends.split(","):
+                    iface = re.sub(r"<.*", "", iface).strip()
+                    if iface:
+                        recs.append(_relation_rec(name, iface, "inherits", path))
+            depth += sum(r.count("{") - r.count("}") for r in masked[i : end + 1])
+            i = end + 1
+            continue
+
+        m = _ENUM.match(msk)
+        if m and is_ts:
+            name = m.group(1)
+            end = _end_of_block(masked, i)
+            add_entity(name, "enum", line_no, end + 1, [f"TypeScript enum: {name}"])
+            add_impl(name, "enum", i, end)
+            depth += sum(r.count("{") - r.count("}") for r in masked[i : end + 1])
+            i = end + 1
+            continue
+
+        m = _TYPE_ALIAS.match(msk)
+        if m and is_ts:
+            name = m.group(1)
+            add_entity(name, "type_alias", line_no, line_no, [f"TypeScript type alias: {name}"])
+            depth += msk.count("{") - msk.count("}")
+            i += 1
+            continue
+
+        m = _FUNC.match(msk)
+        if m and (in_class is None or depth <= class_depth):
+            star, name, params = m.group(1), m.group(2), m.group(3)
+            end = _end_of_block(masked, i)
+            obs = [f"Function {name}"]
+            if star:
+                obs.append("Generator function")
+            if "export" in msk.split("function")[0]:
+                obs.append("Exported")
+            body = "\n".join(masked[i : end + 1])
+            if name[0].isupper() and re.search(r"<\w", body):
+                obs.append("React component")
+            sig = msk.strip().split("{")[0].strip()
+            add_entity(name, "function", line_no, end + 1, obs, sig=sig)
+            add_impl(name, "function", i, end)
+            add_calls(name, body)
+            consume_decorators(name)
+            for t in set(_THROW.findall(body)):
+                recs.append(_relation_rec(name, t, "throws", path))
+            depth += sum(r.count("{") - r.count("}") for r in masked[i : end + 1])
+            i = end + 1
+            continue
+
+        m = _ARROW.match(msk) or _FUNC_EXPR.match(msk)
+        if m and (in_class is None or depth <= class_depth):
+            name = m.group(1)
+            end = _end_of_block(masked, i)
+            obs = [f"Function {name}"]
+            if "export" in msk.split(name)[0]:
+                obs.append("Exported")
+            body = "\n".join(masked[i : end + 1])
+            if name[0].isupper() and re.search(r"<\w", body):
+                obs.append("React component")
+            sig = msk.strip().split("=>")[0].strip()
+            add_entity(name, "function", line_no, end + 1, obs, sig=sig)
+            add_impl(name, "function", i, end)
+            add_calls(name, body)
+            for t in set(_THROW.findall(body)):
+                recs.append(_relation_rec(name, t, "throws", path))
+            depth += sum(r.count("{") - r.count("}") for r in masked[i : end + 1])
+            i = end + 1
+            continue
+
+        if in_class is not None and depth == class_depth + 1:
+            m = _METHOD.match(msk)
+            if m and m.group(1) not in _CALL_KEYWORDS | {"constructor"}:
+                name = m.group(1)
+                qual = f"{in_class}.{name}"
+                end = _end_of_block(masked, i)
+                sig = msk.strip().split("{")[0].strip()
+                add_entity(
+                    qual, "method", line_no, end + 1, [f"Method {name}"],
+                    sig=sig, parent=in_class,
+                )
+                body = add_impl(qual, "method", i, end)
+                add_calls(qual, "\n".join(masked[i : end + 1]))
+                consume_decorators(qual)
+                for t in set(_THROW.findall("\n".join(masked[i : end + 1]))):
+                    recs.append(_relation_rec(qual, t, "throws", path))
+                depth += sum(r.count("{") - r.count("}") for r in masked[i : end + 1])
+                i = end + 1
+                continue
+            m = _FIELD.match(msk)
+            if m and m.group(1) not in _CALL_KEYWORDS:
+                qual = f"{in_class}.{m.group(1)}"
+                add_entity(
+                    qual, "field", line_no, line_no,
+                    [f"Class field {m.group(1)}"], parent=in_class,
+                )
+                consume_decorators(qual)
+                depth += msk.count("{") - msk.count("}")
+                i += 1
+                continue
+
+        # import extraction reads the RAW line: the masked view blanks the
+        # quoted module specifier
+        m = _IMPORT.match(raw)
         if m:
-            module = m.group(5)
+            module = m.group(6)
             recs.append(
-                _entity_rec(module, "import", path, i, None, [f"Imports {module}"])
+                _entity_rec(module, "import", path, line_no, None, [f"Imports {module}"])
             )
             recs.append(_relation_rec(path, module, "imports", path, "module"))
+            for g, itype in ((m.group(1), "default"), (m.group(3), "namespace"),
+                             (m.group(5), "namespace")):
+                if g:
+                    recs.append(_relation_rec(path, g, "imports", path, itype))
             for names in (m.group(2), m.group(4)):
                 if names:
-                    for n in names.split(","):
-                        n = n.strip().split(" as ")[0].strip()
-                        if n:
-                            recs.append(_relation_rec(path, n, "imports", path, "named"))
-            continue
-        m = _BARE_IMPORT.match(line) or _REQUIRE.search(line)
-        if m:
-            module = m.group(1)
-            recs.append(_entity_rec(module, "import", path, i, None, [f"Imports {module}"]))
-            recs.append(_relation_rec(path, module, "imports", path, "module"))
+                    for nm in names.split(","):
+                        nm = nm.strip().split(" as ")[0].replace("type ", "").strip()
+                        if nm:
+                            recs.append(
+                                _relation_rec(path, nm, "imports", path, "named")
+                            )
+            matched = True
+
+        if not matched:
+            bm = _BARE_IMPORT.match(raw)
+            rm = _REQUIRE.search(raw)
+            dm2 = _DYNAMIC_IMPORT.search(raw)
+            mod = None
+            for g in (bm, rm, dm2):
+                if g:
+                    mod = g.group(1)
+                    break
+            if mod and not mod.endswith(".json"):
+                recs.append(
+                    _entity_rec(mod, "import", path, line_no, None, [f"Imports {mod}"])
+                )
+                recs.append(_relation_rec(path, mod, "imports", path, "module"))
+                matched = True
+
+        if not matched and (in_class is None or depth <= class_depth):
+            m = _VAR_DECL.match(msk)
+            if m and not re.search(r"=>|require\s*\(", msk):
+                if depth == 0:  # module-level only (reference scope filter)
+                    pat = m.group(1)
+                    # defaults inside destructuring contain '=': re-capture
+                    # the full bracketed pattern by bracket matching
+                    decl = re.match(r"^\s*(?:export\s+)?(?:declare\s+)?"
+                                    r"(?:const|let|var)\s+(.*)$", msk)
+                    rest = decl.group(1) if decl else pat
+                    if rest and rest[0] in "{[":
+                        d = 0
+                        for k, ch in enumerate(rest):
+                            if ch in "{[":
+                                d += 1
+                            elif ch in "}]":
+                                d -= 1
+                                if d == 0:
+                                    pat = rest[: k + 1]
+                                    break
+                    for nm in _destructured_names(pat):
+                        if nm and not nm[0].isdigit():
+                            add_entity(
+                                nm, "variable", line_no, line_no, [f"Variable: {nm}"]
+                            )
+                    matched = True
+            if not matched and depth == 0:
+                am = _ASSIGN.match(msk)
+                if am and am.group(1) not in _CALL_KEYWORDS:
+                    add_entity(
+                        am.group(1), "variable", line_no, line_no,
+                        [f"Variable: {am.group(1)}", "Assignment expression"],
+                    )
+
+        # leave class scope when its closing brace passes
+        depth += msk.count("{") - msk.count("}")
+        while class_stack and depth <= class_stack[-1][1]:
+            class_stack.pop()
+        i += 1
+
     return recs

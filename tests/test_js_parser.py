@@ -1,0 +1,184 @@
+"""JS/TS parser tests: the reference's tree-sitter extraction surface
+(analysis/javascript_parser.py:19-1197) ported to the scanner-based
+parser — TS interfaces/type aliases/enums, decorators, destructuring,
+class fields, implements, imports in every form, throws, JSON loading,
+per-function calls."""
+
+from claude_code_memory_spark.sources.javascript_parser import (
+    _destructured_names,
+    mask_source,
+    parse_javascript_source,
+)
+
+TS_FIXTURE = """\
+import React from 'react';
+import { useState, useEffect as effect, type Props } from 'react';
+import * as utils from './utils';
+import './styles.css';
+const fs = require('fs');
+
+export interface Shape extends Drawable, Serializable<T> {
+  area(): number;
+}
+
+export type Point = { x: number; y: number };
+
+export enum Color {
+  Red = 'red',
+  Blue = 'blue',
+}
+
+export const MAX_SIZE: number = 100;
+const { host, port: p, timeout = 5000, ...restCfg } = config;
+const [first, , third, ...others] = items;
+
+@Injectable()
+export class Circle extends BaseShape implements Shape {
+  radius: number = 1;
+  static count = 0;
+  #secret;
+
+  @Log
+  async area(): Promise<number> {
+    validate(this.radius);
+    return Math.PI * this.radius ** 2;
+  }
+
+  get diameter() {
+    if (this.radius < 0) {
+      throw new RangeError('negative');
+    }
+    return this.radius * 2;
+  }
+}
+
+export default function Gallery({ items }: Props) {
+  const data = fetch('./gallery.json');
+  return <div>{items.length}</div>;
+}
+
+export const add = (a: number, b: number): number => a + b;
+
+function* pager(n) {
+  yield n;
+}
+"""
+
+
+def _parse():
+    return parse_javascript_source("src/shapes.ts", TS_FIXTURE)
+
+
+def _entities(recs):
+    return {r["entity_name"]: r for r in recs if r["record_kind"] == "entity"}
+
+
+def _relations(recs):
+    return {
+        (r["from_entity"], r["to_entity"], r["relation_type"])
+        for r in recs
+        if r["record_kind"] == "relation"
+    }
+
+
+def test_ts_entity_surface():
+    ents = _entities(_parse())
+    types = {n: e["entity_type"] for n, e in ents.items()}
+    assert types["Shape"] == "interface"
+    assert types["Point"] == "type_alias"
+    assert types["Color"] == "enum"
+    assert types["Circle"] == "class"
+    assert types["Circle.area"] == "method"
+    assert types["Circle.diameter"] == "method"
+    assert types["Circle.radius"] == "field"
+    assert types["Circle.count"] == "field"
+    assert types["Circle.#secret"] == "field"
+    assert types["Gallery"] == "function"
+    assert types["add"] == "function"
+    assert types["pager"] == "function"
+    assert types["MAX_SIZE"] == "variable"
+    # destructuring: renames bind the target, defaults stripped, rest kept
+    for name in ("host", "p", "timeout", "restCfg", "first", "third", "others"):
+        assert types.get(name) == "variable", name
+
+
+def test_ts_relations():
+    rels = _relations(_parse())
+    path = "src/shapes.ts"
+    assert (path, "Circle", "contains") in rels
+    assert ("Circle", "Circle.area", "contains") in rels
+    assert ("Circle", "BaseShape", "inherits") in rels
+    assert ("Circle", "Shape", "implements") in rels
+    assert ("Shape", "Drawable", "inherits") in rels
+    assert ("Shape", "Serializable", "inherits") in rels
+    # decorators → uses
+    assert ("Circle", "Injectable", "uses") in rels
+    assert ("Circle.area", "Log", "uses") in rels
+    # throws
+    assert ("Circle.diameter", "RangeError", "throws") in rels
+    # calls from method bodies
+    assert ("Circle.area", "validate", "calls") in rels
+    # JSON loading
+    assert (path, "./gallery.json", "uses") in rels
+
+
+def test_ts_imports():
+    recs = _parse()
+    rels = _relations(recs)
+    path = "src/shapes.ts"
+    assert (path, "react", "imports") in rels
+    assert (path, "./utils", "imports") in rels
+    assert (path, "./styles.css", "imports") in rels
+    assert (path, "fs", "imports") in rels
+    named = {
+        r["to_entity"]
+        for r in recs
+        if r["record_kind"] == "relation"
+        and r["relation_type"] == "imports"
+        and r["import_type"] == "named"
+    }
+    assert {"useState", "useEffect", "Props"} <= named
+
+
+def test_react_component_and_export_observations():
+    ents = _entities(_parse())
+    assert "React component" in ents["Gallery"]["observations"]
+    assert "Exported" in ents["Circle"]["observations"]
+    assert "Generator function" in ents["pager"]["observations"]
+
+
+def test_impl_chunks_and_extents():
+    recs = _parse()
+    impls = {r["entity_name"]: r for r in recs if r["record_kind"] == "implementation"}
+    assert "interface Shape" in impls["Shape"]["content"]
+    assert "enum Color" in impls["Color"]["content"]
+    assert impls["Circle"]["end_line_number"] > impls["Circle"]["line_number"] + 5
+    assert impls["Circle.area"]["complexity"] >= 1
+    ents = _entities(recs)
+    # class extent spans its whole body
+    assert ents["Circle"]["end_line_number"] - ents["Circle"]["line_number"] > 10
+
+
+def test_mask_source_preserves_structure():
+    src = "const s = 'a { b'; // {\nconst t = `x ${y} {`;\n/* { */ const u = 1;\n"
+    masked = mask_source(src)
+    assert masked.count("\n") == src.count("\n")
+    assert len(masked) == len(src)
+    assert "{" not in masked.replace("\n", "")  # all braces were in literals/comments
+
+
+def test_destructured_names_recursive():
+    assert _destructured_names("x") == ["x"]
+    assert _destructured_names("{a, b: c, d = 1, ...rest}") == ["a", "c", "d", "rest"]
+    assert _destructured_names("[x, , y, ...z]") == ["x", "y", "z"]
+    assert _destructured_names("{outer: {inner, deep: [q]}}") == ["inner", "q"]
+
+
+def test_js_file_plain():
+    src = "function hello(name) {\n  return greet(name);\n}\nmodule.exports = hello;\n"
+    recs = parse_javascript_source("lib/hello.js", src)
+    ents = _entities(recs)
+    assert ents["hello"]["entity_type"] == "function"
+    assert ("hello", "greet", "calls") in _relations(recs)
+    # no TS constructs leak into JS parsing
+    assert all(e["entity_type"] != "interface" for e in ents.values())

@@ -116,7 +116,9 @@ def test_javascript_entities():
     ent, rel, impl = _by_kind(recs)
     assert ent["fetchData"]["entity_type"] == "function"
     assert ent["Widget"]["entity_type"] == "function"
-    assert "Possible React component" in ent["Widget"]["observations"]
+    # no JSX in the body: the upgraded parser requires JSX evidence before
+    # labeling a React component (uppercase name alone is not enough)
+    assert all("React" not in o for o in ent["Widget"]["observations"])
     assert ent["DataStore"]["entity_type"] == "class"
     assert ("DataStore", "inherits", "BaseStore") in rel
     assert ent["DataStore.load"]["entity_type"] == "method"
@@ -205,6 +207,11 @@ def test_engine_indexes_mixed_languages(spark, tmp_path):
     proj.mkdir()
     (proj / "main.py").write_text("def f():\n    return 1\n")
     (proj / "app.js").write_text("export function g() { return 2; }\n")
+    (proj / "types.ts").write_text(
+        "export interface Order {\n  id: number;\n}\n\n"
+        "export enum Status { Open, Done }\n\n"
+        "export const parse = (raw: string): Order => JSON.parse(raw);\n"
+    )
     (proj / "README.md").write_text("# Readme\n\nSome docs about g and f.\n")
     (proj / "package.json").write_text('{"dependencies": {"react": "18"}}')
 
@@ -215,5 +222,8 @@ def test_engine_indexes_mixed_languages(spark, tmp_path):
     ents = {r["entity_name"]: r["entity_type"] for r in eng.store.read("entities").collect()}
     assert ents.get("f") == "function"
     assert ents.get("g") == "function"
+    assert ents.get("Order") == "interface"
+    assert ents.get("Status") == "enum"
+    assert ents.get("parse") == "function"
     assert ents.get("Readme") == "documentation"
     assert ents.get("react") == "import"
