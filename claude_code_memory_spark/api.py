@@ -628,7 +628,14 @@ class CodeMemoryEngine:
 
         msgs = read_chat_jsonl(self.spark, jsonl_path)
         convs = categorize(conversations(msgs, gap_seconds))
-        chunk = chat_chunks(convs)
+        n_total, n_new = self._embed_and_append(chat_chunks(convs))
+        return {"conversations": n_total, "chunks_new": n_new,
+                "chunks_skipped_unchanged": n_total - n_new}
+
+    def _embed_and_append(self, chunk: DataFrame) -> tuple[int, int]:
+        """Shared append-content tail (chat, streamed JSON, memories):
+        J6 dedup vs stored hashes → embed new → append chunks+vectors.
+        Returns (total rows, newly embedded rows)."""
         stored_c = self.store.read("chunks")
         n_total = chunk.count()
         if stored_c is not None:
@@ -652,7 +659,50 @@ class CodeMemoryEngine:
         # O(new chunks) append: prior snapshot dirs untouched
         self.store.append("chunks", chunk, ["chunk_type"])
         self.store.append("vectors", vector, ["chunk_type"])
-        return {"conversations": n_total, "chunks_new": n_new,
+        return n_total, n_new
+
+    def index_json_content(
+        self, json_paths: list[str] | str, *, arrays=None, max_items: int = 0
+    ) -> dict:
+        """S6 content mode: stream the content arrays of huge JSON dumps
+        into searchable chunks WITHOUT loading any document whole
+        (reference ijson mode, json_parser.py:623-816; see
+        sources/large_json.py for the bounded-memory contract).
+
+        Incremental like index_chat: items whose content hash is already
+        stored are dedup-skipped."""
+        from claude_code_memory_spark.functions.hashing import content_hash, point_id
+        from claude_code_memory_spark.sources.large_json import (
+            CONTENT_ARRAYS,
+            content_records_df,
+        )
+
+        recs = content_records_df(
+            self.spark, json_paths,
+            arrays=arrays or CONTENT_ARRAYS, max_items=max_items,
+        )
+        chunk_id = F.concat_ws(
+            "::", F.lit("json"), F.col("file_path"), F.col("array_key"),
+            F.col("entity_name"), F.lit("metadata"),
+        )
+        chunk = recs.select(
+            chunk_id.alias("chunk_id"),
+            point_id(chunk_id).alias("point_id"),
+            "entity_name",
+            F.concat(F.regexp_replace("array_key", "s$", ""), F.lit("_content")).alias(
+                "entity_type"
+            ),
+            F.lit("metadata").alias("chunk_type"),
+            "content",
+            F.concat_ws(" ", "entity_name", "content").alias("content_bm25"),
+            content_hash(F.col("content")).alias("content_hash"),
+            F.lit(False).alias("has_implementation"),
+            "file_path",
+            F.lit(None).cast("int").alias("line_number"),
+            F.lit(None).cast("int").alias("end_line_number"),
+        )
+        n_total, n_new = self._embed_and_append(chunk)
+        return {"items": n_total, "chunks_new": n_new,
                 "chunks_skipped_unchanged": n_total - n_new}
 
     def clear(self, *, preserve_manual: bool = True) -> None:
