@@ -130,6 +130,48 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     dense_t, hybrid_t = timings.get("dense_topk"), timings.get("hybrid_rrf_search")
+
+    # regression trend vs the newest prior-round BENCH file in this repo:
+    # per-query delta ratios (this/prior), flagged when >1.25x slower
+    trend = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior_files = sorted(
+        (f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)),
+        key=lambda f: int(re.search(r"\d+", f).group()),
+    )
+    if prior_files:
+        try:
+            with open(os.path.join(here, prior_files[-1])) as fh:
+                prior = json.load(fh)
+            if "queries" not in prior and "tail" in prior:
+                # driver format: our JSON line is embedded in captured stdout
+                for seg in re.split(r"[\r\n]", prior["tail"]):
+                    seg = seg.strip()
+                    if seg.startswith('{"metric"'):
+                        try:
+                            prior = {**prior, **json.loads(seg)}
+                        except json.JSONDecodeError:
+                            pass
+            pq = prior.get("queries", {})
+            if prior.get("sf") == sf and pq:
+                ratios = {
+                    q: round(t / pq[q], 2)
+                    for q, t in timings.items()
+                    if pq.get(q)
+                }
+                trend = {
+                    "vs": prior_files[-1],
+                    "total_ratio": round(
+                        sum(timings.values()) / max(prior.get("value", 0), 1e-9), 2
+                    ),
+                    "query_ratios": ratios,
+                    "regressions": sorted(
+                        q for q, r in ratios.items() if r > 1.25
+                    ),
+                }
+        except (json.JSONDecodeError, OSError):
+            pass
+
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -146,6 +188,8 @@ def main() -> None:
             "incremental_reindex_speedup": round(t_full / max(t_noop, 1e-9), 1),
         },
     }
+    if trend:
+        out["trend"] = trend
     print(json.dumps(out))
 
 
