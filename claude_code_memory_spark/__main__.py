@@ -87,7 +87,52 @@ def main(argv: list[str] | None = None) -> int:
     p_watch.add_argument("--events", required=True, help="event JSONL directory")
     p_watch.add_argument("--quiet-seconds", type=float, default=2.0)
 
+    p_svc = sub.add_parser(
+        "service", help="multi-project registry (reference service.py)"
+    )
+    svc_sub = p_svc.add_subparsers(dest="svc_cmd", required=True)
+    s_add = svc_sub.add_parser("add")
+    s_add.add_argument("-p", "--project", required=True)
+    s_add.add_argument("-c", "--collection", required=True)
+    s_rm = svc_sub.add_parser("remove")
+    s_rm.add_argument("-p", "--project", required=True)
+    svc_sub.add_parser("status")
+    svc_sub.add_parser("run", help="one incremental pass over all projects")
+    s_watch = svc_sub.add_parser("watch", help="stream-watch all projects")
+    s_watch.add_argument("--events", required=True, help="event feed root dir")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "service":
+        from claude_code_memory_spark.service import IndexingService
+        from claude_code_memory_spark.session import get_spark
+
+        spark = get_spark("ccms-service")
+        spark.sparkContext.setLogLevel("ERROR")
+        svc = IndexingService(spark)
+        if args.svc_cmd == "add":
+            ok = svc.add_project(args.project, args.collection)
+            print("added" if ok else "already registered")
+        elif args.svc_cmd == "remove":
+            ok = svc.remove_project(args.project)
+            print("removed" if ok else "not registered")
+        elif args.svc_cmd == "status":
+            for row in svc.status():
+                print(row)
+        elif args.svc_cmd == "run":
+            for path, counters in svc.run_once().items():
+                print(path, counters)
+        elif args.svc_cmd == "watch":
+            qs = svc.watch_all(args.events)
+            print(f"watching {len(qs)} projects; Ctrl-C to stop")
+            try:
+                for q in qs:
+                    q.awaitTermination()
+            except KeyboardInterrupt:
+                for q in qs:
+                    q.stop()
+        return 0
+
     eng = _engine(args.collection)
 
     if args.cmd == "index":
