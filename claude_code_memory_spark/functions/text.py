@@ -77,6 +77,37 @@ def approx_token_count(col: Column | str) -> Column:
     return F.ceil(F.length(_c(col)) / F.lit(4.0)).cast("long")
 
 
+def exact_token_count_udf():
+    """X13 exact path: Arrow-batched token counter that uses tiktoken's
+    cl100k_base when the library is importable on the worker (reference
+    TiktokenMixin, embeddings/base.py:44-94) and the reference's
+    max(1, len//4) character fallback otherwise. Scalar-iterator form:
+    the encoder is built once per worker task, rows stream through in
+    Arrow batches — one pandas_udf stage, no per-row Python round trip."""
+    from collections.abc import Iterator
+
+    import pandas as pd  # noqa: F401 (resolves the UDF type hints)
+    from pyspark.sql.functions import pandas_udf
+
+    def count_tokens(batches):
+        try:
+            import tiktoken
+
+            enc = tiktoken.get_encoding("cl100k_base")
+        except Exception:
+            enc = None
+        for s in batches:
+            if enc is not None:
+                yield s.fillna("").map(lambda t: max(1, len(enc.encode(t))))
+            else:
+                yield s.fillna("").map(lambda t: max(1, len(t) // 4))
+
+    count_tokens.__annotations__ = {
+        "batches": Iterator[pd.Series], "return": Iterator[pd.Series]
+    }
+    return pandas_udf(count_tokens, "long")
+
+
 def regex_token_count(col: Column | str) -> Column:
     """BPE-ish token count: words, numbers, and punctuation runs each count."""
     pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"

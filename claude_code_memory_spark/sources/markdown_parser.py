@@ -28,7 +28,30 @@ OVERLAP_RATIO = 0.125
 _HEADING = re.compile(r"^(#{1,6})\s+(.*)$")
 
 
+_ENCODER = None
+_ENCODER_TRIED = False
+
+
 def approx_tokens(text: str) -> int:
+    """X13: tiktoken cl100k_base count when the library is available
+    (reference TiktokenMixin, embeddings/base.py:44-94), so markdown
+    chunk budgets match the reference's exactly on deployments that have
+    it; deterministic ceil(len/4) approximation otherwise (this
+    container). Encoder built once per worker process."""
+    global _ENCODER, _ENCODER_TRIED
+    if not _ENCODER_TRIED:
+        _ENCODER_TRIED = True
+        try:
+            import tiktoken
+
+            _ENCODER = tiktoken.get_encoding("cl100k_base")
+        except Exception:
+            _ENCODER = None
+    if _ENCODER is not None:
+        try:
+            return max(1, len(_ENCODER.encode(text)))
+        except Exception:
+            pass
     return max(1, (len(text) + 3) // 4)
 
 
