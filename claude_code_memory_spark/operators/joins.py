@@ -193,54 +193,66 @@ def stale_imports(
     )
 
     # whitelists: stdlib top-level (public sys.stdlib_module_names) and
-    # external file references by extension
+    # external file references by extension — pure expression filters
     stdlib = sorted(sys.stdlib_module_names)
     ext_ok = F.lower(F.element_at(F.split(F.col(to_col), r"\."), -1)).isin(
         *FILE_REFERENCE_EXTENSIONS
     ) & F.col(to_col).contains(".")
-    kept_external = im.filter(F.col("__first").isin(*stdlib) | ext_ok)
-    check = im.join(kept_external.select(from_col, to_col), [from_col, to_col], "left_anti")
+    check = im.filter(~(F.col("__first").isin(*stdlib) | ext_ok))
 
     basenames, dirs, module_keys = _module_indices(entities, name_col)
-    bset = F.broadcast(basenames.select(F.col("basename").alias("__b")).distinct())
-    names = F.broadcast(entities.select(F.col(name_col).alias("__dn")).distinct())
 
-    resolved = [
-        # direct entity-name match
-        check.join(names, check[to_col] == F.col("__dn"), "left_semi"),
-        # relative: basename of the cleaned name
-        check.filter("__relative").join(
-            bset, F.col("__clean") == F.col("__b"), "left_semi"
-        ),
-        # relative dotted: last segment is a known basename AND the
-        # slash-form of the cleaned name appears in that file's path
+    # One linear chain of broadcast left joins, each index attaching a
+    # flag column — the `check` subtree appears ONCE in the plan (a
+    # branch-per-rule formulation replicated it 6x and exploded the plan
+    # to hundreds of join nodes).
+    def flagged(df, key, flag):
+        return F.broadcast(df.select(F.col(key).alias(f"__k_{flag}")).distinct()
+                           .withColumn(flag, F.lit(True)))
+
+    names = entities.select(F.col(name_col).alias("n"))
+    j = (
+        check.join(flagged(names, "n", "__f_direct"),
+                   check[to_col] == F.col("__k___f_direct"), "left")
+        .join(flagged(basenames, "basename", "__f_cleanbase"),
+              F.col("__clean") == F.col("__k___f_cleanbase"), "left")
+        .join(flagged(basenames, "basename", "__f_lastbase"),
+              F.col("__last") == F.col("__k___f_lastbase"), "left")
+        .join(flagged(module_keys, "mkey", "__f_mkey"),
+              F.col("__clean") == F.col("__k___f_mkey"), "left")
+        .join(flagged(dirs, "dir", "__f_dir"),
+              F.col("__clean") == F.col("__k___f_dir"), "left")
+    )
+    # relative dotted: last segment is a known basename AND the slash-form
+    # of the cleaned name appears in that file's path (needs the paths, so
+    # it is its own small inner join, distinct'd to a key set)
+    pat_keys = (
         check.filter(F.col("__relative") & F.col("__dotted"))
+        .select(from_col, to_col, "__last", "__clean")
         .join(F.broadcast(basenames), F.col("__last") == F.col("basename"), "inner")
         .filter(F.col("path").contains(F.regexp_replace("__clean", r"\.", "/")))
-        .drop("basename", "path"),
-        # absolute dotted: full module-key match, or last-segment basename
-        check.filter(F.col("__dotted") & ~F.col("__relative")).join(
-            F.broadcast(module_keys), F.col("__clean") == F.col("mkey"), "left_semi"
-        ),
-        check.filter(F.col("__dotted") & ~F.col("__relative")).join(
-            bset, F.col("__last") == F.col("__b"), "left_semi"
-        ),
+        .select(from_col, to_col)
+        .distinct()
+        .withColumn("__f_path", F.lit(True))
+    )
+    j = j.join(F.broadcast(pat_keys), [from_col, to_col], "left")
+
+    t = lambda c: F.coalesce(F.col(c), F.lit(False))  # noqa: E731
+    resolved = (
+        t("__f_direct")
+        | (F.col("__relative") & t("__f_cleanbase"))
+        | (F.col("__relative") & F.col("__dotted") & t("__f_path"))
+        | (F.col("__dotted") & ~F.col("__relative")
+           & (t("__f_mkey") | t("__f_lastbase")))
         # bare name: package directory component — plus a basename
         # fallback the reference lacks (its bare-name branch is
         # directory-only, qdrant.py:2135-2139, which would orphan
         # `from helpers import x` in a flat project with helpers.py)
-        check.filter(~F.col("__dotted") & ~F.col("__relative")).join(
-            F.broadcast(dirs), F.col("__clean") == F.col("dir"), "left_semi"
-        ),
-        check.filter(~F.col("__dotted") & ~F.col("__relative")).join(
-            bset, F.col("__clean") == F.col("__b"), "left_semi"
-        ),
-    ]
-    ok = resolved[0].select(from_col, to_col)
-    for r in resolved[1:]:
-        ok = ok.unionByName(r.select(from_col, to_col))
-    stale = check.join(ok.distinct(), [from_col, to_col], "left_anti")
-    return stale.drop("__clean", "__segs", "__last", "__first", "__relative", "__dotted")
+        | (~F.col("__dotted") & ~F.col("__relative")
+           & (t("__f_dir") | t("__f_cleanbase")))
+    )
+    stale = j.filter(~resolved)
+    return stale.select(*relations.columns)
 
 
 def relations_touching(
