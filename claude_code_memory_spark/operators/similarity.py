@@ -204,6 +204,65 @@ def ivf_topk(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+def ivf_seeded_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    *,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF probe, fully relational and collect-free.
+
+    Centroids are the first `n_centroids` vectors by id (the bootstrap
+    choice every IVF build starts from before Lloyd iterations;
+    `ivf_build` is the KMeans-quality path). Assignment = argmin squared
+    L2 per vector over a broadcast cross join; probe = the `nprobe`
+    centroids nearest the query; candidates scan only probed clusters.
+    Being pure column algebra, the whole operator is DuckDB-replicable —
+    this is the oracle-checked twin of the KMeans IVF path. At 100 TB,
+    write the assignment partitioned by cluster id and the probe filter
+    becomes partition pruning (same layout note as ivf_build).
+
+    `query` is a 1-row (id, vec) DataFrame; its row is excluded from
+    results."""
+    # squared L2 via the dot identity |a|^2 - 2ab + |b|^2: three sequential
+    # dot products, the exact float-evaluation order DuckDB's
+    # list_dot_product uses, so the oracle ranks ties identically
+    d2 = lambda a, b: dot(a, a) - 2 * dot(a, b) + dot(b, b)  # noqa: E731
+    cent = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    q = query.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+
+    w_assign = Window.partitionBy(id_col).orderBy("__d2", "cid")
+    assigned = (
+        embeddings.crossJoin(F.broadcast(cent))
+        .withColumn("__d2", d2(F.col(vec_col), F.col("cvec")))
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+    w_probe = Window.orderBy("__d2", "cid")
+    probe = (
+        cent.crossJoin(F.broadcast(q.select("qvec")))
+        .withColumn("__d2", d2(F.col("cvec"), F.col("qvec")))
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select("cid")
+    )
+    cands = assigned.join(F.broadcast(probe), "cid", "left_semi").crossJoin(
+        F.broadcast(q)
+    )
+    scored = cands.filter(F.col(id_col) != F.col("qid")).select(
+        id_col,
+        F.round(cosine_similarity(F.col(vec_col), F.col("qvec")), 6).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     query_vec: Sequence[float],

@@ -328,3 +328,60 @@ def vector_quantization_error(spark, sf_dir):
         F.round(F.array_max(errs), 6).alias("max_abs_err"),
         F.size("embedding").alias("dim"),
     ).orderBy("vec_id")
+
+
+_DD_DOT = "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+
+
+def _dd_d2(a: str, b: str) -> str:
+    """Squared L2 via the dot identity — same float evaluation order as the
+    Spark side (three sequential dot products)."""
+    return (
+        f"({_DD_DOT.format(a=a, b=a)} - 2 * {_DD_DOT.format(a=a, b=b)}"
+        f" + {_DD_DOT.format(a=b, b=b)})"
+    )
+
+
+@register(
+    "ann_ivf_probe",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+    q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    assigned AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT a.vec_id, a.embedding, c.cid,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_dd_d2("a.embedding", "c.cvec")}, c.cid) AS rn
+        FROM embeddings a CROSS JOIN cent c) t
+      WHERE rn = 1),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (
+                 ORDER BY {_dd_d2("c.cvec", "q.qvec")}, c.cid) AS rn
+        FROM cent c CROSS JOIN q) t
+      WHERE rn <= 2)
+    SELECT a.vec_id,
+           {_DD_COS} AS score
+    FROM assigned a
+    JOIN probe p ON a.cid = p.cid
+    CROSS JOIN (SELECT qvec AS embedding FROM q) q
+    WHERE a.vec_id <> 0
+    ORDER BY score DESC, a.vec_id ASC
+    LIMIT 10
+    """,
+)
+def ann_ivf_probe(spark, sf_dir):
+    """IVF ANN, deterministic-centroid variant (oracle-checked twin of the
+    KMeans ivf_build path): centroids = first 8 vectors, assignment =
+    argmin squared-L2 over a broadcast cross join, probe = 2 nearest
+    clusters, exact cosine top-10 inside the probed clusters only. At
+    100 TB the assignment is written partitioned by cluster id and the
+    probe filter becomes partition pruning (operators/similarity.py)."""
+    from claude_code_memory_spark.operators.similarity import ivf_seeded_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return ivf_seeded_topk(emb, q, k=10, n_centroids=8, nprobe=2)

@@ -105,3 +105,24 @@ def test_quantized_topk_recall_and_error_bound(spark, sf_dir):
         .count()
     )
     assert violations == 0
+
+
+def test_ivf_seeded_matches_brute_force_when_exact(spark, emb):
+    """ivf_seeded_topk with nprobe == n_centroids scans everything →
+    must equal brute force; partial probe returns a subset with
+    meaningful recall (the oracle-checked deterministic IVF twin)."""
+    from claude_code_memory_spark.operators.similarity import ivf_seeded_topk
+
+    q_df = emb.filter(F.col("vec_id") == 0)
+    q = _qvec(emb)
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, 10, exclude_id=0).collect()]
+    full = [
+        r["vec_id"]
+        for r in ivf_seeded_topk(emb, q_df, 10, n_centroids=8, nprobe=8).collect()
+    ]
+    assert full == exact
+    part = [
+        r["vec_id"]
+        for r in ivf_seeded_topk(emb, q_df, 10, n_centroids=8, nprobe=2).collect()
+    ]
+    assert len(part) == 10 and len(set(part) & set(exact)) >= 3
