@@ -132,6 +132,10 @@ _IMPORT = re.compile(
     r"\s*(?:,\s*(?:\{([^}]*)\}|\*\s+as\s+(\w+)))?\s*from\s+['\"]([^'\"]+)['\"]"
 )
 _BARE_IMPORT = re.compile(r"^\s*import\s+['\"]([^'\"]+)['\"]")
+_EXPORT_FROM = re.compile(
+    r"^\s*export\s+(?:type\s+)?(?:\*(?:\s+as\s+\w+)?|\{[^}]*\})\s*"
+    r"from\s+['\"]([^'\"]+)['\"]"
+)
 _REQUIRE = re.compile(
     r"(?:const|let|var)\s+(?:\{[^}]*\}|\w+)\s*=\s*require\s*\(\s*['\"]([^'\"]+)['\"]"
 )
@@ -461,6 +465,18 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
                                 _relation_rec(path, nm, "imports", path, "named")
                             )
             matched = True
+
+        if not matched:
+            em = _EXPORT_FROM.match(raw)
+            if em:
+                # re-export: `export {x} from 'mod'` / `export * from 'mod'`
+                # depends on mod exactly like an import does
+                mod = em.group(1)
+                recs.append(
+                    _entity_rec(mod, "import", path, line_no, None, [f"Imports {mod}"])
+                )
+                recs.append(_relation_rec(path, mod, "imports", path, "reexport"))
+                matched = True
 
         if not matched:
             bm = _BARE_IMPORT.match(raw)

@@ -98,6 +98,33 @@ def _call_names(node: ast.AST) -> set[str]:
     return out
 
 
+def _decorator_names(node) -> list[str]:
+    """@name / @mod.name / @name(...) → the bare decorator name (the JS
+    parser emits the same (target, uses, name, decorator) relation)."""
+    out = []
+    for d in getattr(node, "decorator_list", []):
+        f = d.func if isinstance(d, ast.Call) else d
+        if isinstance(f, ast.Name):
+            out.append(f.id)
+        elif isinstance(f, ast.Attribute):
+            out.append(f.attr)
+    return out
+
+
+def _raised_names(fn) -> set[str]:
+    """`raise X(...)` / `raise X` exception type names inside a function
+    (the JS parser's throws relations, mirrored via ast.Raise)."""
+    out = set()
+    for node in ast.walk(fn):
+        if isinstance(node, ast.Raise) and node.exc is not None:
+            e = node.exc.func if isinstance(node.exc, ast.Call) else node.exc
+            if isinstance(e, ast.Name):
+                out.add(e.id)
+            elif isinstance(e, ast.Attribute):
+                out.add(e.attr)
+    return out
+
+
 def _entity_rec(name, etype, path, lineno, end_lineno, obs, sig=None, doc=None):
     return dict(
         record_kind="entity",
@@ -197,6 +224,10 @@ def parse_python_source(path: str, source: str) -> list[dict]:
             if callee != fn.name:
                 recs.append(_relation_rec(qual, callee, "calls", path))
         recs.extend(_file_op_relations(qual, fn, path))
+        for deco in _decorator_names(fn):
+            recs.append(_relation_rec(qual, deco, "uses", path, "decorator"))
+        for exc in sorted(_raised_names(fn)):
+            recs.append(_relation_rec(qual, exc, "throws", path))
 
     for node in tree.body:
         if isinstance(node, (ast.Import, ast.ImportFrom)):
@@ -239,6 +270,8 @@ def parse_python_source(path: str, source: str) -> list[dict]:
                 )
                 if base_name:
                     recs.append(_relation_rec(node.name, base_name, "inherits", path))
+            for deco in _decorator_names(node):
+                recs.append(_relation_rec(node.name, deco, "uses", path, "decorator"))
             for item in node.body:
                 if isinstance(item, (ast.FunctionDef, ast.AsyncFunctionDef)):
                     handle_function(item, node.name, "method")

@@ -174,6 +174,21 @@ def test_destructured_names_recursive():
     assert _destructured_names("{outer: {inner, deep: [q]}}") == ["inner", "q"]
 
 
+def test_export_from_reexports():
+    src = (
+        "export * from './core';\n"
+        "export { helper, util as u } from './helpers';\n"
+        "export type { Props } from './types';\n"
+        "export { standalone };\n"  # no module: not an import
+    )
+    recs = parse_javascript_source("src/index.ts", src)
+    rels = _relations(recs)
+    assert ("src/index.ts", "./core", "imports") in rels
+    assert ("src/index.ts", "./helpers", "imports") in rels
+    assert ("src/index.ts", "./types", "imports") in rels
+    assert not any(t == "standalone" for _, t, ty in rels if ty == "imports")
+
+
 def test_js_file_plain():
     src = "function hello(name) {\n  return greet(name);\n}\nmodule.exports = hello;\n"
     recs = parse_javascript_source("lib/hello.js", src)

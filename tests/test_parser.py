@@ -56,3 +56,40 @@ def test_implementation_chunks(spark, temp_repo):
     assert "def helper(a, b):" in rows["helper"]["content"]
     assert rows["compute"]["complexity"] >= 3  # for + if + base
     assert rows["helper"]["line_number"] < rows["helper"]["end_line_number"]
+
+
+def test_decorator_and_raise_relations():
+    """Decorators → (target, uses, name, decorator); raise X → (fn, throws, X) —
+    the same relation surface the JS parser emits for @deco / throw new."""
+    import textwrap
+
+    from claude_code_memory_spark.sources.python_parser import parse_python_source
+
+    src = textwrap.dedent(
+        '''
+        import functools
+
+        @functools.cache
+        def compute(x):
+            if x < 0:
+                raise ValueError("negative")
+            return x * 2
+
+        @register
+        class Handler:
+            @staticmethod
+            def run():
+                raise errors.TimeoutError()
+        '''
+    )
+    recs = parse_python_source("m.py", src)
+    rels = {
+        (r["from_entity"], r["to_entity"], r["relation_type"])
+        for r in recs
+        if r["record_kind"] == "relation"
+    }
+    assert ("compute", "cache", "uses") in rels
+    assert ("compute", "ValueError", "throws") in rels
+    assert ("Handler", "register", "uses") in rels
+    assert ("Handler.run", "staticmethod", "uses") in rels
+    assert ("Handler.run", "TimeoutError", "throws") in rels
