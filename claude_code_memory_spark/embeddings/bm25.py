@@ -55,13 +55,33 @@ def fit(docs: DataFrame, *, id_col: str = "point_id", text_col: str = "content_b
     avgdl_row = toks.groupBy(id_col).count().agg(F.avg("count")).collect()[0][0]
     avgdl = float(avgdl_row or 0.0)
     df_ = toks.distinct().groupBy("term").agg(F.count("*").alias("df"))
-    vocab = (
-        df_.withColumn(
-            "idf", F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-        )
-        .withColumn("term_index", F.row_number().over(Window.orderBy("term")) - 1)
+    vocab = df_.withColumn(
+        "idf", F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     )
-    return BM25Model(vocabulary=vocab, n_docs=n_docs, avgdl=avgdl)
+    return BM25Model(vocabulary=_dense_term_index(vocab), n_docs=n_docs, avgdl=avgdl)
+
+
+def _dense_term_index(vocab: DataFrame) -> DataFrame:
+    """term_index = global rank of `term` in sorted order, assigned WITHOUT a
+    single-partition window: range-partition by term, rank locally, then add
+    per-partition offsets (a #partitions-sized table). The index is invariant
+    to where the range boundaries land, so the result is deterministic even
+    though the boundaries are sampled. A code-corpus vocabulary can reach
+    10^7-10^8 terms at 100 TB; a global row_number() would sort all of it in
+    one task."""
+    v = vocab.repartitionByRange(F.col("term")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy("term")
+    v = v.withColumn("_local", F.row_number().over(w_local) - 1)
+    counts = v.groupBy("_pid").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+    return (
+        v.join(F.broadcast(offs.select("_pid", "_off")), "_pid")
+        .withColumn("term_index", (F.col("_off") + F.col("_local")).cast("int"))
+        .drop("_pid", "_local", "_off")
+    )
 
 
 def transform(
@@ -79,8 +99,11 @@ def transform(
     )
     dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # No broadcast hint on the vocabulary: usually tiny (AQE converts to
+    # broadcast at runtime), but a forced hint would OOM on a 10^8-term
+    # vocab — let AQE pick from runtime sizes.
     scored = (
-        tf.join(F.broadcast(model.vocabulary.select("term", "term_index", "idf")), "term")
+        tf.join(model.vocabulary.select("term", "term_index", "idf"), "term")
         .join(dl, id_col)
         .withColumn(
             "w",

@@ -115,13 +115,16 @@ def pivot_status_by_priority(spark, sf_dir):
 )
 def scroll_pagination(spark, sf_dir):
     """T5: scroll/offset pagination (storage/qdrant.py:1204-1301) — page 3
-    of 50. Window row_number keeps it deterministic; at scale prefer
-    keyset pagination (WHERE (value,id) < last_seen) to avoid the skip."""
+    of 50. orderBy().limit(offset+size) compiles to TakeOrderedAndProject
+    (distributed partial top-k, no full-table single-partition window); the
+    row_number then runs over just those 150 rows. At scale prefer keyset
+    pagination (WHERE (value,id) < last_seen) to avoid the deep-offset skip."""
     e = table(spark, sf_dir, "events")
+    top = e.select("event_id", "value").orderBy(F.desc("value"), F.asc("event_id")).limit(150)
     w = Window.orderBy(F.desc("value"), F.asc("event_id"))
     return (
-        e.select("event_id", "value", F.row_number().over(w).alias("__rn"))
-        .filter((F.col("__rn") > 100) & (F.col("__rn") <= 150))
+        top.select("event_id", "value", F.row_number().over(w).alias("__rn"))
+        .filter(F.col("__rn") > 100)
         .drop("__rn")
     )
 
