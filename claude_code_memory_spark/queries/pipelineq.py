@@ -117,12 +117,12 @@ def graph_bfs2_brand_parts(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     seeds = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
     hop1 = (
-        li.join(F.broadcast(seeds), li.l_partkey == seeds.p_partkey, "left_semi")
+        li.join(seeds, li.l_partkey == seeds.p_partkey, "left_semi")
         .select("l_suppkey")
         .distinct()
     )
     hop2 = (
-        li.join(F.broadcast(hop1.select(F.col("l_suppkey").alias("__s"))),
+        li.join(hop1.select(F.col("l_suppkey").alias("__s")),
                 li.l_suppkey == F.col("__s"), "left_semi")
         .select("l_partkey")
         .distinct()

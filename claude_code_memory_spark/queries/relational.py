@@ -80,7 +80,7 @@ def q3_shipping_priority(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -108,7 +108,7 @@ def q5_revenue_by_nation(spark, sf_dir):
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")

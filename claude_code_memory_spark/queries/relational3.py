@@ -73,14 +73,16 @@ def q6_revenue_delta(spark, sf_dir):
 )
 def q10_returned_items(spark, sf_dir):
     """TPC-H q10 shape: who returned the most revenue. lineitem (largest)
-    filters on returnflag before the joins; customer is broadcast (small
-    dim), so the only big shuffle is lineitem⋈orders on orderkey."""
+    filters on returnflag before the joins; customer joins unhinted (AQE
+    broadcasts it while small, shuffles at scale — it grows with sf, so
+    a forced hint would not survive 100 TB) and the only big shuffle is
+    lineitem⋈orders on orderkey."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "c_acctbal")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
@@ -113,12 +115,13 @@ def q10_returned_items(spark, sf_dir):
 def q17_small_quantity_revenue(spark, sf_dir):
     """TPC-H q17 shape: correlated avg-per-part subquery, decorrelated to
     a pre-aggregated join. The per-part average aggregates map-side to one
-    row per partkey before its shuffle; the brand filter broadcasts."""
+    row per partkey before its shuffle; the brand-filtered part side is
+    unhinted (AQE broadcasts it while it fits, part grows with sf)."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     cut = li.groupBy("l_partkey").agg((0.2 * F.avg("l_quantity")).alias("qty_cut"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(cut, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
@@ -325,7 +328,7 @@ def q19_disjunctive_filter(spark, sf_dir):
     residual — exactly what you want at scale."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 10))
         | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 20))

@@ -5,12 +5,15 @@ columns that exist, keeping each query's *shape*: the join topology,
 subquery kind, and aggregate structure that make it interesting).
 
 Scale notes apply to every query here:
-- `nation`/`region`/`supplier` are broadcast unconditionally (25/5/1k·sf
-  rows) — never let them shuffle lineitem.
-- `part`/`customer` (200k·sf / 150k·sf rows) are broadcast too: at
-  sf1000 they are ~GBs, so a real deployment would bucket them on the
-  join key instead; the hint is on the dimension side only, so removing
-  it degrades gracefully to a shuffle join chosen by AQE.
+- `nation`/`region` carry explicit broadcast hints — their cardinality
+  is bounded (25/5 rows) at every scale factor, so the hint is always
+  safe and saves AQE a decision.
+- `supplier`/`part`/`customer` grow linearly with sf (1k/200k/150k·sf
+  rows), so they get NO hint: a forced broadcast cannot be demoted by
+  AQE and would OOM the driver at 100 TB. AQE promotes them to
+  broadcast at runtime whenever their post-filter size is under the
+  threshold (always true at test sf), and falls back to a shuffled
+  join — or bucketed co-location in a real deployment — at scale.
 - `lineitem`/`orders` filters are plain column predicates placed before
   joins so they reach the parquet scan as PushedFilters.
 
@@ -58,8 +61,8 @@ def q2_top_supplier_per_part(spark, sf_dir):
     p = table(spark, sf_dir, "part").filter((F.col("p_size") < 5) & (F.col("p_type") == "SMALL"))
     s = table(spark, sf_dir, "supplier")
     shippers = li.select("l_partkey", "l_suppkey").distinct()
-    cand = shippers.join(F.broadcast(p), shippers.l_partkey == p.p_partkey).join(
-        F.broadcast(s), shippers.l_suppkey == s.s_suppkey
+    cand = shippers.join(p, shippers.l_partkey == p.p_partkey).join(
+        s, shippers.l_suppkey == s.s_suppkey
     )
     w = Window.partitionBy("p_partkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
     return (
@@ -116,8 +119,8 @@ def q7_volume_shipping(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(
@@ -162,7 +165,8 @@ def q8_market_share(spark, sf_dir):
     """TPC-H q8: one nation's share of a region's revenue for one part
     type, by year. The share is a conditional-sum / sum ratio inside one
     aggregate — one pass, no self-join. part and customer are filtered
-    before their (broadcast) joins so the probe side shrinks early."""
+    before their joins so the probe side shrinks early (AQE broadcasts
+    the filtered sides while they fit)."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
@@ -179,11 +183,11 @@ def q8_market_share(spark, sf_dir):
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == cn.n_nationkey)
         .join(F.broadcast(r), cn.n_regionkey == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
@@ -215,7 +219,7 @@ def q8_market_share(spark, sf_dir):
 def q9_product_profit(spark, sf_dir):
     """TPC-H q9 shape (profit by supplier nation × year; supplycost not in
     schema, so amount = net revenue). The p_name LIKE filter shrinks part
-    before its broadcast join; grouping is (nation, year) — 25·7 groups,
+    before its join; grouping is (nation, year) — 25·7 groups,
     so the final agg is tiny and partial aggregation does all the work."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
@@ -225,8 +229,8 @@ def q9_product_profit(spark, sf_dir):
     )
     o = table(spark, sf_dir, "orders")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("sn_key"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
@@ -327,15 +331,16 @@ def q13_customer_distribution(spark, sf_dir):
 def q14_promo_revenue(spark, sf_dir):
     """TPC-H q14: promo revenue percentage for one month. The one-month
     shipdate window is the scan filter (row-group pruning does the heavy
-    lifting); part joins broadcast; ratio-of-conditional-sums in a single
-    aggregate."""
+    lifting); the month of lineitem is small enough that AQE broadcasts
+    it INTO part if part is larger — either direction beats a hinted
+    plan; ratio-of-conditional-sums in a single aggregate."""
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1997-09-01")) & (F.col("l_shipdate") < _ts("1997-10-01"))
     )
     p = table(spark, sf_dir, "part")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        li.join(p, li.l_partkey == p.p_partkey).agg(
             F.round(
                 100.0
                 * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
@@ -382,7 +387,7 @@ def q15_top_supplier(spark, sf_dir):
     return (
         rev.join(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("__max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -407,7 +412,7 @@ def q16_supplier_count_by_part(spark, sf_dir):
     distinct-supplier counts per (brand, type, size) with NOT-filters and
     an IN-list. countDistinct expands to a two-phase agg (dedup then
     count) — Spark plans that natively; the part-side filters cut the
-    build side before the broadcast."""
+    build side before the join (AQE broadcasts it while it fits)."""
     p = table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "BRAND_1")
         & (F.col("p_type") != "PROMO")
@@ -415,7 +420,7 @@ def q16_supplier_count_by_part(spark, sf_dir):
     )
     li = table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -458,7 +463,7 @@ def q18_large_volume_customers(spark, sf_dir):
     )
     return (
         o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .groupBy(
             "c_name",
@@ -519,7 +524,7 @@ def q21_sole_returning_supplier(spark, sf_dir):
         l1.join(o, l1.l_orderkey == o.o_orderkey)
         .join(order_facts, "l_orderkey")
         .filter((F.col("n_supps") > 1) & (F.col("n_ret_supps") == 1))
-        .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .join(s, l1.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
