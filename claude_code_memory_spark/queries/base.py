@@ -11,7 +11,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass(frozen=True)
@@ -42,7 +43,12 @@ def oracle_sql_map() -> dict[str, str]:
 
 def prep(spark: SparkSession) -> SparkSession:
     """Session confs required for oracle-comparable reads: nanos timestamps
-    surface as LONG (events table), timezone pinned UTC."""
+    surface as LONG (ns-precision events fixtures), timezone pinned UTC.
+
+    These are best-effort: `nanosAsLong` only affects ns-precision parquet
+    and some Spark versions ignore post-creation legacy confs. Queries must
+    therefore never depend on a conf for schema shape — `ts_us_col` below
+    adapts to whatever type the scan actually produced."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark
@@ -51,3 +57,26 @@ def prep(spark: SparkSession) -> SparkSession:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     prep(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ts_us_col(df: DataFrame, col: str = "ts") -> Column:
+    """Epoch-microseconds expression for an event-time column, derived from
+    the column's *actual* type rather than an assumed physical encoding.
+
+    The events fixture has shipped with two encodings across rounds:
+
+    - ns-precision parquet TIMESTAMP read under ``nanosAsLong`` → Spark sees
+      ``bigint`` nanoseconds → ``ts div 1000``;
+    - µs-precision parquet TIMESTAMP → Spark sees ``timestamp``/
+      ``timestamp_ntz`` → ``unix_micros(cast(ts as timestamp))``. The
+      session timezone is pinned UTC (prep/tune_for_oracle), so the NTZ →
+      instant cast is the identity mapping and matches DuckDB ``epoch_us``
+      bit-for-bit.
+
+    Mirrors the reference's multi-format timestamp tolerance
+    (chat/parser.py:193-214) at the physical-schema level.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return F.expr(f"{col} div 1000")
+    return F.unix_micros(F.col(col).cast("timestamp"))

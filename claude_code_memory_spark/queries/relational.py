@@ -14,7 +14,7 @@ from pyspark.sql import Window
 
 from claude_code_memory_spark.functions.hashing import content_hash, md5_8, point_id
 from claude_code_memory_spark.operators import joins as J
-from claude_code_memory_spark.queries.base import register, table
+from claude_code_memory_spark.queries.base import register, table, ts_us_col
 
 # --- A: aggregations ------------------------------------------------------
 
@@ -385,9 +385,9 @@ def rrf_fusion_events(spark, sf_dir):
         .limit(30)
     )
     sparse = (
-        # ts is LONG nanos (nanosAsLong); DuckDB sees µs-truncated timestamps,
-        # so rank on µs — exactly representable as double (≈1.7e15 < 2^53).
-        e.select(F.col("event_id"), F.expr("ts div 1000").cast("double").alias("score"))
+        # DuckDB sees µs timestamps, so rank on µs regardless of the physical
+        # encoding — exactly representable as double (≈1.7e15 < 2^53).
+        e.select(F.col("event_id"), ts_us_col(e).cast("double").alias("score"))
         .orderBy(F.desc("score"), F.asc("event_id"))
         .limit(30)
     )

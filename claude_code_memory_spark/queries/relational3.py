@@ -4,8 +4,10 @@ join) built on operators/asof.py. All oracle-checked; the ASOF oracle
 uses DuckDB's native ASOF JOIN, making it a genuinely independent
 implementation of the same semantics.
 
-`events.ts` is LONG nanoseconds on the Spark side (nanosAsLong) and a
-µs TIMESTAMP in DuckDB — all event math is done in µs, as in sessionsq.
+`events.ts` may be LONG nanoseconds or a µs TIMESTAMP depending on the
+fixture's physical encoding; DuckDB always sees a µs timestamp — all
+event math is done in µs via `ts_us_col` (schema-adaptive), as in
+sessionsq.
 """
 
 from __future__ import annotations
@@ -13,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from claude_code_memory_spark.operators.asof import asof_join, range_join_pairs
-from claude_code_memory_spark.queries.base import register, table
+from claude_code_memory_spark.queries.base import register, table, ts_us_col
 
 _5MIN_US = 300 * 1_000_000
 
@@ -21,7 +23,7 @@ _5MIN_US = 300 * 1_000_000
 def _typed_events_us(spark, sf_dir, event_type):
     e = table(spark, sf_dir, "events")
     return e.filter(F.col("event_type") == event_type).select(
-        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us"), "value"
+        "event_id", "user_id", ts_us_col(e).alias("ts_us"), "value"
     )
 
 

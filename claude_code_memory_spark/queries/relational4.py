@@ -247,10 +247,10 @@ def q9_product_profit(spark, sf_dir):
     "q12_priority_by_returnflag",
     oracle="""
     SELECT l.l_returnflag,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'

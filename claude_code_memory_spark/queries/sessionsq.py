@@ -1,6 +1,8 @@
 """Event/session query catalog (W4/ST8 sessionization + streaming's batch
-twins). `events.ts` is LONG nanoseconds on the Spark side (nanosAsLong)
-and a µs-precision TIMESTAMP in DuckDB — all math is done in µs.
+twins). `events.ts` may be LONG nanoseconds (ns parquet under nanosAsLong)
+or a µs TIMESTAMP, depending on the fixture's physical encoding; DuckDB
+always sees a µs timestamp — all math is done in µs via `ts_us_col`, which
+adapts to the actual scanned type.
 """
 
 from __future__ import annotations
@@ -8,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from claude_code_memory_spark.queries.base import register, table
+from claude_code_memory_spark.queries.base import register, table, ts_us_col
 
 _GAP_US = 3600 * 1_000_000  # 1 hour, reference chat/parser.py:52-56
 _WIN_US = 300 * 1_000_000  # 5-minute tumbling windows
@@ -16,7 +18,7 @@ _WIN_US = 300 * 1_000_000  # 5-minute tumbling windows
 
 def _events_us(spark, sf_dir):
     e = table(spark, sf_dir, "events")
-    return e.withColumn("ts_us", F.expr("ts div 1000"))
+    return e.withColumn("ts_us", ts_us_col(e))
 
 
 @register(
@@ -90,8 +92,11 @@ def debounce_last_event_wins(spark, sf_dir):
     """ST2's batch shape: per-key last-event-wins coalescing
     (watcher/debounce.py:149-260)."""
     e = _events_us(spark, sf_dir)
+    # rank on ts_us, not raw ts: under a ns-encoded fixture raw ts would be
+    # finer-grained than the oracle's µs timestamps and could pick a
+    # different same-µs winner
     w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.desc("ts"), F.desc("event_id")
+        F.desc("ts_us"), F.desc("event_id")
     )
     return (
         e.withColumn("rn", F.row_number().over(w))

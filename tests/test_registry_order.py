@@ -32,8 +32,9 @@ def test_driver_window_covers_flagships_and_families():
         "filter_must_should_not",
         "set_except_intersect",
         "hash_ids_documents",
-        "agg_event_stats",
         "graph_bfs2_brand_parts",
+        # never driver-sampled before round 3
+        "ann_ivf_probe",
     }
     missing = must_have - set(window)
     assert not missing, f"driver window is missing: {sorted(missing)}"
