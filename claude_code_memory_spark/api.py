@@ -609,12 +609,20 @@ class CodeMemoryEngine:
         self.store.append("chunks", chunk, ["chunk_type"])
         self.store.append("vectors", vector, ["chunk_type"])
 
-    def index_chat(self, jsonl_path: str, *, gap_seconds: int = 3600) -> dict:
+    def index_chat(
+        self, jsonl_path: str, *, gap_seconds: int = 3600, summarizer_transport=None
+    ) -> dict:
         """S11/ST8/UD7/A8: the reference's chat-history pipeline
         (`claude-indexer chat index`): parse conversation JSONL →
         sessionize by ≥1h inactivity (chat/parser.py:272-288) →
-        categorize+language-detect (deterministic summarizer stub, same
-        output schema as the LLM one) → chat chunks → embed → append.
+        categorize+language-detect → chat chunks → embed → append.
+
+        ``summarizer_transport``: optional zero-arg factory returning a
+        ``prompt -> str`` callable (sources/summarizer.py). When given, the
+        full UD7 LLM path runs — per-conversation summarize with retry /
+        JSON-validate / categorize (chat/summarizer.py:55-404) — and the
+        LLM category+summary override the keyword stub's. Without it the
+        deterministic keyword-scoring stub provides the same columns.
 
         Incremental: conversations whose chunk content_hash is already
         stored are skipped (same J6 dedup probe as code chunks), so
@@ -628,6 +636,19 @@ class CodeMemoryEngine:
 
         msgs = read_chat_jsonl(self.spark, jsonl_path)
         convs = categorize(conversations(msgs, gap_seconds))
+        if summarizer_transport is not None:
+            from claude_code_memory_spark.sources.summarizer import (
+                summarize_conversations,
+            )
+
+            convs = (
+                summarize_conversations(convs, summarizer_transport)
+                .withColumn("category", F.col("llm_summary.category"))
+                .withColumn(
+                    "full_text",
+                    F.coalesce(F.col("llm_summary.summary"), F.col("full_text")),
+                )
+            )
         n_total, n_new = self._embed_and_append(chat_chunks(convs))
         return {"conversations": n_total, "chunks_new": n_new,
                 "chunks_skipped_unchanged": n_total - n_new}

@@ -65,11 +65,16 @@ def hash_embedder_udf(dim: int = DEFAULT_DIM) -> Column:
 
 
 def provider_embedder_stub(model: str = "voyage-3-lite", dim: int = 512):
-    """Placeholder for HTTP-backed embedders (UD2/UD3). The real thing is
-    the same scalar-iterator UDF shape with an HTTP client initialized once
-    per iterator (per-executor), token-budget batching (voyage.py:182-189:
-    30k-120k tokens, <=1000 texts) and retry/backoff. No network in this
-    container → NotImplementedError."""
+    """HTTP-backed embedders (UD2/UD3): the batching / truncation / retry
+    logic is fully implemented in `embeddings.provider` (token-budget
+    batching per voyage.py:182-189 — 30k-120k tokens, <=1000 texts — plus
+    backoff-with-jitter retry per base.py:171-235), behind a pluggable
+    transport. Only the HTTP transport itself needs credentials/network;
+    this container has neither → NotImplementedError here, while
+    `provider.provider_embedder_udf(provider.fake_transport(dim), model)`
+    exercises the complete provider path deterministically."""
     raise NotImplementedError(
-        "provider embedders need network access; use hash_embedder_udf in tests"
+        "provider embedders need network credentials; use "
+        "embeddings.provider.provider_embedder_udf with fake_transport (tests) "
+        "or an HTTP transport (deployment)"
     )

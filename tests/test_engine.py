@@ -282,3 +282,35 @@ def test_index_chat_end_to_end(spark, tmp_path):
     eng.clear(preserve_manual=True)
     assert eng.store.read("chunks").filter(
         F.col("chunk_type") == "chat_summary").count() == 2
+
+
+def test_index_chat_with_llm_summarizer_transport(spark, tmp_path):
+    """UD7 full path: index_chat with a summarizer transport runs the
+    retry/parse/validate/categorize pipeline per conversation and stores
+    the LLM summary text in the chat chunks."""
+    import json as _json
+
+    from claude_code_memory_spark.sources.summarizer import fake_transport
+
+    msgs = [
+        {"chat_id": "c9", "ts": "2024-02-01T09:00:00Z", "role": "user",
+         "content": "please fix the crash and error in the importer"},
+        {"chat_id": "c9", "ts": "2024-02-01T09:02:00Z", "role": "assistant",
+         "content": "the bug is a missing null check; fixed"},
+    ]
+    p = tmp_path / "chat2.jsonl"
+    with open(p, "w") as fh:
+        for m in msgs:
+            fh.write(_json.dumps(m) + "\n")
+
+    eng = CodeMemoryEngine(spark, str(tmp_path / "store2"))
+    r = eng.index_chat(str(p), summarizer_transport=fake_transport)
+    assert r["conversations"] == 1 and r["chunks_new"] == 1
+
+    chunk = eng.store.read("chunks").filter(
+        F.col("chunk_type") == "chat_summary").collect()
+    assert len(chunk) == 1
+    # fake transport summarizes to the first line of the conversation;
+    # the LLM category (debugging: crash/error/bug) is embedded in content
+    assert "debugging" in chunk[0]["content"]
+    assert "please fix the crash" in chunk[0]["content"]
