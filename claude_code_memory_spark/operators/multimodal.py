@@ -106,6 +106,103 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def decode_audio_stub(payload: bytes, *, fake: bool = False) -> np.ndarray:
+    """Decode an audio payload to a mono float32 waveform in [-1, 1].
+
+    STUB: real decoding needs soundfile/ffmpeg (not installed). With
+    fake=True returns a deterministic pseudo-waveform seeded by the
+    payload hash (1600 samples ≈ 100 ms @ 16 kHz), so the feature stage
+    is testable."""
+    if not fake:
+        raise NotImplementedError("audio decoding requires soundfile/ffmpeg — not in this container")
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(1600) * 0.25).clip(-1, 1).astype(np.float32)
+
+
+def audio_features(media: DataFrame, *, fake_decode: bool = True) -> DataFrame:
+    """Per-clip audio features via mapInPandas: RMS level, peak, and
+    zero-crossing rate — the standard cheap quality/silence signals a
+    training pipeline filters on before paying for transcription."""
+    out_schema = "media_id long, n_samples long, rms double, peak double, zcr double"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "audio"]
+            if pdf.empty:
+                continue
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                wave = decode_audio_stub(bytes(payload), fake=fake_decode)
+                rms = float(np.sqrt(np.mean(wave**2)))
+                peak = float(np.abs(wave).max())
+                zcr = float(np.mean(np.signbit(wave[:-1]) != np.signbit(wave[1:])))
+                recs.append((int(mid), len(wave), round(rms, 6), round(peak, 6), round(zcr, 6)))
+            yield pd.DataFrame(recs, columns=["media_id", "n_samples", "rms", "peak", "zcr"])
+
+    return media.mapInPandas(extract, schema=out_schema)
+
+
+def resize_images(
+    media: DataFrame, *, width: int = 32, height: int = 24, fake_decode: bool = True
+) -> DataFrame:
+    """Schema-preserving image resize: payload bytes in → re-encoded
+    payload bytes out with updated width/height metadata. The decode and
+    re-encode are the stubbed steps (a real deployment swaps in
+    Pillow.thumbnail); the batching, binary round trip, and metadata
+    update are the real Spark plumbing. Non-image rows pass through
+    untouched — the stage composes with mixed media tables."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            for idx in pdf.index[pdf["kind"] == "image"]:
+                arr = decode_image_stub(bytes(pdf.at[idx, "payload"]), fake=fake_decode)
+                ys = np.linspace(0, arr.shape[0] - 1, height).astype(int)
+                xs = np.linspace(0, arr.shape[1] - 1, width).astype(int)
+                small = arr[np.ix_(ys, xs)]
+                pdf.at[idx, "payload"] = small.tobytes()  # stub re-encode: raw RGB
+                pdf.at[idx, "width"] = width
+                pdf.at[idx, "height"] = height
+            yield pdf
+
+    return media.mapInPandas(resize, schema=media.schema)
+
+
+def phash_near_dup(media: DataFrame, *, bands: int = 4, fake_decode: bool = True) -> DataFrame:
+    """Image near-duplicate candidates by banded perceptual hash — the
+    multimodal twin of MinHash-LSH text dedup (operators/dedup.py):
+    split the 64-bit phash into ``bands`` sub-keys, self-join per band,
+    emit distinct candidate pairs. Identical/near-identical images share
+    all/most bands; the band join prunes the O(n²) pair space to
+    per-bucket pairs, which is the 100 TB-safe formulation."""
+    feats = image_features(media, fake_decode=fake_decode).select("media_id", "phash")
+    width = 16 // bands  # phash is 16 hex chars
+    banded = feats.select(
+        "media_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}:"),
+                        F.substring(F.col("phash"), b * width + 1, width),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("left_id"), F.col("b.media_id").alias("right_id")
+        )
+        .distinct()
+    )
+
+
 def metadata_only_scan(media: DataFrame) -> DataFrame:
     """Demonstrates column pruning: payload is never read (check
     `.explain('formatted')` ReadSchema excludes `payload`)."""

@@ -204,6 +204,75 @@ def _destructured_names(pattern: str) -> list[str]:
     return names
 
 
+def _strip_decl_generics(line: str) -> str:
+    """Remove balanced type-parameter lists (``ident<...>``) from a masked
+    declaration line so the structure regexes see the grammar-level shape:
+    ``function transform<T extends Map<string, Array<number>>>(x)`` →
+    ``function transform(x)``; ``class Repo<K, V> extends Base<Map<K, V>>``
+    → ``class Repo extends Base``. A regex can't balance nesting — this
+    scanner can (reference handles it via the tree-sitter grammar,
+    analysis/javascript_parser.py:19+; this is the two-pass-scanner
+    equivalent).
+
+    Conservative on purpose: only an ``<`` immediately after an identifier
+    (no space — comparisons are written ``a < b``) opens a candidate run,
+    and the run is dropped only if it closes on the same line and contains
+    no statement-level characters (``;``, ``&&``, ``||``) — so loop
+    conditions like ``i<n;`` survive untouched."""
+    out = []
+    i, n = 0, len(line)
+    while i < n:
+        c = line[i]
+        if c == "<" and out and (out[-1].isalnum() or out[-1] == "_"):
+            depth, j = 1, i + 1
+            ok = False
+            while j < n:
+                ch = line[j]
+                if ch == "<":
+                    depth += 1
+                elif ch == ">":
+                    depth -= 1
+                    if depth == 0:
+                        ok = True
+                        break
+                elif ch == ";" or line[j : j + 2] in ("&&", "||"):
+                    break
+                j += 1
+            if ok:
+                i = j + 1
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _end_of_paren_body(masked_lines: list[str], start_idx: int, from_col: int) -> int:
+    """Extent of a parenthesized arrow body — ``const C = (...) => (`` —
+    by counting parens from the first ``(`` at/after ``from_col``. JSX
+    component bodies are almost always this shape; brace counting sees
+    only the interpolation braces and truncates the extent to one line."""
+    pos = masked_lines[start_idx].find("(", from_col)
+    i = start_idx
+    if pos < 0:
+        for i in range(start_idx + 1, min(start_idx + 3, len(masked_lines))):
+            if masked_lines[i].lstrip().startswith("("):
+                pos = masked_lines[i].find("(")
+                break
+        else:
+            return start_idx
+    depth = 0
+    for j in range(i, len(masked_lines)):
+        seg = masked_lines[j][pos:] if j == i else masked_lines[j]
+        for ch in seg:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    return j
+    return len(masked_lines) - 1
+
+
 def _end_of_block(masked_lines: list[str], start_idx: int) -> int:
     """Line index (0-based) of the close of the body block of the
     declaration starting at start_idx. The body opener is the LAST '{' on
@@ -286,6 +355,11 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
     i = 0
     while i < len(lines):
         raw, msk = lines[i], masked[i]
+        # declaration view: type-parameter lists stripped so nested
+        # generics (`transform<T extends Map<string, Array<number>>>`)
+        # don't defeat the shape regexes; msk keeps the original text for
+        # extents/depth accounting
+        dmsk = _strip_decl_generics(msk) if "<" in msk else msk
         line_no = i + 1
         in_class = class_stack[-1][0] if class_stack else None
         class_depth = class_stack[-1][1] if class_stack else -1
@@ -304,7 +378,7 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
 
         matched = False
 
-        m = _CLASS.match(msk)
+        m = _CLASS.match(dmsk)
         if m:
             name, base, implements = m.group(1), m.group(2), m.group(3)
             end = _end_of_block(masked, i)
@@ -333,7 +407,7 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
             i += 1
             continue
 
-        m = _INTERFACE.match(msk)
+        m = _INTERFACE.match(dmsk)
         if m and is_ts:
             name, extends = m.group(1), m.group(2)
             end = _end_of_block(masked, i)
@@ -351,7 +425,7 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
             i = end + 1
             continue
 
-        m = _ENUM.match(msk)
+        m = _ENUM.match(dmsk)
         if m and is_ts:
             name = m.group(1)
             end = _end_of_block(masked, i)
@@ -361,7 +435,7 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
             i = end + 1
             continue
 
-        m = _TYPE_ALIAS.match(msk)
+        m = _TYPE_ALIAS.match(dmsk)
         if m and is_ts:
             name = m.group(1)
             add_entity(name, "type_alias", line_no, line_no, [f"TypeScript type alias: {name}"])
@@ -369,7 +443,7 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
             i += 1
             continue
 
-        m = _FUNC.match(msk)
+        m = _FUNC.match(dmsk)
         if m and (in_class is None or depth <= class_depth):
             star, name, params = m.group(1), m.group(2), m.group(3)
             end = _end_of_block(masked, i)
@@ -392,10 +466,25 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
             i = end + 1
             continue
 
-        m = _ARROW.match(msk) or _FUNC_EXPR.match(msk)
+        m = _ARROW.match(dmsk) or _FUNC_EXPR.match(dmsk)
         if m and (in_class is None or depth <= class_depth):
             name = m.group(1)
-            end = _end_of_block(masked, i)
+            # parenthesized arrow body — `const C = (...) => (` — is the
+            # standard JSX-component shape; brace counting only sees the
+            # interpolation braces and truncates the extent to one line,
+            # so count parens from the body opener instead
+            arrow_col = msk.find("=>")
+            after = msk[arrow_col + 2 :].lstrip() if arrow_col >= 0 else ""
+            if arrow_col >= 0 and (after.startswith("(") or after == ""):
+                body_probe = after or "".join(
+                    masked[j].lstrip()[:1] for j in range(i + 1, min(i + 2, len(masked)))
+                )
+                if body_probe.startswith("("):
+                    end = _end_of_paren_body(masked, i, arrow_col + 2)
+                else:
+                    end = _end_of_block(masked, i)
+            else:
+                end = _end_of_block(masked, i)
             obs = [f"Function {name}"]
             if "export" in msk.split(name)[0]:
                 obs.append("Exported")
@@ -413,7 +502,7 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
             continue
 
         if in_class is not None and depth == class_depth + 1:
-            m = _METHOD.match(msk)
+            m = _METHOD.match(dmsk)
             if m and m.group(1) not in _CALL_KEYWORDS | {"constructor"}:
                 name = m.group(1)
                 qual = f"{in_class}.{name}"
@@ -431,7 +520,7 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
                 depth += sum(r.count("{") - r.count("}") for r in masked[i : end + 1])
                 i = end + 1
                 continue
-            m = _FIELD.match(msk)
+            m = _FIELD.match(dmsk)
             if m and m.group(1) not in _CALL_KEYWORDS:
                 qual = f"{in_class}.{m.group(1)}"
                 add_entity(

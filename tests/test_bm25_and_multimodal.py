@@ -82,3 +82,63 @@ def test_multimodal_plumbing(spark, tmp_path):
     plan = metadata_only_scan(on_disk)._jdf.queryExecution().executedPlan().toString()
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema and all("payload" not in ln for ln in read_schema)
+
+
+def test_audio_features(spark):
+    from claude_code_memory_spark.operators.multimodal import (
+        audio_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 12)
+    rows = audio_features(media).collect()
+    # 12 media rows cycle image/audio/video → 4 audio clips
+    assert len(rows) == 4
+    for r in rows:
+        assert r["n_samples"] == 1600
+        assert 0 < r["rms"] < 1 and 0 < r["peak"] <= 1 and 0 <= r["zcr"] <= 1
+    # deterministic: same payloads → same features
+    again = audio_features(synthetic_media(spark, 12)).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_resize_images_schema_preserving(spark):
+    from claude_code_memory_spark.operators.multimodal import (
+        resize_images,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 9)
+    out = resize_images(media, width=16, height=12)
+    assert out.schema == media.schema
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 9
+    for r in rows.values():
+        if r["kind"] == "image":
+            assert (r["width"], r["height"]) == (16, 12)
+            assert len(r["payload"]) == 16 * 12 * 3  # raw RGB stub encoding
+        else:  # non-image rows pass through untouched
+            assert (r["width"], r["height"]) == (64, 48)
+
+
+def test_phash_near_dup_finds_identical_payloads(spark):
+    import hashlib as _h
+
+    from claude_code_memory_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        phash_near_dup,
+    )
+
+    dup = _h.sha256(b"same-image").digest() * 8
+    other = _h.sha256(b"different-image").digest() * 8
+    rows = [
+        (1, "image", "x", dup, 64, 48, None),
+        (2, "image", "x", dup, 64, 48, None),       # exact dup of 1
+        (3, "image", "x", other, 64, 48, None),
+        (4, "audio", "x", dup, None, None, 1000),    # ignored: not an image
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {(r["left_id"], r["right_id"]) for r in phash_near_dup(media).collect()}
+    assert (1, 2) in pairs
+    # the unrelated image must not pair with everything (banding prunes)
+    assert (1, 3) not in pairs or (2, 3) not in pairs

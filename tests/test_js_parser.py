@@ -197,3 +197,70 @@ def test_js_file_plain():
     assert ("hello", "greet", "calls") in _relations(recs)
     # no TS constructs leak into JS parsing
     assert all(e["entity_type"] != "interface" for e in ents.values())
+
+
+def test_nested_generics_in_signatures():
+    """Round-2 residual risk: grammar-level type-parameter lists (nested
+    generics) must not defeat the declaration scanners."""
+    src = """
+function transform<T extends Map<string, Array<number>>, U = Record<string, T>>(input: T): Promise<Array<U>> {
+  return Promise.resolve([]);
+}
+
+class Repo<K, V extends Array<Map<K, V>>> extends Base<Map<K, V>> implements Store<K> {
+  private cache: Map<K, Array<V>> = new Map();
+  async get<W extends V>(key: K): Promise<W | undefined> {
+    return this.cache.get(key) as W;
+  }
+}
+"""
+    recs = parse_javascript_source("/x.ts", src)
+    ents = _entities(recs)
+    assert "transform" in ents and ents["transform"]["entity_type"] == "function"
+    assert ents["transform"]["end_line_number"] > ents["transform"]["line_number"]
+    assert "Repo" in ents and ents["Repo"]["entity_type"] == "class"
+    assert ents["Repo.get"]["entity_type"] == "method"
+    rels = {(f, t, ty) for (f, t, ty) in _relations(recs)}
+    # generics stripped from the extends/implements targets
+    assert ("Repo", "Base", "inherits") in rels
+    assert ("Repo", "Store", "implements") in rels
+
+
+def test_loop_conditions_and_comparisons_survive_generic_stripping():
+    src = """
+function search(xs) {
+  for (let i = 0; i<xs.length; i++) {
+    if (xs[i] < 3 && i<10) { count(xs[i]); }
+  }
+  return xs;
+}
+"""
+    recs = parse_javascript_source("/x.js", src)
+    ents = _entities(recs)
+    assert ents["search"]["end_line_number"] == 7
+    rels = {(f, t) for (f, t, ty) in _relations(recs) if ty == "calls"}
+    assert ("search", "count") in rels
+
+
+def test_jsx_paren_body_arrow_extent():
+    """A parenthesized arrow body (the standard JSX component shape) gets
+    its full extent, not a one-line truncation."""
+    src = """
+const Page = ({items}) => (
+  <div className="page">
+    {items.map(item => (
+      <span key={item.id}>{item.label}</span>
+    ))}
+  </div>
+);
+
+const after = 1;
+"""
+    recs = parse_javascript_source("/x.jsx", src)
+    ents = _entities(recs)
+    page = ents["Page"]
+    assert page["entity_type"] == "function"
+    assert page["line_number"] == 2 and page["end_line_number"] == 8
+    assert "React component" in " ".join(page["observations"])
+    # the declaration AFTER the JSX body is still seen at module level
+    assert "after" in ents
