@@ -562,3 +562,103 @@ def q22_idle_rich_customers(spark, sf_dir):
         .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 4).alias("totacctbal"))
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH nat AS (
+      SELECT l.l_partkey, l.l_extendedprice * (1 - l.l_discount) AS val
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3'),
+    grouped AS (SELECT l_partkey, sum(val) AS v FROM nat GROUP BY l_partkey)
+    SELECT l_partkey AS partkey, round(v, 4) AS value
+    FROM grouped WHERE v > (SELECT 0.001 * sum(v) FROM grouped)
+    ORDER BY value DESC, partkey ASC
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H q11 shape (partsupp supply value → shipped line value, the
+    schema's supply fact): per-part value from one nation's suppliers,
+    kept when above a fraction of that nation's total — the
+    aggregate-vs-global-scalar-subquery shape. The global total rides as
+    a broadcast 1-row cross join off the SAME grouped frame (one scan,
+    reused exchange), never a driver-side collect."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = (
+        table(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select(F.col("n_nationkey").alias("sn_key"))
+    )
+    val = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    grouped = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("v"))
+    )
+    total = grouped.agg((F.sum("v") * 0.001).alias("__thresh"))
+    return (
+        grouped.join(F.broadcast(total))
+        .filter(F.col("v") > F.col("__thresh"))
+        .select(
+            F.col("l_partkey").alias("partkey"), F.round(F.col("v"), 4).alias("value")
+        )
+        .orderBy(F.desc("value"), F.asc("partkey"))
+    )
+
+
+@register(
+    "q20_dominant_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l.l_partkey, l.l_suppkey, sum(l.l_quantity) AS qty
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE 'red%'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l.l_partkey, l.l_suppkey),
+    tot AS (SELECT l_partkey, sum(qty) AS part_qty FROM ps GROUP BY l_partkey)
+    SELECT DISTINCT s.s_name AS s_name, n.n_name AS n_name
+    FROM ps
+    JOIN tot USING (l_partkey)
+    JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE ps.qty > 0.5 * tot.part_qty
+    ORDER BY s_name, n_name
+    """,
+)
+def q20_dominant_supplier(spark, sf_dir):
+    """TPC-H q20 shape (availqty > half shipped → supplier ships more
+    than half a part's volume; 'forest%' → 'red%'): nested aggregation
+    with a correlated half-of-total threshold. Spark side uses a window
+    sum over the already-aggregated (part, supplier) frame instead of the
+    oracle's self-join — the window runs on the agg's existing hash
+    partitioning by l_partkey, so the threshold costs NO extra shuffle."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    ps = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = ps.withColumn("part_qty", F.sum("qty").over(w)).filter(
+        F.col("qty") > 0.5 * F.col("part_qty")
+    )
+    return (
+        dominant.join(s, dominant.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .distinct()
+        .orderBy("s_name", "n_name")
+    )

@@ -126,3 +126,39 @@ def test_ivf_seeded_matches_brute_force_when_exact(spark, emb):
         for r in ivf_seeded_topk(emb, q_df, 10, n_centroids=8, nprobe=2).collect()
     ]
     assert len(part) == 10 and len(set(part) & set(exact)) >= 3
+
+
+def test_ivf_quantized_topk_recall(spark, sf_dir):
+    """IVF,SQ8 + refine composite: high recall at partial probe, exact
+    equality to brute force at full probe."""
+    from claude_code_memory_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_build,
+        ivf_quantized_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    indexed, centers = ivf_build(corpus, n_centroids=8)
+    indexed = indexed.cache()
+
+    exact = [r["vec_id"] for r in brute_force_topk(corpus, qvec, 10).collect()]
+
+    # partial probe: prune to half the clusters, expect most of the true top-k
+    approx = [
+        r["vec_id"]
+        for r in ivf_quantized_topk(indexed, centers, qvec, 10, nprobe=4).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"recall {recall} too low for nprobe=4"
+
+    # full probe + generous refine: quantization error must wash out
+    full = [
+        r["vec_id"]
+        for r in ivf_quantized_topk(
+            indexed, centers, qvec, 10, nprobe=8, refine=8
+        ).collect()
+    ]
+    assert full == exact
+    indexed.unpersist()
