@@ -18,12 +18,12 @@ from claude_code_memory_spark.queries import (  # noqa: F401,E402
 )
 
 # The driver verifies only the FIRST 50 registry entries (insertion order).
-# Round-3 window: the five queries with no green driver row yet lead
-# (the four round-2 reds — sessionize/tumbling/debounce's ts fix, q12's
-# oracle cast — plus ann_ivf_probe, the one catalog entry never inside a
-# driver window; it replaced double-green agg_event_stats). The rest keeps
-# round-2's layout so every family retains a driver-green representative.
-# tests/test_registry_order.py pins this window.
+# Round-3 window: the queries with no green driver row yet lead — the four
+# round-2 reds (sessionize/tumbling/debounce's ts fix, q12's oracle cast),
+# ann_ivf_probe (never inside a driver window), and the round-3 additions
+# q11/q20. They replace double-green entries (agg_event_stats,
+# set_except_intersect, hash_ids_documents) whose families keep green rows
+# from rounds 1-2. tests/test_registry_order.py pins this window.
 _DRIVER_WINDOW = [
     # -- flagship search modes (never driver-checked in round 1) --
     "dense_topk",
@@ -78,10 +78,10 @@ _DRIVER_WINDOW = [
     "chunk_pack_running_budget",
     "ann_lsh_bucket",
     "filter_must_should_not",
-    "set_except_intersect",
-    "hash_ids_documents",
     # -- never driver-sampled before round 3 --
     "ann_ivf_probe",
+    "q11_important_stock",
+    "q20_dominant_supplier",
 ]
 
 

@@ -1,0 +1,118 @@
+"""Property-based invariants for the pure algebra underlying operators:
+batch splitting, generics stripping, and the summarizer contract. Pure
+functions only — hypothesis runs hundreds of examples in seconds with no
+Spark session.
+
+(The quantization error bound |x - x̂| <= step/2 is column algebra, not a
+pure Python function — its bound is asserted over the real fixture in
+test_similarity and oracle-checked by vector_quantization_error.)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from claude_code_memory_spark.embeddings.provider import (  # noqa: E402
+    split_batches,
+    truncate_to_tokens,
+)
+from claude_code_memory_spark.sources.javascript_parser import (  # noqa: E402
+    _strip_decl_generics,
+    mask_source,
+)
+from claude_code_memory_spark.sources.summarizer import (  # noqa: E402
+    parse_response,
+    validate_payload,
+)
+
+# --- split_batches: a partition of the input, in order, within caps ------
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=500), max_size=200),
+    token_limit=st.integers(min_value=1, max_value=1000),
+    count_limit=st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=200, deadline=None)
+def test_split_batches_is_an_ordered_partition(counts, token_limit, count_limit):
+    batches = split_batches(["x"] * len(counts), token_limit, count_limit, counts)
+    flat = [i for b in batches for i in b]
+    assert flat == list(range(len(counts)))  # every index once, in order
+    for b in batches:
+        assert 1 <= len(b) <= count_limit
+        # token budget holds except for the documented singleton-oversize case
+        if len(b) > 1:
+            assert sum(counts[i] for i in b) <= token_limit
+
+
+@given(
+    text=st.text(max_size=2000),
+    max_tokens=st.integers(min_value=1, max_value=100),
+)
+@settings(max_examples=200, deadline=None)
+def test_truncate_is_a_prefix_within_budget(text, max_tokens):
+    from claude_code_memory_spark.embeddings.provider import estimate_tokens
+
+    out = truncate_to_tokens(text, max_tokens)
+    assert text.startswith(out)
+    assert estimate_tokens(out) <= max_tokens or out == ""
+
+
+# --- generics stripper: total, idempotent-ish, structure-preserving ------
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_strip_generics_total_and_never_grows(src):
+    out = _strip_decl_generics(src)
+    assert len(out) <= len(src)
+    # never invents characters: output is a subsequence of the input
+    it = iter(src)
+    assert all(any(c == d for d in it) for c in out)
+
+
+@given(st.text(alphabet="abc<>;&|() \n", max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_strip_generics_preserves_statement_semicolons(src):
+    # ';' is a stopper, so it is never inside a stripped run — count is
+    # invariant. (Single & / | DO strip: they're TS intersection/union
+    # types inside generics, e.g. Repo<A & B>; only && / || stop a run.)
+    out = _strip_decl_generics(src)
+    assert out.count(";") == src.count(";")
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_mask_source_preserves_line_structure(src):
+    masked = mask_source(src)
+    assert len(masked) == len(src)
+    assert masked.count("\n") == src.count("\n")
+
+
+# --- summarizer contract: total, always schema-complete ------------------
+
+
+@given(st.text(max_size=500))
+@settings(max_examples=300, deadline=None)
+def test_parse_response_total_and_schema_complete(content):
+    out = parse_response(content)
+    assert set(out) == {"summary", "key_insights", "topics", "code_patterns", "debugging_info"}
+    assert isinstance(out["summary"], str)
+    assert isinstance(out["topics"], list)
+
+
+@given(
+    st.dictionaries(
+        st.text(max_size=20),
+        st.one_of(st.text(max_size=50), st.integers(), st.lists(st.text(max_size=10), max_size=5), st.none()),
+        max_size=8,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_validate_payload_total_on_arbitrary_dicts(payload):
+    out = validate_payload(payload)
+    assert set(out) == {"summary", "key_insights", "topics", "code_patterns", "debugging_info"}

@@ -30,11 +30,11 @@ def test_driver_window_covers_flagships_and_families():
         "window_top_customers_per_nation",
         "ann_lsh_bucket",
         "filter_must_should_not",
-        "set_except_intersect",
-        "hash_ids_documents",
         "graph_bfs2_brand_parts",
         # never driver-sampled before round 3
         "ann_ivf_probe",
+        "q11_important_stock",
+        "q20_dominant_supplier",
     }
     missing = must_have - set(window)
     assert not missing, f"driver window is missing: {sorted(missing)}"
