@@ -47,13 +47,21 @@ class BM25Model:
 
 
 def fit(docs: DataFrame, *, id_col: str = "point_id", text_col: str = "content_bm25") -> BM25Model:
-    """Corpus fit (A1): vocabulary + document frequencies + IDF."""
-    toks = docs.filter(F.col(text_col).isNotNull()).select(
-        id_col, F.explode(tokenize(text_col)).alias("term")
-    )
-    n_docs = docs.filter(F.col(text_col).isNotNull()).count()
-    avgdl_row = toks.groupBy(id_col).count().agg(F.avg("count")).collect()[0][0]
-    avgdl = float(avgdl_row or 0.0)
+    """Corpus fit (A1): vocabulary + document frequencies + IDF.
+
+    The two corpus scalars (n_docs, avgdl) ride ONE driver action over a
+    single tokenize pass: per-doc lengths come from `size(tokenize(..))`
+    without exploding, so the stats job never shuffles the corpus at all
+    (map-side lengths → one 1-row aggregate). avgdl averages docs that
+    produced ≥1 token — identical to the former groupBy-on-exploded-tokens
+    formulation, at one job instead of two."""
+    nonnull = docs.filter(F.col(text_col).isNotNull())
+    dl = nonnull.select(F.size(tokenize(text_col)).alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.avg(F.when(F.col("dl") > 0, F.col("dl"))).alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
+    toks = nonnull.select(id_col, F.explode(tokenize(text_col)).alias("term"))
     df_ = toks.distinct().groupBy("term").agg(F.count("*").alias("df"))
     vocab = df_.withColumn(
         "idf", F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))

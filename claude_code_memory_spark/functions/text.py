@@ -213,3 +213,44 @@ def normalized_fingerprint_hash(col: Column | str) -> Column:
     """Exact-dedup key: sha256 of whitespace-normalized lowercase text."""
     norm = F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
     return content_hash(norm)
+
+
+# --- PII redaction (training-data scrubbing) ------------------------------
+
+# Patterns chosen to evaluate identically under Java regex (Spark) and RE2
+# (DuckDB): plain character classes, bounded quantifiers, \b anchors — no
+# backreferences or lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails/IPv4s/phone numbers with typed placeholder tokens —
+    the standard pre-training scrub. Order matters: emails first (an
+    email can contain digit runs a phone pattern would shred)."""
+    c = _c(col)
+    c = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    c = F.regexp_replace(c, PII_IPV4, "<IP>")
+    c = F.regexp_replace(c, PII_PHONE, "<PHONE>")
+    return c
+
+
+# --- C4-style line filtering ----------------------------------------------
+
+
+def c4_keep_lines(col: Column | str) -> Column:
+    """C4/Gopher-style line filter: keep lines with >= 3 words that end in
+    terminal punctuation and are not boilerplate (javascript / cookie /
+    lorem ipsum markers). Pure array algebra over split lines — stays in
+    codegen, no UDF, and the same lambda runs in DuckDB's list_filter for
+    the oracle."""
+    lines = F.split(_c(col), "\n")
+
+    def keep(line):
+        words = F.size(F.split(F.trim(line), " "))
+        ends_ok = line.rlike('[.!?"]\\s*$')
+        boiler = F.lower(line).rlike("javascript|cookie|lorem ipsum")
+        return (words >= 3) & ends_ok & ~boiler
+
+    return F.array_join(F.filter(lines, keep), "\n")

@@ -18,12 +18,14 @@ from claude_code_memory_spark.queries import (  # noqa: F401,E402
 )
 
 # The driver verifies only the FIRST 50 registry entries (insertion order).
-# Round-3 window: the queries with no green driver row yet lead — the four
-# round-2 reds (sessionize/tumbling/debounce's ts fix, q12's oracle cast),
-# ann_ivf_probe (never inside a driver window), and the round-3 additions
-# q11/q20. They replace double-green entries (agg_event_stats,
-# set_except_intersect, hash_ids_documents) whose families keep green rows
-# from rounds 1-2. tests/test_registry_order.py pins this window.
+# Round-3 window: queries with no green driver row yet take priority — the
+# four round-2 reds (sessionize/tumbling/debounce's ts fix, q12's oracle
+# cast), ann_ivf_probe (never inside a driver window), and the round-3
+# additions (q11/q20, text_pii_redaction/text_c4_filter). They displace
+# double-green entries (agg_event_stats, set_except_intersect,
+# hash_ids_documents, filter_must_should_not, dedup_exact_kept) whose
+# families keep green rows from rounds 1-2.
+# tests/test_registry_order.py pins this window.
 _DRIVER_WINDOW = [
     # -- flagship search modes (never driver-checked in round 1) --
     "dense_topk",
@@ -65,7 +67,6 @@ _DRIVER_WINDOW = [
     "split_train_val_test",
     "multimodal_binary_stats",
     # -- one representative per round-1-green family --
-    "dedup_exact_kept",
     "dedup_minhash_lsh",
     "decontaminate_vs_benchmark",
     "graph_bfs2_brand_parts",
@@ -77,11 +78,12 @@ _DRIVER_WINDOW = [
     "window_top_customers_per_nation",
     "chunk_pack_running_budget",
     "ann_lsh_bucket",
-    "filter_must_should_not",
     # -- never driver-sampled before round 3 --
     "ann_ivf_probe",
     "q11_important_stock",
     "q20_dominant_supplier",
+    "text_pii_redaction",
+    "text_c4_filter",
 ]
 
 

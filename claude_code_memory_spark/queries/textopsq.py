@@ -265,3 +265,109 @@ def text_repetition_signals(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_pii_redaction",
+    oracle="""
+    WITH injected AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || doc_id ||
+                       '@example.com at 10.0.' || (doc_id % 256) ||
+                       '.1 or 555-867-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                  ELSE text END AS t
+      FROM documents),
+    redacted AS (
+      SELECT doc_id, t,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+               '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}', '<PHONE>', 'g') AS r
+      FROM injected)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(r, '<EMAIL>|<IP>|<PHONE>')) AS BIGINT) AS n_redactions,
+           md5(r) AS redacted_md5
+    FROM redacted
+    """,
+)
+def text_pii_redaction(spark, sf_dir):
+    """PII scrubbing over the corpus (pre-training redaction). The fixture
+    text is synthetic word-salad, so deterministic PII is injected into
+    every 7th document IDENTICALLY on both sides — the oracle then checks
+    the real thing: that Spark's regexp_replace chain and DuckDB's produce
+    byte-identical redacted text (md5) and identical match counts across
+    regex dialects (Java vs RE2)."""
+    from claude_code_memory_spark.functions.text import PII_EMAIL, redact_pii
+
+    d = table(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 or 555-867-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    t = d.select("doc_id", injected.alias("t"))
+    r = t.withColumn("r", redact_pii(F.col("t")))
+    return r.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(PII_EMAIL), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("r", F.lit("<EMAIL>|<IP>|<PHONE>"), F.lit(0))).cast("long").alias("n_redactions"),
+        F.md5(F.col("r")).alias("redacted_md5"),
+    )
+
+
+@register(
+    "text_c4_filter",
+    oracle="""
+    WITH lined AS (
+      SELECT doc_id, replace(text, ' scan ', '.' || chr(10)) AS t
+      FROM documents),
+    kept AS (
+      SELECT doc_id, t,
+             -- coalesce: DuckDB's array_to_string of an EMPTY list is NULL,
+             -- Spark's array_join is '' — align on ''
+             coalesce(array_to_string(
+               list_filter(string_split(t, chr(10)),
+                 x -> len(string_split(trim(x), ' ')) >= 3
+                      AND regexp_matches(x, '[.!?"]\\s*$')
+                      AND NOT regexp_matches(lower(x), 'javascript|cookie|lorem ipsum')),
+               chr(10)), '') AS k
+      FROM lined)
+    SELECT doc_id,
+           CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+           CAST(CASE WHEN k = '' THEN 0
+                     ELSE len(string_split(k, chr(10))) END AS BIGINT) AS n_kept,
+           md5(k) AS kept_md5
+    FROM kept
+    """,
+)
+def text_c4_filter(spark, sf_dir):
+    """C4-style line filtering (terminal punctuation + min words + no
+    boilerplate). The single-line fixture text gains deterministic line
+    breaks on both sides (' scan ' → '.\\n'), then the kept-lines algebra
+    must agree byte-for-byte between Spark's filter(split(..)) lambda and
+    DuckDB's list_filter — including the empty-result edge (md5 of '')."""
+    from claude_code_memory_spark.functions.text import c4_keep_lines
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.regexp_replace("text", " scan ", ".\n").alias("t")
+    )
+    k = t.withColumn("k", c4_keep_lines(F.col("t")))
+    return k.select(
+        "doc_id",
+        F.size(F.split("t", "\n")).cast("long").alias("n_lines"),
+        F.when(F.col("k") == "", F.lit(0))
+        .otherwise(F.size(F.split("k", "\n")))
+        .cast("long")
+        .alias("n_kept"),
+        F.md5(F.col("k")).alias("kept_md5"),
+    )

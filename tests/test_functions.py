@@ -83,3 +83,43 @@ def test_complexity_and_language(spark):
     ).collect()[0]
     assert row["c"] == 1 + 5  # if, and, else, for, while
     assert row["lang"] == "en"
+
+
+def test_redact_pii(spark):
+    from claude_code_memory_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            ("mail alice.smith+dev@sub.example.co.uk now",),
+            ("server at 192.168.1.254 responded",),
+            ("call 555-867-5309 or +01 555 123 4567",),
+            ("no pii here",),
+            (None,),
+        ],
+        ["t"],
+    )
+    out = [r[0] for r in df.select(redact_pii("t")).collect()]
+    assert out[0] == "mail <EMAIL> now"
+    assert out[1] == "server at <IP> responded"
+    assert "<PHONE>" in out[2] and "555-867" not in out[2]
+    assert out[3] == "no pii here"
+    assert out[4] is None
+
+
+def test_c4_keep_lines(spark):
+    from claude_code_memory_spark.functions.text import c4_keep_lines
+
+    text = "\n".join(
+        [
+            "This line is a proper sentence.",   # kept
+            "too short.",                         # dropped: < 3 words
+            "no terminal punctuation here",       # dropped: no ./!/?
+            'He said "stop".',                    # kept
+            "Enable javascript to view this page.",  # dropped: boilerplate
+            "Accept our cookie policy please.",   # dropped: boilerplate
+        ]
+    )
+    df = spark.createDataFrame([(text,), ("",)], ["t"])
+    out = [r[0] for r in df.select(c4_keep_lines("t")).collect()]
+    assert out[0] == 'This line is a proper sentence.\nHe said "stop".'
+    assert out[1] == ""

@@ -29,12 +29,13 @@ def test_driver_window_covers_flagships_and_families():
         "rrf_fusion_events",
         "window_top_customers_per_nation",
         "ann_lsh_bucket",
-        "filter_must_should_not",
         "graph_bfs2_brand_parts",
         # never driver-sampled before round 3
         "ann_ivf_probe",
         "q11_important_stock",
         "q20_dominant_supplier",
+        "text_pii_redaction",
+        "text_c4_filter",
     }
     missing = must_have - set(window)
     assert not missing, f"driver window is missing: {sorted(missing)}"
