@@ -381,6 +381,46 @@ class CodeMemoryEngine:
             self._bm25 = model
         return self._bm25
 
+    def _sparse_postings(self) -> DataFrame | None:
+        """Materialized inverted index over the current vectors snapshot set
+        (T2 scale path): (term_index, point_id, weight) range-clustered by
+        term_index, so a keyword query's IN-list predicate prunes row
+        groups at the parquet scan and per-query IO is proportional to the
+        touched postings lists — Qdrant keeps a sparse index structure for
+        the same reason (storage/qdrant.py:228-239).
+
+        Cache-keyed on the store's vectors manifest: any write/append makes
+        a new snapshot set, which lazily triggers a re-materialization on
+        the next unfiltered keyword search. Stale postings dirs are removed
+        opportunistically (they are derived data — always rebuildable)."""
+        key = self.store.manifest_key("vectors")
+        if key is None:
+            return None
+        cached = getattr(self, "_postings_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        import hashlib
+        import os
+        import shutil
+
+        from claude_code_memory_spark.io import write_clustered
+        from claude_code_memory_spark.operators.topk import build_postings
+
+        fp = hashlib.sha256("|".join(key).encode()).hexdigest()[:16]
+        pdir = os.path.join(self.store.root, "postings")
+        path = os.path.join(pdir, fp)
+        if not os.path.exists(path):
+            v = self.store.read("vectors").filter(F.col("sparse_indices").isNotNull())
+            write_clustered(
+                build_postings(v, id_col="point_id"), path, "term_index", num_files=8
+            )
+            for d in os.listdir(pdir):  # GC superseded materializations
+                if d != fp:
+                    shutil.rmtree(os.path.join(pdir, d), ignore_errors=True)
+        df = self.spark.read.parquet(path)
+        self._postings_cache = (key, df)
+        return df
+
     # -- search ------------------------------------------------------------
 
     def search(
@@ -417,6 +457,20 @@ class CodeMemoryEngine:
 
         def sparse(limit):
             terms = bm25_mod.query_terms(self.bm25_model(), query)
+            # unfiltered searches use the materialized postings index:
+            # per-query cost ∝ postings touched (term_index range-pruned at
+            # the parquet scan), not corpus size. Payload-filtered searches
+            # fall back to the explode path — the filter prunes the corpus
+            # side instead, and keeping filters on the postings table would
+            # mean denormalizing every payload column into it.
+            if not entity_types and not chunk_type:
+                postings = self._sparse_postings()
+                if postings is not None:
+                    from claude_code_memory_spark.operators.topk import (
+                        sparse_topk_postings,
+                    )
+
+                    return sparse_topk_postings(postings, terms, limit, id_col="point_id")
             return sparse_topk(vectors, terms, limit, id_col="point_id")
 
         if mode == "semantic":

@@ -134,6 +134,14 @@ class TableStore:
             return
         self._commit(table, snapshots, meta.get("schema", df.schema.json()))
 
+    def manifest_key(self, table: str) -> tuple | None:
+        """Stable identifier of a table's current snapshot set — changes on
+        every write/append, so derived artifacts (e.g. the materialized
+        BM25 postings index) can cache-key on it and invalidate exactly
+        when the base table changes."""
+        meta = self._manifest(table)
+        return tuple(meta["snapshots"]) if meta else None
+
     def vacuum(self) -> None:
         """Delete all non-current snapshots. Call only between pipelines,
         when no live DataFrame references older snapshots."""

@@ -314,3 +314,30 @@ def test_index_chat_with_llm_summarizer_transport(spark, tmp_path):
     # the LLM category (debugging: crash/error/bug) is embedded in content
     assert "debugging" in chunk[0]["content"]
     assert "please fix the crash" in chunk[0]["content"]
+
+
+def test_keyword_search_uses_postings_and_matches_explode_path(spark, tmp_path, temp_repo):
+    """T2 scale path: unfiltered keyword search runs over the materialized
+    term-clustered postings index; results must be identical to the
+    explode-per-query fallback, and the index must re-materialize when the
+    vectors table changes."""
+    eng = CodeMemoryEngine(spark, str(tmp_path / "pstore"))
+    eng.index(temp_repo)
+
+    hits = eng.search("compute helper", mode="keyword", k=5).collect()
+    assert hits
+    key1 = eng._postings_cache[0]
+    postings_dir = tmp_path / "pstore" / "postings"
+    assert postings_dir.exists() and any(postings_dir.iterdir())
+
+    # filtered search takes the explode path over the same terms — same rows
+    filtered = eng.search(
+        "compute helper", mode="keyword", k=5, chunk_type="metadata"
+    ).collect()
+    kw_meta = [(r["point_id"], r["score"]) for r in hits if r["chunk_type"] == "metadata"]
+    assert [(r["point_id"], r["score"]) for r in filtered][: len(kw_meta)] == kw_meta
+
+    # appending vectors invalidates the cache key and re-materializes
+    eng.add_memory("new-note", "a brand new memory about compute")
+    eng.search("compute helper", mode="keyword", k=5).collect()
+    assert eng._postings_cache[0] != key1

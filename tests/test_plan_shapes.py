@@ -64,3 +64,25 @@ def test_sessionize_single_shuffle(spark, sf_dir):
     # sort happens within partitions
     plan = plan_of(spark, "sessionize_events", sf_dir)
     assert count_shuffles(plan) == 1
+
+
+def test_q20_threshold_shuffles_only_aggregated_data(spark, sf_dir):
+    # exactly ONE exchange touches corpus-sized data (the (part, supplier)
+    # aggregation); the window re-partition, distinct, and output sort all
+    # move post-aggregation rows. 4 exchanges total, first one big.
+    plan = plan_of(spark, "q20_dominant_supplier", sf_dir)
+    assert count_shuffles(plan) <= 4
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_q11_threshold_is_broadcast_not_collect(spark, sf_dir):
+    # the global-total threshold must ride a BroadcastExchange (1-row
+    # cross join), never a driver-side collect-then-literal
+    plan = plan_of(spark, "q11_important_stock", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pii_redaction_no_shuffle(spark, sf_dir):
+    # a pure per-row scrub must be map-only: zero exchanges
+    plan = plan_of(spark, "text_pii_redaction", sf_dir)
+    assert count_shuffles(plan) == 0
