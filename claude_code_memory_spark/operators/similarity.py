@@ -151,6 +151,63 @@ def knn_join_numpy(
     return local_topk.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def ivf_knn_join(
+    indexed: DataFrame,
+    centers: np.ndarray,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    nprobe: int = 4,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate batch k-NN join via shared IVF clustering — the scalable
+    formulation when BOTH sides are large.
+
+    `knn_join_sql`/`knn_join_numpy` score every (query, corpus) pair —
+    O(Q x N), fine when queries broadcast but quadratic when both sides
+    grow. Here each query expands to its ``nprobe`` nearest IVF cells
+    (broadcast centroid cross join — centroids are tiny), the corpus
+    already carries its cell id from `ivf_build`, and an equi-join on
+    ``ivf_cluster`` restricts scoring to same-cell pairs: cost ~
+    Q x nprobe x (N / n_centroids). The cluster-id equi-join shuffles both
+    sides by a key whose cardinality you control via n_centroids — at
+    100 TB, store the corpus partitioned by `ivf_cluster` so only the
+    query side moves. Per-query recall equals `ivf_topk`'s at the same
+    nprobe (both scan exactly the probed cells)."""
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centers)]
+    cent = queries.sparkSession.createDataFrame(
+        cent_rows, f"ivf_cluster int, __cvec array<double>"
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(q_vec).cast("array<double>"),
+            F.col("__cvec"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_probe = Window.partitionBy(q_id).orderBy("__d2", "ivf_cluster")
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn("__d2", d2)
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select(q_id, q_vec, "ivf_cluster")
+    )
+    pairs = indexed.join(probes, "ivf_cluster")
+    scored = pairs.select(
+        q_id,
+        F.col(c_id),
+        F.round(cosine_similarity(F.col(c_vec), F.col(q_vec)), 6).alias("score"),
+    ).filter(F.col(q_id) != F.col(c_id))
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))

@@ -43,6 +43,29 @@ def debounced_stream(
     )
 
 
+def deduped_stream_within_watermark(
+    events_stream: DataFrame,
+    *,
+    watermark: str = "5 minutes",
+    keys: tuple[str, ...] = ("file_path", "sha256"),
+) -> DataFrame:
+    """ST3 with bounded per-key state: `dropDuplicatesWithinWatermark`
+    dedups on the KEY COLUMNS ONLY and expires each key's state once the
+    watermark passes its first-seen event time.
+
+    Contrast with `debounced_stream`'s plain `dropDuplicates`: there the
+    event-time column must be part of the key for state to expire, so two
+    occurrences of the same (path, hash) at different timestamps are NOT
+    duplicates. Here they are — the semantics a redelivering event feed
+    (at-least-once file watcher, replayed queue) actually needs, with
+    state O(distinct keys per watermark window) instead of O(all keys
+    ever). Falls back to `debounced_stream` on Spark < 3.5."""
+    with_wm = events_stream.withWatermark("event_time", watermark)
+    if not hasattr(with_wm, "dropDuplicatesWithinWatermark"):
+        return with_wm.dropDuplicates([*keys, "event_time"])
+    return with_wm.dropDuplicatesWithinWatermark(list(keys))
+
+
 def trigger_interval(quiet_seconds: float = 2.0) -> str:
     """The debounce quiet period expressed as a processing-time trigger."""
     return f"{int(quiet_seconds)} seconds"

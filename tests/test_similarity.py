@@ -162,3 +162,39 @@ def test_ivf_quantized_topk_recall(spark, sf_dir):
     ]
     assert full == exact
     indexed.unpersist()
+
+
+def test_ivf_knn_join_recall_vs_exact(spark, sf_dir):
+    """Batch ANN join: same-cell pairs only; recall vs the exact join rises
+    with nprobe and hits 1.0 at full probe."""
+    from claude_code_memory_spark.operators.similarity import (
+        ivf_build,
+        ivf_knn_join,
+        knn_join_sql,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    indexed, centers = ivf_build(emb, n_centroids=8)
+    indexed = indexed.cache()
+
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in knn_join_sql(queries, emb, 5).collect()
+    }
+    # full probe = every cell scanned = exact result
+    full = {
+        (r["q_id"], r["vec_id"])
+        for r in ivf_knn_join(indexed, centers, queries, 5, nprobe=8).collect()
+    }
+    assert full == exact
+
+    partial = {
+        (r["q_id"], r["vec_id"])
+        for r in ivf_knn_join(indexed, centers, queries, 5, nprobe=4).collect()
+    }
+    recall = len(partial & exact) / len(exact)
+    assert recall >= 0.5, f"recall {recall} too low at nprobe=4"
+    indexed.unpersist()

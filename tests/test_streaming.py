@@ -275,3 +275,44 @@ def test_streaming_session_window_by_inactivity(spark, tmp_path):
         assert rows == {(1, 0): (2, 3.0), (1, 2): (1, 4.0)}
     finally:
         q.stop()
+
+
+def test_dedup_within_watermark_collapses_redelivery(spark, tmp_path):
+    """ST3 with key-only state: the same (path, hash) redelivered at
+    DIFFERENT event times collapses to one row — the at-least-once feed
+    semantics plain dropDuplicates(key + event_time) cannot give."""
+    from claude_code_memory_spark.streaming.debounce import (
+        deduped_stream_within_watermark,
+    )
+    from claude_code_memory_spark.streaming.pipeline import file_event_stream
+
+    events_dir = tmp_path / "events_wm"
+    events_dir.mkdir()
+    rows = [
+        {"event_time": "2024-01-01T00:00:00.000Z", "event_type": "modified",
+         "file_path": "a.py", "sha256": "h1"},
+        {"event_time": "2024-01-01T00:00:03.000Z", "event_type": "modified",
+         "file_path": "a.py", "sha256": "h1"},  # redelivery, later timestamp
+        {"event_time": "2024-01-01T00:00:05.000Z", "event_type": "modified",
+         "file_path": "a.py", "sha256": "h2"},  # real new content
+    ]
+    with open(events_dir / "batch1.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+    stream = deduped_stream_within_watermark(
+        file_event_stream(spark, str(events_dir)), watermark="10 seconds"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wm_dedup_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT file_path, sha256 FROM wm_dedup_out").collect()
+    finally:
+        q.stop()
+    pairs = sorted((r["file_path"], r["sha256"]) for r in out)
+    assert pairs == [("a.py", "h1"), ("a.py", "h2")]
