@@ -612,6 +612,15 @@ class CodeMemoryEngine:
         chunks = self.store.read("chunks")
         return chunks.groupBy("chunk_type", "entity_type").agg(F.count("*").alias("n"))
 
+    def bloat_report(self) -> DataFrame:
+        """Storage-efficiency report (reference bloat_analysis.py):
+        chunk-type distribution, metadata:impl ratio, top files by chunk
+        count, content-length/duplicate stats, relations-per-entity —
+        distributed aggregations, long-format (section, metric, value)."""
+        from claude_code_memory_spark.plans.bloat import bloat_report
+
+        return bloat_report(self.store.read("chunks"), self.store.read("relations"))
+
     # -- manual memories & collection clear (K3) -----------------------------
 
     def add_memory(self, name: str, content: str, entity_type: str = "documentation") -> None:

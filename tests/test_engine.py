@@ -341,3 +341,20 @@ def test_keyword_search_uses_postings_and_matches_explode_path(spark, tmp_path, 
     eng.add_memory("new-note", "a brand new memory about compute")
     eng.search("compute helper", mode="keyword", k=5).collect()
     assert eng._postings_cache[0] != key1
+
+
+def test_bloat_report(spark, tmp_path, temp_repo):
+    """Storage-efficiency report: all sections present, values sane."""
+    eng = CodeMemoryEngine(spark, str(tmp_path / "bstore"))
+    eng.index(temp_repo)
+    rows = eng.bloat_report().collect()
+    by_section = {}
+    for r in rows:
+        by_section.setdefault(r["section"], {})[r["metric"]] = r["value"]
+    assert {"chunk_types", "entity_types", "ratio", "files_top10", "content",
+            "relations"} <= set(by_section)
+    assert by_section["chunk_types"].get("metadata", 0) > 0
+    assert by_section["ratio"]["metadata_to_impl"] >= 1.0  # every impl has metadata
+    assert by_section["content"]["avg_content_len"] > 0
+    assert by_section["relations"]["relations_per_entity"] > 0
+    assert any("main.py" in m for m in by_section["files_top10"])
