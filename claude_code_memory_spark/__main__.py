@@ -75,6 +75,8 @@ def main(argv: list[str] | None = None) -> int:
 
     p_stats = sub.add_parser("stats")
     p_stats.add_argument("-c", "--collection", required=True)
+    p_stats.add_argument("--bloat", action="store_true",
+                         help="full storage-efficiency report (bloat_analysis.py)")
 
     p_chat = sub.add_parser("chat", help="index a conversation JSONL")
     p_chat.add_argument("--file", required=True, help="chat JSONL path")
@@ -163,7 +165,10 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "chat":
         print(eng.index_chat(args.file, gap_seconds=int(args.gap_hours * 3600)))
     elif args.cmd == "stats":
-        eng.stats().orderBy("chunk_type", "entity_type").show(100)
+        if args.bloat:
+            eng.bloat_report().orderBy("section", "metric").show(100, truncate=60)
+        else:
+            eng.stats().orderBy("chunk_type", "entity_type").show(100)
     elif args.cmd == "watch":
         from claude_code_memory_spark.streaming.pipeline import start_watch
 
