@@ -14,6 +14,7 @@ from claude_code_memory_spark.queries import (  # noqa: F401,E402
     relational4,
     search,
     sessionsq,
+    statsq,
     textopsq,
 )
 
@@ -68,15 +69,12 @@ _DRIVER_WINDOW = [
     "multimodal_binary_stats",
     # -- one representative per round-1-green family --
     "dedup_minhash_lsh",
-    "decontaminate_vs_benchmark",
     "graph_bfs2_brand_parts",
     "q1_pricing_summary",
     "asof_join_events",
     "range_join_click_to_purchase",
-    "join_salted_status_revenue",
     "rrf_fusion_events",
     "window_top_customers_per_nation",
-    "chunk_pack_running_budget",
     "ann_lsh_bucket",
     # -- never driver-sampled before round 3 --
     "ann_ivf_probe",
@@ -84,6 +82,9 @@ _DRIVER_WINDOW = [
     "q20_dominant_supplier",
     "text_pii_redaction",
     "text_c4_filter",
+    "agg_value_percentiles",
+    "agg_second_moments",
+    "pivot_priority_by_year",
 ]
 
 

@@ -1,0 +1,115 @@
+"""Statistical-aggregate query shapes not covered elsewhere in the catalog:
+exact interpolated percentiles, second-moment statistics (stddev / corr /
+covar), and pivoted conditional aggregation. All pure JVM aggregates — each
+query is one scan + one shuffle on a low-cardinality group key, the shape
+that holds at any scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from claude_code_memory_spark.queries.base import register, table, ts_us_col
+
+
+@register(
+    "agg_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.50), 4) AS p50,
+           round(quantile_cont(value, 0.90), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per event type. Spark's `percentile`
+    and DuckDB's `quantile_cont` share the linear-interpolation definition,
+    so the oracle is bit-comparable after rounding. (`approx_percentile`
+    is the 100 TB path — t-digest sketch, one pass, mergeable — but its
+    results are engine-specific, so the exact twin is what gets
+    oracle-checked.)"""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.90)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_second_moments",
+    oracle="""
+    SELECT event_type,
+           round(stddev_samp(value), 4) AS sd_value,
+           round(var_samp(value), 4) AS var_value,
+           round(corr(value, epoch_us(ts)::DOUBLE), 6) AS corr_value_time
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_second_moments(spark, sf_dir):
+    """Second-moment statistics per group: sample stddev/variance and the
+    value-vs-time correlation (drift detection — a training pipeline's
+    basic data-quality signal). Single scan, partial aggregation map-side;
+    corr's co-moment accumulates distributively so the shuffle carries one
+    row per group."""
+    e = table(spark, sf_dir, "events")
+    ts_us = ts_us_col(e).cast("double")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+            F.round(F.var_samp("value"), 4).alias("var_value"),
+            F.round(F.corr(F.col("value"), ts_us), 6).alias("corr_value_time"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "pivot_priority_by_year",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+           CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS other,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def pivot_priority_by_year(spark, sf_dir):
+    """Pivoted conditional aggregation: order counts by priority class per
+    year, plus the year's revenue. Spark's `pivot()` with an EXPLICIT value
+    list compiles to exactly the oracle's CASE-sum columns — one scan, one
+    shuffle; omitting the value list would add a distinct-values job, so
+    never do that on a 100 TB fact table."""
+    o = table(spark, sf_dir, "orders")
+    year = F.year("o_orderdate").cast("int").alias("o_year")
+    bucket = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT"), "urgent")
+        .when(F.col("o_orderpriority").isin("2-HIGH"), "high")
+        .otherwise("other")
+    )
+    pivoted = (
+        o.select(year, bucket.alias("prio"), "o_totalprice")
+        .groupBy("o_year")
+        .pivot("prio", ["urgent", "high", "other"])
+        .count()
+        .na.fill(0, ["urgent", "high", "other"])
+    )
+    totals = o.groupBy(year).agg(F.round(F.sum("o_totalprice"), 4).alias("total_price"))
+    return (
+        pivoted.join(totals, "o_year")
+        .select(
+            "o_year",
+            F.col("urgent").cast("long").alias("urgent"),
+            F.col("high").cast("long").alias("high"),
+            F.col("other").cast("long").alias("other"),
+            "total_price",
+        )
+        .orderBy("o_year")
+    )

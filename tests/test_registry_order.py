@@ -36,6 +36,8 @@ def test_driver_window_covers_flagships_and_families():
         "q20_dominant_supplier",
         "text_pii_redaction",
         "text_c4_filter",
+        "agg_value_percentiles",
+        "pivot_priority_by_year",
     }
     missing = must_have - set(window)
     assert not missing, f"driver window is missing: {sorted(missing)}"
