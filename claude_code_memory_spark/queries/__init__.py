@@ -72,7 +72,6 @@ _DRIVER_WINDOW = [
     "graph_bfs2_brand_parts",
     "q1_pricing_summary",
     "asof_join_events",
-    "range_join_click_to_purchase",
     "rrf_fusion_events",
     "window_top_customers_per_nation",
     "ann_lsh_bucket",
@@ -85,6 +84,7 @@ _DRIVER_WINDOW = [
     "agg_value_percentiles",
     "agg_second_moments",
     "pivot_priority_by_year",
+    "sketch_approx_distinct",
 ]
 
 

@@ -113,3 +113,35 @@ def pivot_priority_by_year(spark, sf_dir):
         )
         .orderBy("o_year")
     )
+
+
+@register(
+    "sketch_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def sketch_approx_distinct(spark, sf_dir):
+    """The sketch path for cardinality at 100 TB: HyperLogLog++
+    (`approx_count_distinct`, one pass, mergeable partial states — the
+    reason it scales where count(DISTINCT) shuffles every key). Engine HLL
+    parameters differ, so the sketch VALUE is not oracle-comparable;
+    instead the query emits the exact count plus a boolean asserting the
+    sketch landed within 5% of it (rsd=0.05 → typically ~1-2% observed).
+    The oracle pins the boolean TRUE: if Spark's sketch ever drifts out of
+    its advertised bound, this row hash-mismatches and the driver flags it."""
+    e = table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("__approx"),
+    )
+    within = (
+        F.abs(F.col("__approx") - F.col("exact_users"))
+        <= F.col("exact_users") * F.lit(0.05)
+    )
+    return agg.select(
+        "event_type", "exact_users", within.alias("approx_within_5pct")
+    ).orderBy("event_type")
