@@ -52,6 +52,17 @@ def main() -> None:
     for t in ("lineitem", "orders", "customer", "nation", "region",
               "documents", "embeddings", "events"):
         table(spark, sf_dir, t).count()
+    # one untimed FULL pass at the measured scale: the sf0.001 warm-up
+    # compiles the codegen but does not touch the sf0.1 pages, so the
+    # first timed query (historically dense_topk) absorbed the page-cache
+    # cold read and every round's trend line opened with a phantom
+    # regression (r3 verdict: 0.28-0.53 s spread on identical code)
+    for name, fn in headline.items():
+        try:
+            fn(spark, sf_dir).collect()
+        except Exception:
+            pass
+    spark.catalog.clearCache()
     # median of 3 runs per query: single-shot numbers on a shared machine
     # carry ±50% scheduler/page-cache noise; the median is what's
     # reproducible. Caches are cleared between runs so each run re-executes
@@ -181,11 +192,19 @@ def main() -> None:
                 for q, t in timings.items()
                 if pq.get(q)
             }
+            # ratio over the INTERSECTION of query sets: dividing this
+            # round's successful-subset total by the prior full total
+            # would under-report whenever a slow query errors out, masking
+            # real regressions behind the missing coverage
+            common = sorted(set(timings) & {q for q in pq if pq[q]})
             trend = {
                 "vs": prior_name,
                 "total_ratio": round(
-                    sum(timings.values()) / max(prior.get("value", 0), 1e-9), 2
+                    sum(timings[q] for q in common)
+                    / max(sum(pq[q] for q in common), 1e-9),
+                    2,
                 ),
+                "common_queries": f"{len(common)} of {len(set(timings) | set(pq))}",
                 "query_ratios": ratios,
                 "regressions": sorted(
                     q for q, r in ratios.items() if r > 1.25

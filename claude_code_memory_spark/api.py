@@ -409,6 +409,13 @@ class CodeMemoryEngine:
         fp = hashlib.sha256("|".join(key).encode()).hexdigest()[:16]
         pdir = os.path.join(self.store.root, "postings")
         path = os.path.join(pdir, fp)
+        # A dir without Spark's _SUCCESS marker is a torn write from an
+        # interrupted build — serving it would silently drop postings, so
+        # discard and rebuild (derived data, always rebuildable).
+        if os.path.exists(path) and not os.path.exists(
+            os.path.join(path, "_SUCCESS")
+        ):
+            shutil.rmtree(path, ignore_errors=True)
         if not os.path.exists(path):
             v = self.store.read("vectors").filter(F.col("sparse_indices").isNotNull())
             write_clustered(
@@ -704,12 +711,31 @@ class CodeMemoryEngine:
                 summarize_conversations,
             )
 
+            # Only adopt the LLM summary when it is real content: the
+            # summarizer's error path yields "Error summarizing…" (and a
+            # retry edge case can yield ""); baking either into full_text
+            # would poison the stored chunk AND its content_hash, so the
+            # errored conversation could never be re-indexed cleanly. The
+            # keyword-stub text/category stand until a later run succeeds.
+            s = F.trim(F.col("llm_summary.summary"))
+            good = (
+                s.isNotNull()
+                & (s != "")
+                & ~s.startswith("Error summarizing conversation")
+            )
             convs = (
                 summarize_conversations(convs, summarizer_transport)
-                .withColumn("category", F.col("llm_summary.category"))
+                .withColumn(
+                    "category",
+                    F.when(good, F.col("llm_summary.category")).otherwise(
+                        F.col("category")
+                    ),
+                )
                 .withColumn(
                     "full_text",
-                    F.coalesce(F.col("llm_summary.summary"), F.col("full_text")),
+                    F.when(good, F.col("llm_summary.summary")).otherwise(
+                        F.col("full_text")
+                    ),
                 )
             )
         n_total, n_new = self._embed_and_append(chat_chunks(convs))

@@ -177,7 +177,10 @@ def phash_near_dup(media: DataFrame, *, bands: int = 4, fake_decode: bool = True
     all/most bands; the band join prunes the O(n²) pair space to
     per-bucket pairs, which is the 100 TB-safe formulation."""
     feats = image_features(media, fake_decode=fake_decode).select("media_id", "phash")
-    width = 16 // bands  # phash is 16 hex chars
+    # phash is 16 hex chars; spread any remainder across the bands so every
+    # nibble lands in exactly one band (16 // bands alone would orphan the
+    # tail nibbles when bands doesn't divide 16, silently losing recall)
+    bounds = [i * 16 // bands for i in range(bands + 1)]
     banded = feats.select(
         "media_id",
         F.explode(
@@ -185,7 +188,9 @@ def phash_near_dup(media: DataFrame, *, bands: int = 4, fake_decode: bool = True
                 *[
                     F.concat(
                         F.lit(f"{b}:"),
-                        F.substring(F.col("phash"), b * width + 1, width),
+                        F.substring(
+                            F.col("phash"), bounds[b] + 1, bounds[b + 1] - bounds[b]
+                        ),
                     )
                     for b in range(bands)
                 ]

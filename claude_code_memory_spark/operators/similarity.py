@@ -181,15 +181,11 @@ def ivf_knn_join(
     cent = queries.sparkSession.createDataFrame(
         cent_rows, f"ivf_cluster int, __cvec array<double>"
     )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col(q_vec).cast("array<double>"),
-            F.col("__cvec"),
-            lambda a, b: (a - b) * (a - b),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # squared L2 via the dot identity (three sequential dot products) —
+    # same float evaluation order as ivf_seeded_topk and DuckDB's
+    # list_dot_product, so probe tie-breaks replay identically in oracles
+    qv = F.col(q_vec).cast("array<double>")
+    d2 = dot(qv, qv) - 2 * dot(qv, F.col("__cvec")) + dot(F.col("__cvec"), F.col("__cvec"))
     w_probe = Window.partitionBy(q_id).orderBy("__d2", "ivf_cluster")
     probes = (
         queries.crossJoin(F.broadcast(cent))
@@ -234,6 +230,47 @@ def ivf_build(
     )
     assigned = model.transform(with_vec).drop("__v")
     centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    return assigned, centers
+
+
+def ivf_seeded_build(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray]:
+    """Deterministic twin of `ivf_build`: centroids = the first
+    ``n_centroids`` vectors by id (the bootstrap every IVF build starts
+    from before Lloyd iterations), assignment = argmin squared-L2 over a
+    broadcast cross join, computed via the dot identity so the float
+    evaluation order (and therefore every tie-break) replays exactly in a
+    DuckDB oracle. Returns (embeddings + ``ivf_cluster``, centers matrix)
+    — the same contract as `ivf_build`, so `ivf_knn_join`/`ivf_topk`
+    consume either interchangeably. The driver-side collect is
+    ``n_centroids`` rows (the centroid matrix is operator input, exactly
+    as KMeans' clusterCenters() is)."""
+    rows = (
+        embeddings.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    centers = np.array([[float(x) for x in r[vec_col]] for r in rows])
+    cent = embeddings.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)],
+        "ivf_cluster int, __cvec array<double>",
+    )
+    v = F.col(vec_col).cast("array<double>")
+    d2 = dot(v, v) - 2 * dot(v, F.col("__cvec")) + dot(F.col("__cvec"), F.col("__cvec"))
+    w = Window.partitionBy(id_col).orderBy("__d2", "ivf_cluster")
+    assigned = (
+        embeddings.crossJoin(F.broadcast(cent))
+        .withColumn("__d2", d2)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__d2", "__rn", "__cvec")
+    )
     return assigned, centers
 
 

@@ -19,72 +19,70 @@ from claude_code_memory_spark.queries import (  # noqa: F401,E402
 )
 
 # The driver verifies only the FIRST 50 registry entries (insertion order).
-# Round-3 window: queries with no green driver row yet take priority — the
-# four round-2 reds (sessionize/tumbling/debounce's ts fix, q12's oracle
-# cast), ann_ivf_probe (never inside a driver window), and the round-3
-# additions (q11/q20, text_pii_redaction/text_c4_filter). They displace
-# double-green entries (agg_event_stats, set_except_intersect,
-# hash_ids_documents, filter_must_should_not, dedup_exact_kept) whose
-# families keep green rows from rounds 1-2.
+# Round-4 window — freshness rotation (verdict r3 item 5): (a) everything
+# changed or added this round leads (sessionize/tumbling decimal sums,
+# knn_per_label's de-globalized rank, the new ivf_knn_join_batch, the
+# widened sketch bound); (b) all entries whose most recent green driver
+# row is round 1 rotate back in (33 of them); (c) the eight r2-last-green
+# entries; (d) the three flagship search modes + dedup_minhash_lsh stay as
+# permanent anchors. Displaced: the r3 double-greens (text-analysis
+# family, relational4 family) — each keeps a green row ≤ 2 rounds old.
 # tests/test_registry_order.py pins this window.
 _DRIVER_WINDOW = [
-    # -- flagship search modes (never driver-checked in round 1) --
+    # -- changed/added this round: validate first --
+    "sessionize_events",
+    "tumbling_window_counts",
+    "knn_per_label",
+    "ivf_knn_join_batch",
+    "sketch_approx_distinct",
+    # -- permanent anchors: the reference's core query modes --
     "dense_topk",
     "bm25_keyword_topk",
     "hybrid_rrf_search",
-    "dense_topk_filtered",
-    "knn_per_label",
-    "knn_join_queries",
-    "vector_quantization_error",
-    # -- sessions / streaming shapes --
-    "sessionize_events",
-    "tumbling_window_counts",
-    "debounce_last_event_wins",
-    "events_json_props",
-    # -- text analysis --
-    "text_language_id",
-    "text_quality_scores",
-    "text_token_counts",
-    "text_fingerprints",
-    "text_complexity",
-    "text_camel_spacing",
-    "corpus_filter_funnel",
-    "text_repetition_signals",
-    # -- adapted TPC-H shapes (relational4) --
-    "q2_top_supplier_per_part",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_priority_by_returnflag",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count_by_part",
-    "q18_large_volume_customers",
-    "q19_disjunctive_filter",
-    "q21_sole_returning_supplier",
-    "q22_idle_rich_customers",
-    # -- round-1 hash mismatches, re-check after oracle cast fix --
-    "split_train_val_test",
-    "multimodal_binary_stats",
-    # -- one representative per round-1-green family --
     "dedup_minhash_lsh",
-    "graph_bfs2_brand_parts",
-    "q1_pricing_summary",
-    "asof_join_events",
-    "rrf_fusion_events",
-    "window_top_customers_per_nation",
-    "ann_lsh_bucket",
-    # -- never driver-sampled before round 3 --
-    "ann_ivf_probe",
-    "q11_important_stock",
-    "q20_dominant_supplier",
-    "text_pii_redaction",
-    "text_c4_filter",
-    "agg_value_percentiles",
-    "agg_second_moments",
-    "pivot_priority_by_year",
-    "sketch_approx_distinct",
+    # -- last green in round 1: re-validate (oldest first priority) --
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_neardup",
+    "dedup_duplicate_clusters",
+    "sample_stratified_by_lang",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "agg_cube_orders",
+    "filter_payload_equality",
+    "filter_exclude_pattern",
+    "filter_score_threshold",
+    "join_anti_customers_without_urgent",
+    "join_semi_customers_with_urgent",
+    "join_full_outer_diff",
+    "join_hash_dedup_probe",
+    "window_running_user_value",
+    "set_union_distinct_nations",
+    "scalar_regex_extract",
+    "token_frequency_top50",
+    "relations_orphan_cleanup",
+    "agg_percentiles",
+    "window_lag_lead",
+    "window_rank_ntile",
+    "pivot_status_by_priority",
+    "scroll_pagination",
+    "weighted_content_assembly",
+    "scalar_datetime_parts",
+    "q6_revenue_delta",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "agg_rollup_orders",
+    "range_join_click_to_purchase",
+    "q4_order_priority",
+    # -- last green in round 2 --
+    "dedup_exact_kept",
+    "decontaminate_vs_benchmark",
+    "agg_event_stats",
+    "filter_must_should_not",
+    "set_except_intersect",
+    "hash_ids_documents",
+    "chunk_pack_running_budget",
+    "join_salted_status_revenue",
 ]
 
 

@@ -37,7 +37,7 @@ def _events_us(spark, sf_dir):
     SELECT user_id, session_id,
            count(*) AS n_events,
            CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us,
-           round(sum(value), 4) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
     FROM sessions GROUP BY user_id, session_id
     """,
     headline=True,
@@ -54,7 +54,12 @@ def sessionize_events(spark, sf_dir):
     return s.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         (F.max("ts_us") - F.min("ts_us")).cast("long").alias("duration_us"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        # decimal sum: associative regardless of partition order, so the
+        # round-4 result (and the driver's value hash) is deterministic —
+        # double sums can flip an ulp across runs near a round-4 midpoint
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("total_value"),
     )
 
 
@@ -64,7 +69,7 @@ def sessionize_events(spark, sf_dir):
     SELECT CAST(epoch_us(ts) // {_WIN_US} AS BIGINT) AS window_id,
            event_type,
            count(*) AS n,
-           round(sum(value), 4) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -73,7 +78,12 @@ def tumbling_window_counts(spark, sf_dir):
     e = _events_us(spark, sf_dir)
     return e.groupBy(
         F.expr(f"ts_us div {_WIN_US}").alias("window_id"), "event_type"
-    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("total_value"),
+    )
 
 
 @register(

@@ -120,7 +120,7 @@ def pivot_priority_by_year(spark, sf_dir):
     oracle="""
     SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
-           TRUE AS approx_within_5pct
+           TRUE AS approx_within_15pct
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -130,9 +130,10 @@ def sketch_approx_distinct(spark, sf_dir):
     reason it scales where count(DISTINCT) shuffles every key). Engine HLL
     parameters differ, so the sketch VALUE is not oracle-comparable;
     instead the query emits the exact count plus a boolean asserting the
-    sketch landed within 5% of it (rsd=0.05 → typically ~1-2% observed).
-    The oracle pins the boolean TRUE: if Spark's sketch ever drifts out of
-    its advertised bound, this row hash-mismatches and the driver flags it."""
+    sketch landed within 15% of it. rsd=0.05 is a relative *standard
+    deviation*, not a hard bound — the asserted envelope is 3σ so a
+    legitimately unlucky fixture can't hash-flake the driver row; a sketch
+    drifting past 3σ is a real bug and still trips the check."""
     e = table(spark, sf_dir, "events")
     agg = e.groupBy("event_type").agg(
         F.count_distinct("user_id").cast("long").alias("exact_users"),
@@ -140,8 +141,8 @@ def sketch_approx_distinct(spark, sf_dir):
     )
     within = (
         F.abs(F.col("__approx") - F.col("exact_users"))
-        <= F.col("exact_users") * F.lit(0.05)
+        <= F.col("exact_users") * F.lit(0.15)
     )
     return agg.select(
-        "event_type", "exact_users", within.alias("approx_within_5pct")
+        "event_type", "exact_users", within.alias("approx_within_15pct")
     ).orderBy("event_type")

@@ -241,3 +241,14 @@ def fake_transport() -> Transport:
         )
 
     return transport
+
+
+def failing_transport() -> Transport:
+    """Transport whose every call raises — exercises the full error path
+    (retry exhaustion → sentinel summary → caller-side non-adoption) the
+    same way a provider outage would."""
+
+    def transport(prompt: str) -> str:
+        raise RuntimeError("provider unavailable")
+
+    return transport

@@ -142,3 +142,10 @@ def test_phash_near_dup_finds_identical_payloads(spark):
     assert (1, 2) in pairs
     # the unrelated image must not pair with everything (banding prunes)
     assert (1, 3) not in pairs or (2, 3) not in pairs
+
+    # bands that don't divide 16 must still cover every nibble (the old
+    # 16 // bands width orphaned the tail chars from candidate generation)
+    for bands in (3, 5, 7):
+        p = {(r["left_id"], r["right_id"])
+             for r in phash_near_dup(media, bands=bands).collect()}
+        assert (1, 2) in p

@@ -316,6 +316,43 @@ def test_index_chat_with_llm_summarizer_transport(spark, tmp_path):
     assert "please fix the crash" in chunk[0]["content"]
 
 
+def test_index_chat_summarizer_outage_does_not_poison_content(spark, tmp_path):
+    """A provider outage must degrade to the keyword-stub content, never
+    bake the 'Error summarizing…' sentinel into stored chunks — a poisoned
+    content_hash would dedup-block the clean re-index forever."""
+    import json as _json
+
+    from claude_code_memory_spark.sources.summarizer import (
+        fake_transport,
+        failing_transport,
+    )
+
+    msgs = [
+        {"chat_id": "c9", "ts": "2024-02-01T09:00:00Z", "role": "user",
+         "content": "please fix the crash and error in the importer"},
+        {"chat_id": "c9", "ts": "2024-02-01T09:02:00Z", "role": "assistant",
+         "content": "the bug is a missing null check; fixed"},
+    ]
+    p = tmp_path / "chat3.jsonl"
+    with open(p, "w") as fh:
+        for m in msgs:
+            fh.write(_json.dumps(m) + "\n")
+
+    eng = CodeMemoryEngine(spark, str(tmp_path / "store3"))
+    r = eng.index_chat(str(p), summarizer_transport=failing_transport)
+    assert r["conversations"] == 1 and r["chunks_new"] == 1
+    chunk = eng.store.read("chunks").filter(
+        F.col("chunk_type") == "chat_summary").collect()
+    assert len(chunk) == 1
+    assert "Error summarizing" not in chunk[0]["content"]
+    assert "please fix the crash" in chunk[0]["content"]  # keyword stub kept
+
+    # the provider recovers: re-index adopts the LLM summary because the
+    # stub-content hash differs from the summarized-content hash
+    r2 = eng.index_chat(str(p), summarizer_transport=fake_transport)
+    assert r2["chunks_new"] == 1
+
+
 def test_keyword_search_uses_postings_and_matches_explode_path(spark, tmp_path, temp_repo):
     """T2 scale path: unfiltered keyword search runs over the materialized
     term-clustered postings index; results must be identical to the
@@ -341,6 +378,34 @@ def test_keyword_search_uses_postings_and_matches_explode_path(spark, tmp_path, 
     eng.add_memory("new-note", "a brand new memory about compute")
     eng.search("compute helper", mode="keyword", k=5).collect()
     assert eng._postings_cache[0] != key1
+
+
+def test_postings_torn_write_self_heals(spark, tmp_path, temp_repo):
+    """A postings dir without Spark's _SUCCESS marker (interrupted
+    write_clustered) must be discarded and rebuilt, not silently served —
+    a torn index would drop postings and return wrong keyword results."""
+    eng = CodeMemoryEngine(spark, str(tmp_path / "tstore"))
+    eng.index(temp_repo)
+    good = eng.search("compute helper", mode="keyword", k=5).collect()
+    assert good
+
+    postings_dir = tmp_path / "tstore" / "postings"
+    built = list(postings_dir.iterdir())
+    assert built
+    # simulate the interruption: remove the success marker AND a data file
+    for sub in built:
+        (sub / "_SUCCESS").unlink()
+        parts = sorted(sub.glob("part-*"))
+        assert parts
+        parts[0].unlink()
+    eng._postings_cache = None  # fresh process: only the dir on disk remains
+
+    healed = eng.search("compute helper", mode="keyword", k=5).collect()
+    assert [(r["point_id"], round(r["score"], 6)) for r in healed] == [
+        (r["point_id"], round(r["score"], 6)) for r in good
+    ]
+    # and the rebuilt dir is complete again
+    assert any((sub / "_SUCCESS").exists() for sub in postings_dir.iterdir())
 
 
 def test_bloat_report(spark, tmp_path, temp_repo):

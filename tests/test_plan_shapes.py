@@ -86,3 +86,37 @@ def test_pii_redaction_no_shuffle(spark, sf_dir):
     # a pure per-row scrub must be map-only: zero exchanges
     plan = plan_of(spark, "text_pii_redaction", sf_dir)
     assert count_shuffles(plan) == 0
+
+
+def test_knn_per_label_no_global_sort(spark, sf_dir):
+    # the global rank must come from the broadcast count-of-better pass,
+    # never an unpartitioned window (= Exchange SinglePartition + full
+    # corpus sort through one task)
+    plan = plan_of(spark, "knn_per_label", sf_dir)
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_no_unbounded_single_partition_window_anywhere(spark, sf_dir):
+    """Catalog-wide scale invariant: a Window fed by Exchange
+    SinglePartition is only acceptable when a Limit/TakeOrdered upstream
+    has already bounded the input (e.g. RRF ranks over an over-fetched
+    top-k); over unbounded input it serializes the whole table through
+    one task at 100×."""
+    offenders = []
+    for name in REGISTRY:
+        try:
+            plan = plan_of(spark, name, sf_dir)
+        except Exception:
+            continue  # analysis failures are the canary test's job
+        if "Window" not in plan:
+            continue
+        if "Exchange SinglePartition" not in plan:
+            continue
+        bounded = any(
+            marker in plan
+            for marker in ("GlobalLimit", "TakeOrderedAndProject", "CollectLimit")
+        )
+        if not bounded:
+            offenders.append(name)
+    assert not offenders, f"unbounded single-partition windows: {offenders}"

@@ -9,35 +9,30 @@ from claude_code_memory_spark.queries import REGISTRY
 def test_driver_window_covers_flagships_and_families():
     window = list(REGISTRY)[:50]
     must_have = {
-        # three search modes — the reference's core query
+        # changed/added in round 4 — must be re-validated by the driver
+        "sessionize_events",
+        "tumbling_window_counts",
+        "knn_per_label",
+        "ivf_knn_join_batch",
+        "sketch_approx_distinct",
+        # permanent anchors: the reference's core query modes
         "dense_topk",
         "bm25_keyword_topk",
         "hybrid_rrf_search",
-        # sessions / streaming
-        "sessionize_events",
-        "tumbling_window_counts",
-        # text analysis
-        "text_language_id",
-        "text_token_counts",
-        # round-1 hash-mismatch fixes must be re-checked
-        "split_train_val_test",
-        "multimodal_binary_stats",
-        # one per already-green family
         "dedup_minhash_lsh",
-        "q1_pricing_summary",
-        "asof_join_events",
-        "rrf_fusion_events",
-        "window_top_customers_per_nation",
-        "ann_lsh_bucket",
-        "graph_bfs2_brand_parts",
-        # never driver-sampled before round 3
-        "ann_ivf_probe",
-        "q11_important_stock",
-        "q20_dominant_supplier",
-        "text_pii_redaction",
-        "text_c4_filter",
-        "agg_value_percentiles",
-        "pivot_priority_by_year",
+        # freshness rotation: oldest-green families back in the window
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "dedup_duplicate_clusters",
+        "sample_stratified_by_lang",
+        "relations_orphan_cleanup",
+        "agg_percentiles",
+        "window_lag_lead",
+        "scroll_pagination",
+        "range_join_click_to_purchase",
+        "join_salted_status_revenue",
+        "chunk_pack_running_budget",
+        "decontaminate_vs_benchmark",
     }
     missing = must_have - set(window)
     assert not missing, f"driver window is missing: {sorted(missing)}"
