@@ -242,6 +242,72 @@ def provider_embedder_udf(
     return embed
 
 
+def http_transport(
+    model: str = "voyage-3",
+    *,
+    api_key: str | None = None,
+    base_url: str | None = None,
+    timeout: float = 60.0,
+) -> Transport:
+    """Real provider transport over stdlib ``urllib`` — the last piece of
+    UD2/UD3 parity with the reference's HTTP embedders
+    (embeddings/openai.py:16-290, embeddings/voyage.py:16-220). Both
+    providers speak the same public shape: POST {base}/embeddings with
+    ``{"model", "input": [texts]}``, Bearer auth, response
+    ``{"data": [{"embedding": [...]}, ...]}`` in input order.
+
+    Env-gated: resolution order is explicit args, then ``VOYAGE_API_KEY``
+    / ``OPENAI_API_KEY`` (+ optional ``EMBEDDING_BASE_URL``). Without a
+    key this raises at construction — CI and the no-network container
+    never reach a socket; tests exercise the request/response packing by
+    monkeypatching ``urllib.request.urlopen``.
+
+    Error surfacing is deliberate: HTTP status codes and the words
+    "timeout"/"connection" are embedded in the raised message so
+    ``RetryPolicy.should_retry``'s transient markers classify transport
+    failures exactly like the reference's (base.py:203-211)."""
+    import json as _json
+    import os
+    import urllib.error
+    import urllib.request
+
+    is_voyage = model.startswith("voyage")
+    key = api_key or os.environ.get("VOYAGE_API_KEY" if is_voyage else "OPENAI_API_KEY")
+    if not key:
+        raise RuntimeError(
+            "http_transport needs an API key (arg or "
+            f"{'VOYAGE_API_KEY' if is_voyage else 'OPENAI_API_KEY'}); use "
+            "fake_transport() in no-credential environments"
+        )
+    base = base_url or os.environ.get("EMBEDDING_BASE_URL") or (
+        "https://api.voyageai.com/v1" if is_voyage else "https://api.openai.com/v1"
+    )
+
+    def transport(texts: list[str]) -> list[list[float]]:
+        req = urllib.request.Request(
+            f"{base.rstrip('/')}/embeddings",
+            data=_json.dumps({"model": model, "input": texts}).encode(),
+            headers={
+                "Authorization": f"Bearer {key}",
+                "Content-Type": "application/json",
+            },
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                payload = _json.loads(resp.read().decode())
+        except urllib.error.HTTPError as exc:
+            raise RuntimeError(f"embedding request failed: HTTP {exc.code}") from exc
+        except urllib.error.URLError as exc:
+            raise RuntimeError(f"embedding connection error: {exc.reason}") from exc
+        except TimeoutError as exc:
+            raise RuntimeError("embedding request timeout") from exc
+        data = sorted(payload["data"], key=lambda d: d.get("index", 0))
+        return [d["embedding"] for d in data]
+
+    return transport
+
+
 def fake_transport(dim: int = 512) -> Transport:
     """Deterministic stand-in transport: same vectors as the hash
     embedder, so provider-path results are comparable against the

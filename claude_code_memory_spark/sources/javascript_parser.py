@@ -120,7 +120,7 @@ _VAR_DECL = re.compile(
 _ASSIGN = re.compile(r"^\s*(\w+)\s*=\s*[^=]")
 _METHOD = re.compile(
     r"^\s*(?:public\s+|private\s+|protected\s+|static\s+|readonly\s+|abstract\s+"
-    r"|override\s+|async\s+|\*\s*|get\s+|set\s+)*(#?\w+)\s*(?:<[^>]*>)?\s*"
+    r"|override\s+|async\s+|\*\s*|get\s+|set\s+)*(#?\w+|\[[^\]]*\])\s*(?:<[^>]*>)?\s*"
     r"(\([^)]*\)?)\s*(?::\s*[\w<>,\[\]\s.|&{}]+?)?\s*\{"
 )
 _FIELD = re.compile(
@@ -141,6 +141,9 @@ _REQUIRE = re.compile(
 )
 _DYNAMIC_IMPORT = re.compile(r"\bimport\s*\(\s*['\"]([^'\"]+)['\"]")
 _DECORATOR = re.compile(r"^\s*@(\w+)")
+# leading decorator incl. a single-line argument list, for stripping
+# inline decorators off the member they annotate
+_DECORATOR_PREFIX = re.compile(r"^\s*@(\w+)(?:\s*\([^)]*\))?[ \t]*")
 _THROW = re.compile(r"\bthrow\s+new\s+(\w+)")
 _JSON_LOAD = re.compile(
     r"\b(?:fetch|require|import)\s*\(\s*['\"]([^'\"]+\.json)['\"]"
@@ -366,10 +369,23 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
 
         dm = _DECORATOR.match(msk)
         if dm:
-            pending_decorators.append(dm.group(1))
-            depth += msk.count("{") - msk.count("}")
-            i += 1
-            continue
+            # strip every leading `@name` / `@name(args)` prefix, then fall
+            # through with the REMAINDER as the declaration: decorators on
+            # the same line as the member (`@memoize get value() {…}`) must
+            # not swallow the member itself
+            rest_m, rest_d = msk, dmsk
+            while True:
+                pm = _DECORATOR_PREFIX.match(rest_m)
+                if not pm:
+                    break
+                pending_decorators.append(pm.group(1))
+                rest_m = rest_m[: pm.start()] + " " * (pm.end() - pm.start()) + rest_m[pm.end():]
+                rest_d = _strip_decl_generics(rest_m) if "<" in rest_m else rest_m
+            if not rest_m.strip():
+                depth += msk.count("{") - msk.count("}")
+                i += 1
+                continue
+            msk, dmsk = rest_m, rest_d
 
         def consume_decorators(target):
             while pending_decorators:
@@ -505,6 +521,12 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
             m = _METHOD.match(dmsk)
             if m and m.group(1) not in _CALL_KEYWORDS | {"constructor"}:
                 name = m.group(1)
+                if name.startswith("["):
+                    # computed member: name by the raw bracket expression,
+                    # as tree-sitter's computed_property_name text would be
+                    # (analysis/javascript_parser.py extract_node_text)
+                    braw = re.search(r"\[[^\]]*\]", raw)
+                    name = braw.group(0) if braw else name
                 qual = f"{in_class}.{name}"
                 end = _end_of_block(masked, i)
                 sig = msk.strip().split("{")[0].strip()

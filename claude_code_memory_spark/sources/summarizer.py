@@ -243,6 +243,63 @@ def fake_transport() -> Transport:
     return transport
 
 
+def http_transport(
+    model: str = "gpt-4o-mini",
+    *,
+    api_key: str | None = None,
+    base_url: str | None = None,
+    timeout: float = 120.0,
+) -> Transport:
+    """Real chat-completions transport over stdlib ``urllib`` — closes
+    UD7's functional-parity gap with the reference's OpenAI-backed
+    summarizer (chat/summarizer.py:55-404). Public API shape: POST
+    {base}/chat/completions with ``{"model", "messages"}``, Bearer auth,
+    answer at ``choices[0].message.content``.
+
+    Env-gated like the embedder transport: needs ``OPENAI_API_KEY`` (or
+    an explicit key) at construction, optional ``SUMMARIZER_BASE_URL``
+    for OpenAI-compatible endpoints; no-credential environments use
+    ``fake_transport``. Failures raise with status codes / the words
+    "timeout"/"connection" in the message so the Summarizer retry loop
+    (and a shared RetryPolicy) can classify them."""
+    import os
+    import urllib.error
+    import urllib.request
+
+    key = api_key or os.environ.get("OPENAI_API_KEY")
+    if not key:
+        raise RuntimeError(
+            "http_transport needs an API key (arg or OPENAI_API_KEY); use "
+            "fake_transport() in no-credential environments"
+        )
+    base = base_url or os.environ.get("SUMMARIZER_BASE_URL") or "https://api.openai.com/v1"
+
+    def transport(prompt: str) -> str:
+        req = urllib.request.Request(
+            f"{base.rstrip('/')}/chat/completions",
+            data=json.dumps(
+                {"model": model, "messages": [{"role": "user", "content": prompt}]}
+            ).encode(),
+            headers={
+                "Authorization": f"Bearer {key}",
+                "Content-Type": "application/json",
+            },
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                payload = json.loads(resp.read().decode())
+        except urllib.error.HTTPError as exc:
+            raise RuntimeError(f"summarizer request failed: HTTP {exc.code}") from exc
+        except urllib.error.URLError as exc:
+            raise RuntimeError(f"summarizer connection error: {exc.reason}") from exc
+        except TimeoutError as exc:
+            raise RuntimeError("summarizer request timeout") from exc
+        return payload["choices"][0]["message"]["content"]
+
+    return transport
+
+
 def failing_transport() -> Transport:
     """Transport whose every call raises — exercises the full error path
     (retry exhaustion → sentinel summary → caller-side non-adoption) the

@@ -264,3 +264,59 @@ const after = 1;
     assert "React component" in " ".join(page["observations"])
     # the declaration AFTER the JSX body is still seen at module level
     assert "after" in ents
+
+
+def test_grammar_hard_cases():
+    """The tree-sitter-grade constructs the r3 verdict flagged: conditional
+    types, tagged templates containing braces, decorators on computed /
+    getter members, decorator-with-args on classes. Entity-name parity
+    with what the reference's tree-sitter visitor extracts
+    (analysis/javascript_parser.py:111-167, 688-720)."""
+    src = """\
+type ElementType<T> = T extends (infer U)[] ? U : never;
+type DeepReadonly<T> = T extends object ? { readonly [K in keyof T]: DeepReadonly<T[K]> } : T;
+
+const css = tag`color: ${ {a: 1}.a }; .cls { margin: 0; }`;
+function styled() {
+  return html`<div>${items.map(i => `{${i}}`)}</div>`;
+}
+
+class Widget {
+  @track static ["computed" + "Name"]() { return 1; }
+  @memoize get value() { return this.hidden; }
+  plain() { return 2; }
+}
+
+@Component({selector: 'app'})
+class Decorated {
+  run() { return 3; }
+}
+
+const after = 1;
+"""
+    recs = parse_javascript_source("/hard.ts", src)
+    ents = _entities(recs)
+
+    # conditional types parse as type aliases, extent = the one line
+    assert ents["ElementType"]["entity_type"] == "type_alias"
+    assert ents["DeepReadonly"]["entity_type"] == "type_alias"
+
+    # tagged templates with braces don't derail extents: styled ends at
+    # its real closing brace and module-level parsing continues after
+    assert ents["styled"]["entity_type"] == "function"
+    assert ents["styled"]["end_line_number"] == 7
+    assert "after" in ents
+
+    # decorators on computed members and getters: the member is extracted
+    # (named by the raw computed expression, as tree-sitter's
+    # computed_property_name text) and the decorator relation lands on it
+    assert 'Widget.["computed" + "Name"]' in ents
+    assert ents["Widget.value"]["entity_type"] == "method"
+    assert "Widget.plain" in ents
+    rels = _relations(recs)
+    assert ('Widget.["computed" + "Name"]', "track", "uses") in rels
+    assert ("Widget.value", "memoize", "uses") in rels
+
+    # decorator with an argument object on a class
+    assert "Decorated" in ents and "Decorated.run" in ents
+    assert ("Decorated", "Component", "uses") in rels

@@ -217,3 +217,96 @@ def test_provider_udf_matches_hash_embedder(spark):
             assert r["hash_vec"] is None
         else:
             assert r["provider_vec"] == pytest.approx(r["hash_vec"])
+
+
+def test_http_transport_requires_key(monkeypatch):
+    import pytest
+
+    from claude_code_memory_spark.embeddings.provider import http_transport
+
+    monkeypatch.delenv("VOYAGE_API_KEY", raising=False)
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    with pytest.raises(RuntimeError, match="API key"):
+        http_transport("voyage-3")
+    with pytest.raises(RuntimeError, match="API key"):
+        http_transport("text-embedding-3-small")
+
+
+def test_http_transport_packs_request_and_unpacks_response(monkeypatch):
+    """No network: monkeypatch urlopen, verify URL routing by model
+    family, auth header, JSON body, and index-ordered unpacking."""
+    import io
+    import json as _json
+    import urllib.request
+
+    from claude_code_memory_spark.embeddings.provider import http_transport
+
+    seen = {}
+
+    class FakeResp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(req, timeout=None):
+        seen["url"] = req.full_url
+        seen["auth"] = req.get_header("Authorization")
+        seen["body"] = _json.loads(req.data.decode())
+        # deliberately out of order: transport must sort by index
+        return FakeResp(_json.dumps({"data": [
+            {"index": 1, "embedding": [3.0, 4.0]},
+            {"index": 0, "embedding": [1.0, 2.0]},
+        ]}).encode())
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    t = http_transport("voyage-3", api_key="k-test")
+    out = t(["alpha", "beta"])
+    assert out == [[1.0, 2.0], [3.0, 4.0]]
+    assert seen["url"] == "https://api.voyageai.com/v1/embeddings"
+    assert seen["auth"] == "Bearer k-test"
+    assert seen["body"] == {"model": "voyage-3", "input": ["alpha", "beta"]}
+
+    t2 = http_transport("text-embedding-3-small", api_key="k2")
+    t2(["x"])
+    assert seen["url"] == "https://api.openai.com/v1/embeddings"
+
+
+def test_http_transport_errors_are_retry_classifiable(monkeypatch):
+    """HTTP 429 / URLError / timeout must surface with the transient
+    markers RetryPolicy.should_retry looks for."""
+    import urllib.error
+    import urllib.request
+
+    import pytest
+
+    from claude_code_memory_spark.embeddings.provider import (
+        RetryPolicy,
+        http_transport,
+    )
+
+    def raise_429(req, timeout=None):
+        raise urllib.error.HTTPError(req.full_url, 429, "rate limited", {}, None)
+
+    monkeypatch.setattr(urllib.request, "urlopen", raise_429)
+    t = http_transport("voyage-3", api_key="k")
+    with pytest.raises(RuntimeError, match="429") as exc_info:
+        t(["x"])
+    assert RetryPolicy().should_retry(exc_info.value, attempt=0)
+
+    def raise_conn(req, timeout=None):
+        raise urllib.error.URLError("connection refused")
+
+    monkeypatch.setattr(urllib.request, "urlopen", raise_conn)
+    with pytest.raises(RuntimeError, match="connection") as exc_info:
+        t(["x"])
+    assert RetryPolicy().should_retry(exc_info.value, attempt=0)
+
+    def raise_timeout(req, timeout=None):
+        raise TimeoutError("timed out")
+
+    monkeypatch.setattr(urllib.request, "urlopen", raise_timeout)
+    with pytest.raises(RuntimeError, match="timeout") as exc_info:
+        t(["x"])
+    assert RetryPolicy().should_retry(exc_info.value, attempt=0)

@@ -144,3 +144,61 @@ def test_summarize_conversations_stage(spark):
     assert by_id["c2"]["category"] == "architecture"
     assert by_id["c3"]["summary"] is None
     assert isinstance(by_id["c1"]["topics"], list)
+
+
+def test_http_transport_requires_key(monkeypatch):
+    import pytest
+
+    from claude_code_memory_spark.sources.summarizer import http_transport
+
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    with pytest.raises(RuntimeError, match="API key"):
+        http_transport()
+
+
+def test_http_transport_chat_round_trip(monkeypatch):
+    import io
+    import json as _json
+    import urllib.request
+
+    from claude_code_memory_spark.sources.summarizer import http_transport
+
+    seen = {}
+
+    class FakeResp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(req, timeout=None):
+        seen["url"] = req.full_url
+        seen["body"] = _json.loads(req.data.decode())
+        return FakeResp(_json.dumps(
+            {"choices": [{"message": {"content": '{"summary": "ok"}'}}]}
+        ).encode())
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    t = http_transport("gpt-4o-mini", api_key="k")
+    assert t("summarize this") == '{"summary": "ok"}'
+    assert seen["url"] == "https://api.openai.com/v1/chat/completions"
+    assert seen["body"]["messages"] == [{"role": "user", "content": "summarize this"}]
+    assert seen["body"]["model"] == "gpt-4o-mini"
+
+
+def test_http_transport_http_error_message(monkeypatch):
+    import urllib.error
+    import urllib.request
+
+    import pytest
+
+    from claude_code_memory_spark.sources.summarizer import http_transport
+
+    def raise_503(req, timeout=None):
+        raise urllib.error.HTTPError(req.full_url, 503, "unavailable", {}, None)
+
+    monkeypatch.setattr(urllib.request, "urlopen", raise_503)
+    t = http_transport(api_key="k")
+    with pytest.raises(RuntimeError, match="503"):
+        t("x")

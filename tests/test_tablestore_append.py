@@ -59,6 +59,94 @@ def test_append_auto_compacts(spark, tmp_path, monkeypatch):
     assert store.read("t").count() == 7
 
 
+def test_crash_between_snapshot_and_commit_preserves_old_state(spark, tmp_path):
+    """Kill after the snapshot dir is written but before the pointer swap:
+    readers must keep seeing the old snapshot set — never a torn state —
+    and a retry must land the append exactly once (the reference's atomic
+    tmp+rename state write, indexer.py:1544-1718)."""
+    import pytest
+
+    store = TableStore(spark, str(tmp_path / "s"))
+    store.write("t", spark.range(5).selectExpr("id"))
+    ptr_before = open(store._pointer("t")).read()
+
+    real_commit = store._commit
+
+    def crash_commit(table, snapshots, schema_json):
+        raise OSError("simulated kill before pointer swap")
+
+    store._commit = crash_commit
+    with pytest.raises(OSError):
+        store.append("t", spark.range(5, 8).selectExpr("id"))
+    store._commit = real_commit
+
+    # pointer untouched -> reads serve exactly the old snapshot
+    assert open(store._pointer("t")).read() == ptr_before
+    assert sorted(r.id for r in store.read("t").collect()) == list(range(5))
+
+    # retry succeeds; no duplicate rows from the orphaned snapshot dir
+    store.append("t", spark.range(5, 8).selectExpr("id"))
+    assert sorted(r.id for r in store.read("t").collect()) == list(range(8))
+
+    # the orphan (never-committed) dir is dead weight vacuum can reclaim
+    store.vacuum()
+    assert sorted(r.id for r in store.read("t").collect()) == list(range(8))
+
+
+def test_crash_mid_compaction_preserves_old_state(spark, tmp_path, monkeypatch):
+    """Kill during the compaction rewrite (the OPTIMIZE analogue): the
+    manifest must keep serving the pre-compaction snapshot union; a retry
+    compacts cleanly with no loss and no duplication."""
+    import pytest
+
+    monkeypatch.setattr(TableStore, "MAX_SNAPSHOTS", 3)
+    store = TableStore(spark, str(tmp_path / "s"))
+    store.write("t", spark.range(3).selectExpr("id"))
+    store.append("t", spark.range(3, 6).selectExpr("id"))  # 2 snapshots
+
+    real_write = store.write
+    calls = {"n": 0}
+
+    def crash_write(table, df, partition_by=None):
+        calls["n"] += 1
+        raise OSError("simulated kill during compaction rewrite")
+
+    # the NEXT append reaches MAX_SNAPSHOTS and triggers the compaction
+    # write; crash it
+    store.write = crash_write
+    with pytest.raises(OSError):
+        store.append("t", spark.range(6, 9).selectExpr("id"))
+    store.write = real_write
+    assert calls["n"] == 1
+
+    # old manifest intact: the un-committed append + compaction are both
+    # invisible (at-most-once visibility; the append retries below)
+    assert sorted(r.id for r in store.read("t").collect()) == list(range(6))
+    assert len(store._manifest("t")["snapshots"]) == 2
+
+    # retry: compaction folds everything into one committed snapshot
+    store.append("t", spark.range(6, 9).selectExpr("id"))
+    assert sorted(r.id for r in store.read("t").collect()) == list(range(9))
+    assert len(store._manifest("t")["snapshots"]) == 1
+    store.vacuum()
+    assert sorted(r.id for r in store.read("t").collect()) == list(range(9))
+
+
+def test_torn_uncommitted_snapshot_dir_is_invisible(spark, tmp_path):
+    """A partial snapshot dir (crash mid parquet write, no pointer entry)
+    must neither surface in reads nor break vacuum."""
+    store = TableStore(spark, str(tmp_path / "s"))
+    store.write("t", spark.range(4).selectExpr("id"))
+    torn = tmp_path / "s" / "t" / "snap-0000000000000-99999-1"
+    torn.mkdir()
+    (torn / "part-00000-torn.snappy.parquet").write_bytes(b"\x00\x01not parquet")
+
+    assert sorted(r.id for r in store.read("t").collect()) == list(range(4))
+    store.vacuum()
+    assert not torn.exists()
+    assert sorted(r.id for r in store.read("t").collect()) == list(range(4))
+
+
 def test_single_snapshot_pointer_backcompat(spark, tmp_path):
     import json
 
