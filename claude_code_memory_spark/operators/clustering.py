@@ -1,0 +1,170 @@
+"""Deterministic k-means (Lloyd's algorithm) as pure DataFrame algebra,
+plus the SemDeDup-style cell-blocked semantic dedup built on top of it.
+
+Why a hand-rolled Lloyd instead of MLlib KMeans: the reference's corpus
+curation (collection clustering in storage/qdrant.py and the category
+scoring in chat/parser.py) needs *reproducible* cluster assignments —
+the same input must cluster identically on any partitioning, or an
+incremental re-index flaps its cells. MLlib's KMeans|| init is seeded
+but its double accumulations are partition-order dependent; here every
+reduction that feeds a comparison is made associative:
+
+- init: centroids = the first ``k`` vectors by id (the deterministic
+  bootstrap `ivf_seeded_build` also uses);
+- assignment: argmin squared-L2 via the dot identity (three sequential
+  dot products — the float evaluation order DuckDB's list_dot_product
+  uses, so an oracle replays every tie-break);
+- update: per-dimension means summed as DECIMAL(38,12) (associative —
+  immune to partition order), divided in double, rounded to 6 dp.
+
+Cost model at scale: each iteration is one broadcast cross join against
+``k`` centroid rows (map-side, no shuffle of the big table) + one
+posexplode/groupBy whose key space is k x dim (tiny shuffle). ``iters``
+is a constant; the big table is scanned ``iters + 1`` times and never
+shuffled by row. Cache the input before calling when the scan is the
+bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from claude_code_memory_spark.functions.vector import cosine_similarity, dot
+
+
+def assign_clusters(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+    cvec_col: str = "__cvec",
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the centroid table, argmin
+    squared-L2 per vector (dot identity), ties broken by cluster id.
+
+    Adds ``cluster_col`` to ``vectors``; no row-level shuffle — the only
+    window partitions by the vector id over the k-way candidate fan-out.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    c = F.col(cvec_col)
+    d2 = dot(v, v) - 2 * dot(v, c) + dot(c, c)
+    w = Window.partitionBy(id_col).orderBy("__d2", cluster_col)
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .withColumn("__d2", d2)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__d2", "__rn", cvec_col)
+    )
+
+
+def _update_centroids(
+    assigned: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+    cvec_col: str = "__cvec",
+) -> DataFrame:
+    """Per-cluster mean vector, hash-deterministically: per-dimension sums
+    as DECIMAL(38,12) (associative under any partitioning), mean in
+    double, rounded to 6 dp. Empty clusters simply vanish (standard
+    Lloyd) — the oracle replays that too."""
+    exploded = assigned.select(
+        cluster_col,
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__val"),
+    )
+    means = exploded.groupBy(cluster_col, "__pos").agg(
+        F.round(
+            F.sum(F.col("__val").cast("decimal(38,12)")).cast("double") / F.count("*"), 6
+        ).alias("__m")
+    )
+    return means.groupBy(cluster_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__m"))), lambda s: s["__m"]
+        ).alias(cvec_col)
+    )
+
+
+def kmeans_lloyd(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Seeded Lloyd k-means: ``iters`` rounds of assign + decimal-mean
+    update, starting from centroids = the first ``k`` vectors by id.
+
+    Returns ``(assigned, centroids)``: the input with ``cluster_col``
+    (assignment against the final centroids) and the centroid table
+    ``(cluster_col, __cvec ARRAY<DOUBLE>)``. Every arithmetic step is
+    replayable in DuckDB — see the module docstring. Reference parity:
+    deterministic collection partitioning for incremental re-index
+    (storage/qdrant.py collection management; indexer.py:1544-1718 state
+    determinism rationale)."""
+    cent = (
+        vectors.filter(F.col(id_col) < k)
+        .select(
+            F.col(id_col).cast("int").alias(cluster_col),
+            F.col(vec_col).cast("array<double>").alias("__cvec"),
+        )
+    )
+    for _ in range(iters):
+        assigned = assign_clusters(
+            vectors, cent, id_col=id_col, vec_col=vec_col, cluster_col=cluster_col
+        )
+        cent = _update_centroids(assigned, vec_col=vec_col, cluster_col=cluster_col)
+    final = assign_clusters(
+        vectors, cent, id_col=id_col, vec_col=vec_col, cluster_col=cluster_col
+    )
+    return final, cent
+
+
+def semantic_dedup(
+    assigned: DataFrame,
+    threshold: float = 0.4,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup verdict: within each k-means cell,
+    mark every vector that has a lower-id cell-mate with cosine >=
+    ``threshold`` as removed (min-id survivor wins).
+
+    The pairwise scan is blocked by the cluster equi-join — never N x N;
+    per-cell cost is (n/k)^2, the SemDeDup trade (Abbas et al. 2023,
+    arXiv:2303.09540): recall is bounded by cell purity, cost by cell
+    size. At 100 TB, store ``assigned`` partitioned by ``cluster_col`` so
+    the self-join is co-located and shuffle-free.
+
+    Returns one row per input vector: (id, cluster, removed boolean).
+    """
+    a = assigned.select(
+        F.col(id_col).alias("__id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col(cluster_col),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col(cluster_col),
+    )
+    dup_pairs = (
+        a.join(b, cluster_col)
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .filter(F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6) >= threshold)
+    )
+    removed = dup_pairs.select(F.col("__id_b").alias(id_col)).distinct()
+    return assigned.join(
+        removed.withColumn("__removed", F.lit(True)), id_col, "left"
+    ).select(
+        id_col,
+        cluster_col,
+        F.coalesce(F.col("__removed"), F.lit(False)).alias("removed"),
+    )

@@ -6,6 +6,7 @@ Importing this package populates ``REGISTRY``.
 
 from claude_code_memory_spark.queries.base import REGISTRY, oracle_sql_map, query_map  # noqa: F401
 from claude_code_memory_spark.queries import (  # noqa: F401,E402
+    clusterq,
     dedupq,
     pipelineq,
     relational,
@@ -35,6 +36,10 @@ _DRIVER_WINDOW = [
     "knn_per_label",
     "ivf_knn_join_batch",
     "sketch_approx_distinct",
+    "cluster_kmeans_sizes",
+    "dedup_semantic_cells",
+    "dedup_repeated_ngrams",
+    "sample_domain_mixture",
     # -- permanent anchors: the reference's core query modes --
     "dense_topk",
     "bm25_keyword_topk",
@@ -74,12 +79,10 @@ _DRIVER_WINDOW = [
     "agg_rollup_orders",
     "range_join_click_to_purchase",
     "q4_order_priority",
-    # -- last green in round 2 --
-    "dedup_exact_kept",
+    # -- last green in round 2 (dedup_exact_kept / agg_event_stats /
+    # filter_must_should_not / set_except_intersect displaced by the four
+    # new cluster/mixture entries; rotate them back in round 5) --
     "decontaminate_vs_benchmark",
-    "agg_event_stats",
-    "filter_must_should_not",
-    "set_except_intersect",
     "hash_ids_documents",
     "chunk_pack_running_budget",
     "join_salted_status_revenue",

@@ -15,6 +15,10 @@ def test_driver_window_covers_flagships_and_families():
         "knn_per_label",
         "ivf_knn_join_batch",
         "sketch_approx_distinct",
+        "cluster_kmeans_sizes",
+        "dedup_semantic_cells",
+        "dedup_repeated_ngrams",
+        "sample_domain_mixture",
         # permanent anchors: the reference's core query modes
         "dense_topk",
         "bm25_keyword_topk",
