@@ -88,3 +88,134 @@ def quantized_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): split each vector into ``m`` subvectors and
+# code each against a per-subspace codebook — ``m`` bytes per vector at
+# k_codes <= 256, a 32x compression over float64 subvectors (Jegou et al.
+# 2011, "Product Quantization for Nearest Neighbor Search"). SQ8 above
+# compresses 4x with per-element codes; PQ is the next rung on the
+# memory/recall ladder and the standard FAISS `PQ{m}` layout.
+#
+# The codebook here is seeded (per-subspace codewords = the subvectors of
+# the first ``k_codes`` vectors by id) so encoding is a pure function of
+# the input — partition-invariant and DuckDB-replayable, same rationale
+# as `ivf_seeded_build`. A KMeans-trained codebook (one `kmeans_lloyd`
+# per subspace) drops reconstruction error further at the same size; the
+# seeded variant is the oracle-checkable twin.
+
+
+def pq_split(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    *,
+    vec_col: str = "embedding",
+    keep: tuple[str, ...] = ("vec_id",),
+) -> DataFrame:
+    """Explode each vector into ``m`` contiguous subvectors:
+    (keep..., sub_idx INT, sv ARRAY<DOUBLE>). One narrow projection —
+    no shuffle; downstream joins key on ``sub_idx``."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    ds = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    subs = F.array(*[F.slice(v, i * ds + 1, ds) for i in range(m)])
+    return df.select(*keep, F.posexplode(subs).alias("sub_idx", "sv"))
+
+
+def pq_seeded_codebook(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    k_codes: int = 16,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(sub_idx, code_id, cv): per-subspace codewords = subvectors of the
+    first ``k_codes`` vectors by id. m x k_codes rows — always broadcast."""
+    seeds = df.filter(F.col(id_col) < k_codes)
+    return pq_split(seeds, dim, m, vec_col=vec_col, keep=(id_col,)).select(
+        "sub_idx", F.col(id_col).cast("int").alias("code_id"), F.col("sv").alias("cv")
+    )
+
+
+def _d2(a: Column, b: Column) -> Column:
+    """Squared L2 via the dot identity — the sequential evaluation order
+    DuckDB's list_dot_product uses, so oracle tie-breaks replay."""
+
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+        )
+
+    return dot(a, a) - 2 * dot(a, b) + dot(b, b)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    m: int = 8,
+    *,
+    vec_col: str = "embedding",
+    keep: tuple[str, ...] = ("vec_id",),
+) -> DataFrame:
+    """PQ codes + per-subspace squared reconstruction error:
+    (keep..., sub_idx, code_id, sub_err). One broadcast join against the
+    m x k_codes codebook, argmin per (row, subspace) — the corpus is
+    scanned once and never shuffled by row (the only window partitions by
+    the exploded row key). Errors are rounded to 6 dp BEFORE the argmin so
+    cross-engine last-ulp noise cannot flip a code choice (ties then break
+    on code_id)."""
+    from pyspark.sql import Window
+
+    subs = pq_split(df, dim, m, vec_col=vec_col, keep=keep)
+    joined = subs.join(F.broadcast(codebook), "sub_idx")
+    d2r = F.round(_d2(F.col("sv"), F.col("cv")), 6)
+    w = Window.partitionBy(*keep, "sub_idx").orderBy("__d2r", "code_id")
+    return (
+        joined.withColumn("__d2r", d2r)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*keep, "sub_idx", "code_id", F.col("__d2r").alias("sub_err"))
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query's
+    distance table (m x k_codes, one d2 per codeword) is derived from the
+    broadcast codebook in-plan, then each stored vector's approximate
+    distance is the sum of its m table entries — one broadcast join + one
+    groupBy over rows that are ``m`` ints wide. This is the scan FAISS
+    runs over `PQ{m}` indexes: per-vector cost is m lookups instead of
+    dim multiplies, and the scanned bytes are the codes, not the floats.
+    Entries are rounded then summed as DECIMAL so the ranking is
+    partition-invariant. Returns (id, approx_d2) ascending."""
+    dim = len(query_vec)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    m = [r[0] for r in codebook.agg(F.max("sub_idx")).collect()][0] + 1
+    ds = dim // m
+    qsub = F.slice(qlit, F.col("sub_idx") * ds + 1, ds)
+    table = codebook.select(
+        "sub_idx", "code_id", F.round(_d2(qsub, F.col("cv")), 6).alias("qd2")
+    )
+    dists = (
+        codes.join(F.broadcast(table), ["sub_idx", "code_id"])
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(F.col("qd2").cast("decimal(18,6)")).cast("double"), 6).alias(
+                "approx_d2"
+            )
+        )
+    )
+    return dists.orderBy(F.asc("approx_d2"), F.asc(id_col)).limit(k)

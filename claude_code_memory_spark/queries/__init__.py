@@ -8,6 +8,7 @@ from claude_code_memory_spark.queries.base import REGISTRY, oracle_sql_map, quer
 from claude_code_memory_spark.queries import (  # noqa: F401,E402
     clusterq,
     dedupq,
+    graphq,
     pipelineq,
     relational,
     relational2,
@@ -40,6 +41,8 @@ _DRIVER_WINDOW = [
     "dedup_semantic_cells",
     "dedup_repeated_ngrams",
     "sample_domain_mixture",
+    "vector_pq_error",
+    "graph_pagerank_nations",
     # -- permanent anchors: the reference's core query modes --
     "dense_topk",
     "bm25_keyword_topk",
@@ -80,12 +83,12 @@ _DRIVER_WINDOW = [
     "range_join_click_to_purchase",
     "q4_order_priority",
     # -- last green in round 2 (dedup_exact_kept / agg_event_stats /
-    # filter_must_should_not / set_except_intersect displaced by the four
-    # new cluster/mixture entries; rotate them back in round 5) --
+    # filter_must_should_not / set_except_intersect / hash_ids_documents /
+    # join_salted_status_revenue displaced by the six new round-4 entries;
+    # rotate them back in round 5 — at end of r4 they are exactly two
+    # rounds stale, the freshness bound) --
     "decontaminate_vs_benchmark",
-    "hash_ids_documents",
     "chunk_pack_running_budget",
-    "join_salted_status_revenue",
 ]
 
 

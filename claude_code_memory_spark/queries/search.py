@@ -468,3 +468,54 @@ def ivf_knn_join_batch(spark, sf_dir):
     return ivf_knn_join(indexed, centers, queries, k=3, nprobe=2).select(
         "q_id", "vec_id", "score", "rnk"
     )
+
+
+@register(
+    "vector_pq_error",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    subs AS (
+      SELECT vec_id, label, i AS sub_idx, v[(i*8+1):(i*8+8)] AS sv
+      FROM emb, range(0, 8) t(i)),
+    cb AS (
+      SELECT i AS sub_idx, vec_id::INT AS code_id, v[(i*8+1):(i*8+8)] AS cv
+      FROM emb, range(0, 8) t(i) WHERE vec_id < 16),
+    best AS (
+      SELECT s.vec_id, s.label, s.sub_idx,
+             min(round({_dd_d2("s.sv", "c.cv")}, 6)) AS sub_err
+      FROM subs s JOIN cb c USING (sub_idx)
+      GROUP BY s.vec_id, s.label, s.sub_idx),
+    pv AS (SELECT vec_id, label, sum(sub_err::DECIMAL(18,6)) AS e
+           FROM best GROUP BY vec_id, label)
+    SELECT label, count(*) AS n_vecs,
+           round(sum(e)::DOUBLE / count(*), 6) AS avg_pq_err
+    FROM pv GROUP BY label
+    """,
+)
+def vector_pq_error(spark, sf_dir):
+    """Product-quantization reconstruction error by label
+    (operators/quantize.py `pq_seeded_codebook`/`pq_encode`): 64-dim
+    vectors split into 8 subspaces, coded against a 16-codeword seeded
+    codebook — 8 bytes/vector, the FAISS `PQ8` layout and the next
+    compression rung after SQ8's 4x. Per-subspace squared errors are
+    rounded before the argmin (code choice is partition/engine
+    invariant) and summed as DECIMAL, so the whole encode pipeline is
+    replayed exactly by the oracle. Average total squared error per
+    label quantifies the recall/bytes trade the ADC scan (`pq_topk`)
+    rides at 100 TB."""
+    from claude_code_memory_spark.operators.quantize import (
+        pq_encode,
+        pq_seeded_codebook,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    # dim=64 matches the fixture; pq_split raises loudly on a mismatch
+    cb = pq_seeded_codebook(emb, dim=64, m=8, k_codes=16)
+    codes = pq_encode(emb, cb, dim=64, m=8, keep=("vec_id", "label"))
+    per_vec = codes.groupBy("vec_id", "label").agg(
+        F.sum(F.col("sub_err").cast("decimal(18,6)")).alias("e")
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.sum(F.col("e")).cast("double") / F.count("*"), 6).alias("avg_pq_err"),
+    )

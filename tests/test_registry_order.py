@@ -19,6 +19,8 @@ def test_driver_window_covers_flagships_and_families():
         "dedup_semantic_cells",
         "dedup_repeated_ngrams",
         "sample_domain_mixture",
+        "vector_pq_error",
+        "graph_pagerank_nations",
         # permanent anchors: the reference's core query modes
         "dense_topk",
         "bm25_keyword_topk",
@@ -34,7 +36,6 @@ def test_driver_window_covers_flagships_and_families():
         "window_lag_lead",
         "scroll_pagination",
         "range_join_click_to_purchase",
-        "join_salted_status_revenue",
         "chunk_pack_running_budget",
         "decontaminate_vs_benchmark",
     }
