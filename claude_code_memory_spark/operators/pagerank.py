@@ -41,13 +41,24 @@ def pagerank_fixed(
     weight: str = "w",
 ) -> DataFrame:
     """(node, pr) after ``iters`` rounds of weighted PageRank over
-    (src, dst, weight>=0) edges. Node universe = src ∪ dst."""
+    (src, dst, weight>=0) edges. Node universe = src ∪ dst.
+
+    ``edges`` is persisted here: the iteration lineage references it
+    2 + iters times, and without materialization Spark replays the whole
+    upstream extraction (potentially a multi-table join over the raw
+    data) once per reference — the classic iterative-algorithm trap.
+    Caching the aggregated edge table (|nodes|^2 rows at most) makes
+    every subsequent pass an in-memory scan."""
+    edges = edges.persist()
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
+        .persist()
     )
-    n_df = nodes.agg(F.count("*").alias("__n"))
+    # one scalar driver action (like collecting KMeans centroids): |V| as
+    # a literal removes 1 + iters broadcast mini-jobs from the plan
+    n_nodes = nodes.count()
     outw = edges.groupBy(src).agg(F.sum(weight).alias("__outw"))
     # ratio is exact when weights are integers (IEEE division, both engines)
     e2 = (
@@ -58,8 +69,8 @@ def pagerank_fixed(
             (F.col(weight).cast("double") / F.col("__outw").cast("double")).alias("__ratio"),
         )
     )
-    pr = nodes.crossJoin(F.broadcast(n_df)).select(
-        "node", F.round(F.lit(1.0) / F.col("__n"), SCALE).alias("pr")
+    pr = nodes.select(
+        "node", F.round(F.lit(1.0) / F.lit(n_nodes), SCALE).alias("pr")
     )
     for _ in range(iters):
         contrib = e2.join(
@@ -71,16 +82,12 @@ def pagerank_fixed(
             .alias("__c"),
         )
         sums = contrib.groupBy("__dst").agg(F.sum("__c").alias("__s"))
-        pr = (
-            nodes.join(sums, nodes["node"] == sums["__dst"], "left")
-            .crossJoin(F.broadcast(n_df))
-            .select(
-                "node",
-                F.round(
-                    F.lit(BASE) / F.col("__n")
-                    + F.lit(DAMPING) * F.coalesce(F.col("__s").cast("double"), F.lit(0.0)),
-                    SCALE,
-                ).alias("pr"),
-            )
+        pr = nodes.join(sums, nodes["node"] == sums["__dst"], "left").select(
+            "node",
+            F.round(
+                F.lit(BASE) / F.lit(n_nodes)
+                + F.lit(DAMPING) * F.coalesce(F.col("__s").cast("double"), F.lit(0.0)),
+                SCALE,
+            ).alias("pr"),
         )
     return pr

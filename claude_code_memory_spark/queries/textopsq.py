@@ -371,3 +371,32 @@ def text_c4_filter(spark, sf_dir):
         .alias("n_kept"),
         F.md5(F.col("k")).alias("kept_md5"),
     )
+
+
+@register(
+    "agg_token_histogram",
+    oracle="""
+    SELECT (ws_tokens // 10) * 10 AS bucket_lo,
+           count(*) AS n_docs,
+           sum(ws_tokens) AS total_tokens
+    FROM (
+      SELECT len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> length(x) > 0)) AS ws_tokens
+      FROM documents)
+    GROUP BY 1
+    """,
+)
+def agg_token_histogram(spark, sf_dir):
+    """Token-length distribution of the corpus in buckets of 10
+    whitespace tokens — the context-budget histogram every training
+    pipeline consults before packing sequences. Pure integer arithmetic
+    (bucket = ws_tokens // 10 * 10), one scan + one tiny aggregate; at
+    100 TB the combiner does nearly all the work map-side since the key
+    space is the number of buckets."""
+    from claude_code_memory_spark.operators import textanalysis as TA
+
+    d = table(spark, sf_dir, "documents")
+    tc = TA.token_counts(d).select("ws_tokens")
+    return tc.groupBy(
+        (F.floor(F.col("ws_tokens") / 10) * 10).cast("bigint").alias("bucket_lo")
+    ).agg(F.count("*").alias("n_docs"), F.sum("ws_tokens").alias("total_tokens"))
