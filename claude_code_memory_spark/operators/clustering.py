@@ -125,6 +125,80 @@ def kmeans_lloyd(
     return final, cent
 
 
+def kmeans_lloyd_grouped(
+    vectors: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    *,
+    group_cols: tuple[str, ...] = ("sub_idx",),
+    id_col: str = "vec_id",
+    vec_col: str = "sv",
+    cluster_col: str = "cluster_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Independent seeded Lloyd k-means per group, in ONE plan.
+
+    Same determinism contract as `kmeans_lloyd` (decimal means,
+    dot-identity argmin, rounded centroids), but every group trains its
+    own codebook concurrently: init = the first ``k`` rows by id within
+    each group (per-group window, partitioned — never a global sort),
+    assignment joins centroids on the group key (broadcast — k rows per
+    group), updates aggregate by (group, cluster, dim). This is how PQ
+    trains m subspace codebooks in one pass instead of m sequential
+    jobs; any per-tenant / per-shard clustering fits the same shape.
+
+    Returns (assigned, centroids) where both carry ``group_cols``."""
+    g = list(group_cols)
+    if not g:
+        raise ValueError("use kmeans_lloyd for the ungrouped case")
+    w0 = Window.partitionBy(*g).orderBy(id_col)
+    cent = (
+        vectors.withColumn("__rk", F.row_number().over(w0))
+        .filter(F.col("__rk") <= k)
+        .select(
+            *g,
+            (F.col("__rk") - 1).cast("int").alias(cluster_col),
+            F.col(vec_col).cast("array<double>").alias("__cvec"),
+        )
+    )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        c = F.col("__cvec")
+        d2 = dot(v, v) - 2 * dot(v, c) + dot(c, c)
+        w = Window.partitionBy(*g, id_col).orderBy("__d2", cluster_col)
+        return (
+            vectors.join(F.broadcast(cent_df), g)
+            .withColumn("__d2", d2)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__d2", "__rn", "__cvec")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        exploded = assigned.select(
+            *g,
+            cluster_col,
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__val"),
+        )
+        means = exploded.groupBy(*g, cluster_col, "__pos").agg(
+            F.round(
+                F.sum(F.col("__val").cast("decimal(38,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("__m")
+        )
+        return means.groupBy(*g, cluster_col).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+                lambda s: s["__m"],
+            ).alias("__cvec")
+        )
+
+    for _ in range(iters):
+        cent = update(assign(cent))
+    return assign(cent), cent
+
+
 def semantic_dedup(
     assigned: DataFrame,
     threshold: float = 0.4,

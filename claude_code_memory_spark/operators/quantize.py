@@ -142,6 +142,37 @@ def pq_seeded_codebook(
     )
 
 
+def pq_trained_codebook(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Codebook trained with per-subspace Lloyd k-means — all ``m``
+    subspaces in ONE plan via `kmeans_lloyd_grouped` (group = sub_idx).
+    Same (sub_idx, code_id, cv) contract as `pq_seeded_codebook`; the
+    seeded variant is iteration 0 of this one. Strictly lower
+    reconstruction error at the same code size (tests assert it), and
+    still fully deterministic/partition-invariant."""
+    from claude_code_memory_spark.operators.clustering import kmeans_lloyd_grouped
+
+    subs = pq_split(df, dim, m, vec_col=vec_col, keep=(id_col,))
+    _, cent = kmeans_lloyd_grouped(
+        subs,
+        k=k_codes,
+        iters=iters,
+        group_cols=("sub_idx",),
+        id_col=id_col,
+        vec_col="sv",
+        cluster_col="code_id",
+    )
+    return cent.select("sub_idx", "code_id", F.col("__cvec").alias("cv"))
+
+
 def _d2(a: Column, b: Column) -> Column:
     """Squared L2 via the dot identity — the sequential evaluation order
     DuckDB's list_dot_product uses, so oracle tie-breaks replay."""

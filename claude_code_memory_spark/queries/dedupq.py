@@ -213,3 +213,47 @@ def dedup_duplicate_clusters(spark, sf_dir):
         .select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_edit_distance",
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.text, b.text) AS lev
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang
+     AND (a.n_chars // 100) = (b.n_chars // 100)
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text) <= 40
+    """,
+)
+def dedup_edit_distance(spark, sf_dir):
+    """Fuzzy near-dup pairs by Levenshtein distance <= 40, blocked by
+    (lang, n_chars // 100) — the character-level member of the dedup
+    family (catches small in-place edits that shift every shingle, which
+    token-level MinHash under-scores). Blocking caps the candidate set at
+    sum-of-block^2, never N x N, and the JVM `levenshtein(l, r, 40)`
+    early-exits above the bound so the verify cost is O(threshold * len)
+    per pair. Length-straddling pairs across bucket edges are out of
+    contract (same documented trade as the shingle-frequency cap); the
+    oracle replays the blocking exactly."""
+    d = table(spark, sf_dir, "documents")
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("text").alias("ta"),
+        "lang",
+        F.floor(F.col("n_chars") / 100).alias("blk"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("text").alias("tb"),
+        "lang",
+        F.floor(F.col("n_chars") / 100).alias("blk"),
+    )
+    pairs = a.join(b, ["lang", "blk"]).filter(F.col("id_a") < F.col("id_b"))
+    lev = F.levenshtein(F.col("ta"), F.col("tb"), 40)
+    return (
+        pairs.withColumn("lev", lev)
+        .filter(F.col("lev") >= 0)
+        .select("id_a", "id_b", "lev")
+    )

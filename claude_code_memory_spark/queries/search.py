@@ -519,3 +519,84 @@ def vector_pq_error(spark, sf_dir):
         F.count("*").alias("n_vecs"),
         F.round(F.sum(F.col("e")).cast("double") / F.count("*"), 6).alias("avg_pq_err"),
     )
+
+
+def _pq_kmeans_ctes(iters: int = 2) -> str:
+    """CTE chain replaying `pq_trained_codebook` (kmeans_lloyd_grouped
+    over 8 subspaces, 16 codes): seeded init (fixture ids are dense from
+    0, so first-16-per-group == vec_id < 16), raw-d2 argmin, decimal
+    means rounded to 6 dp. Terminal CTE: ``cb{iters}``."""
+    parts = [
+        "emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)",
+        """subs AS (
+      SELECT vec_id, label, i AS sub_idx, v[(i*8+1):(i*8+8)] AS sv
+      FROM emb, range(0, 8) t(i))""",
+        "cb0 AS (SELECT sub_idx, vec_id::INT AS code_id, sv AS cv"
+        " FROM subs WHERE vec_id < 16)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""ga{i} AS (
+      SELECT sub_idx, vec_id, sv, code_id FROM (
+        SELECT s.sub_idx, s.vec_id, s.sv, c.code_id,
+               row_number() OVER (PARTITION BY s.sub_idx, s.vec_id
+                 ORDER BY {_dd_d2("s.sv", "c.cv")}, c.code_id) AS rn
+        FROM subs s JOIN cb{i - 1} c USING (sub_idx)) t
+      WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""gm{i} AS (
+      SELECT sub_idx, code_id, pos,
+             round(sum(val::DECIMAL(38,12))::DOUBLE / count(*), 6) AS m
+      FROM (SELECT sub_idx, code_id, unnest(sv) AS val,
+                   generate_subscripts(sv, 1) AS pos FROM ga{i}) t
+      GROUP BY 1, 2, 3)"""
+        )
+        parts.append(
+            f"cb{i} AS (SELECT sub_idx, code_id, list(m ORDER BY pos) AS cv"
+            f" FROM gm{i} GROUP BY 1, 2)"
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "vector_pq_trained_error",
+    oracle=f"""
+    WITH {_pq_kmeans_ctes(iters=2)},
+    best AS (
+      SELECT s.vec_id, s.label, s.sub_idx,
+             min(round({_dd_d2("s.sv", "c.cv")}, 6)) AS sub_err
+      FROM subs s JOIN cb2 c USING (sub_idx)
+      GROUP BY s.vec_id, s.label, s.sub_idx),
+    pv AS (SELECT vec_id, label, sum(sub_err::DECIMAL(18,6)) AS e
+           FROM best GROUP BY vec_id, label)
+    SELECT label, count(*) AS n_vecs,
+           round(sum(e)::DOUBLE / count(*), 6) AS avg_pq_err
+    FROM pv GROUP BY label
+    """,
+)
+def vector_pq_trained_error(spark, sf_dir):
+    """PQ reconstruction error with Lloyd-TRAINED subspace codebooks
+    (operators/quantize.py `pq_trained_codebook` →
+    clustering.py `kmeans_lloyd_grouped`): all 8 subspace k-means runs
+    execute as one grouped plan (assignment joins on sub_idx with the
+    m x k codebook broadcast; updates aggregate by (sub_idx, code,
+    dim)). Error is strictly below the seeded codebook's at the same
+    8-byte code size (tests pin the inequality); the entire two-round
+    training chain replays in the oracle, proving the grouped trainer
+    partition-invariant end to end."""
+    from claude_code_memory_spark.operators.quantize import (
+        pq_encode,
+        pq_trained_codebook,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cb = pq_trained_codebook(emb, dim=64, m=8, k_codes=16, iters=2)
+    codes = pq_encode(emb, cb, dim=64, m=8, keep=("vec_id", "label"))
+    per_vec = codes.groupBy("vec_id", "label").agg(
+        F.sum(F.col("sub_err").cast("decimal(18,6)")).alias("e")
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.sum(F.col("e")).cast("double") / F.count("*"), 6).alias("avg_pq_err"),
+    )

@@ -82,3 +82,28 @@ def test_pq_topk_exact_for_seed_query(emb):
     q = emb.filter(F.col("vec_id") == 5).first()["embedding"]
     top = pq_topk(codes, cb, [float(x) for x in q], k=1).first()
     assert top["vec_id"] == 5 and top["approx_d2"] == 0.0
+
+
+def test_pq_trained_codebook_beats_seeded(emb):
+    """Lloyd-trained subspace codebooks must cut average reconstruction
+    error vs the seeded (iteration-0) codebook at the same size."""
+    from claude_code_memory_spark.operators.quantize import pq_trained_codebook
+
+    def avg_err(cb):
+        codes = pq_encode(emb, cb, DIM, M)
+        return codes.agg(F.avg("sub_err")).first()[0]
+
+    seeded = avg_err(pq_seeded_codebook(emb, DIM, M, KC))
+    trained = avg_err(pq_trained_codebook(emb, DIM, M, KC, iters=2))
+    assert trained < seeded, (trained, seeded)
+
+
+def test_pq_trained_codebook_partition_invariant(emb):
+    from claude_code_memory_spark.operators.quantize import pq_trained_codebook
+
+    c1 = pq_trained_codebook(emb, DIM, M, KC, iters=1).collect()
+    c2 = pq_trained_codebook(
+        emb.repartition(11, "label"), DIM, M, KC, iters=1
+    ).collect()
+    key = lambda r: (r["sub_idx"], r["code_id"])  # noqa: E731
+    assert {key(r): r["cv"] for r in c1} == {key(r): r["cv"] for r in c2}
