@@ -83,6 +83,15 @@ def main(argv: list[str] | None = None) -> int:
     p_chat.add_argument("-c", "--collection", required=True)
     p_chat.add_argument("--gap-hours", type=float, default=1.0)
 
+    p_report = sub.add_parser(
+        "report", help="render a conversation HTML report (chat/html_report.py twin)"
+    )
+    p_report.add_argument("--file", required=True, help="chat JSONL path")
+    p_report.add_argument("-o", "--output", required=True, help="output .html path")
+    p_report.add_argument("--chat-id", default=None)
+    p_report.add_argument("--session-id", type=int, default=None)
+    p_report.add_argument("--gap-hours", type=float, default=1.0)
+
     p_watch = sub.add_parser("watch")
     p_watch.add_argument("-p", "--project", required=True)
     p_watch.add_argument("-c", "--collection", required=True)
@@ -133,6 +142,26 @@ def main(argv: list[str] | None = None) -> int:
             except KeyboardInterrupt:
                 for q in qs:
                     q.stop()
+        return 0
+
+    if args.cmd == "report":
+        from claude_code_memory_spark.session import get_spark
+        from claude_code_memory_spark.sources.html_report import generate_report
+        from claude_code_memory_spark.sources.summarizer import env_transport
+
+        spark = get_spark("ccms-report")
+        spark.sparkContext.setLogLevel("ERROR")
+        html = generate_report(
+            spark,
+            args.file,
+            chat_id=args.chat_id,
+            session_id=args.session_id,
+            summarizer_transport=env_transport(),
+            gap_seconds=int(args.gap_hours * 3600),
+        )
+        with open(args.output, "w", encoding="utf-8") as fh:
+            fh.write(html)
+        print(f"wrote {args.output} ({len(html)} bytes)")
         return 0
 
     eng = _engine(args.collection)

@@ -309,3 +309,11 @@ def failing_transport() -> Transport:
         raise RuntimeError("provider unavailable")
 
     return transport
+
+
+def env_transport() -> Transport | None:
+    """`http_transport()` when OPENAI_API_KEY is present, else None —
+    callers degrade to their keyword stub (api.index_chat, CLI report)."""
+    import os
+
+    return http_transport() if os.environ.get("OPENAI_API_KEY") else None
