@@ -132,6 +132,45 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["extra:topk_qps"] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
 
+    # PQ: encode throughput + ADC recall@10-in-30 (operators/quantize.py)
+    # — the bytes/recall trade the 100 TB scan path rides; ADC *latency*
+    # is not measured here because at local fixture sizes the groupBy
+    # overhead dominates (the win is scanned bytes, which local[32]
+    # page-cached parquet cannot exhibit)
+    pq_encode_rate = pq_recall = None
+    try:
+        from claude_code_memory_spark.operators.quantize import (
+            pq_encode,
+            pq_topk,
+            pq_trained_codebook,
+        )
+
+        emb = table(spark, sf_dir, "embeddings").cache()
+        n_vecs_pq = emb.count()
+        dim = len(emb.first()["embedding"])
+        # trained codebook = the production path (seeded recall at this
+        # code size is ~half; tests pin the trained<seeded error bound)
+        cb = pq_trained_codebook(emb, dim, 8, 16, iters=2)
+        pq_encode(emb, cb, dim, 8).count()  # warm
+        t0 = time.time()
+        codes = pq_encode(emb, cb, dim, 8).cache()
+        codes.count()
+        pq_encode_rate = round(n_vecs_pq / max(time.time() - t0, 1e-9), 1)
+        recalls = []
+        for r in emb.filter(F.col("vec_id") < 5).collect():
+            qv = [float(x) for x in r["embedding"]]
+            exact = {
+                x["vec_id"]
+                for x in brute_force_topk(emb, qv, 10, exclude_id=r["vec_id"]).collect()
+            }
+            approx = {x["vec_id"] for x in pq_topk(codes, cb, qv, k=31).collect()}
+            recalls.append(len(exact & (approx - {r["vec_id"]})) / 10.0)
+        pq_recall = round(sum(recalls) / len(recalls), 3)
+        codes.unpersist()
+        emb.unpersist()
+    except Exception as exc:  # noqa: BLE001
+        errors["extra:pq"] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+
     # incremental re-index ratio (BASELINE.md: "changed-only vs full";
     # reference claims 15x, README.md:178): full index of this engine's
     # own codebase vs the no-op incremental pass over it
@@ -232,6 +271,8 @@ def main() -> None:
             "incremental_reindex_speedup": (
                 round(t_full / max(t_noop, 1e-9), 1) if t_full is not None else None
             ),
+            "pq_encode_vectors_per_sec": pq_encode_rate,
+            "pq_recall10_in_top30": pq_recall,
         },
     }
     if errors:

@@ -118,7 +118,13 @@ def kmeans_lloyd(
         assigned = assign_clusters(
             vectors, cent, id_col=id_col, vec_col=vec_col, cluster_col=cluster_col
         )
-        cent = _update_centroids(assigned, vec_col=vec_col, cluster_col=cluster_col)
+        # persist each centroid table (k rows): every later reference —
+        # the next iteration's broadcast, the final assignment, and any
+        # consumer branch (sizes/norms joins) — would otherwise replay
+        # the whole preceding iteration chain per reference
+        cent = _update_centroids(
+            assigned, vec_col=vec_col, cluster_col=cluster_col
+        ).persist()
     final = assign_clusters(
         vectors, cent, id_col=id_col, vec_col=vec_col, cluster_col=cluster_col
     )
@@ -195,7 +201,7 @@ def kmeans_lloyd_grouped(
         )
 
     for _ in range(iters):
-        cent = update(assign(cent))
+        cent = update(assign(cent)).persist()  # m x k rows; same rationale
     return assign(cent), cent
 
 

@@ -274,6 +274,38 @@ def ivf_seeded_build(
     return assigned, centers
 
 
+def ivf_lloyd_build(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray]:
+    """KMeans-quality IVF build that is also partition-invariant:
+    centroids from `kmeans_lloyd` (decimal-mean updates — bit-identical
+    on any cluster size, unlike MLlib's KMeans|| accumulations), same
+    (indexed, centers) contract as `ivf_build`/`ivf_seeded_build`.
+
+    Lloyd can drop empty clusters, so surviving cluster ids are
+    re-mapped to dense positions: `centers[i]` always corresponds to
+    `ivf_cluster == i`, which `ivf_topk`'s argsort-probe relies on. The
+    remap is a broadcast join of at most ``n_centroids`` rows."""
+    from claude_code_memory_spark.operators.clustering import kmeans_lloyd
+
+    assigned, cent = kmeans_lloyd(
+        embeddings, k=n_centroids, iters=iters,
+        id_col=id_col, vec_col=vec_col, cluster_col="__kc",
+    )
+    rows = cent.orderBy("__kc").collect()
+    centers = np.array([[float(x) for x in r["__cvec"]] for r in rows])
+    remap = embeddings.sparkSession.createDataFrame(
+        [(int(r["__kc"]), i) for i, r in enumerate(rows)], "__kc int, ivf_cluster int"
+    )
+    indexed = assigned.join(F.broadcast(remap), "__kc").drop("__kc")
+    return indexed, centers
+
+
 def ivf_topk(
     indexed: DataFrame,
     centers: np.ndarray,

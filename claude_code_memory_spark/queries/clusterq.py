@@ -126,7 +126,10 @@ def dedup_semantic_cells(spark, sf_dir):
     with the unsupervised blocking a real corpus needs."""
     emb = table(spark, sf_dir, "embeddings")
     assigned, _ = kmeans_lloyd(emb, k=8, iters=2)
-    return semantic_dedup(assigned, threshold=0.4)
+    # three consumers (both self-join sides + the verdict join) — persist
+    # so the assignment computes once; at scale this is the write-
+    # partitioned-by-cell materialization the docstring describes
+    return semantic_dedup(assigned.persist(), threshold=0.4)
 
 
 # DuckDB twin of functions.text.word_shingles(n=5): lowercase alnum

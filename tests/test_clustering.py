@@ -130,3 +130,26 @@ def test_assign_clusters_broadcasts_centroids(emb):
     plan = assign_clusters(emb, seeds)._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_lloyd_build_contract_and_exactness(emb):
+    """Full-probe IVF over Lloyd centroids must equal the brute-force
+    scan (probing every cell IS the exact scan), and the centers array
+    must align positionally with the ivf_cluster column."""
+    from claude_code_memory_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_lloyd_build,
+        ivf_topk,
+    )
+
+    indexed, centers = ivf_lloyd_build(emb, n_centroids=4, iters=1)
+    assert indexed.count() == emb.count()
+    cl = {r["ivf_cluster"] for r in indexed.select("ivf_cluster").distinct().collect()}
+    assert cl == set(range(len(centers)))
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    exact = [(r["vec_id"], r["score"]) for r in brute_force_topk(emb, q, k=5).collect()]
+    full_probe = [
+        (r["vec_id"], r["score"])
+        for r in ivf_topk(indexed, centers, q, k=5, nprobe=len(centers)).collect()
+    ]
+    assert full_probe == exact

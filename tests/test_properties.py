@@ -116,3 +116,38 @@ def test_parse_response_total_and_schema_complete(content):
 def test_validate_payload_total_on_arbitrary_dicts(payload):
     out = validate_payload(payload)
     assert set(out) == {"summary", "key_insights", "topics", "code_patterns", "debugging_info"}
+
+
+@given(st.text(max_size=500))
+@settings(max_examples=300, deadline=None)
+def test_guard_parse_judge_response_total(content):
+    """Any judge output yields (bool, str, dict) — never raises (the
+    fail-open contract, memory_guard.py:744-747)."""
+    from claude_code_memory_spark.guard import parse_judge_response
+
+    has, reason, raw = parse_judge_response(content)
+    assert isinstance(has, bool) and isinstance(reason, str) and isinstance(raw, dict)
+
+
+@given(st.text(max_size=400), st.sampled_from(["a.py", "b.ts", "c.jsx", ""]))
+@settings(max_examples=300, deadline=None)
+def test_guard_extract_entities_total_and_identifiers(code, path):
+    import re
+
+    from claude_code_memory_spark.guard import extract_entities
+
+    names = extract_entities(code, path)
+    assert len(names) == len(set(names))  # deduplicated
+    for n in names:
+        assert re.fullmatch(r"[A-Za-z_$][\w$]*", n), n
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_guard_override_comment_total(code):
+    from claude_code_memory_spark.guard import override_comment
+
+    allowed, reason = override_comment(code)
+    assert isinstance(allowed, bool) and isinstance(reason, str)
+    if allowed:
+        assert reason  # always a non-empty reason when the gate opens
