@@ -61,3 +61,42 @@ def test_bucketed_groupby_has_no_shuffle(bucketed_pair):
 
     agg = lib.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty"))
     assert "Exchange hashpartitioning" not in _plan(agg)
+
+
+def test_semantic_dedup_self_join_colocated_when_bucketed(
+    spark, sf_dir, tmp_path_factory
+):
+    """The SemDeDup docstring's scale claim, made concrete: writing the
+    k-means assignment bucketed by cell makes the pairwise self-join
+    co-located — the cluster_id hash exchanges disappear from the plan
+    and the verdicts are unchanged."""
+    from pyspark.sql import functions as F
+
+    from claude_code_memory_spark.operators.clustering import (
+        kmeans_lloyd,
+        semantic_dedup,
+    )
+
+    base = tmp_path_factory.mktemp("sem_bucketed")
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_lloyd(emb, k=4, iters=1)
+    write_bucketed(
+        assigned, "sem_bucketed", "cluster_id", 4, path=str(base / "sem")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = semantic_dedup(spark.table("sem_bucketed"), threshold=0.4)
+        plain = semantic_dedup(assigned, threshold=0.4)
+        n_b = _plan(bucketed).count("Exchange hashpartitioning")
+        n_p = _plan(plain).count("Exchange hashpartitioning")
+        # both cluster_id exchanges under the self-join vanish; the
+        # verdict join on vec_id legitimately still shuffles
+        assert n_b <= n_p - 2, (n_b, n_p)
+        rows = lambda df: {  # noqa: E731
+            (r["vec_id"], r["cluster_id"], r["removed"]) for r in df.collect()
+        }
+        assert rows(bucketed) == rows(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS sem_bucketed")
