@@ -91,9 +91,10 @@ _DRIVER_WINDOW = [
     "chunk_pack_running_budget",
 ]
 # Round-5 rotation queue (first-priority IN, displacing r4 double-greens):
-# the three r4 entries that did not fit this window —
-# agg_token_histogram, vector_pq_trained_error, dedup_edit_distance —
-# then the six r2-last-green entries named above.
+# the four r4 entries that did not fit this window —
+# agg_token_histogram, vector_pq_trained_error, dedup_edit_distance,
+# funnel_view_click_purchase — then the six r2-last-green entries named
+# above.
 
 
 def _apply_driver_window() -> None:

@@ -136,3 +136,65 @@ def events_json_props(spark, sf_dir):
     return e.groupBy(
         (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_mod")
     ).agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v
+      FROM events GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS c
+      FROM events e JOIN per USING (user_id)
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > per.v
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS p
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c
+      GROUP BY e.user_id)
+    SELECT count(per.v) AS n_view,
+           count(c.c) AS n_click_after_view,
+           count(p.p) AS n_purchase_after_click
+    FROM per LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    WHERE per.v IS NOT NULL
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered conversion funnel: users whose first view precedes a
+    click that precedes a purchase. The Spark plan is ONE hash exchange
+    by user_id — three chained window aggregates over the same
+    partitioning (Catalyst reuses the exchange) compute first-view,
+    first-click-after-view, first-purchase-after-click per user, then a
+    per-user rollup and a single global count row. The oracle expresses
+    the identical semantics as sequential correlated aggregations. At
+    100 TB the funnel costs the same as one sessionization pass — the
+    event table shuffles once, everything else is map-side."""
+    e = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    v = F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w)
+    staged = e.withColumn("__v", v)
+    c = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts_us") > F.col("__v")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    staged = staged.withColumn("__c", c)
+    p = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("__c")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    staged = staged.withColumn("__p", p)
+    per_user = staged.groupBy("user_id").agg(
+        F.first("__v").alias("v"), F.first("__c").alias("c"), F.first("__p").alias("p")
+    )
+    return per_user.filter(F.col("v").isNotNull()).agg(
+        F.count("v").alias("n_view"),
+        F.count("c").alias("n_click_after_view"),
+        F.count("p").alias("n_purchase_after_click"),
+    )

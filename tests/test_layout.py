@@ -83,3 +83,37 @@ def test_ntz_predicates_do_not_prune(spark, lineitem, tmp_path):
         spark.read.parquet(str(tmp_path / "ntz")).filter(pred).select("l_quantity")
     )
     assert rows == total
+
+
+def test_ivf_store_partition_pruning(spark, sf_dir, tmp_path):
+    """The IVF serving layout claim from operators/similarity.py made
+    concrete: persist the assignment partitioned by ivf_cluster and a
+    probe becomes directory-level partition pruning — the scan's
+    PartitionFilters carry the cluster predicate and only the probed
+    subdirectories are read; results equal the in-memory probe."""
+    from pyspark.sql import functions as F
+
+    from claude_code_memory_spark.operators.similarity import (
+        ivf_seeded_build,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    indexed, centers = ivf_seeded_build(emb, n_centroids=4)
+    path = str(tmp_path / "ivf_store")
+    indexed.write.partitionBy("ivf_cluster").parquet(path)
+    stored = spark.read.parquet(path)
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 9).first()["embedding"]]
+    topk_stored = ivf_topk(stored, centers, q, k=5, nprobe=2)
+    plan = topk_stored._jdf.queryExecution().executedPlan().toString()
+    # the probe predicate must reach the scan as a PARTITION filter
+    # (directory pruning), not a data filter: the scan line reads
+    # "PartitionFilters: [ivf_cluster#N IN (...)], PushedFilters: []"
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan and "PartitionFilters: [ivf_cluster" in scan[0], plan[:2000]
+    assert "PushedFilters: []" in scan[0], scan[0]
+    # identical results to the unpartitioned probe
+    mem = [(r["vec_id"], r["score"]) for r in ivf_topk(indexed, centers, q, k=5, nprobe=2).collect()]
+    ondisk = [(r["vec_id"], r["score"]) for r in topk_stored.collect()]
+    assert mem == ondisk
