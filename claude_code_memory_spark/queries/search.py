@@ -600,3 +600,58 @@ def vector_pq_trained_error(spark, sf_dir):
         F.count("*").alias("n_vecs"),
         F.round(F.sum(F.col("e")).cast("double") / F.count("*"), 6).alias("avg_pq_err"),
     )
+
+
+@register(
+    "vector_pq_adc_topk",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM emb WHERE vec_id = 3),
+    subs AS (
+      SELECT vec_id, i AS sub_idx, v[(i*8+1):(i*8+8)] AS sv
+      FROM emb, range(0, 8) t(i)),
+    cb AS (
+      SELECT i AS sub_idx, vec_id::INT AS code_id, v[(i*8+1):(i*8+8)] AS cv
+      FROM emb, range(0, 8) t(i) WHERE vec_id < 16),
+    codes AS (
+      SELECT vec_id, sub_idx, code_id FROM (
+        SELECT s.vec_id, s.sub_idx, c.code_id,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub_idx
+                 ORDER BY round({_dd_d2("s.sv", "c.cv")}, 6), c.code_id) AS rn
+        FROM subs s JOIN cb c USING (sub_idx)) t
+      WHERE rn = 1),
+    dtable AS (
+      SELECT c.sub_idx, c.code_id,
+             round({_dd_d2("q.qsv", "c.cv")}, 6) AS qd2
+      FROM (SELECT i AS sub_idx, qv[(i*8+1):(i*8+8)] AS qsv
+            FROM q, range(0, 8) t(i)) q
+      JOIN cb c USING (sub_idx)),
+    dists AS (
+      SELECT k.vec_id,
+             round(sum(d.qd2::DECIMAL(18,6))::DOUBLE, 6) AS approx_d2
+      FROM codes k JOIN dtable d USING (sub_idx, code_id)
+      GROUP BY k.vec_id)
+    SELECT vec_id, approx_d2 FROM dists
+    ORDER BY approx_d2 ASC, vec_id ASC LIMIT 10
+    """,
+)
+def vector_pq_adc_topk(spark, sf_dir):
+    """The PQ asymmetric-distance scan itself, oracle-checked
+    (operators/quantize.py `pq_topk`): query = vector 3, seeded PQ8x16
+    codebook, approximate distance = sum of 8 per-subspace table entries
+    (rounded then DECIMAL-summed — rank order is partition/engine
+    invariant, ties broken by id). The scan's per-vector cost is 8
+    lookups over 8-byte codes; the oracle replays codebook, encoding,
+    distance table, and the final ranking end to end, completing oracle
+    coverage of the ANN family (brute/LSH/IVF/IVF-join/SQ8/PQ)."""
+    from claude_code_memory_spark.operators.quantize import (
+        pq_encode,
+        pq_seeded_codebook,
+        pq_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cb = pq_seeded_codebook(emb, dim=64, m=8, k_codes=16)
+    codes = pq_encode(emb, cb, dim=64, m=8)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    return pq_topk(codes, cb, q, k=10)
