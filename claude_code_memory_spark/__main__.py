@@ -92,6 +92,12 @@ def main(argv: list[str] | None = None) -> int:
     p_report.add_argument("--session-id", type=int, default=None)
     p_report.add_argument("--gap-hours", type=float, default=1.0)
 
+    p_guard = sub.add_parser(
+        "guard", help="memory-guard hook: hook JSON on stdin -> decision JSON"
+    )
+    p_guard.add_argument("-c", "--collection", required=True)
+    p_guard.add_argument("-p", "--project", required=True, help="project root")
+
     p_watch = sub.add_parser("watch")
     p_watch.add_argument("-p", "--project", required=True)
     p_watch.add_argument("-c", "--collection", required=True)
@@ -165,6 +171,18 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     eng = _engine(args.collection)
+
+    if args.cmd == "guard":
+        import json as _json
+        import sys as _sys
+
+        from claude_code_memory_spark.guard import MemoryGuard
+        from claude_code_memory_spark.sources.summarizer import env_transport
+
+        hook_data = _json.load(_sys.stdin)
+        guard = MemoryGuard(eng, args.project, transport=env_transport())
+        print(_json.dumps(guard.process_hook(hook_data)))
+        return 0
 
     if args.cmd == "index":
         counters = eng.index(args.project, incremental=not args.full)

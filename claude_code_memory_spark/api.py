@@ -445,6 +445,17 @@ class CodeMemoryEngine:
         if mode not in ("semantic", "keyword", "hybrid"):
             raise ValueError(f"invalid search mode: {mode}")  # qdrant.py:722-801
         vectors = self.store.read("vectors")
+        if vectors is None:  # never-indexed collection: 0 hits, not a crash
+            base = (
+                "point_id long, dense_rank int, sparse_rank int, rrf_score double"
+                if mode == "hybrid"
+                else "point_id long, score double"
+            )
+            return self.spark.createDataFrame(
+                [],
+                base + ", entity_name string, chunk_type string,"
+                " file_path string, content string",
+            )
         if entity_types:
             vectors = vectors.filter(F.col("entity_type").isin(entity_types))
         if chunk_type:

@@ -178,7 +178,10 @@ class MemoryGuard:
     def _matches(self, entities: list[str]) -> list[dict]:
         out: list[dict] = []
         for name in entities[:8]:  # bounded judge context
-            rows = self.engine.search(name, mode="keyword", k=self.k).collect()
+            try:
+                rows = self.engine.search(name, mode="keyword", k=self.k).collect()
+            except Exception:  # un-searchable collection → no candidates
+                continue
             out.extend(r.asDict() for r in rows)
         return out
 

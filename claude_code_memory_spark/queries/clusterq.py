@@ -103,6 +103,7 @@ def cluster_kmeans_sizes(spark, sf_dir):
 
 @register(
     "dedup_semantic_cells",
+    headline=True,
     oracle=f"""
     WITH {_kmeans_ctes(k=8, iters=2)},
     pairs AS (

@@ -142,3 +142,15 @@ def test_new_code_of_multiedit():
     ti = {"edits": [{"new_string": "def a():\n    pass"}, {"new_string": "def b():\n    pass"}]}
     code = new_code_of("MultiEdit", ti)
     assert extract_entities(code) == ["a", "b"]
+
+
+def test_search_on_empty_collection_returns_zero_rows(spark, tmp_path):
+    """A never-indexed collection searches to 0 hits (stable schema), not
+    a crash — the guard CLI depends on this fail-soft path."""
+    from claude_code_memory_spark.api import CodeMemoryEngine
+
+    eng = CodeMemoryEngine(spark, str(tmp_path / "empty_store"))
+    for mode in ("semantic", "keyword", "hybrid"):
+        df = eng.search("anything", mode=mode, k=5)
+        assert df.count() == 0
+        assert "entity_name" in df.columns and "content" in df.columns
