@@ -236,6 +236,90 @@ def minhash_lsh_pairs(
     return verified.select("id_a", "id_b", "jaccard")
 
 
+def minhash_lsh_pairs_delta(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = 0.5,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental MinHash-LSH near-dup: every pair >= ``threshold`` with
+    AT LEAST ONE side in ``new_docs`` — the continuous-ingestion shape.
+
+    A full re-dedup on append recomputes all-bands x all-bands; here the
+    band join is new-bands x (corpus ∪ new)-bands, so the cost scales
+    with the batch, not the corpus: |new| x bucket-mates instead of
+    |corpus|^2 candidates. At 100 TB the corpus's banded signatures are
+    materialized once (partitioned by band key) and each append batch
+    joins against them — the same amortization `TableStore.append` gives
+    writes. Exactly equals `minhash_lsh_pairs(corpus ∪ new)` restricted
+    to pairs touching a new id (test-pinned), because band keys are a
+    pure function of each document alone.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b; old-old pairs never
+    appear. ``corpus`` must not contain ``new_docs``' ids."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+
+    def banded_of(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        sh = shingle_docs(docs, id_col=id_col, text_col=text_col, n=n).cache()
+        sig = sh.withColumn("base", minhash_base(F.col("shingles"))).withColumn(
+            "sig", minhash_signature_from_base(F.col("base"), num_hashes)
+        )
+        band_cols = [
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.slice(F.col("sig"), j * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias(f"band_{j}")
+            for j in range(bands)
+        ]
+        banded = sig.select(
+            id_col, F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
+        ).cache()
+        return sh, banded
+
+    sh_old, banded_old = banded_of(corpus)
+    sh_new, banded_new = banded_of(new_docs)
+    all_banded = banded_old.unionByName(banded_new)
+    left = banded_new.select(F.col(id_col).alias("id_x"), "band_idx", "band_key")
+    right = all_banded.select(F.col(id_col).alias("id_y"), "band_idx", "band_key")
+    candidates = (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("id_x") != F.col("id_y"))
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+        )
+        .distinct()
+    )
+    sh_all = sh_old.unionByName(sh_new)
+    sh_a = sh_all.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh_all.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
 def simhash32_table(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

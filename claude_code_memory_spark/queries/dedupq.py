@@ -257,3 +257,30 @@ def dedup_edit_distance(spark, sf_dir):
         .filter(F.col("lev") >= 0)
         .select("id_a", "id_b", "lev")
     )
+
+
+@register(
+    "dedup_minhash_delta",
+    oracle=f"""
+    WITH cutoff AS (SELECT 0.9 * max(doc_id) AS c FROM documents),
+    full_pairs AS ({_minhash_oracle()})
+    SELECT id_a, id_b, jaccard FROM full_pairs, cutoff
+    WHERE id_a >= c OR id_b >= c
+    """,
+)
+def dedup_minhash_delta(spark, sf_dir):
+    """Incremental near-dup on append (operators/dedup.py
+    `minhash_lsh_pairs_delta`): the newest ~10% of docs (id >= 0.9*max)
+    are the append batch; the band join is batch x corpus instead of
+    corpus x corpus, so re-dedup cost scales with the batch. The oracle
+    is the FULL MinHash pipeline restricted to pairs touching a new id —
+    passing proves the delta path loses nothing vs a full recompute."""
+    from claude_code_memory_spark.operators.dedup import minhash_lsh_pairs_delta
+
+    d = table(spark, sf_dir, "documents")
+    cutoff = d.agg((F.lit(0.9) * F.max("doc_id")).alias("c")).first()["c"]
+    return minhash_lsh_pairs_delta(
+        d.filter(F.col("doc_id") < cutoff),
+        d.filter(F.col("doc_id") >= cutoff),
+        threshold=0.5,
+    )

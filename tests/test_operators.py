@@ -446,3 +446,30 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_minhash_delta_equals_full_restricted(spark, sf_dir):
+    """Delta dedup == full dedup restricted to pairs touching the batch;
+    and it never emits old-old pairs."""
+    from pyspark.sql import functions as F
+
+    from claude_code_memory_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_delta,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cutoff = d.agg(F.max("doc_id")).first()[0] * 0.9
+    old, new = d.filter(F.col("doc_id") < cutoff), d.filter(F.col("doc_id") >= cutoff)
+
+    full = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(d, threshold=0.5).collect()
+        if r["id_a"] >= cutoff or r["id_b"] >= cutoff
+    }
+    delta = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs_delta(old, new, threshold=0.5).collect()
+    }
+    assert delta == full
+    assert all(a >= cutoff or b >= cutoff for a, b, _ in delta)
