@@ -77,6 +77,8 @@ def main(argv: list[str] | None = None) -> int:
     p_stats.add_argument("-c", "--collection", required=True)
     p_stats.add_argument("--bloat", action="store_true",
                          help="full storage-efficiency report (bloat_analysis.py)")
+    p_stats.add_argument("--near-dups", action="store_true", dest="near_dups",
+                         help="MinHash near-duplicate memory pairs")
 
     p_chat = sub.add_parser("chat", help="index a conversation JSONL")
     p_chat.add_argument("--file", required=True, help="chat JSONL path")
@@ -214,6 +216,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "stats":
         if args.bloat:
             eng.bloat_report().orderBy("section", "metric").show(100, truncate=60)
+        elif args.near_dups:
+            eng.near_dup_report().show(50, truncate=40)
         else:
             eng.stats().orderBy("chunk_type", "entity_type").show(100)
     elif args.cmd == "watch":

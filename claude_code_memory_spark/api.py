@@ -639,6 +639,55 @@ class CodeMemoryEngine:
 
         return bloat_report(self.store.read("chunks"), self.store.read("relations"))
 
+    def near_dup_report(self, threshold: float = 0.6) -> DataFrame:
+        """Fuzzy-duplicate memory report: MinHash-LSH near-dup pairs over
+        stored chunk CONTENT (the training-data dedup family pointed at
+        the collection itself — catches re-indexed docstrings, drifted
+        copies and prompt clutter that the bloat report's exact-hash
+        duplicate stats miss). Returns (point_a, point_b, entity_a,
+        entity_b, jaccard), worst first. Banded LSH as everywhere: cost
+        is bucket-mates, never chunks^2."""
+        from claude_code_memory_spark.operators.dedup import minhash_lsh_pairs
+
+        chunks = self.store.read("chunks")
+        if chunks is None:
+            return self.spark.createDataFrame(
+                [],
+                "point_a long, point_b long, entity_a string,"
+                " entity_b string, jaccard double",
+            )
+        pairs = minhash_lsh_pairs(
+            chunks.select("point_id", "content"),
+            threshold=threshold,
+            id_col="point_id",
+            text_col="content",
+        )
+        names = chunks.select("point_id", "entity_name")
+        return (
+            pairs.join(
+                names.select(
+                    F.col("point_id").alias("id_a"),
+                    F.col("entity_name").alias("entity_a"),
+                ),
+                "id_a",
+            )
+            .join(
+                names.select(
+                    F.col("point_id").alias("id_b"),
+                    F.col("entity_name").alias("entity_b"),
+                ),
+                "id_b",
+            )
+            .select(
+                F.col("id_a").alias("point_a"),
+                F.col("id_b").alias("point_b"),
+                "entity_a",
+                "entity_b",
+                "jaccard",
+            )
+            .orderBy(F.desc("jaccard"), F.asc("point_a"), F.asc("point_b"))
+        )
+
     # -- manual memories & collection clear (K3) -----------------------------
 
     def add_memory(self, name: str, content: str, entity_type: str = "documentation") -> None:

@@ -423,3 +423,28 @@ def test_bloat_report(spark, tmp_path, temp_repo):
     assert by_section["content"]["avg_content_len"] > 0
     assert by_section["relations"]["relations_per_entity"] > 0
     assert any("main.py" in m for m in by_section["files_top10"])
+
+
+def test_near_dup_report(spark, tmp_path):
+    """Two nearly-identical function docstrings must surface as a
+    near-dup pair; an empty collection reports zero rows."""
+    from claude_code_memory_spark.api import CodeMemoryEngine
+
+    proj = tmp_path / "ndproj"
+    proj.mkdir()
+    body = (
+        '"""Compute the weighted average score over the sliding window '
+        'of recent events and normalize by the total weight sum."""'
+    )
+    (proj / "a.py").write_text(f"def score_a():\n    {body}\n    return 1\n")
+    (proj / "b.py").write_text(f"def score_b():\n    {body}\n    return 2\n")
+    eng = CodeMemoryEngine(spark, str(tmp_path / "ndstore"))
+    eng.index(str(proj))
+    rows = eng.near_dup_report(threshold=0.5).collect()
+    assert rows, "expected at least one near-dup pair"
+    ents = {(r["entity_a"], r["entity_b"]) for r in rows}
+    assert any("score_a" in a + b or "score_b" in a + b for a, b in ents)
+    assert all(0.5 <= r["jaccard"] <= 1.0 for r in rows)
+
+    empty = CodeMemoryEngine(spark, str(tmp_path / "ndempty"))
+    assert empty.near_dup_report().count() == 0
