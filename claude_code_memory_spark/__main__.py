@@ -181,7 +181,15 @@ def main(argv: list[str] | None = None) -> int:
         from claude_code_memory_spark.guard import MemoryGuard
         from claude_code_memory_spark.sources.summarizer import env_transport
 
-        hook_data = _json.load(_sys.stdin)
+        try:
+            hook_data = _json.load(_sys.stdin)
+        except (ValueError, OSError) as exc:
+            # the guard contract is fail-open: a malformed hook payload
+            # must still print a decision, never a traceback
+            print(_json.dumps({"decision": "approve",
+                               "reason": f"unparseable hook input: {exc}",
+                               "suppressOutput": False}))
+            return 0
         guard = MemoryGuard(eng, args.project, transport=env_transport())
         print(_json.dumps(guard.process_hook(hook_data)))
         return 0

@@ -454,7 +454,7 @@ class CodeMemoryEngine:
             return self.spark.createDataFrame(
                 [],
                 base + ", entity_name string, chunk_type string,"
-                " file_path string, content string",
+                " file_path string, line_number int, content string",
             )
         if entity_types:
             vectors = vectors.filter(F.col("entity_type").isin(entity_types))
@@ -499,7 +499,8 @@ class CodeMemoryEngine:
             result = rrf_fuse(dense(fetch), sparse(fetch), k, id_col="point_id", alpha=alpha)
 
         chunks = self.store.read("chunks").select(
-            "point_id", "entity_name", "chunk_type", "file_path", "content"
+            "point_id", "entity_name", "chunk_type", "file_path", "line_number",
+            "content",
         )
         return result.join(chunks, "point_id", "left")
 

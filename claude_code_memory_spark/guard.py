@@ -35,10 +35,17 @@ Transport = Callable[[str], str]
 GUARDED_TOOLS = ("Write", "Edit", "MultiEdit")
 SKIP_EXTENSIONS = {".md", ".txt", ".json", ".yml", ".yaml", ".rst", ".xml", ".ini"}
 
-_PY_DEF = re.compile(r"^\s*def\s+([a-zA-Z_][a-zA-Z0-9_]*)\s*\(", re.MULTILINE)
+_PY_DEF = re.compile(
+    r"^\s*(?:async\s+)?def\s+([a-zA-Z_][a-zA-Z0-9_]*)\s*\(", re.MULTILINE
+)
 _PY_CLASS = re.compile(r"^\s*class\s+([a-zA-Z_][a-zA-Z0-9_]*)", re.MULTILINE)
-_JS_FUNC = re.compile(r"\bfunction\s+([A-Za-z_$][\w$]*)\s*\(")
+_JS_FUNC = re.compile(r"\bfunction\s*\*?\s+([A-Za-z_$][\w$]*)\s*\(")
 _JS_CLASS = re.compile(r"\bclass\s+([A-Za-z_$][\w$]*)")
+# const/let/var NAME = [async] (args) => …  |  single-param arrows
+_JS_ARROW = re.compile(
+    r"\b(?:const|let|var)\s+([A-Za-z_$][\w$]*)\s*=\s*(?:async\s*)?"
+    r"(?:\([^)\n]*\)|[A-Za-z_$][\w$]*)\s*=>"
+)
 _OVERRIDE = re.compile(
     r"(?:#|//)\s*@allow-duplicate(?:\s*:\s*(.+))?"
     r"|/\*\s*@allow-duplicate(?:\s*:\s*(.+))?\s*\*/"
@@ -65,7 +72,7 @@ def extract_entities(code: str, file_path: str = "") -> list[str]:
     :90-130, extended with the JS patterns the reference's parsers
     cover). Order-preserving, deduplicated."""
     pats = (
-        [_JS_FUNC, _JS_CLASS]
+        [_JS_FUNC, _JS_ARROW, _JS_CLASS]
         if re.search(r"\.(js|jsx|ts|tsx|mjs)$", file_path or "")
         else [_PY_DEF, _PY_CLASS]
     )

@@ -114,6 +114,14 @@ def kmeans_lloyd(
             F.col(vec_col).cast("array<double>").alias("__cvec"),
         )
     )
+    # seeding uses ids 0..k-1 — a non-dense / non-zero-based id space
+    # (e.g. hashed point ids) would yield zero centroids and a silently
+    # empty assignment; fail loudly instead
+    if not cent.take(1):
+        raise ValueError(
+            f"kmeans_lloyd seeding found no rows with {id_col} < {k}; "
+            "ids must be dense from 0 (re-key hashed ids first)"
+        )
     for _ in range(iters):
         assigned = assign_clusters(
             vectors, cent, id_col=id_col, vec_col=vec_col, cluster_col=cluster_col

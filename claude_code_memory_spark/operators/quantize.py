@@ -137,6 +137,11 @@ def pq_seeded_codebook(
     """(sub_idx, code_id, cv): per-subspace codewords = subvectors of the
     first ``k_codes`` vectors by id. m x k_codes rows — always broadcast."""
     seeds = df.filter(F.col(id_col) < k_codes)
+    if not seeds.take(1):  # hashed/non-dense ids would silently code nothing
+        raise ValueError(
+            f"pq_seeded_codebook found no rows with {id_col} < {k_codes}; "
+            "ids must be dense from 0 (re-key hashed ids first)"
+        )
     return pq_split(seeds, dim, m, vec_col=vec_col, keep=(id_col,)).select(
         "sub_idx", F.col(id_col).cast("int").alias("code_id"), F.col("sv").alias("cv")
     )
@@ -175,12 +180,12 @@ def pq_trained_codebook(
 
 def _d2(a: Column, b: Column) -> Column:
     """Squared L2 via the dot identity — the sequential evaluation order
-    DuckDB's list_dot_product uses, so oracle tie-breaks replay."""
-
-    def dot(x: Column, y: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
-        )
+    DuckDB's list_dot_product uses, so oracle tie-breaks replay. Built on
+    the ONE shared dot (functions/vector.py): every operator under the
+    determinism contract must use the same float evaluation order, so
+    there is exactly one implementation to keep in lockstep with the
+    oracles."""
+    from claude_code_memory_spark.functions.vector import dot
 
     return dot(a, a) - 2 * dot(a, b) + dot(b, b)
 

@@ -162,9 +162,16 @@ def ivf_knn_join(
     q_vec: str = "q_vec",
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    exclude_same_id: bool = True,
 ) -> DataFrame:
     """Approximate batch k-NN join via shared IVF clustering — the scalable
     formulation when BOTH sides are large.
+
+    ``exclude_same_id=True`` (default) drops pairs with ``q_id == c_id``
+    — correct when the queries ARE corpus members (dedup candidate
+    generation, the catalog entry). When the query side is a SEPARATE id
+    namespace, an id collision would wrongly discard an unrelated corpus
+    vector: pass ``exclude_same_id=False``.
 
     `knn_join_sql`/`knn_join_numpy` score every (query, corpus) pair —
     O(Q x N), fine when queries broadcast but quadratic when both sides
@@ -199,7 +206,9 @@ def ivf_knn_join(
         q_id,
         F.col(c_id),
         F.round(cosine_similarity(F.col(c_vec), F.col(q_vec)), 6).alias("score"),
-    ).filter(F.col(q_id) != F.col(c_id))
+    )
+    if exclude_same_id:
+        scored = scored.filter(F.col(q_id) != F.col(c_id))
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
@@ -256,6 +265,11 @@ def ivf_seeded_build(
         .orderBy(id_col)
         .collect()
     )
+    if not rows:  # hashed/non-dense ids would silently index nothing
+        raise ValueError(
+            f"ivf_seeded_build found no rows with {id_col} < {n_centroids}; "
+            "ids must be dense from 0 (re-key hashed ids first)"
+        )
     centers = np.array([[float(x) for x in r[vec_col]] for r in rows])
     cent = embeddings.sparkSession.createDataFrame(
         [(int(i), [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)],

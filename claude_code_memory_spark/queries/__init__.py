@@ -43,6 +43,8 @@ _DRIVER_WINDOW = [
     "sample_domain_mixture",
     "vector_pq_error",
     "graph_pagerank_nations",
+    "vector_pq_adc_topk",
+    "dedup_minhash_delta",
     # -- permanent anchors: the reference's core query modes --
     "dense_topk",
     "bm25_keyword_topk",
@@ -71,8 +73,6 @@ _DRIVER_WINDOW = [
     "relations_orphan_cleanup",
     "agg_percentiles",
     "window_lag_lead",
-    "window_rank_ntile",
-    "pivot_status_by_priority",
     "scroll_pagination",
     "weighted_content_assembly",
     "scalar_datetime_parts",
@@ -91,10 +91,13 @@ _DRIVER_WINDOW = [
     "chunk_pack_running_budget",
 ]
 # Round-5 rotation queue (first-priority IN, displacing r4 double-greens):
-# the four r4 entries that did not fit this window —
+# (a) the four r4 entries that did not fit this window —
 # agg_token_histogram, vector_pq_trained_error, dedup_edit_distance,
-# funnel_view_click_purchase — then the six r2-last-green entries named
-# above.
+# funnel_view_click_purchase; (b) the two r1-green entries displaced to
+# make room for vector_pq_adc_topk / dedup_minhash_delta —
+# window_rank_ntile, pivot_status_by_priority (each family-covered by a
+# driver-green twin: window_lag_lead / pivot_priority_by_year); (c) the
+# six r2-last-green entries named above.
 
 
 def _apply_driver_window() -> None:

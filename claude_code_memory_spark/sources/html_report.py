@@ -167,8 +167,8 @@ def generate_report(
     convs = categorize(conversations(msgs, gap_seconds))
     if chat_id is not None:
         convs = convs.filter(F.col("chat_id") == chat_id)
-        if session_id is not None:
-            convs = convs.filter(F.col("session_id") == session_id)
+    if session_id is not None:  # independent filters: --session-id alone works
+        convs = convs.filter(F.col("session_id") == session_id)
     pick = convs.orderBy(
         F.desc("n_messages"), F.asc("chat_id"), F.asc("session_id")
     ).first()

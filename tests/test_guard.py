@@ -154,3 +154,10 @@ def test_search_on_empty_collection_returns_zero_rows(spark, tmp_path):
         df = eng.search("anything", mode=mode, k=5)
         assert df.count() == 0
         assert "entity_name" in df.columns and "content" in df.columns
+
+
+def test_extract_entities_arrow_and_async():
+    js = "const render = (props) => {}\nlet go = async x => x\nvar keep = 1\n"
+    assert extract_entities(js, "app.tsx") == ["render", "go"]
+    py = "async def fetch_data(url):\n    pass\n"
+    assert extract_entities(py, "a.py") == ["fetch_data"]
