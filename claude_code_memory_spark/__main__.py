@@ -94,6 +94,11 @@ def main(argv: list[str] | None = None) -> int:
     p_report.add_argument("--session-id", type=int, default=None)
     p_report.add_argument("--gap-hours", type=float, default=1.0)
 
+    p_sql = sub.add_parser("sql", help="ad-hoc SQL over the collection's tables")
+    p_sql.add_argument("-c", "--collection", required=True)
+    p_sql.add_argument("query", help="SQL over chunks/entities/relations/vectors/file_state")
+    p_sql.add_argument("-n", "--rows", type=int, default=50)
+
     p_guard = sub.add_parser(
         "guard", help="memory-guard hook: hook JSON on stdin -> decision JSON"
     )
@@ -221,6 +226,8 @@ def main(argv: list[str] | None = None) -> int:
         print("cleared" + ("" if args.all else " (manual memories preserved)"))
     elif args.cmd == "chat":
         print(eng.index_chat(args.file, gap_seconds=int(args.gap_hours * 3600)))
+    elif args.cmd == "sql":
+        eng.sql(args.query).show(args.rows, truncate=60)
     elif args.cmd == "stats":
         if args.bloat:
             eng.bloat_report().orderBy("section", "metric").show(100, truncate=60)

@@ -689,6 +689,20 @@ class CodeMemoryEngine:
             .orderBy(F.desc("jaccard"), F.asc("point_a"), F.asc("point_b"))
         )
 
+    def sql(self, query: str) -> DataFrame:
+        """Ad-hoc SQL over the collection: registers every store table
+        that exists (chunks, entities, relations, vectors, file_state)
+        as a temp view and runs the query through Catalyst — the
+        analytics escape hatch a Spark-native memory engine gets for
+        free (the reference requires bespoke scroll/aggregate code per
+        question, e.g. bloat_analysis.py). Views are snapshot reads:
+        re-register by calling again after writes."""
+        for name in ("chunks", "entities", "relations", "vectors", "file_state"):
+            df = self.store.read(name)
+            if df is not None:
+                df.createOrReplaceTempView(name)
+        return self.spark.sql(query)
+
     # -- manual memories & collection clear (K3) -----------------------------
 
     def add_memory(self, name: str, content: str, entity_type: str = "documentation") -> None:

@@ -140,3 +140,58 @@ def parse_ini_source(path: str, source: str) -> list[dict]:
         )
         recs.append(_relation_rec(path, section, "contains", path))
     return recs
+
+
+def parse_toml_source(path: str, source: str) -> list[dict]:
+    """S10 family: TOML via stdlib ``tomllib``. pyproject.toml gets the
+    package.json treatment (json_parser.py:230-262 parity): [project]
+    dependencies and every optional-dependency group become import
+    entities + ``imports`` relations (PEP 508 specifiers stripped);
+    other files surface their top-level tables/keys as variables."""
+    import tomllib
+
+    recs = [
+        _entity_rec(path, "file", path, 1, source.count("\n") + 1, [f"TOML file {path}"])
+    ]
+    try:
+        data = tomllib.loads(source)
+    except (tomllib.TOMLDecodeError, RecursionError):
+        return recs
+    basename = path.rsplit("/", 1)[-1]
+
+    def dep_name(spec: str) -> str:
+        return re.split(r"[\s<>=!~;\[\(]", spec.strip(), 1)[0]
+
+    if basename == "pyproject.toml" and isinstance(data, dict):
+        project = data.get("project") or {}
+        groups: list[tuple[str, list]] = [
+            ("dependencies", project.get("dependencies") or [])
+        ]
+        for grp, deps in (project.get("optional-dependencies") or {}).items():
+            groups.append((f"optional:{grp}", deps or []))
+        # poetry layout keeps deps under [tool.poetry.dependencies]
+        poetry = ((data.get("tool") or {}).get("poetry") or {}).get("dependencies")
+        if isinstance(poetry, dict):
+            groups.append(("poetry", [f"{k}{'' if v == '*' else v}" if isinstance(v, str) else k
+                                      for k, v in poetry.items() if k != "python"]))
+        for section, deps in groups:
+            for spec in deps:
+                name = dep_name(str(spec))
+                if not name:
+                    continue
+                recs.append(
+                    _entity_rec(name, "import", path, None, None,
+                                [f"python dependency {spec}"])
+                )
+                recs.append(_relation_rec(path, name, "imports", path, section))
+    if isinstance(data, dict):
+        for key, value in list(data.items())[:100]:
+            kind = type(value).__name__
+            recs.append(
+                _entity_rec(
+                    f"{basename}::{key}", "variable", path, None, None,
+                    [f"TOML table '{key}' ({kind})"],
+                )
+            )
+            recs.append(_relation_rec(path, f"{basename}::{key}", "contains", path))
+    return recs

@@ -35,6 +35,7 @@ LANGUAGE_BY_EXT = {
     "txt": "txt",
     "csv": "csv",
     "ini": "ini",
+    "toml": "toml",
 }
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 from claude_code_memory_spark.sources.config_parsers import (
     parse_csv_source,
     parse_ini_source,
+    parse_toml_source,
     parse_json_source,
     parse_text_source,
     parse_yaml_source,
@@ -40,6 +41,7 @@ PARSERS: dict[str, Parser] = {
     "txt": parse_text_source,
     "csv": parse_csv_source,
     "ini": parse_ini_source,
+    "toml": parse_toml_source,
     "html": parse_html_source,
     "css": parse_css_source,
 }

@@ -448,3 +448,22 @@ def test_near_dup_report(spark, tmp_path):
 
     empty = CodeMemoryEngine(spark, str(tmp_path / "ndempty"))
     assert empty.near_dup_report().count() == 0
+
+
+def test_sql_surface(spark, tmp_path):
+    from claude_code_memory_spark.api import CodeMemoryEngine
+
+    proj = tmp_path / "sqlproj"
+    proj.mkdir()
+    (proj / "a.py").write_text("def alpha():\n    pass\n\ndef beta():\n    pass\n")
+    eng = CodeMemoryEngine(spark, str(tmp_path / "sqlstore"))
+    eng.index(str(proj))
+    rows = eng.sql(
+        "SELECT chunk_type, count(*) AS n FROM chunks GROUP BY chunk_type"
+    ).collect()
+    assert rows and sum(r["n"] for r in rows) > 0
+    joined = eng.sql(
+        "SELECT c.entity_name FROM chunks c JOIN vectors v USING (point_id) "
+        "WHERE c.entity_name LIKE '%alpha%'"
+    )
+    assert joined.count() > 0

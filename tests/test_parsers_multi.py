@@ -227,3 +227,50 @@ def test_engine_indexes_mixed_languages(spark, tmp_path):
     assert ents.get("parse") == "function"
     assert ents.get("Readme") == "documentation"
     assert ents.get("react") == "import"
+
+
+def test_toml_pyproject_and_generic(spark, tmp_path):
+    from claude_code_memory_spark.sources.config_parsers import parse_toml_source
+
+    pyproject = """
+[project]
+name = "demo"
+dependencies = ["numpy>=1.20", "pandas[all] ; python_version>'3.8'"]
+
+[project.optional-dependencies]
+dev = ["pytest~=8.0"]
+
+[tool.poetry.dependencies]
+python = "^3.11"
+requests = "*"
+"""
+    recs = parse_toml_source("/p/pyproject.toml", pyproject)
+    imports = {r["entity_name"] for r in recs if r.get("entity_type") == "import"}
+    assert {"numpy", "pandas", "pytest", "requests"} <= imports
+    assert "python" not in imports  # interpreter pin is not a dependency
+    rels = {(r["from_entity"], r["to_entity"], r["relation_type"])
+            for r in recs if r.get("relation_type") == "imports"}
+    assert ("/p/pyproject.toml", "numpy", "imports") in rels
+    tables = {r["entity_name"] for r in recs if r.get("entity_type") == "variable"}
+    assert "pyproject.toml::project" in tables
+
+    # generic toml: tables as variables; malformed input degrades to file rec
+    generic = parse_toml_source("/p/config.toml", "[server]\nport = 8080\n")
+    assert any(r["entity_name"] == "config.toml::server" for r in generic)
+    broken = parse_toml_source("/p/bad.toml", "= nonsense [[[")
+    assert len(broken) == 1 and broken[0]["entity_type"] == "file"
+
+
+def test_engine_indexes_toml(spark, tmp_path):
+    from claude_code_memory_spark.api import CodeMemoryEngine
+
+    proj = tmp_path / "tproj"
+    proj.mkdir()
+    (proj / "pyproject.toml").write_text(
+        '[project]\nname = "x"\ndependencies = ["duckdb>=0.9"]\n'
+    )
+    (proj / "m.py").write_text("import duckdb\n")
+    eng = CodeMemoryEngine(spark, str(tmp_path / "tstore"))
+    eng.index(str(proj))
+    hits = eng.search("duckdb", mode="keyword", k=5).collect()
+    assert hits
