@@ -400,3 +400,61 @@ def agg_token_histogram(spark, sf_dir):
     return tc.groupBy(
         (F.floor(F.col("ws_tokens") / 10) * 10).cast("bigint").alias("bucket_lo")
     ).agg(F.count("*").alias("n_docs"), F.sum("ws_tokens").alias("total_tokens"))
+
+
+_GOPHER_WORDS = "list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0)"
+_GOPHER_LINES = "list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0)"
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             len({_GOPHER_WORDS}) AS n_words,
+             greatest(len({_GOPHER_LINES}), 1) AS n_lines,
+             list_sum(list_transform({_GOPHER_WORDS}, w -> length(w)))::DOUBLE
+               / greatest(len({_GOPHER_WORDS}), 1) AS mean_wl,
+             len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE
+               / greatest(len({_GOPHER_WORDS}), 1) AS symbol_ratio,
+             len(list_filter({_GOPHER_LINES},
+                             l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE AS bullet_lines,
+             len(list_filter({_GOPHER_LINES},
+                             l -> regexp_matches(trim(l), '\\.\\.\\.$')))::DOUBLE AS ellipsis_lines,
+             len(list_filter({_GOPHER_WORDS},
+                             w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+               / greatest(len({_GOPHER_WORDS}), 1) AS alpha_ratio,
+             len(list_intersect(
+                   list_distinct(string_split_regex(lower(text), '\\s+')),
+                   ['the','be','to','of','and','that','have','with'])) AS stop_hits
+      FROM documents)
+    SELECT doc_id,
+           n_words,
+           round(mean_wl, 6) AS mean_word_len,
+           round(symbol_ratio, 6) AS symbol_ratio,
+           round(alpha_ratio, 6) AS alpha_word_ratio,
+           stop_hits AS required_word_hits,
+           n_words BETWEEN 50 AND 100000 AS ok_word_count,
+           mean_wl BETWEEN 3.0 AND 10.0 AS ok_mean_word_len,
+           symbol_ratio < 0.1 AS ok_symbol_ratio,
+           bullet_lines / n_lines < 0.9 AS ok_bullet_lines,
+           ellipsis_lines / n_lines < 0.3 AS ok_ellipsis_lines,
+           alpha_ratio >= 0.8 AS ok_alpha_words,
+           stop_hits >= 2 AS ok_stop_words,
+           (n_words BETWEEN 50 AND 100000) AND (mean_wl BETWEEN 3.0 AND 10.0)
+             AND symbol_ratio < 0.1 AND bullet_lines / n_lines < 0.9
+             AND ellipsis_lines / n_lines < 0.3 AND alpha_ratio >= 0.8
+             AND stop_hits >= 2 AS passes_gopher
+    FROM feat
+    """,
+)
+def text_gopher_rules(spark, sf_dir):
+    """Gopher-paper document quality rules (Rae et al. 2021 §A1.1.1) as a
+    single narrow projection over the corpus — the standard pre-training
+    gate alongside `text_c4_filter`. All seven rules are pure column
+    algebra (no UDF, no shuffle): at 100 TB this fuses into the scan and
+    the filter verdict rides the same codegen stage as decompression."""
+    from claude_code_memory_spark.operators import textanalysis as TA
+
+    d = table(spark, sf_dir, "documents")
+    return TA.gopher_rules(d)
