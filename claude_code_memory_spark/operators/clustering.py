@@ -17,12 +17,13 @@ reduction that feeds a comparison is made associative:
 - update: per-dimension means summed as DECIMAL(38,12) (associative —
   immune to partition order), divided in double, rounded to 6 dp.
 
-Cost model at scale: each iteration is one broadcast cross join against
-``k`` centroid rows (map-side, no shuffle of the big table) + one
+Cost model at scale: each iteration is one NARROW argmin projection
+(centroids collected driver-side — k rows — and inlined as literal
+arrays, the same move MLlib makes between Lloyd iterations) + one
 posexplode/groupBy whose key space is k x dim (tiny shuffle). ``iters``
 is a constant; the big table is scanned ``iters + 1`` times and never
-shuffled by row. Cache the input before calling when the scan is the
-bottleneck.
+shuffled, joined, or fanned out by row. Cache the input before calling
+when the scan is the bottleneck.
 """
 
 from __future__ import annotations
@@ -30,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from claude_code_memory_spark.functions.vector import cosine_similarity, dot
+from claude_code_memory_spark.functions.vector import dot
 
 
 def assign_clusters(
@@ -42,22 +43,49 @@ def assign_clusters(
     cluster_col: str = "cluster_id",
     cvec_col: str = "__cvec",
 ) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the centroid table, argmin
-    squared-L2 per vector (dot identity), ties broken by cluster id.
+    """Nearest-centroid assignment as a NARROW projection: the ``k``
+    centroid rows are collected driver-side (the standard Lloyd-on-Spark
+    move — MLlib does the same between iterations) and inlined as literal
+    arrays, so the assignment is argmin over an in-row candidate list —
+    no join, no window, no shuffle, no row fan-out.
 
-    Adds ``cluster_col`` to ``vectors``; no row-level shuffle — the only
-    window partitions by the vector id over the k-way candidate fan-out.
+    Arithmetic is unchanged from the join formulation so oracles replay
+    it bit-for-bit: per candidate d2 = dot(v,v) - 2*dot(v,c) + dot(c,c)
+    (the centroid self-dot is folded driver-side with the same sequential
+    IEEE sum the in-plan fold performs), ties broken by lower cluster id
+    via struct ordering under ``array_min``.
     """
+    cents = sorted(
+        ((int(r[cluster_col]), [float(x) for x in r[cvec_col]]) for r in centroids.collect()),
+    )
+    if not cents:
+        raise ValueError("assign_clusters: empty centroid table")
     v = F.col(vec_col).cast("array<double>")
-    c = F.col(cvec_col)
-    d2 = dot(v, v) - 2 * dot(v, c) + dot(c, c)
-    w = Window.partitionBy(id_col).orderBy("__d2", cluster_col)
+    dv = dot(v, v)
+
+    def _self_dot(cv: list[float]) -> float:
+        acc = 0.0  # mirrors the zip_with+aggregate fold: 0.0 + x0*x0 + ...
+        for x in cv:
+            acc = acc + x * x
+        return acc
+
+    cand = F.array(
+        *[
+            F.struct(
+                (
+                    F.col("__dv")
+                    - 2 * dot(v, F.array(*[F.lit(x) for x in cv]))
+                    + F.lit(_self_dot(cv))
+                ).alias("d2"),
+                F.lit(cid).cast("int").alias("cid"),
+            )
+            for cid, cv in cents
+        ]
+    )
     return (
-        vectors.crossJoin(F.broadcast(centroids))
-        .withColumn("__d2", d2)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__d2", "__rn", cvec_col)
+        vectors.withColumn("__dv", dv)
+        .withColumn(cluster_col, F.array_min(cand)["cid"])
+        .drop("__dv")
     )
 
 
@@ -233,20 +261,33 @@ def semantic_dedup(
 
     Returns one row per input vector: (id, cluster, removed boolean).
     """
+    # Precompute each row's L2 norm BEFORE the self-join: the pairwise
+    # filter then evaluates ONE dot product per pair instead of three —
+    # at (n/k)^2 pairs per cell that is the dominant cost. sqrt(dot(v,v))
+    # per row is bit-identical to computing it per pair, so the oracle's
+    # cos expression still replays exactly.
+    norm = F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
     a = assigned.select(
         F.col(id_col).alias("__id_a"),
         F.col(vec_col).alias("__va"),
+        norm.alias("__na"),
         F.col(cluster_col),
     )
     b = assigned.select(
         F.col(id_col).alias("__id_b"),
         F.col(vec_col).alias("__vb"),
+        norm.alias("__nb"),
         F.col(cluster_col),
     )
     dup_pairs = (
         a.join(b, cluster_col)
         .filter(F.col("__id_a") < F.col("__id_b"))
-        .filter(F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6) >= threshold)
+        .filter(
+            F.round(
+                dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+            )
+            >= threshold
+        )
     )
     removed = dup_pairs.select(F.col("__id_b").alias(id_col)).distinct()
     return assigned.join(

@@ -120,16 +120,17 @@ def test_semantic_dedup_verdicts(emb):
     assert flagged.count() == 0
 
 
-def test_assign_clusters_broadcasts_centroids(emb):
-    """The per-iteration join must be a broadcast (map-side) join — a
-    shuffled join here would move the full corpus once per iteration."""
+def test_assign_clusters_is_narrow(emb):
+    """Assignment must be a NARROW projection (centroids inlined as
+    literals): no join, no exchange, no window — a per-iteration shuffle
+    or row fan-out would move the full corpus once per Lloyd round."""
     seeds = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").cast("int").alias("cluster_id"),
         F.col("embedding").cast("array<double>").alias("__cvec"),
     )
     plan = assign_clusters(emb, seeds)._jdf.queryExecution().executedPlan().toString()
-    assert "Broadcast" in plan
-    assert "SortMergeJoin" not in plan
+    for op in ("Join", "Exchange", "Window"):
+        assert op not in plan, f"assignment plan contains {op}:\n{plan}"
 
 
 def test_ivf_lloyd_build_contract_and_exactness(emb):
