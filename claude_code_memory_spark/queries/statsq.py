@@ -146,3 +146,36 @@ def sketch_approx_distinct(spark, sf_dir):
     return agg.select(
         "event_type", "exact_users", within.alias("approx_within_15pct")
     ).orderBy("event_type")
+
+
+@register(
+    "sketch_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> length(x) > 1)) AS token
+      FROM documents),
+    tot AS (SELECT count(*) AS n_total FROM toks),
+    cnt AS (SELECT token, count(*) AS n_occurrences FROM toks GROUP BY token)
+    SELECT c.token, c.n_occurrences, t.n_total
+    FROM cnt c CROSS JOIN tot t
+    WHERE c.n_occurrences * 200 > t.n_total
+    """,
+)
+def sketch_heavy_hitters(spark, sf_dir):
+    """Corpus tokens above the 1/200 frequency threshold via per-partition
+    Misra-Gries sketches + an exact recount of the surviving candidates.
+    The sketch pass is bounded-memory and shuffle-free; the MG guarantee
+    makes the final set partition-invariant (every true heavy hitter
+    survives in some partition; the recount kills false positives), so an
+    exact-SQL oracle can pin an approximate-algorithm pipeline. The
+    threshold compare is overflow-free integer math (count * capacity >
+    n_total) — no float knife-edge. Partner of `sketch_approx_distinct`
+    in the sketch family; reference parity: corpus frequency stats
+    (embeddings/bm25.py document-frequency pass)."""
+    from claude_code_memory_spark.functions.text import tokenize
+    from claude_code_memory_spark.operators.heavyhitters import heavy_hitters
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokenize("text")).alias("token"))
+    return heavy_hitters(toks, item_col="token", capacity=200)
