@@ -198,3 +198,53 @@ def funnel_view_click_purchase(spark, sf_dir):
         F.count("c").alias("n_click_after_view"),
         F.count("p").alias("n_purchase_after_click"),
     )
+
+
+@register(
+    "sessionize_builtin_window",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+    flagged AS (
+      SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w >= {_GAP_US}
+                     THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    sessions AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id,
+           CAST(min(ts_us) AS BIGINT) AS session_start_us,
+           count(*) AS n_events,
+           CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def sessionize_builtin_window(spark, sf_dir):
+    """Sessionization via Spark's NATIVE `session_window` operator — the
+    same physical operator Structured Streaming uses for stateful session
+    aggregation — pinned against the gaps-and-islands oracle to prove the
+    two formulations agree event-for-event (merge iff inter-event gap
+    < 1h). In batch this is one hash exchange on user_id + the session-
+    merge aggregate, no analytic windows at all; in streaming the exact
+    same expression runs incrementally with watermark-driven state
+    eviction, which is why the engine can promote this query to a stream
+    without rewriting it (streaming/pipeline.py). Decimal value sums keep
+    the hash partition-order-invariant."""
+    e = _events_us(spark, sf_dir)
+    evt = e.withColumn("ts_ts", F.timestamp_micros(F.col("ts_us")))
+    return (
+        evt.groupBy("user_id", F.session_window("ts_ts", "1 hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max("ts_us") - F.min("ts_us")).cast("long").alias("duration_us"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("total_value"),
+            F.min("ts_us").cast("long").alias("session_start_us"),
+        )
+        .select(
+            "user_id", "session_start_us", "n_events", "duration_us", "total_value"
+        )
+    )
