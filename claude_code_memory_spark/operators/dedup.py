@@ -404,3 +404,83 @@ def contaminated_docs(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+def cross_substring_overlaps(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_overlap_tokens: int = 10,
+    max_gram_docs: int = 20,
+) -> DataFrame:
+    """Cross-document EXACT substring overlap detection — the fingerprint
+    formulation of exact-substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499; the
+    suffix-array step re-expressed as positional n-gram alignment, which
+    is the join-friendly shape):
+
+    1. position-indexed word ``n``-grams per document (narrow explode);
+    2. doc-frequency cap on grams (``max_gram_docs``) so boilerplate
+       grams cannot create a quadratic hot key — the same guard as the
+       shingle caps in `ngram_jaccard_pairs`;
+    3. equi-join on the gram, lower id on the left;
+    4. aligned-run detection: within a (doc_a, doc_b) pair, matches that
+       advance in BOTH documents share a constant position offset, so
+       grouping by ``pos_a - pos_b`` and islanding consecutive ``pos_a``
+       values (pos - row_number) finds every maximal shared run;
+    5. the longest run of ``r`` consecutive grams covers ``r + n - 1``
+       tokens of verbatim shared text.
+
+    Returns (doc_a, doc_b, overlap_tokens) for pairs sharing at least
+    ``min_overlap_tokens`` consecutive tokens. Every stage is a bounded
+    equi-join or a windowed aggregate over matched grams only — never a
+    pairwise document scan.
+    """
+    toks = F.expr(
+        f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> length(x) > 1)"
+    )
+    grams = docs.select(
+        F.col(id_col).alias("__doc"), toks.alias("__t")
+    ).filter(F.size("__t") >= n).select(
+        "__doc",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(__t) - {n}),"
+                f" i -> struct(i AS pos, array_join(slice(__t, i + 1, {n}), ' ') AS gram))"
+            )
+        ).alias("__g"),
+    ).select("__doc", F.col("__g.pos").alias("__pos"), F.col("__g.gram").alias("__gram"))
+
+    keep = (
+        grams.groupBy("__gram")
+        .agg(F.count_distinct("__doc").alias("__df"))
+        .filter(F.col("__df") <= max_gram_docs)
+        .select("__gram")
+    )
+    capped = grams.join(keep, "__gram")
+
+    a = capped.select(
+        F.col("__gram"), F.col("__doc").alias("doc_a"), F.col("__pos").alias("__pa")
+    )
+    b = capped.select(
+        F.col("__gram"), F.col("__doc").alias("doc_b"), F.col("__pos").alias("__pb")
+    )
+    matches = (
+        a.join(b, "__gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "__pa", (F.col("__pa") - F.col("__pb")).alias("__diff"))
+        .distinct()
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "__diff").orderBy("__pa")
+    runs = (
+        matches.withColumn("__isl", F.col("__pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "__diff", "__isl")
+        .agg(F.count("*").alias("__run"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg((F.max("__run") + (n - 1)).cast("long").alias("overlap_tokens"))
+        .filter(F.col("overlap_tokens") >= min_overlap_tokens)
+    )

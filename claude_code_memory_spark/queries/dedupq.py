@@ -284,3 +284,55 @@ def dedup_minhash_delta(spark, sf_dir):
         d.filter(F.col("doc_id") >= cutoff),
         threshold=0.5,
     )
+
+
+@register(
+    "dedup_cross_substring",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> length(x) > 1) AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest([i - 1 FOR i IN range(1, greatest(len(t) - 7, 0) + 1)]) AS pos,
+             unnest([array_to_string(t[i:i + 7], ' ')
+                     FOR i IN range(1, greatest(len(t) - 7, 0) + 1)]) AS gram
+      FROM toks
+      WHERE len(t) >= 8),
+    keep AS (
+      SELECT gram FROM (
+        SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram)
+      WHERE df <= 20),
+    matches AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, a.pos - b.pos AS diff
+      FROM g a JOIN keep USING (gram) JOIN g b USING (gram)
+      WHERE a.doc_id < b.doc_id),
+    runs AS (
+      SELECT doc_a, doc_b, diff,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, diff
+                                     ORDER BY pa) AS isl
+      FROM matches),
+    islands AS (
+      SELECT doc_a, doc_b, count(*) AS run
+      FROM runs GROUP BY doc_a, doc_b, diff, isl)
+    SELECT doc_a, doc_b, CAST(max(run) + 7 AS BIGINT) AS overlap_tokens
+    FROM islands GROUP BY doc_a, doc_b
+    HAVING max(run) + 7 >= 10
+    """,
+)
+def dedup_cross_substring(spark, sf_dir):
+    """Exact-substring dedup pairs (Lee et al. 2021, arXiv:2107.06499):
+    documents sharing a verbatim run of >= 10 consecutive tokens, found
+    by positional 8-gram alignment — the suffix-array result via joins
+    a cluster can execute. Doc-frequency-capped gram join, then islands
+    over the constant (pos_a - pos_b) offset; never a pairwise doc scan.
+    Completes the dedup family: exact (hash), near (MinHash/SimHash/
+    Jaccard/embedding), and now verbatim-span."""
+    from claude_code_memory_spark.operators.dedup import cross_substring_overlaps
+
+    d = table(spark, sf_dir, "documents")
+    return cross_substring_overlaps(
+        d, n=8, min_overlap_tokens=10, max_gram_docs=20
+    )

@@ -473,3 +473,53 @@ def test_minhash_delta_equals_full_restricted(spark, sf_dir):
     }
     assert delta == full
     assert all(a >= cutoff or b >= cutoff for a, b, _ in delta)
+
+
+class TestCrossSubstring:
+    """Exact-substring overlap (operators/dedup.py::cross_substring_overlaps):
+    planted verbatim runs must be found with exact token lengths."""
+
+    def _docs(self, spark):
+        shared = " ".join(f"tok{i}" for i in range(15))  # 15-token run
+        rows = [
+            (1, "alpha beta " + shared + " gamma delta"),
+            (2, shared + " epsilon zeta eta theta"),
+            (3, "unrelated words only here " + " ".join(f"zz{i}" for i in range(20))),
+            (4, "short text"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_planted_overlap_exact_length(self, spark):
+        from claude_code_memory_spark.operators.dedup import cross_substring_overlaps
+
+        got = cross_substring_overlaps(
+            self._docs(spark), n=8, min_overlap_tokens=10
+        ).collect()
+        assert [(r["doc_a"], r["doc_b"], r["overlap_tokens"]) for r in got] == [
+            (1, 2, 15)
+        ]
+
+    def test_threshold_excludes_short_runs(self, spark):
+        from claude_code_memory_spark.operators.dedup import cross_substring_overlaps
+
+        # run of exactly 9 tokens: found at n=8 with min 9, excluded at min 10
+        shared = " ".join(f"run{i}" for i in range(9))
+        df = spark.createDataFrame(
+            [(1, "xx yy " + shared), (2, shared + " aa bb")],
+            "doc_id long, text string",
+        )
+        lo = cross_substring_overlaps(df, n=8, min_overlap_tokens=9).collect()
+        assert [(r["doc_a"], r["doc_b"], r["overlap_tokens"]) for r in lo] == [(1, 2, 9)]
+        assert cross_substring_overlaps(df, n=8, min_overlap_tokens=10).count() == 0
+
+    def test_gram_doc_frequency_cap(self, spark):
+        from claude_code_memory_spark.operators.dedup import cross_substring_overlaps
+
+        # the same 12-token boilerplate in 5 docs: cap 4 drops every pair
+        shared = " ".join(f"bp{i}" for i in range(12))
+        df = spark.createDataFrame(
+            [(i, f"doc{i} intro " + shared) for i in range(5)],
+            "doc_id long, text string",
+        )
+        assert cross_substring_overlaps(df, n=8, max_gram_docs=4).count() == 0
+        assert cross_substring_overlaps(df, n=8, max_gram_docs=5).count() == 10
