@@ -102,3 +102,82 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def zorder_key(x, y, bits: int = 16):
+    """Z-order (Morton) key: bit-interleave of two non-negative ints.
+
+    Pure integer column arithmetic — replayable in any SQL engine, which
+    is what makes a Z-ordered layout oracle-checkable. ``bits`` low bits
+    of each input are used (callers mask/mod their dimensions into range
+    first); x occupies even bit positions, y odd.
+    """
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    xc = x if isinstance(x, Column) else F.col(x)
+    yc = y if isinstance(y, Column) else F.col(y)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(xc.cast("long"), i).bitwiseAND(1), 2 * i)
+        z = z + F.shiftleft(F.shiftright(yc.cast("long"), i).bitwiseAND(1), 2 * i + 1)
+    return z
+
+
+def zorder_key_sql(x: str, y: str, bits: int = 16) -> str:
+    """The DuckDB/ANSI twin of `zorder_key` (same bit positions, same
+    evaluation): a sum of shift/mask terms over BIGINT."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x}::BIGINT >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y}::BIGINT >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    bits: int = 16,
+    num_files: int = 32,
+) -> None:
+    """Z-order-cluster a table on TWO filter dimensions before writing.
+
+    Range clustering (`write_clustered`) gives perfect pruning on one
+    column and none on any other; the Morton interleave makes every
+    output file a compact 2-D tile, so BOTH single-dimension predicates
+    and 2-D box predicates skip most row groups — the Delta/Iceberg
+    OPTIMIZE ZORDER layout, built from public parts.
+
+    Each dimension is range-normalized to ``bits`` equal-width buckets
+    before interleaving — raw interleave would let the wider column's
+    high bits dominate the key and degrade the layout to single-column
+    clustering (Delta's ZORDER does the same per-column range binning).
+    The min/max pass is one 1-row aggregate. The Z key is computed, used
+    for the range-partition + in-file sort, then dropped; file footers
+    carry min/max on the ORIGINAL columns, which is what the scan prunes
+    on."""
+    from pyspark.sql import functions as F
+
+    lo_x, hi_x, lo_y, hi_y = df.agg(
+        F.min(x), F.max(x), F.min(y), F.max(y)
+    ).first()
+    top = (1 << bits) - 1
+
+    def scaled(col: str, lo, hi):
+        if lo is None or hi is None or hi == lo:
+            return F.lit(0).cast("long")
+        return F.floor(
+            (F.col(col).cast("double") - float(lo)) * (top / (float(hi) - float(lo)))
+        ).cast("long")
+
+    zk = zorder_key(scaled(x, lo_x, hi_x), scaled(y, lo_y, hi_y), bits=bits)
+    (
+        df.withColumn("__z", zk)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

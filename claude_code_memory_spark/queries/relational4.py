@@ -662,3 +662,45 @@ def q20_dominant_supplier(spark, sf_dir):
         .distinct()
         .orderBy("s_name", "n_name")
     )
+
+
+from claude_code_memory_spark.io import zorder_key_sql as _zorder_key_sql  # noqa: E402
+
+
+@register(
+    "layout_zorder_tiles",
+    oracle=f"""
+    WITH dims AS (
+      SELECT (o_custkey % 65536) AS x,
+             (date_diff('day', DATE '1992-01-01', o_orderdate::DATE) % 65536) AS y
+      FROM orders),
+    keyed AS (SELECT x, y, {_zorder_key_sql("x", "y", 16)} AS z FROM dims)
+    SELECT (z >> 18) AS tile,
+           count(*) AS n_orders,
+           CAST(max(x) - min(x) AS BIGINT) AS custkey_span,
+           CAST(max(y) - min(y) AS BIGINT) AS day_span
+    FROM keyed GROUP BY 1
+    """,
+)
+def layout_zorder_tiles(spark, sf_dir):
+    """Z-order (Morton) tiling of orders over (custkey, order-day): per-
+    tile row counts and the span of BOTH dimensions inside each tile.
+    Tight spans in both columns simultaneously are the property that
+    makes a Z-ordered file layout prune 2-D box predicates (the public
+    Delta/Iceberg OPTIMIZE ZORDER effect — `io.write_zordered` applies
+    it physically; `tests/test_layout.py` measures the row-group skips).
+    The interleave is pure integer shift/mask algebra, so the oracle
+    replays the exact key, not an approximation."""
+    from claude_code_memory_spark.io import zorder_key
+
+    o = table(spark, sf_dir, "orders")
+    dims = o.select(
+        (F.col("o_custkey") % 65536).alias("x"),
+        (F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")) % 65536).alias("y"),
+    )
+    keyed = dims.withColumn("z", zorder_key("x", "y", bits=16))
+    return keyed.groupBy(F.shiftright("z", 18).alias("tile")).agg(
+        F.count("*").alias("n_orders"),
+        (F.max("x") - F.min("x")).cast("long").alias("custkey_span"),
+        (F.max("y") - F.min("y")).cast("long").alias("day_span"),
+    )

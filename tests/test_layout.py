@@ -117,3 +117,62 @@ def test_ivf_store_partition_pruning(spark, sf_dir, tmp_path):
     mem = [(r["vec_id"], r["score"]) for r in ivf_topk(indexed, centers, q, k=5, nprobe=2).collect()]
     ondisk = [(r["vec_id"], r["score"]) for r in topk_stored.collect()]
     assert mem == ondisk
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """A Z-ordered layout must prune a 2-D box predicate, and prune BOTH
+    single-dimension predicates — range clustering on one column can
+    never do the latter for the other column."""
+    from claude_code_memory_spark.io import write_zordered, zorder_key
+
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .withColumn("x", F.col("o_custkey") % 65536)
+        .withColumn(
+            "y", F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")) % 65536
+        )
+    )
+    total = orders.count()
+    write_zordered(orders, str(tmp_path / "zordered"), "x", "y", num_files=16)
+    orders.repartition(16).write.mode("overwrite").parquet(str(tmp_path / "shuffled"))
+
+    xmin, xmax, ymin, ymax = orders.agg(
+        F.min("x"), F.max("x"), F.min("y"), F.max("y")
+    ).first()
+    xcut = int(xmin + (xmax - xmin) * 0.25)
+    ycut = int(ymin + (ymax - ymin) * 0.25)
+    box = (F.col("x") < xcut) & (F.col("y") < ycut)
+
+    z_scan = scan_rows(
+        spark.read.parquet(str(tmp_path / "zordered")).filter(box).select("o_orderkey")
+    )
+    s_scan = scan_rows(
+        spark.read.parquet(str(tmp_path / "shuffled")).filter(box).select("o_orderkey")
+    )
+    assert s_scan == total  # shuffled layout cannot skip anything
+    assert z_scan < 0.5 * total  # the 2-D tile layout skips most row groups
+
+    # single-dimension predicates each prune too (the z property)
+    for pred in (F.col("x") < xcut, F.col("y") < ycut):
+        one_dim = scan_rows(
+            spark.read.parquet(str(tmp_path / "zordered")).filter(pred).select("o_orderkey")
+        )
+        assert one_dim < 0.75 * total
+
+
+def test_zorder_key_matches_sql_twin(spark):
+    """zorder_key (Column algebra) and zorder_key_sql (oracle string) must
+    agree bit-for-bit on adversarial inputs."""
+    from claude_code_memory_spark.io import zorder_key, zorder_key_sql
+
+    rows = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (2, 3)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    df.createOrReplaceTempView("zk_probe")
+    via_col = [r["z"] for r in
+               df.select(zorder_key("x", "y", 16).alias("z")).collect()]
+    sql = zorder_key_sql("x", "y", 16).replace("::BIGINT", "")
+    via_sql = [r["z"] for r in
+               spark.sql(f"SELECT {sql} AS z FROM zk_probe").collect()]
+    assert via_col == via_sql
+    assert via_col[0] == 0 and via_col[1] == 1 and via_col[2] == 2
+    assert via_col[3] == (1 << 32) - 1  # full 16+16 bits interleave to 2^32-1
