@@ -31,7 +31,15 @@ from claude_code_memory_spark.queries import (  # noqa: F401,E402
 # family, relational4 family) — each keeps a green row ≤ 2 rounds old.
 # tests/test_registry_order.py pins this window.
 _DRIVER_WINDOW = [
-    # -- changed/added this round: validate first --
+    # -- new in the round-4 continuation session: never driver-checked,
+    # validate first --
+    "text_gopher_rules",
+    "graph_triangle_counts",
+    "sketch_heavy_hitters",
+    "sessionize_builtin_window",
+    "dedup_cross_substring",
+    "layout_zorder_tiles",
+    # -- changed/added earlier this round: validate next --
     "sessionize_events",
     "tumbling_window_counts",
     "knn_per_label",
@@ -58,12 +66,9 @@ _DRIVER_WINDOW = [
     "sample_stratified_by_lang",
     "q3_shipping_priority",
     "q5_revenue_by_nation",
-    "agg_cube_orders",
     "filter_payload_equality",
     "filter_exclude_pattern",
-    "filter_score_threshold",
     "join_anti_customers_without_urgent",
-    "join_semi_customers_with_urgent",
     "join_full_outer_diff",
     "join_hash_dedup_probe",
     "window_running_user_value",
@@ -75,9 +80,6 @@ _DRIVER_WINDOW = [
     "window_lag_lead",
     "scroll_pagination",
     "weighted_content_assembly",
-    "scalar_datetime_parts",
-    "q6_revenue_delta",
-    "q10_returned_items",
     "q17_small_quantity_revenue",
     "agg_rollup_orders",
     "range_join_click_to_purchase",
@@ -93,11 +95,13 @@ _DRIVER_WINDOW = [
 # Round-5 rotation queue (first-priority IN, displacing r4 double-greens):
 # (a) the four r4 entries that did not fit this window —
 # agg_token_histogram, vector_pq_trained_error, dedup_edit_distance,
-# funnel_view_click_purchase; (b) the two r1-green entries displaced to
-# make room for vector_pq_adc_topk / dedup_minhash_delta —
-# window_rank_ntile, pivot_status_by_priority (each family-covered by a
-# driver-green twin: window_lag_lead / pivot_priority_by_year); (c) the
-# six r2-last-green entries named above.
+# funnel_view_click_purchase; (b) the r1-green entries displaced to make
+# room for later r4 additions — window_rank_ntile, pivot_status_by_priority,
+# filter_score_threshold, join_semi_customers_with_urgent, agg_cube_orders,
+# q6_revenue_delta, q10_returned_items, scalar_datetime_parts (each
+# family-covered by a windowed twin: dense_topk_filtered /
+# join_anti+full_outer / agg_rollup_orders / q3+q5+q17 / scalar_regex);
+# (c) the six r2-last-green entries named above.
 
 
 def _apply_driver_window() -> None:

@@ -9,6 +9,13 @@ from claude_code_memory_spark.queries import REGISTRY
 def test_driver_window_covers_flagships_and_families():
     window = list(REGISTRY)[:50]
     must_have = {
+        # new in the round-4 continuation session — never driver-checked
+        "text_gopher_rules",
+        "graph_triangle_counts",
+        "sketch_heavy_hitters",
+        "sessionize_builtin_window",
+        "dedup_cross_substring",
+        "layout_zorder_tiles",
         # changed/added in round 4 — must be re-validated by the driver
         "sessionize_events",
         "tumbling_window_counts",
