@@ -248,3 +248,102 @@ def sessionize_builtin_window(spark, sf_dir):
             "user_id", "session_start_us", "n_events", "duration_us", "total_value"
         )
     )
+
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "retention_cohorts",
+    oracle=f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) // {_WEEK_US} AS week FROM events),
+    first_seen AS (SELECT user_id, min(week) AS cohort FROM e GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT f.cohort, e.week - f.cohort AS week_offset, e.user_id
+      FROM e JOIN first_seen f USING (user_id)),
+    sizes AS (SELECT cohort, count(*) AS cohort_size FROM first_seen GROUP BY cohort)
+    SELECT a.cohort AS cohort_week,
+           CAST(a.week_offset AS BIGINT) AS week_offset,
+           count(*) AS active_users,
+           s.cohort_size,
+           round(count(*)::DOUBLE / s.cohort_size, 6) AS retention
+    FROM activity a JOIN sizes s ON a.cohort = s.cohort
+    GROUP BY a.cohort, a.week_offset, s.cohort_size
+    """,
+)
+def retention_cohorts(spark, sf_dir):
+    """Classic cohort-retention matrix: users grouped by first-seen week,
+    tracked by distinct activity in each later week, normalized by cohort
+    size. Three shuffles total, all keyed on bounded domains (user_id,
+    then (cohort, offset)); the first-seen table is user-cardinality and
+    joins back on the same user_id partitioning the groupBy produced, so
+    Catalyst reuses the exchange. At 100 TB this is the shape BI engines
+    run daily over event logs — integer week math end to end, no float
+    until the final normalized ratio."""
+    e = _events_us(spark, sf_dir)
+    weeks = e.select("user_id", F.expr(f"ts_us div {_WEEK_US}").alias("week"))
+    first_seen = weeks.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    activity = (
+        weeks.join(first_seen, "user_id")
+        .select("cohort", (F.col("week") - F.col("cohort")).alias("week_offset"), "user_id")
+        .distinct()
+    )
+    sizes = first_seen.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    return (
+        activity.groupBy("cohort", "week_offset")
+        .agg(F.count("*").alias("active_users"))
+        .join(sizes, "cohort")
+        .select(
+            F.col("cohort").alias("cohort_week"),
+            F.col("week_offset").cast("long").alias("week_offset"),
+            "active_users",
+            "cohort_size",
+            F.round(F.col("active_users") / F.col("cohort_size"), 6).alias("retention"),
+        )
+    )
+
+
+_SLIDE_US = 300 * 1_000_000  # 5-minute slide, 10-minute length (2 windows/event)
+
+
+@register(
+    "sliding_window_counts",
+    oracle=f"""
+    WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type, value FROM events),
+    w AS (
+      SELECT unnest([(ts_us // {_SLIDE_US} - 1) * {_SLIDE_US},
+                     (ts_us // {_SLIDE_US}) * {_SLIDE_US}]) AS window_start_us,
+             event_type, value
+      FROM e)
+    SELECT CAST(window_start_us AS BIGINT) AS window_start_us, event_type,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def sliding_window_counts(spark, sf_dir):
+    """Overlapping (hopping) window aggregation via Spark's NATIVE
+    `window(ts, '10 minutes', '5 minutes')` operator — every event lands
+    in exactly two epoch-aligned windows; the oracle replays the
+    assignment arithmetically. Same expression runs incrementally under
+    Structured Streaming with a watermark; in batch it is one explode
+    (x2 fan-out, narrow) + one hash aggregate. Decimal value sums keep
+    the hash partition-order-invariant. Completes the window-family
+    trio: tumbling / sliding / session."""
+    e = _events_us(spark, sf_dir)
+    evt = e.withColumn("ts_ts", F.timestamp_micros(F.col("ts_us")))
+    return (
+        evt.groupBy(F.window("ts_ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
