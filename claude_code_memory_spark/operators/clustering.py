@@ -248,6 +248,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cluster_col: str = "cluster_id",
+    n_salt: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup verdict: within each k-means cell,
     mark every vector that has a lower-id cell-mate with cosine >=
@@ -256,8 +257,20 @@ def semantic_dedup(
     The pairwise scan is blocked by the cluster equi-join — never N x N;
     per-cell cost is (n/k)^2, the SemDeDup trade (Abbas et al. 2023,
     arXiv:2303.09540): recall is bounded by cell purity, cost by cell
-    size. At 100 TB, store ``assigned`` partitioned by ``cluster_col`` so
-    the self-join is co-located and shuffle-free.
+    size.
+
+    Two mutually exclusive layout strategies, chosen by ``n_salt``:
+
+    - ``n_salt=1`` (default): join keys on the bare cell id — store
+      ``assigned`` bucketed by ``cluster_col`` and the self-join is
+      co-located and shuffle-free (tests/test_bucketed.py proves the
+      exchanges vanish). The right regime when cells outnumber cores.
+    - ``n_salt>1``: bucket the probe side by id and replicate the build
+      side across buckets, raising the join key space to k x n_salt with
+      an IDENTICAL pair set. The right regime when k is SMALLER than the
+      cluster's parallelism (k=8 cells would otherwise busy 8 cores and
+      idle the rest through the dominant stage); replication adds n_salt
+      copies of the build rows — negligible next to the (n/k)^2 fan-out.
 
     Returns one row per input vector: (id, cluster, removed boolean).
     """
@@ -267,20 +280,35 @@ def semantic_dedup(
     # per row is bit-identical to computing it per pair, so the oracle's
     # cos expression still replays exactly.
     norm = F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+    salted = n_salt > 1
     a = assigned.select(
         F.col(id_col).alias("__id_a"),
         F.col(vec_col).alias("__va"),
         norm.alias("__na"),
         F.col(cluster_col),
+        *(
+            [F.pmod(F.col(id_col).cast("long"), F.lit(n_salt)).alias("__salt")]
+            if salted
+            else []
+        ),
     )
     b = assigned.select(
         F.col(id_col).alias("__id_b"),
         F.col(vec_col).alias("__vb"),
         norm.alias("__nb"),
         F.col(cluster_col),
+        *(
+            [
+                F.explode(
+                    F.sequence(F.lit(0).cast("long"), F.lit(n_salt - 1).cast("long"))
+                ).alias("__salt")
+            ]
+            if salted
+            else []
+        ),
     )
     dup_pairs = (
-        a.join(b, cluster_col)
+        a.join(b, [cluster_col, "__salt"] if salted else [cluster_col])
         .filter(F.col("__id_a") < F.col("__id_b"))
         .filter(
             F.round(

@@ -91,7 +91,12 @@ def cluster_kmeans_sizes(spark, sf_dir):
     operators/clustering.py for the cost model. Reference parity:
     reproducible collection partitioning (storage/qdrant.py collection
     management)."""
-    emb = table(spark, sf_dir, "embeddings")
+    # the fixture is ONE parquet file -> one input split; the iterative
+    # argmin would run on a single core. Real corpora have >> cpus splits;
+    # locally, spread the (tiny) input once before the iteration chain.
+    emb = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     assigned, cent = kmeans_lloyd(emb, k=8, iters=2)
     sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
     norms = cent.select(
@@ -125,12 +130,16 @@ def dedup_semantic_cells(spark, sf_dir):
     the assignment is stored partitioned by cell so the self-join is
     co-located. Complements `dedup_embedding_neardup` (label-blocked)
     with the unsupervised blocking a real corpus needs."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # one-file fixture -> one split; see cluster_kmeans_sizes
     assigned, _ = kmeans_lloyd(emb, k=8, iters=2)
     # three consumers (both self-join sides + the verdict join) — persist
     # so the assignment computes once; at scale this is the write-
     # partitioned-by-cell materialization the docstring describes
-    return semantic_dedup(assigned.persist(), threshold=0.4)
+    # n_salt=8: k=8 cells < local parallelism — salt the pairwise join
+    # (identical pair set; see semantic_dedup's strategy note)
+    return semantic_dedup(assigned.persist(), threshold=0.4, n_salt=8)
 
 
 # DuckDB twin of functions.text.word_shingles(n=5): lowercase alnum

@@ -154,3 +154,15 @@ def test_ivf_lloyd_build_contract_and_exactness(emb):
         for r in ivf_topk(indexed, centers, q, k=5, nprobe=len(centers)).collect()
     ]
     assert full_probe == exact
+
+
+def test_semantic_dedup_salted_equals_unsalted(emb):
+    """n_salt>1 must change only the physical key space, never the pair
+    set: verdicts are identical to the co-location-friendly default."""
+    assigned, _ = kmeans_lloyd(emb, k=4, iters=1)
+    plain = semantic_dedup(assigned, threshold=0.4)
+    salted = semantic_dedup(assigned, threshold=0.4, n_salt=8)
+    as_set = lambda df: {  # noqa: E731
+        (r["vec_id"], r["cluster_id"], r["removed"]) for r in df.collect()
+    }
+    assert as_set(plain) == as_set(salted)
