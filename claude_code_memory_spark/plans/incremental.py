@@ -94,15 +94,87 @@ class TableStore:
         writer.parquet(os.path.join(self.root, table, snap))
         return snap
 
+    def _log_path(self, table: str) -> str:
+        return os.path.join(self.root, table, "_log")
+
     def _commit(self, table: str, snapshots: list[str], schema_json: str) -> None:
         tmp = self._pointer(table) + ".tmp"
         os.makedirs(os.path.dirname(tmp), exist_ok=True)
         with open(tmp, "w") as fh:
             json.dump({"snapshots": snapshots, "schema": schema_json}, fh)
+        # append the version to the commit log BEFORE the pointer swap:
+        # a crash between the two leaves a log entry whose snapshots are
+        # fully written (the parquet write preceded _commit), readable by
+        # read_version, while _current still serves the previous commit —
+        # never a pointer to missing data
+        version = len(self.history(table))
+        with open(self._log_path(table), "a") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "version": version,
+                        "ts": time.time(),
+                        "snapshots": snapshots,
+                        "schema": schema_json,
+                    }
+                )
+                + "\n"
+            )
         os.replace(tmp, self._pointer(table))  # atomic pointer swap
         # No GC here: lazy DataFrames captured earlier in the pipeline may
         # still reference older snapshots (Delta's time-travel + deferred
         # VACUUM solves the same hazard). vacuum() runs between pipelines.
+
+    def history(self, table: str) -> list[dict]:
+        """Commit log, oldest first: [{version, ts, snapshots, schema}].
+        The Delta `DESCRIBE HISTORY` analogue for this store."""
+        path = self._log_path(table)
+        if not os.path.exists(path):
+            return []
+        out = []
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    out.append(json.loads(line))
+        return out
+
+    def read_version(self, table: str, version: int) -> DataFrame:
+        """Time-travel read: the table as of commit ``version`` (0-based,
+        see `history`). Raises if the version never existed or its
+        snapshots were reclaimed by `vacuum` — the same contract as Delta
+        time-travel past the retention window."""
+        entries = self.history(table)
+        matches = [e for e in entries if e["version"] == version]
+        if not matches:
+            raise ValueError(
+                f"table {table!r} has no version {version} "
+                f"(log has {len(entries)} commits)"
+            )
+        meta = matches[-1]
+        missing = [
+            s
+            for s in meta["snapshots"]
+            if not os.path.isdir(os.path.join(self.root, table, s))
+        ]
+        if missing:
+            raise ValueError(
+                f"version {version} of {table!r} was vacuumed "
+                f"(missing snapshots: {missing})"
+            )
+        from pyspark.sql.types import StructType
+
+        reader = self.spark.read.schema(
+            StructType.fromJson(json.loads(meta["schema"]))
+        )
+        parts = [
+            reader.parquet(os.path.join(self.root, table, s))
+            for s in meta["snapshots"]
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
 
     def write(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
         snap = self._new_snapshot_dir(table, df, partition_by)
@@ -144,7 +216,10 @@ class TableStore:
 
     def vacuum(self) -> None:
         """Delete all non-current snapshots. Call only between pipelines,
-        when no live DataFrame references older snapshots."""
+        when no live DataFrame references older snapshots. This truncates
+        time-travel: `read_version` on a pre-vacuum commit raises (the
+        log entry remains as an audit record, like Delta history past the
+        retention window)."""
         for table in os.listdir(self.root):
             meta = self._manifest(table)
             if meta is None:

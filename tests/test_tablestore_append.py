@@ -28,7 +28,9 @@ def test_append_leaves_prior_snapshots_untouched(spark, tmp_path):
 
     after = _files_with_mtime(str(tmp_path / "s" / "t"))
     for p, mt in before.items():
-        if p.endswith("_current") or p.endswith(".tmp"):
+        # metadata files legitimately change per commit: the pointer swap
+        # and the append-only time-travel log
+        if p.endswith("_current") or p.endswith(".tmp") or p.endswith("_log"):
             continue
         assert p in after and after[p] == mt, f"prior snapshot file rewritten: {p}"
 
@@ -160,3 +162,33 @@ def test_single_snapshot_pointer_backcompat(spark, tmp_path):
     assert store.read("t").count() == 3
     store.append("t", spark.range(3, 5).selectExpr("id"))
     assert store.read("t").count() == 5
+
+
+def test_time_travel_read_version_and_history(spark, tmp_path):
+    """Delta-style time travel: every commit is a log version; read_version
+    reproduces the exact pre-append/pre-overwrite contents; vacuum
+    truncates reachability but keeps the audit log."""
+    from claude_code_memory_spark.plans.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path / "tt"))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    store.write("t", df1)
+    store.append("t", spark.createDataFrame([(3, "c")], "id long, v string"))
+    store.write("t", spark.createDataFrame([(9, "z")], "id long, v string"))
+
+    hist = store.history("t")
+    assert [e["version"] for e in hist] == [0, 1, 2]
+    assert {r["id"] for r in store.read_version("t", 0).collect()} == {1, 2}
+    assert {r["id"] for r in store.read_version("t", 1).collect()} == {1, 2, 3}
+    assert {r["id"] for r in store.read_version("t", 2).collect()} == {9}
+    assert {r["id"] for r in store.read("t").collect()} == {9}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no version 7"):
+        store.read_version("t", 7)
+    store.vacuum()
+    with _pytest.raises(ValueError, match="vacuumed"):
+        store.read_version("t", 0)
+    assert len(store.history("t")) == 3  # audit log survives vacuum
+    assert {r["id"] for r in store.read_version("t", 2).collect()} == {9}
