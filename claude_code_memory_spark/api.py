@@ -440,8 +440,16 @@ class CodeMemoryEngine:
         chunk_type: str | None = None,
         score_threshold: float = 0.0,
         alpha: float = 0.5,
+        mmr: bool = False,
+        mmr_lambda: float = 0.5,
+        mmr_fetch: int = 50,
     ) -> DataFrame:
-        """T1-T4: semantic / keyword / hybrid top-k with payload filters."""
+        """T1-T4: semantic / keyword / hybrid top-k with payload filters.
+
+        ``mmr=True`` (semantic mode only) over-fetches ``mmr_fetch``
+        candidates and greedily diversity-reranks them (MMR,
+        ``mmr_lambda`` trades relevance vs novelty); the result carries
+        an extra ``mmr_rank`` column in selection order."""
         if mode not in ("semantic", "keyword", "hybrid"):
             raise ValueError(f"invalid search mode: {mode}")  # qdrant.py:722-801
         vectors = self.store.read("vectors")
@@ -492,7 +500,21 @@ class CodeMemoryEngine:
             return sparse_topk(vectors, terms, limit, id_col="point_id")
 
         if mode == "semantic":
-            result = dense(k)
+            if mmr:
+                from claude_code_memory_spark.operators.topk import mmr_rerank
+
+                cands = dense(mmr_fetch)
+                # re-attach the dense vectors for the pairwise novelty
+                # term: the candidate side is <= mmr_fetch rows, so the
+                # join broadcasts it against the corpus scan
+                with_vecs = F.broadcast(cands).join(
+                    vectors.select("point_id", "dense"), "point_id"
+                )
+                result = mmr_rerank(
+                    with_vecs, k, mmr_lambda, id_col="point_id", vec_col="dense"
+                )
+            else:
+                result = dense(k)
         elif mode == "keyword":
             result = sparse(k)
         else:

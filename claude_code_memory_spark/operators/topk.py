@@ -189,3 +189,62 @@ def merge_ranked(results: Sequence[DataFrame], k: int, order_col: str = "score")
     for r in results[1:]:
         out = out.unionByName(r, allowMissingColumns=True)
     return out.orderBy(F.desc(order_col)).limit(k)
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+    *,
+    id_col: str = "point_id",
+    vec_col: str = "vector",
+    score_col: str = "score",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversity rerank (Carbonell & Goldstein
+    1998) over a BOUNDED candidate set.
+
+    Greedy selection is inherently sequential, so it runs driver-side on
+    the collected candidates — the same boundedness contract as result
+    display: callers pass an over-fetched top-m (m in the tens), never a
+    corpus. Step ``i`` picks argmax of
+    ``lam * relevance - (1 - lam) * max_cosine_to_selected``; ties break
+    on lower id. ``lam=1`` reproduces pure relevance order; ``lam=0`` is
+    pure diversity.
+
+    Returns (id, score, mmr_rank 1..k) as a DataFrame. Reference parity:
+    serving-path rerank hooks over HNSW results (storage/qdrant.py search
+    surface) — diversity reranking is the standard retrieval add-on the
+    reference leaves to the caller.
+    """
+    rows = candidates.select(id_col, score_col, vec_col).collect()
+    if not rows:
+        return candidates.sparkSession.createDataFrame(
+            [], f"{id_col} long, {score_col} double, mmr_rank int"
+        )
+    import math as _math
+
+    ids = [r[id_col] for r in rows]
+    rel = [float(r[score_col]) for r in rows]
+    vecs = [[float(x) for x in r[vec_col]] for r in rows]
+    norms = [_math.sqrt(sum(x * x for x in v)) or 1.0 for v in vecs]
+
+    def cos(i: int, j: int) -> float:
+        return sum(a * b for a, b in zip(vecs[i], vecs[j])) / (norms[i] * norms[j])
+
+    selected: list[int] = []
+    remaining = list(range(len(rows)))
+    while remaining and len(selected) < k:
+        best, best_key = None, None
+        for i in remaining:
+            penalty = max((cos(i, j) for j in selected), default=0.0)
+            key = (lam * rel[i] - (1.0 - lam) * penalty, -float(ids[i] or 0))
+            if best_key is None or key > best_key:
+                best, best_key = i, key
+        selected.append(best)
+        remaining.remove(best)
+    out = [
+        (ids[i], rel[i], rank + 1) for rank, i in enumerate(selected)
+    ]
+    return candidates.sparkSession.createDataFrame(
+        out, f"{id_col} long, {score_col} double, mmr_rank int"
+    )

@@ -198,3 +198,64 @@ def test_ivf_knn_join_recall_vs_exact(spark, sf_dir):
     recall = len(partial & exact) / len(exact)
     assert recall >= 0.5, f"recall {recall} too low at nprobe=4"
     indexed.unpersist()
+
+
+class TestMMR:
+    """MMR diversity rerank (operators/topk.py::mmr_rerank)."""
+
+    def _cands(self, spark):
+        # doc 1 and 2 are near-identical top hits; doc 3 is orthogonal
+        # with slightly lower relevance
+        rows = [
+            (1, 0.99, [1.0, 0.0, 0.0]),
+            (2, 0.98, [0.999, 0.01, 0.0]),
+            (3, 0.90, [0.0, 1.0, 0.0]),
+            (4, 0.10, [0.0, 0.0, 1.0]),
+        ]
+        return spark.createDataFrame(
+            rows, "point_id long, score double, vector array<double>"
+        )
+
+    def test_lambda_one_is_pure_relevance(self, spark):
+        from claude_code_memory_spark.operators.topk import mmr_rerank
+
+        got = mmr_rerank(self._cands(spark), k=3, lam=1.0).collect()
+        assert [r["point_id"] for r in got] == [1, 2, 3]
+        assert [r["mmr_rank"] for r in got] == [1, 2, 3]
+
+    def test_diversity_demotes_near_duplicate(self, spark):
+        from claude_code_memory_spark.operators.topk import mmr_rerank
+
+        # lam=0.5: after picking doc 1, doc 2's penalty (~cos 1.0) drops
+        # its marginal score below orthogonal doc 3
+        got = mmr_rerank(self._cands(spark), k=3, lam=0.5).collect()
+        assert [r["point_id"] for r in got] == [1, 3, 4]
+
+    def test_empty_and_k_truncation(self, spark):
+        from claude_code_memory_spark.operators.topk import mmr_rerank
+
+        empty = self._cands(spark).filter("point_id > 99")
+        assert mmr_rerank(empty, k=3).count() == 0
+        assert mmr_rerank(self._cands(spark), k=2, lam=1.0).count() == 2
+
+    def test_engine_mmr_search_surface(self, spark, tmp_path):
+        from claude_code_memory_spark.api import CodeMemoryEngine
+
+        eng = CodeMemoryEngine(spark, str(tmp_path / "mmrstore"))
+        proj = tmp_path / "proj"
+        proj.mkdir()
+        (proj / "a.py").write_text(
+            "def alpha_fn():\n    return 1\n\n\ndef alpha_fn_copy():\n    return 1\n\n\ndef omega():\n    return 2\n"
+        )
+        eng.index(str(proj))
+        plain = eng.search("alpha", mode="semantic", k=3)
+        diverse = eng.search("alpha", mode="semantic", k=3, mmr=True, mmr_lambda=0.7)
+        assert "mmr_rank" in diverse.columns
+        rows = diverse.collect()
+        assert 0 < len(rows) <= 3
+        assert [r["mmr_rank"] for r in rows] == list(range(1, len(rows) + 1))
+        # lam=1 must reproduce the plain semantic ranking exactly
+        same = eng.search("alpha", mode="semantic", k=3, mmr=True, mmr_lambda=1.0)
+        assert [r["point_id"] for r in same.collect()] == [
+            r["point_id"] for r in plain.collect()
+        ]
