@@ -316,3 +316,72 @@ def test_dedup_within_watermark_collapses_redelivery(spark, tmp_path):
         q.stop()
     pairs = sorted((r["file_path"], r["sha256"]) for r in out)
     assert pairs == [("a.py", "h1"), ("a.py", "h2")]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream interval join with watermarks on both sides: clicks
+    joined to purchases by the same user within 5 minutes — the streaming
+    twin of range_join_click_to_purchase, with evictable join state
+    (both sides watermarked + a closed time interval)."""
+    from claude_code_memory_spark.streaming.joins import interval_join
+
+    clicks_dir = tmp_path / "clicks"
+    buys_dir = tmp_path / "buys"
+    clicks_dir.mkdir()
+    buys_dir.mkdir()
+
+    def write(d, fname, rows):
+        with open(d / fname, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write(clicks_dir, "c1.jsonl", [
+        {"user": "u1", "ts": "2024-01-01T00:00:00.000Z", "page": "a"},
+        {"user": "u2", "ts": "2024-01-01T00:00:30.000Z", "page": "b"},
+        {"user": "u3", "ts": "2024-01-01T00:01:00.000Z", "page": "c"},
+    ])
+    write(buys_dir, "b1.jsonl", [
+        # u1 buys within 5 min of the click -> match
+        {"user": "u1", "ts": "2024-01-01T00:03:00.000Z", "amount": 10.0},
+        # u2 buys 20 min later -> outside the interval, no match
+        {"user": "u2", "ts": "2024-01-01T00:20:30.000Z", "amount": 5.0},
+        # u3 "buys" BEFORE clicking -> no match (purchase must follow)
+        {"user": "u3", "ts": "2024-01-01T00:00:10.000Z", "amount": 7.0},
+    ])
+
+    clicks = (
+        spark.readStream.schema("user string, ts timestamp, page string")
+        .json(str(clicks_dir))
+    )
+    buys = (
+        spark.readStream.schema("user string, ts timestamp, amount double")
+        .json(str(buys_dir))
+    )
+    joined = interval_join(
+        clicks, buys, key="user", within="5 minutes", watermark="10 seconds"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from ssj_out").collect()
+        assert [(r["l_key"], r["l_page"], r["r_amount"]) for r in rows] == [
+            ("u1", "a", 10.0)
+        ]
+    finally:
+        q.stop()
+
+    # batch twin: the same operator on static frames gives the same match
+    b_clicks = spark.read.schema("user string, ts timestamp, page string").json(
+        str(clicks_dir)
+    )
+    b_buys = spark.read.schema("user string, ts timestamp, amount double").json(
+        str(buys_dir)
+    )
+    got = interval_join(b_clicks, b_buys, key="user", within="5 minutes").collect()
+    assert [(r["l_key"], r["r_amount"]) for r in got] == [("u1", 10.0)]
