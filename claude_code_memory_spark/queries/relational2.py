@@ -8,7 +8,12 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from claude_code_memory_spark.queries.base import register, table
+from claude_code_memory_spark.queries.base import register, table, ts_us_col
+
+
+def _events_us(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return e.withColumn("ts_us", ts_us_col(e))
 
 
 @register(
@@ -272,4 +277,117 @@ def ann_lsh_bucket(spark, sf_dir):
         )
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(10)
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS revenue,
+           CAST(grouping(o_orderstatus) AS INT) * 2
+             + CAST(grouping(o_orderpriority) AS INT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form CUBE/ROLLUP specialize):
+    status x priority detail plus each one-dimension margin, with the
+    grouping-id bitmask distinguishing the NULL-as-total rows from real
+    NULL keys. One scan; Spark expands the sets into a single Expand +
+    hash aggregate, so the cost is rows x sets map-side, never multiple
+    scans — the shape that matters when the input is 100 TB and the
+    report wants five margins."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS revenue,
+               CAST(grouping(o_orderstatus) AS INT) * 2
+                 + CAST(grouping(o_orderpriority) AS INT) AS gid
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "window_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_events_last_hour,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 4) AS DOUBLE)
+             AS value_last_hour
+    FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_range_frame(spark, sf_dir):
+    """Trailing one-hour per-user aggregates via a RANGE window frame —
+    the frame is bounded by event-TIME distance, not row count, which no
+    rows-frame can express when event density varies. One hash exchange
+    on user_id + an in-partition ordered scan; the decimal value sum
+    keeps the hash partition-order-invariant. (RANGE frames require a
+    numeric ORDER BY — epoch-µs here; a timestamp ORDER BY would need
+    the interval-literal form.)"""
+    e = _events_us(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3600 * 1_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("long").alias("n_events_last_hour"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 4)
+        .cast("double")
+        .alias("value_last_hour"),
+    )
+
+
+@register(
+    "agg_user_segments_bitmap",
+    oracle="""
+    WITH coded AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                             WHEN 'purchase' THEN 4 WHEN 'login' THEN 8
+                             ELSE 16 END AS bit
+      FROM events),
+    masks AS (SELECT user_id, day, bit_or(bit) AS type_mask
+              FROM coded GROUP BY user_id, day)
+    SELECT CAST(type_mask AS BIGINT) AS type_mask,
+           count(*) AS n_user_days
+    FROM masks GROUP BY type_mask
+    """,
+)
+def agg_user_segments_bitmap(spark, sf_dir):
+    """Behavioral segmentation via presence bitmaps: each user-day's event
+    types OR-folded into one integer mask, then user-days counted per
+    exact mask — the bitmap-index trick that answers \"who did A and B
+    but never C\" with integer ops instead of N self-joins. Two
+    aggregates (user-day-keyed, then mask-keyed: <= 2^5 groups); at
+    100 TB the map-side combiner collapses almost everything before the
+    shuffle."""
+    e = _events_us(spark, sf_dir)
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "login", 8)
+        .otherwise(16)
+    )
+    masks = (
+        e.select("user_id", F.expr("ts_us div 86400000000").alias("day"), bit.alias("bit"))
+        .groupBy("user_id", "day")
+        .agg(F.bit_or("bit").alias("type_mask"))
+    )
+    return masks.groupBy(F.col("type_mask").cast("long").alias("type_mask")).agg(
+        F.count("*").alias("n_user_days")
     )
