@@ -39,6 +39,11 @@ _DRIVER_WINDOW = [
     "sessionize_builtin_window",
     "dedup_cross_substring",
     "layout_zorder_tiles",
+    "retention_cohorts",
+    "sliding_window_counts",
+    "agg_grouping_sets",
+    "window_time_range_frame",
+    "agg_user_segments_bitmap",
     # -- changed/added earlier this round: validate next --
     "sessionize_events",
     "tumbling_window_counts",
@@ -67,19 +72,14 @@ _DRIVER_WINDOW = [
     "q3_shipping_priority",
     "q5_revenue_by_nation",
     "filter_payload_equality",
-    "filter_exclude_pattern",
     "join_anti_customers_without_urgent",
-    "join_full_outer_diff",
     "join_hash_dedup_probe",
-    "window_running_user_value",
     "set_union_distinct_nations",
     "scalar_regex_extract",
-    "token_frequency_top50",
     "relations_orphan_cleanup",
     "agg_percentiles",
     "window_lag_lead",
     "scroll_pagination",
-    "weighted_content_assembly",
     "q17_small_quantity_revenue",
     "agg_rollup_orders",
     "range_join_click_to_purchase",
@@ -98,9 +98,12 @@ _DRIVER_WINDOW = [
 # funnel_view_click_purchase; (b) the r1-green entries displaced to make
 # room for later r4 additions — window_rank_ntile, pivot_status_by_priority,
 # filter_score_threshold, join_semi_customers_with_urgent, agg_cube_orders,
-# q6_revenue_delta, q10_returned_items, scalar_datetime_parts (each
-# family-covered by a windowed twin: dense_topk_filtered /
-# join_anti+full_outer / agg_rollup_orders / q3+q5+q17 / scalar_regex);
+# q6_revenue_delta, q10_returned_items, scalar_datetime_parts,
+# weighted_content_assembly, window_running_user_value,
+# token_frequency_top50, filter_exclude_pattern, join_full_outer_diff
+# (each family-covered by a windowed twin: dense_topk_filtered /
+# join_anti+hash_dedup / agg_rollup_orders / q3+q5+q17 / scalar_regex /
+# window_lag_lead+time_range_frame / sketch_heavy_hitters);
 # (c) the six r2-last-green entries named above.
 
 

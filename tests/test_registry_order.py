@@ -16,6 +16,11 @@ def test_driver_window_covers_flagships_and_families():
         "sessionize_builtin_window",
         "dedup_cross_substring",
         "layout_zorder_tiles",
+        "retention_cohorts",
+        "sliding_window_counts",
+        "agg_grouping_sets",
+        "window_time_range_frame",
+        "agg_user_segments_bitmap",
         # changed/added in round 4 — must be re-validated by the driver
         "sessionize_events",
         "tumbling_window_counts",
