@@ -214,17 +214,21 @@ class TableStore:
         meta = self._manifest(table)
         return tuple(meta["snapshots"]) if meta else None
 
-    def vacuum(self) -> None:
-        """Delete all non-current snapshots. Call only between pipelines,
+    def vacuum(self, retain_versions: int = 1) -> None:
+        """Delete snapshots unreachable from the last ``retain_versions``
+        commits (default 1: current only). Call only between pipelines,
         when no live DataFrame references older snapshots. This truncates
-        time-travel: `read_version` on a pre-vacuum commit raises (the
-        log entry remains as an audit record, like Delta history past the
-        retention window)."""
+        time-travel past the retention window: `read_version` on a
+        vacuumed commit raises, while its log entry remains as an audit
+        record — Delta's VACUUM + logRetention split."""
         for table in os.listdir(self.root):
             meta = self._manifest(table)
             if meta is None:
                 continue
             keep = set(meta["snapshots"])
+            if retain_versions > 1:
+                for entry in self.history(table)[-retain_versions:]:
+                    keep.update(entry["snapshots"])
             tdir = os.path.join(self.root, table)
             for d in os.listdir(tdir):
                 if d.startswith("snap-") and d not in keep:

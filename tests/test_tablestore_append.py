@@ -192,3 +192,19 @@ def test_time_travel_read_version_and_history(spark, tmp_path):
         store.read_version("t", 0)
     assert len(store.history("t")) == 3  # audit log survives vacuum
     assert {r["id"] for r in store.read_version("t", 2).collect()} == {9}
+
+
+def test_vacuum_retention_window(spark, tmp_path):
+    """vacuum(retain_versions=N) keeps the last N commits time-travelable."""
+    from claude_code_memory_spark.plans.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path / "rv"))
+    for i in range(3):
+        store.write("t", spark.createDataFrame([(i,)], "id long"))
+    store.vacuum(retain_versions=2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vacuumed"):
+        store.read_version("t", 0)
+    assert store.read_version("t", 1).first()["id"] == 1
+    assert store.read_version("t", 2).first()["id"] == 2
