@@ -57,18 +57,54 @@ def co_occurrence_edges(
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:
-    """Per-node triangle participation counts from an ordered edge list.
+    """Per-node triangle participation counts from an undirected edge list
+    (each edge once, ``a < b``), via DEGREE-ORDERED orientation.
 
-    ``edges`` must hold each undirected edge once with ``a < b``.
+    Every edge is re-oriented from its lower-(degree, id) endpoint to the
+    higher; wedges are then pairs of out-neighbors, and a triangle closes
+    when the (ordered) third edge exists. Each triangle is found exactly
+    once, and out-degrees are bounded by O(sqrt(m)) — the classic
+    "compact-forward" bound that keeps the wedge fan-out tame on skewed
+    graphs where hub nodes would make the id-ordered join quadratic.
+    Per-node counts are enumeration-order-invariant, so any correct
+    enumeration (e.g. an oracle's a<b<c formulation) yields identical
+    results.
+
     Returns (node, n_triangles) for every node in at least one triangle.
     """
-    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    wedges = e1.join(e2, "y")  # x < y < z by construction
-    tris = wedges.join(e3, ["x", "z"])
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    e = edges.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("__da")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("deg").alias("__db")), "b")
+    a_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("__db")).otherwise(F.col("__da")).alias("__dv"),
+    )
+    x = oriented.select(
+        F.col("u"), F.col("v").alias("x"), F.col("__dv").alias("__dx")
+    )
+    y = oriented.select(
+        F.col("u"), F.col("v").alias("y"), F.col("__dv").alias("__dy")
+    )
+    # wedge (x, y) ordered by the same (deg, id) total order, so the
+    # closing edge — if present — is stored exactly as (u=x, v=y)
+    wedges = x.join(y, "u").filter(
+        (F.col("__dx") < F.col("__dy"))
+        | ((F.col("__dx") == F.col("__dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tris = wedges.join(closing, ["x", "y"])
     return (
-        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        tris.select(F.explode(F.array("u", "x", "y")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )
