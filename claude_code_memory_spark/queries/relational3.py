@@ -340,3 +340,56 @@ def q19_disjunctive_filter(spark, sf_dir):
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
         F.count("*").alias("n_items"),
     )
+
+
+@register(
+    "quality_constraint_report",
+    oracle="""
+    SELECT 'not_null(o_custkey)' AS rule,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values(o_orderstatus)',
+           sum(CASE WHEN o_orderstatus IS NULL
+                      OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+    FROM orders
+    UNION ALL
+    SELECT 'in_range(o_totalprice)',
+           sum(CASE WHEN o_totalprice IS NULL
+                      OR o_totalprice < 0 OR o_totalprice > 1000000
+                    THEN 1 ELSE 0 END)
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           coalesce(sum(n - 1), 0)
+    FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'references(o_custkey)', count(*)
+    FROM orders o
+    WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def quality_constraint_report(spark, sf_dir):
+    """Deequ/dbt-style constraint report over orders: three row-local
+    rules fold into ONE conditional-aggregation scan (adding a rule adds
+    a counter, not a pass), uniqueness is one key aggregate, referential
+    integrity one anti-join — the validation shape that must ride the
+    ingest scan when the table is 100 TB. All-zero violations on the
+    fixture is itself the assertion: the oracle recomputes each rule
+    independently, so a false zero (or a miscounted violation) breaks the
+    hash."""
+    from claude_code_memory_spark.operators import constraints as C
+
+    o = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return C.constraint_report(
+        o,
+        [
+            C.not_null("o_custkey"),
+            C.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            C.in_range("o_totalprice", 0, 1_000_000),
+        ],
+        unique=["o_orderkey"],
+        references=("o_custkey", cust, "c_custkey"),
+    )
