@@ -261,3 +261,53 @@ def merge_replace_by_file(
     store.write(
         table, kept.unionByName(new_rows, allowMissingColumns=True), partition_by
     )
+
+
+def diff_versions(
+    store: TableStore,
+    table: str,
+    v_old: int,
+    v_new: int,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture between two commits of a TableStore table:
+    one full-outer join on the key, classifying each row as added /
+    removed / changed (unchanged rows are dropped).
+
+    The generalization of `merge_replace_by_file`'s replacement diff
+    (reference: indexer change detection) to ARBITRARY versions via the
+    time-travel log — "what changed between yesterday's index and
+    today's" as one join, at any scale the join keys shuffle to.
+    ``compare_cols`` defaults to every non-key column; comparison is
+    null-safe."""
+    from pyspark.sql import functions as F
+
+    old = store.read_version(table, v_old)
+    new = store.read_version(table, v_new)
+    cols = compare_cols or [c for c in new.columns if c not in key_cols]
+    o = old.select(
+        *[F.col(k).alias(f"__k_{k}") for k in key_cols],
+        F.struct(*cols).alias("__old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__k_{k}") for k in key_cols],
+        F.struct(*cols).alias("__new"),
+    )
+    joined = o.join(n, [f"__k_{k}" for k in key_cols], "full_outer")
+    status = (
+        F.when(F.col("__old").isNull(), F.lit("added"))
+        .when(F.col("__new").isNull(), F.lit("removed"))
+        .when(~F.col("__old").eqNullSafe(F.col("__new")), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.withColumn("change", status)
+        .filter(F.col("change") != "unchanged")
+        .select(
+            *[F.col(f"__k_{k}").alias(k) for k in key_cols],
+            "change",
+            F.col("__old").alias("old"),
+            F.col("__new").alias("new"),
+        )
+    )

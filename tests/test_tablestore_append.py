@@ -208,3 +208,24 @@ def test_vacuum_retention_window(spark, tmp_path):
         store.read_version("t", 0)
     assert store.read_version("t", 1).first()["id"] == 1
     assert store.read_version("t", 2).first()["id"] == 2
+
+
+def test_diff_versions_cdc(spark, tmp_path):
+    """CDC between commits: added / removed / changed classified by one
+    null-safe full-outer join over time-travel reads."""
+    from claude_code_memory_spark.plans.incremental import TableStore, diff_versions
+
+    store = TableStore(spark, str(tmp_path / "cdc"))
+    store.write("t", spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None)],
+        "id long, name string, score int"))
+    store.write("t", spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40), (5, None, None)],
+        "id long, name string, score int"))
+
+    got = {r["id"]: r["change"]
+           for r in diff_versions(store, "t", 0, 1, ["id"]).collect()}
+    # id 1 unchanged (dropped); 2 changed; 3 removed; 4 and 5 added
+    assert got == {2: "changed", 3: "removed", 4: "added", 5: "added"}
+    row2 = {r["id"]: r for r in diff_versions(store, "t", 0, 1, ["id"]).collect()}[2]
+    assert row2["old"]["name"] == "b" and row2["new"]["name"] == "B"
