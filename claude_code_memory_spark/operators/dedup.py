@@ -467,11 +467,12 @@ def cross_substring_overlaps(
     b = capped.select(
         F.col("__gram"), F.col("__doc").alias("doc_b"), F.col("__pos").alias("__pb")
     )
+    # no distinct needed: a gram occupies ONE position per doc, so each
+    # (doc_a, doc_b, pa, diff) combination arises from exactly one join row
     matches = (
         a.join(b, "__gram")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "__pa", (F.col("__pa") - F.col("__pb")).alias("__diff"))
-        .distinct()
     )
     w = Window.partitionBy("doc_a", "doc_b", "__diff").orderBy("__pa")
     runs = (

@@ -102,7 +102,7 @@ def gopher_rules(
     ).cast("double") / F.greatest(n_words, F.lit(1))
     stop_hits = F.size(
         F.array_intersect(
-            F.array_distinct(F.expr(f"transform(split(lower({text_col}), '\\\\s+'), w -> w)")),
+            F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+")),
             required,
         )
     )

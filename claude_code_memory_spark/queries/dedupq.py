@@ -305,7 +305,7 @@ def dedup_minhash_delta(spark, sf_dir):
         SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram)
       WHERE df <= 20),
     matches AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.pos AS pa, a.pos - b.pos AS diff
       FROM g a JOIN keep USING (gram) JOIN g b USING (gram)
       WHERE a.doc_id < b.doc_id),
