@@ -454,11 +454,13 @@ class CodeMemoryEngine:
             raise ValueError(f"invalid search mode: {mode}")  # qdrant.py:722-801
         vectors = self.store.read("vectors")
         if vectors is None:  # never-indexed collection: 0 hits, not a crash
-            base = (
-                "point_id long, dense_rank int, sparse_rank int, rrf_score double"
-                if mode == "hybrid"
-                else "point_id long, score double"
-            )
+            if mode == "hybrid":
+                base = "point_id long, dense_rank int, sparse_rank int, rrf_score double"
+            elif mode == "semantic" and mmr:
+                # keep the documented mmr_rank column in the empty case too
+                base = "point_id long, score double, mmr_rank int"
+            else:
+                base = "point_id long, score double"
             return self.spark.createDataFrame(
                 [],
                 base + ", entity_name string, chunk_type string,"

@@ -216,14 +216,26 @@ def mmr_rerank(
     surface) — diversity reranking is the standard retrieval add-on the
     reference leaves to the caller.
     """
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    # output schema derives from the INPUT id/score types, so string or
+    # int ids round-trip instead of being coerced to long
+    in_schema = {f.name: f for f in candidates.schema.fields}
+    out_schema = StructType(
+        [
+            in_schema[id_col],
+            in_schema[score_col],
+            StructField("mmr_rank", IntegerType(), False),
+        ]
+    )
     rows = candidates.select(id_col, score_col, vec_col).collect()
     if not rows:
-        return candidates.sparkSession.createDataFrame(
-            [], f"{id_col} long, {score_col} double, mmr_rank int"
-        )
+        return candidates.sparkSession.createDataFrame([], out_schema)
     import math as _math
 
     ids = [r[id_col] for r in rows]
+    if any(i is None for i in ids):
+        raise ValueError("mmr_rerank: candidate ids must be non-null")
     rel = [float(r[score_col]) for r in rows]
     vecs = [[float(x) for x in r[vec_col]] for r in rows]
     norms = [_math.sqrt(sum(x * x for x in v)) or 1.0 for v in vecs]
@@ -234,17 +246,16 @@ def mmr_rerank(
     selected: list[int] = []
     remaining = list(range(len(rows)))
     while remaining and len(selected) < k:
-        best, best_key = None, None
-        for i in remaining:
+        # minimize (-marginal_score, id): max marginal relevance, ties to
+        # the LOWER id in the id's own ordering (works for ints and strings)
+        def mmr_key(i: int):
             penalty = max((cos(i, j) for j in selected), default=0.0)
-            key = (lam * rel[i] - (1.0 - lam) * penalty, -float(ids[i] or 0))
-            if best_key is None or key > best_key:
-                best, best_key = i, key
+            return (-(lam * rel[i] - (1.0 - lam) * penalty), ids[i])
+
+        best = min(remaining, key=mmr_key)
         selected.append(best)
         remaining.remove(best)
     out = [
         (ids[i], rel[i], rank + 1) for rank, i in enumerate(selected)
     ]
-    return candidates.sparkSession.createDataFrame(
-        out, f"{id_col} long, {score_col} double, mmr_rank int"
-    )
+    return candidates.sparkSession.createDataFrame(out, out_schema)

@@ -107,7 +107,7 @@ class TableStore:
         # fully written (the parquet write preceded _commit), readable by
         # read_version, while _current still serves the previous commit —
         # never a pointer to missing data
-        version = len(self.history(table))
+        version = self._next_version(table)
         with open(self._log_path(table), "a") as fh:
             fh.write(
                 json.dumps(
@@ -124,6 +124,34 @@ class TableStore:
         # No GC here: lazy DataFrames captured earlier in the pipeline may
         # still reference older snapshots (Delta's time-travel + deferred
         # VACUUM solves the same hazard). vacuum() runs between pipelines.
+
+    def _next_version(self, table: str) -> int:
+        """Next commit's version number, from the log's LAST line only —
+        parsing the whole log (with its embedded schema strings) per
+        commit would make commit cost grow with table history."""
+        path = self._log_path(table)
+        if not os.path.exists(path):
+            return 0
+        with open(path, "rb") as fh:
+            fh.seek(0, os.SEEK_END)
+            size = fh.tell()
+            window = 65536
+            while True:
+                back = min(size, window)
+                fh.seek(size - back)
+                tail = fh.read().decode("utf-8", errors="ignore")
+                lines = [ln for ln in tail.strip().splitlines() if ln.strip()]
+                # the first window line may be a truncated record; a line
+                # is complete if the window started at 0 or we have >= 2
+                if back == size and lines:
+                    break
+                if len(lines) >= 2:
+                    lines = lines[1:]
+                    break
+                if back == size:
+                    return 0
+                window *= 2
+        return json.loads(lines[-1])["version"] + 1
 
     def history(self, table: str) -> list[dict]:
         """Commit log, oldest first: [{version, ts, snapshots, schema}].

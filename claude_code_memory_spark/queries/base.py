@@ -80,3 +80,10 @@ def ts_us_col(df: DataFrame, col: str = "ts") -> Column:
     if dtype == "bigint":
         return F.expr(f"{col} div 1000")
     return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table with a derived epoch-µs ``ts_us`` column — the shared
+    entry point for every event-time query (see `ts_us_col`)."""
+    e = table(spark, sf_dir, "events")
+    return e.withColumn("ts_us", ts_us_col(e))

@@ -16,6 +16,18 @@ from claude_code_memory_spark.operators.clustering import kmeans_lloyd, semantic
 from claude_code_memory_spark.operators.sampling import hash_bucket
 from claude_code_memory_spark.queries.base import register, table
 
+def _spread(spark, df):
+    """Repartition ONLY when the scan has fewer splits than cores — the
+    one-parquet-file fixture reads as a single partition, serializing the
+    iterative argmin. A real corpus has >> cores input splits and takes
+    the no-op branch, preserving the operators' no-row-shuffle cost
+    model at scale."""
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 _DD_DOT = "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
 
 
@@ -91,12 +103,7 @@ def cluster_kmeans_sizes(spark, sf_dir):
     operators/clustering.py for the cost model. Reference parity:
     reproducible collection partitioning (storage/qdrant.py collection
     management)."""
-    # the fixture is ONE parquet file -> one input split; the iterative
-    # argmin would run on a single core. Real corpora have >> cpus splits;
-    # locally, spread the (tiny) input once before the iteration chain.
-    emb = table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    emb = _spread(spark, table(spark, sf_dir, "embeddings"))
     assigned, cent = kmeans_lloyd(emb, k=8, iters=2)
     sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
     norms = cent.select(
@@ -130,9 +137,7 @@ def dedup_semantic_cells(spark, sf_dir):
     the assignment is stored partitioned by cell so the self-join is
     co-located. Complements `dedup_embedding_neardup` (label-blocked)
     with the unsupervised blocking a real corpus needs."""
-    emb = table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )  # one-file fixture -> one split; see cluster_kmeans_sizes
+    emb = _spread(spark, table(spark, sf_dir, "embeddings"))
     assigned, _ = kmeans_lloyd(emb, k=8, iters=2)
     # three consumers (both self-join sides + the verdict join) — persist
     # so the assignment computes once; at scale this is the write-

@@ -8,12 +8,10 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from claude_code_memory_spark.queries.base import register, table, ts_us_col
-
-
-def _events_us(spark, sf_dir):
-    e = table(spark, sf_dir, "events")
-    return e.withColumn("ts_us", ts_us_col(e))
+from claude_code_memory_spark.queries.base import (
+    events_us as _events_us,
+)
+from claude_code_memory_spark.queries.base import register, table, ts_us_col  # noqa: F401
 
 
 @register(

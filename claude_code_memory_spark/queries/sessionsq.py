@@ -10,15 +10,13 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from claude_code_memory_spark.queries.base import register, table, ts_us_col
+from claude_code_memory_spark.queries.base import (
+    events_us as _events_us,
+)
+from claude_code_memory_spark.queries.base import register, table, ts_us_col  # noqa: F401
 
 _GAP_US = 3600 * 1_000_000  # 1 hour, reference chat/parser.py:52-56
 _WIN_US = 300 * 1_000_000  # 5-minute tumbling windows
-
-
-def _events_us(spark, sf_dir):
-    e = table(spark, sf_dir, "events")
-    return e.withColumn("ts_us", ts_us_col(e))
 
 
 @register(

@@ -413,7 +413,8 @@ _GOPHER_LINES = "list_filter(string_split(text, chr(10)), l -> length(trim(l)) >
       SELECT doc_id,
              len({_GOPHER_WORDS}) AS n_words,
              greatest(len({_GOPHER_LINES}), 1) AS n_lines,
-             list_sum(list_transform({_GOPHER_WORDS}, w -> length(w)))::DOUBLE
+             coalesce(list_sum(list_transform({_GOPHER_WORDS}, w -> length(w))),
+                      0)::DOUBLE
                / greatest(len({_GOPHER_WORDS}), 1) AS mean_wl,
              len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE
                / greatest(len({_GOPHER_WORDS}), 1) AS symbol_ratio,

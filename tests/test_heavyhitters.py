@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from claude_code_memory_spark.operators.heavyhitters import (
     heavy_hitters,
-    misra_gries_partition_candidates,
+    misra_gries_partition_sketch,
 )
 
 
@@ -47,13 +47,17 @@ def test_partition_invariant(skewed):
 
 def test_candidate_rows_bounded_by_capacity(skewed):
     parts = skewed.repartition(5)
+    sketch = misra_gries_partition_sketch(parts, capacity=10)
     per_part = (
-        misra_gries_partition_candidates(parts, capacity=10)
+        sketch.filter(F.col("item").isNotNull())
         .withColumn("pid", F.spark_partition_id())
         .groupBy("pid")
         .agg(F.count("*").alias("n"))
     )
     assert all(r["n"] <= 10 for r in per_part.collect())
+    # the piggybacked totals sum to the stream's non-null row count
+    total = sketch.filter(F.col("item").isNull()).agg(F.sum("est_count")).first()[0]
+    assert total == 2300
 
 
 def test_threshold_is_strict(spark):
@@ -69,3 +73,11 @@ def test_nulls_ignored(spark):
     df = spark.createDataFrame(rows, "item string")
     # n_total counts non-null only (F.count on the column): 9 * 10 > 9
     assert _hits(heavy_hitters(df, capacity=10)) == {"a": 9}
+
+
+def test_non_string_items_rejected_at_call_time(spark):
+    df = spark.createDataFrame([(1,), (2,)], "item long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="string item column"):
+        heavy_hitters(df, capacity=10)
