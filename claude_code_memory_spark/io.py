@@ -181,3 +181,13 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zorder_value(x: int, y: int, bits: int = 16) -> int:
+    """Pure-Python reference of `zorder_key` (same bit layout) — used by
+    the property tests to prove the interleave is a bijection."""
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z

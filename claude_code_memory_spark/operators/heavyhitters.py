@@ -28,6 +28,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def misra_gries_fold(counters: dict, values, capacity: int) -> int:
+    """Fold ``values`` into a Misra-Gries summary in place; returns the
+    number of values consumed. Pure function — the per-partition closure
+    and the hypothesis property tests share it, so the guarantee the
+    tests prove is the guarantee the operator runs."""
+    n = 0
+    for v in values:
+        n += 1
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < capacity:
+            counters[v] = 1
+        else:
+            dead = []
+            for k in counters:
+                counters[k] -= 1
+                if counters[k] == 0:
+                    dead.append(k)
+            for k in dead:
+                del counters[k]
+    return n
+
+
 def _require_string_items(items: DataFrame, item_col: str) -> None:
     dtype = dict(items.dtypes).get(item_col)
     if dtype is None:
@@ -57,22 +80,9 @@ def misra_gries_partition_sketch(
         counters: dict[str, int] = {}
         n_rows = 0
         for pdf in batches:
-            for v in pdf[item_col]:
-                if v is None:
-                    continue
-                n_rows += 1
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < capacity:
-                    counters[v] = 1
-                else:
-                    dead = []
-                    for k in counters:
-                        counters[k] -= 1
-                        if counters[k] == 0:
-                            dead.append(k)
-                    for k in dead:
-                        del counters[k]
+            n_rows += misra_gries_fold(
+                counters, (v for v in pdf[item_col] if v is not None), capacity
+            )
         if n_rows:
             yield pd.DataFrame(
                 {

@@ -151,3 +151,74 @@ def test_guard_override_comment_total(code):
     assert isinstance(allowed, bool) and isinstance(reason, str)
     if allowed:
         assert reason  # always a non-empty reason when the gate opens
+
+
+# --- Misra-Gries: the cross-partition heavy-hitter guarantee -------------
+
+from claude_code_memory_spark.operators.heavyhitters import (  # noqa: E402
+    misra_gries_fold,
+)
+
+
+@given(
+    stream=st.lists(st.integers(min_value=0, max_value=30), max_size=400),
+    capacity=st.integers(min_value=1, max_value=10),
+    n_parts=st.integers(min_value=1, max_value=7),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_misra_gries_candidates_contain_all_heavy_hitters(
+    stream, capacity, n_parts, data
+):
+    """For ANY split of the stream into partitions, the union of
+    per-partition MG keys contains every item with global count
+    > n/capacity — the guarantee heavy_hitters' exactness rests on."""
+    # adversarial split: each element assigned to an arbitrary partition
+    assignment = [
+        data.draw(st.integers(min_value=0, max_value=n_parts - 1))
+        for _ in stream
+    ]
+    parts: list[list[int]] = [[] for _ in range(n_parts)]
+    for v, p in zip(stream, assignment):
+        parts[p].append(v)
+    candidates: set[int] = set()
+    for part in parts:
+        counters: dict[int, int] = {}
+        misra_gries_fold(counters, part, capacity)
+        candidates |= set(counters)
+    n = len(stream)
+    from collections import Counter
+
+    for item, cnt in Counter(stream).items():
+        if cnt * capacity > n:
+            assert item in candidates, (item, cnt, n, capacity)
+
+
+def test_misra_gries_state_bounded():
+    counters: dict[int, int] = {}
+    misra_gries_fold(counters, range(10_000), capacity=7)
+    assert len(counters) <= 7
+
+
+# --- Morton interleave: bijective over the declared bit range ------------
+
+from claude_code_memory_spark.io import zorder_value  # noqa: E402
+
+
+def _deinterleave(z: int, bits: int) -> tuple[int, int]:
+    x = y = 0
+    for i in range(bits):
+        x |= ((z >> (2 * i)) & 1) << i
+        y |= ((z >> (2 * i + 1)) & 1) << i
+    return x, y
+
+
+@given(
+    x=st.integers(min_value=0, max_value=(1 << 16) - 1),
+    y=st.integers(min_value=0, max_value=(1 << 16) - 1),
+)
+@settings(max_examples=300, deadline=None)
+def test_zorder_interleave_is_bijective(x, y):
+    z = zorder_value(x, y, 16)
+    assert 0 <= z < (1 << 32)
+    assert _deinterleave(z, 16) == (x, y)
