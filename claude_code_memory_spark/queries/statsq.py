@@ -179,3 +179,60 @@ def sketch_heavy_hitters(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     toks = d.select(F.explode(tokenize("text")).alias("token"))
     return heavy_hitters(toks, item_col="token", capacity=200)
+
+
+@register(
+    "feature_winsorize_clip",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           round(b.lo, 6) AS p05,
+           round(b.hi, 6) AS p95,
+           CAST(round(sum(CAST(least(greatest(e.value, b.lo), b.hi)
+                               AS DECIMAL(18,6))), 4) AS DOUBLE)
+             AS winsorized_sum
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY e.event_type, b.lo, b.hi
+    """,
+)
+def feature_winsorize_clip(spark, sf_dir):
+    """Per-group winsorization (clip to [p05, p95]) — the standard
+    outlier treatment before feature normalization. Two aggregates over
+    one scan lineage: exact interpolated percentiles per group (a
+    k-row frame, broadcast back onto the events), then clip + decimal
+    sums so the hash is partition-order-invariant. At 100 TB swap the
+    exact percentile for approx_percentile (`sketch_approx_distinct`'s
+    sibling trade) without touching the clip stage."""
+    e = table(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.sum((F.col("value") < F.col("lo")).cast("long")).alias("n_clipped_low"),
+            F.sum((F.col("value") > F.col("hi")).cast("long")).alias("n_clipped_high"),
+            F.round(F.sum(clipped.cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("winsorized_sum"),
+        )
+        .select(
+            "event_type",
+            "n_clipped_low",
+            "n_clipped_high",
+            F.round(F.col("lo"), 6).alias("p05"),
+            F.round(F.col("hi"), 6).alias("p95"),
+            "winsorized_sum",
+        )
+    )
