@@ -523,3 +523,52 @@ class TestCrossSubstring:
         )
         assert cross_substring_overlaps(df, n=8, max_gram_docs=4).count() == 0
         assert cross_substring_overlaps(df, n=8, max_gram_docs=5).count() == 10
+
+
+class TestStarComponents:
+    """large-star/small-star components (operators/components.py):
+    equivalence with min-label propagation, including the long-chain
+    case where propagation's O(diameter) bound is the worst case."""
+
+    def _labels(self, df):
+        return {r["node"]: r["comp"] for r in df.collect()}
+
+    def test_equivalent_on_random_graph(self, spark):
+        from claude_code_memory_spark.operators.components import (
+            connected_components,
+            connected_components_star,
+        )
+        import random
+
+        rng = random.Random(7)
+        edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+        df = spark.createDataFrame(
+            [(a, b) for a, b in edges if a != b], "src long, dst long"
+        )
+        assert self._labels(connected_components_star(df)) == self._labels(
+            connected_components(df)
+        )
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        from claude_code_memory_spark.operators.components import (
+            connected_components_star,
+        )
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(120)], "src long, dst long"
+        )
+        got = self._labels(connected_components_star(chain, max_iter=12))
+        # a 121-node chain has diameter 120: label propagation needs ~120
+        # rounds; star converges within 12 and everything labels to 0
+        assert set(got.values()) == {0} and len(got) == 121
+
+    def test_two_components_and_self_loops(self, spark):
+        from claude_code_memory_spark.operators.components import (
+            connected_components_star,
+        )
+
+        df = spark.createDataFrame(
+            [(5, 6), (6, 7), (7, 5), (9, 9), (10, 11)], "src long, dst long"
+        )
+        got = self._labels(connected_components_star(df))
+        assert got == {5: 5, 6: 5, 7: 5, 10: 10, 11: 10}
