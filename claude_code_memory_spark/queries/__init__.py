@@ -44,6 +44,8 @@ _DRIVER_WINDOW = [
     "agg_grouping_sets",
     "window_time_range_frame",
     "agg_user_segments_bitmap",
+    "quality_constraint_report",
+    "feature_winsorize_clip",
     # -- changed/added earlier this round: validate next --
     "sessionize_events",
     "tumbling_window_counts",
@@ -81,9 +83,7 @@ _DRIVER_WINDOW = [
     "window_lag_lead",
     "scroll_pagination",
     "q17_small_quantity_revenue",
-    "agg_rollup_orders",
     "range_join_click_to_purchase",
-    "q4_order_priority",
     # -- last green in round 2 (dedup_exact_kept / agg_event_stats /
     # filter_must_should_not / set_except_intersect / hash_ids_documents /
     # join_salted_status_revenue displaced by the six new round-4 entries;
@@ -99,6 +99,7 @@ _DRIVER_WINDOW = [
 # room for later r4 additions — window_rank_ntile, pivot_status_by_priority,
 # filter_score_threshold, join_semi_customers_with_urgent, agg_cube_orders,
 # q6_revenue_delta, q10_returned_items, scalar_datetime_parts,
+# q4_order_priority, agg_rollup_orders,
 # weighted_content_assembly, window_running_user_value,
 # token_frequency_top50, filter_exclude_pattern, join_full_outer_diff
 # (each family-covered by a windowed twin: dense_topk_filtered /

@@ -21,6 +21,8 @@ def test_driver_window_covers_flagships_and_families():
         "agg_grouping_sets",
         "window_time_range_frame",
         "agg_user_segments_bitmap",
+        "quality_constraint_report",
+        "feature_winsorize_clip",
         # changed/added in round 4 — must be re-validated by the driver
         "sessionize_events",
         "tumbling_window_counts",
