@@ -336,3 +336,40 @@ def dedup_cross_substring(spark, sf_dir):
     return cross_substring_overlaps(
         d, n=8, min_overlap_tokens=10, max_gram_docs=20
     )
+
+
+@register(
+    "dedup_clusters_star",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle(threshold=0.5)}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs),
+    reach(node, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node
+    )
+    SELECT node AS doc_id, min(comp) AS component
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def dedup_clusters_star(spark, sf_dir):
+    """`dedup_duplicate_clusters` computed by the LARGE-STAR/SMALL-STAR
+    algorithm (Kiveris et al. SoCC'14) instead of min-label propagation:
+    O(log² n) rounds independent of component diameter — the variant for
+    graphs whose structure is unknown. The component labeling is
+    algorithm-invariant (min reachable id), so the SAME recursive-CTE
+    oracle checks both implementations — a cross-algorithm consistency
+    gate, not just a twin."""
+    from claude_code_memory_spark.operators.components import (
+        connected_components_star,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, threshold=0.5, n=3, num_hashes=16, bands=4)
+    return (
+        connected_components_star(pairs, src="id_a", dst="id_b")
+        .select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+        .orderBy("doc_id")
+    )

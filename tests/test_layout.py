@@ -176,3 +176,36 @@ def test_zorder_key_matches_sql_twin(spark):
     assert via_col == via_sql
     assert via_col[0] == 0 and via_col[1] == 1 and via_col[2] == 2
     assert via_col[3] == (1 << 32) - 1  # full 16+16 bits interleave to 2^32-1
+
+
+def test_parquet_aggregate_pushdown(spark, sf_dir, tmp_path):
+    """With spark.sql.parquet.aggregatePushdown, MIN/MAX/COUNT over a
+    parquet table are answered from footer statistics — the scan shows
+    PushedAggregation and reads no data pages. The free-metadata path
+    every 100 TB 'how big is this table' query should take."""
+    # pushdown requires no predicate and no nested schema: write a flat copy
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    orders.write.mode("overwrite").parquet(str(tmp_path / "flat"))
+    old = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    # aggregate pushdown is a DataSource V2 capability; the default V1
+    # parquet reader ignores it entirely
+    spark.conf.set(
+        "spark.sql.sources.useV1SourceList",
+        ",".join(s for s in old_v1.split(",") if s and s != "parquet"),
+    )
+    try:
+        agg = spark.read.parquet(str(tmp_path / "flat")).agg(
+            F.min("o_orderkey"), F.max("o_orderkey"), F.count("*")
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation: [MIN(o_orderkey), MAX(o_orderkey), COUNT(*)]" in plan, plan
+        row = agg.first()
+        exact = orders.agg(F.min("o_orderkey"), F.max("o_orderkey"), F.count("*")).first()
+        assert tuple(row) == tuple(exact)
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", old)
+        spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
