@@ -87,3 +87,15 @@ def events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry point for every event-time query (see `ts_us_col`)."""
     e = table(spark, sf_dir, "events")
     return e.withColumn("ts_us", ts_us_col(e))
+
+
+def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the scan has fewer splits than cores — the
+    one-parquet-file fixtures read as a single partition, serializing
+    compute-heavy per-row stages (shingling, signatures, argmin). A real
+    corpus has >> cores input splits and takes the no-op branch, so the
+    operators' no-input-shuffle cost model holds at scale."""
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df

@@ -15,17 +15,7 @@ from claude_code_memory_spark.functions.vector import dot
 from claude_code_memory_spark.operators.clustering import kmeans_lloyd, semantic_dedup
 from claude_code_memory_spark.operators.sampling import hash_bucket
 from claude_code_memory_spark.queries.base import register, table
-
-def _spread(spark, df):
-    """Repartition ONLY when the scan has fewer splits than cores — the
-    one-parquet-file fixture reads as a single partition, serializing the
-    iterative argmin. A real corpus has >> cores input splits and takes
-    the no-op branch, preserving the operators' no-row-shuffle cost
-    model at scale."""
-    parallelism = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        return df.repartition(parallelism)
-    return df
+from claude_code_memory_spark.queries.base import spread as _spread
 
 
 _DD_DOT = "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"

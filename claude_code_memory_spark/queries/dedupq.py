@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from claude_code_memory_spark.operators import dedup as D
-from claude_code_memory_spark.queries.base import register, table
+from claude_code_memory_spark.queries.base import register, spread, table
 
 # Shared DuckDB fragments ---------------------------------------------------
 
@@ -69,7 +69,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard pairs >= 0.2 via inverted shingle index,
     with the scale-safe default posting cap active (the oracle replays
     the cap)."""
-    d = table(spark, sf_dir, "documents")
+    d = spread(spark, table(spark, sf_dir, "documents"))
     return D.ngram_jaccard_pairs(d, threshold=0.2, n=3)
 
 
@@ -115,7 +115,7 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
 @register("dedup_minhash_lsh", oracle=_minhash_oracle(), headline=True)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(16) + LSH(4 bands) candidates, exact-Jaccard verified >= 0.5."""
-    d = table(spark, sf_dir, "documents")
+    d = spread(spark, table(spark, sf_dir, "documents"))
     return D.minhash_lsh_pairs(d, threshold=0.5, n=3, num_hashes=16, bands=4)
 
 
@@ -141,7 +141,7 @@ def dedup_minhash_lsh(spark, sf_dir):
 )
 def dedup_simhash(spark, sf_dir):
     """Per-document 32-bit SimHash (md5 hash family) — BIGINT column."""
-    d = table(spark, sf_dir, "documents")
+    d = spread(spark, table(spark, sf_dir, "documents"))
     return D.simhash32_table(d)
 
 
@@ -206,7 +206,7 @@ def dedup_duplicate_clusters(spark, sf_dir):
     O(diameter) iterative joins with checkpointed lineage."""
     from claude_code_memory_spark.operators.components import connected_components
 
-    d = table(spark, sf_dir, "documents")
+    d = spread(spark, table(spark, sf_dir, "documents"))
     pairs = D.minhash_lsh_pairs(d, threshold=0.5, n=3, num_hashes=16, bands=4)
     return (
         connected_components(pairs, src="id_a", dst="id_b")
@@ -332,7 +332,7 @@ def dedup_cross_substring(spark, sf_dir):
     Jaccard/embedding), and now verbatim-span."""
     from claude_code_memory_spark.operators.dedup import cross_substring_overlaps
 
-    d = table(spark, sf_dir, "documents")
+    d = spread(spark, table(spark, sf_dir, "documents"))
     return cross_substring_overlaps(
         d, n=8, min_overlap_tokens=10, max_gram_docs=20
     )
@@ -366,7 +366,7 @@ def dedup_clusters_star(spark, sf_dir):
         connected_components_star,
     )
 
-    d = table(spark, sf_dir, "documents")
+    d = spread(spark, table(spark, sf_dir, "documents"))
     pairs = D.minhash_lsh_pairs(d, threshold=0.5, n=3, num_hashes=16, bands=4)
     return (
         connected_components_star(pairs, src="id_a", dst="id_b")

@@ -176,7 +176,9 @@ def sketch_heavy_hitters(spark, sf_dir):
     from claude_code_memory_spark.functions.text import tokenize
     from claude_code_memory_spark.operators.heavyhitters import heavy_hitters
 
-    d = table(spark, sf_dir, "documents")
+    from claude_code_memory_spark.queries.base import spread
+
+    d = spread(spark, table(spark, sf_dir, "documents"))
     toks = d.select(F.explode(tokenize("text")).alias("token"))
     return heavy_hitters(toks, item_col="token", capacity=200)
 
