@@ -238,3 +238,38 @@ def feature_winsorize_clip(spark, sf_dir):
             "winsorized_sum",
         )
     )
+
+
+@register(
+    "sketch_window_distinct",
+    oracle="""
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_within_15pct
+    FROM events GROUP BY 1
+    """,
+)
+def sketch_window_distinct(spark, sf_dir):
+    """Daily active users via HyperLogLog++ — the sketch x window
+    composition every metrics pipeline runs (`approx_count_distinct` per
+    tumbling day window). Same 3-sigma envelope contract as
+    `sketch_approx_distinct`: the exact count rides along and the oracle
+    pins the sketch within 15%. At 100 TB the HLL partials merge
+    map-side per (day) key — count(DISTINCT) would shuffle every
+    (day, user) pair instead."""
+    from claude_code_memory_spark.queries.base import events_us
+
+    e = events_us(spark, sf_dir)
+    agg = e.groupBy(F.expr("ts_us div 86400000000").alias("day")).agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("__approx"),
+    )
+    within = (
+        F.abs(F.col("__approx") - F.col("exact_users"))
+        <= F.col("exact_users") * F.lit(0.15)
+    )
+    return agg.select(
+        F.col("day").cast("long").alias("day"),
+        "exact_users",
+        within.alias("approx_within_15pct"),
+    )
