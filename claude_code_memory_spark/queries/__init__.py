@@ -93,9 +93,10 @@ _DRIVER_WINDOW = [
     "chunk_pack_running_budget",
 ]
 # Round-5 rotation queue (first-priority IN, displacing r4 double-greens):
-# (a) the four r4 entries that did not fit this window —
-# agg_token_histogram, vector_pq_trained_error, dedup_edit_distance,
-# funnel_view_click_purchase; (b) the r1-green entries displaced to make
+# (a) the r4 entries that did not fit this window — agg_token_histogram,
+# vector_pq_trained_error, dedup_edit_distance, funnel_view_click_purchase,
+# dedup_clusters_star, sketch_window_distinct (never driver-checked — put
+# these two FIRST); (b) the r1-green entries displaced to make
 # room for later r4 additions — window_rank_ntile, pivot_status_by_priority,
 # filter_score_threshold, join_semi_customers_with_urgent, agg_cube_orders,
 # q6_revenue_delta, q10_returned_items, scalar_datetime_parts,
