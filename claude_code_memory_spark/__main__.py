@@ -79,6 +79,10 @@ def main(argv: list[str] | None = None) -> int:
                          help="full storage-efficiency report (bloat_analysis.py)")
     p_stats.add_argument("--near-dups", action="store_true", dest="near_dups",
                          help="MinHash near-duplicate memory pairs")
+    p_stats.add_argument("--validate", action="store_true",
+                         help="collection-integrity constraint report")
+    p_stats.add_argument("--profile", default=None, metavar="TABLE",
+                         help="single-pass column profile of a store table")
 
     p_chat = sub.add_parser("chat", help="index a conversation JSONL")
     p_chat.add_argument("--file", required=True, help="chat JSONL path")
@@ -231,6 +235,10 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "stats":
         if args.bloat:
             eng.bloat_report().orderBy("section", "metric").show(100, truncate=60)
+        elif args.validate:
+            eng.validate().orderBy("rule").show(50, truncate=60)
+        elif args.profile:
+            eng.profile(args.profile).orderBy("column").show(100, truncate=40)
         elif args.near_dups:
             eng.near_dup_report().show(50, truncate=40)
         else:

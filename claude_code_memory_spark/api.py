@@ -727,6 +727,47 @@ class CodeMemoryEngine:
                 df.createOrReplaceTempView(name)
         return self.spark.sql(query)
 
+    def validate(self) -> DataFrame:
+        """Collection-integrity constraint report: the deequ-style rules
+        (operators/constraints.py) applied to the engine's OWN store —
+        non-null ids/types, the closed chunk_type vocabulary, unique
+        point ids, and chunks⊆vectors referential integrity. One
+        conditional-aggregation scan + one key aggregate + one
+        anti-join; all-zero n_violations is the invariant every index/
+        merge pass must preserve (the reference validates payloads
+        procedurally at ingest; here it is a rerunnable report)."""
+        from claude_code_memory_spark.operators import constraints as C
+
+        chunks = self.store.read("chunks")
+        vectors = self.store.read("vectors")
+        if chunks is None or vectors is None:
+            return self.spark.createDataFrame(
+                [], "rule string, n_violations long"
+            )
+        return C.constraint_report(
+            chunks,
+            [
+                C.not_null("point_id"),
+                C.not_null("chunk_type"),
+                C.accepted_values(
+                    "chunk_type", ["metadata", "implementation", "relation"]
+                ),
+            ],
+            unique=["point_id"],
+            references=("point_id", vectors, "point_id"),
+        )
+
+    def profile(self, table: str) -> DataFrame:
+        """Single-pass column profile of a store table (nulls, approx
+        distinct, min/max) — `operators/stats.py::profile_table` over the
+        collection. Raises on unknown/never-written tables."""
+        df = self.store.read(table)
+        if df is None:
+            raise ValueError(f"no such table in the collection store: {table!r}")
+        from claude_code_memory_spark.operators.stats import profile_table
+
+        return profile_table(df)
+
     # -- manual memories & collection clear (K3) -----------------------------
 
     def add_memory(self, name: str, content: str, entity_type: str = "documentation") -> None:

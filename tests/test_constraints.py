@@ -84,3 +84,34 @@ def test_no_constraints_raises(dirty):
 
     with _pytest.raises(ValueError):
         C.constraint_report(dirty, [])
+
+
+def test_engine_validate_and_profile(spark, tmp_path):
+    """The engine's own store passes its integrity constraints after an
+    index pass, and the profiler summarizes store tables in one scan."""
+    from claude_code_memory_spark.api import CodeMemoryEngine
+
+    eng = CodeMemoryEngine(spark, str(tmp_path / "vstore"))
+    proj = tmp_path / "proj"
+    proj.mkdir()
+    (proj / "m.py").write_text("def f():\n    return 1\n\n\ndef g():\n    return f()\n")
+    eng.index(str(proj))
+
+    report = {r["rule"]: r["n_violations"] for r in eng.validate().collect()}
+    assert set(report.values()) == {0}, report
+    assert "unique(point_id)" in report and "references(point_id)" in report
+
+    prof = {r["column"]: r for r in eng.profile("chunks").collect()}
+    assert prof["point_id"]["n_nulls"] == 0
+    assert prof["chunk_type"]["approx_distinct"] >= 2  # metadata + relation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no such table"):
+        eng.profile("nope")
+
+
+def test_validate_on_empty_store_is_empty(spark, tmp_path):
+    from claude_code_memory_spark.api import CodeMemoryEngine
+
+    eng = CodeMemoryEngine(spark, str(tmp_path / "empty"))
+    assert eng.validate().count() == 0
