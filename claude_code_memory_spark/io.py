@@ -191,3 +191,32 @@ def zorder_value(x: int, y: int, bits: int = 16) -> int:
         z |= ((x >> i) & 1) << (2 * i)
         z |= ((y >> i) & 1) << (2 * i + 1)
     return z
+
+
+def zorder_key_n(cols, bits: int = 8):
+    """N-dimensional Morton key: round-robin bit-interleave of ``len(cols)``
+    non-negative int columns (``bits`` low bits each). The 2-D
+    `zorder_key` is the n=2 special case; weights every dimension
+    equally, so callers range-normalize first (see `write_zordered`)."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    cs = [c if isinstance(c, Column) else F.col(c) for c in cols]
+    n = len(cs)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cs):
+            z = z + F.shiftleft(
+                F.shiftright(c.cast("long"), i).bitwiseAND(1), i * n + j
+            )
+    return z
+
+
+def zorder_value_n(vals, bits: int = 8) -> int:
+    """Pure-Python reference of `zorder_key_n` (property tests)."""
+    n = len(vals)
+    z = 0
+    for i in range(bits):
+        for j, v in enumerate(vals):
+            z |= ((v >> i) & 1) << (i * n + j)
+    return z

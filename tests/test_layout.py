@@ -209,3 +209,13 @@ def test_parquet_aggregate_pushdown(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.parquet.aggregatePushdown", old)
         spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
+
+
+def test_zorder_key_n_matches_pure_reference(spark):
+    from claude_code_memory_spark.io import zorder_key_n, zorder_value_n
+
+    rows = [(1, 2, 3), (255, 0, 128), (7, 7, 7), (0, 0, 0)]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    got = [r["z"] for r in
+           df.select(zorder_key_n(["a", "b", "c"], 8).alias("z")).collect()]
+    assert got == [zorder_value_n(list(r), 8) for r in rows]

@@ -222,3 +222,34 @@ def test_zorder_interleave_is_bijective(x, y):
     z = zorder_value(x, y, 16)
     assert 0 <= z < (1 << 32)
     assert _deinterleave(z, 16) == (x, y)
+
+
+from claude_code_memory_spark.io import zorder_value_n  # noqa: E402
+
+
+def _deinterleave_n(z: int, n: int, bits: int) -> tuple:
+    out = [0] * n
+    for i in range(bits):
+        for j in range(n):
+            out[j] |= ((z >> (i * n + j)) & 1) << i
+    return tuple(out)
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=(1 << 8) - 1), min_size=2, max_size=5
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_zorder_n_interleave_is_bijective(vals):
+    z = zorder_value_n(vals, 8)
+    assert 0 <= z < (1 << (8 * len(vals)))
+    assert _deinterleave_n(z, len(vals), 8) == tuple(vals)
+
+
+def test_zorder_n_matches_2d_layout():
+    # n=2 must agree with the dedicated 2-D interleave bit-for-bit
+    from claude_code_memory_spark.io import zorder_value
+
+    for x, y in [(0, 0), (1, 2), (255, 255), (170, 85)]:
+        assert zorder_value_n([x, y], 8) == zorder_value(x, y, 8)
