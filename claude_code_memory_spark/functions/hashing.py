@@ -45,3 +45,17 @@ def md5_8(col: Column | str) -> Column:
     """X3: first 8 hex chars of md5 — chunk-id collision suffix."""
     c = F.col(col) if isinstance(col, str) else col
     return F.substring(F.md5(c), 1, 8)
+
+
+def pseudonymize(col: Column | str, salt: str) -> Column:
+    """Deterministic salted pseudonym: SHA-256 over salt || value.
+
+    Join-preserving privacy for identifier columns — the same input maps
+    to the same pseudonym on every table and every run (so user-keyed
+    joins, sessionization, and retention still work), while the original
+    id never leaves the cluster. The salt must be managed as a secret:
+    with it, pseudonyms are re-linkable by design (GDPR pseudonymization,
+    not anonymization). Pure column expression; DuckDB's sha256 replays
+    it, so pseudonymized pipelines stay oracle-checkable."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(F.concat(F.lit(salt), c.cast("string")), 256)

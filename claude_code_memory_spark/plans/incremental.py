@@ -339,3 +339,25 @@ def diff_versions(
             F.col("__new").alias("new"),
         )
     )
+
+
+def delete_where(store: TableStore, table: str, condition) -> int:
+    """Predicate delete (the right-to-be-forgotten primitive): commit a
+    new version of ``table`` without the matching rows; returns the
+    number of rows removed.
+
+    The rewrite costs O(table) — at scale, partition the table so the
+    predicate prunes the rewrite to affected partitions (Delta's DELETE
+    does the same under the hood). Time travel intentionally keeps the
+    deleted rows reachable in PRIOR versions until `vacuum()` runs —
+    a compliant erasure is delete_where + vacuum, mirroring Delta's
+    DELETE + VACUUM two-step."""
+    from pyspark.sql import functions as F
+
+    df = store.read(table)
+    if df is None:
+        raise ValueError(f"no such table: {table!r}")
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    n_removed = df.filter(cond).count()
+    store.write(table, df.filter(~cond))
+    return n_removed

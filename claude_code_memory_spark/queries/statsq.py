@@ -273,3 +273,36 @@ def sketch_window_distinct(spark, sf_dir):
         "exact_users",
         within.alias("approx_within_15pct"),
     )
+
+
+@register(
+    "privacy_pseudonymize",
+    oracle="""
+    SELECT sha256('pepper-42' || user_id::VARCHAR) AS pseudonym,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+             AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def privacy_pseudonymize(spark, sf_dir):
+    """Join-preserving pseudonymization of the user identifier (salted
+    SHA-256, `functions/hashing.py::pseudonymize`) with per-pseudonym
+    activity aggregates — proof that user-keyed analytics survive the
+    privacy transform unchanged: the group count per pseudonym equals
+    the count per original user by construction. Pure column crypto
+    hashing (JVM-side, codegen'd) that DuckDB's sha256 replays exactly;
+    decimal value sums keep the hash partition-order-invariant. The
+    salt is a secret at deployment — with it pseudonyms are re-linkable
+    (GDPR pseudonymization, not anonymization)."""
+    from claude_code_memory_spark.functions.hashing import pseudonymize
+
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        pseudonymize("user_id", "pepper-42").alias("pseudonym")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -229,3 +229,26 @@ def test_diff_versions_cdc(spark, tmp_path):
     assert got == {2: "changed", 3: "removed", 4: "added", 5: "added"}
     row2 = {r["id"]: r for r in diff_versions(store, "t", 0, 1, ["id"]).collect()}[2]
     assert row2["old"]["name"] == "b" and row2["new"]["name"] == "B"
+
+
+def test_delete_where_and_erasure(spark, tmp_path):
+    """Predicate delete commits a new version; the erased rows stay
+    time-travelable until vacuum (the Delta DELETE + VACUUM two-step)."""
+    from claude_code_memory_spark.plans.incremental import TableStore, delete_where
+
+    store = TableStore(spark, str(tmp_path / "gdpr"))
+    store.write("t", spark.createDataFrame(
+        [(1, "keep"), (2, "erase"), (3, "keep"), (4, "erase")],
+        "id long, status string"))
+    n = delete_where(store, "t", "status = 'erase'")
+    assert n == 2
+    assert {r["id"] for r in store.read("t").collect()} == {1, 3}
+    # pre-delete version still reachable (audit window) ...
+    assert store.read_version("t", 0).count() == 4
+    # ... until vacuum completes the erasure
+    store.vacuum()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vacuumed"):
+        store.read_version("t", 0)
+    assert {r["id"] for r in store.read("t").collect()} == {1, 3}
