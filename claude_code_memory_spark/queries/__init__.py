@@ -46,6 +46,9 @@ _DRIVER_WINDOW = [
     "agg_user_segments_bitmap",
     "quality_constraint_report",
     "feature_winsorize_clip",
+    "dedup_clusters_star",
+    "sketch_window_distinct",
+    "privacy_pseudonymize",
     # -- changed/added earlier this round: validate next --
     "sessionize_events",
     "tumbling_window_counts",
@@ -68,9 +71,6 @@ _DRIVER_WINDOW = [
     # -- last green in round 1: re-validate (oldest first priority) --
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "dedup_embedding_neardup",
-    "dedup_duplicate_clusters",
-    "sample_stratified_by_lang",
     "q3_shipping_priority",
     "q5_revenue_by_nation",
     "filter_payload_equality",
@@ -94,13 +94,13 @@ _DRIVER_WINDOW = [
 ]
 # Round-5 rotation queue (first-priority IN, displacing r4 double-greens):
 # (a) the r4 entries that did not fit this window — agg_token_histogram,
-# vector_pq_trained_error, dedup_edit_distance, funnel_view_click_purchase,
-# dedup_clusters_star, sketch_window_distinct (never driver-checked — put
-# these two FIRST); (b) the r1-green entries displaced to make
+# vector_pq_trained_error, dedup_edit_distance, funnel_view_click_purchase;
+# (b) the r1-green entries displaced to make
 # room for later r4 additions — window_rank_ntile, pivot_status_by_priority,
 # filter_score_threshold, join_semi_customers_with_urgent, agg_cube_orders,
 # q6_revenue_delta, q10_returned_items, scalar_datetime_parts,
-# q4_order_priority, agg_rollup_orders,
+# q4_order_priority, agg_rollup_orders, dedup_embedding_neardup,
+# dedup_duplicate_clusters (star twin windowed), sample_stratified_by_lang,
 # weighted_content_assembly, window_running_user_value,
 # token_frequency_top50, filter_exclude_pattern, join_full_outer_diff
 # (each family-covered by a windowed twin: dense_topk_filtered /

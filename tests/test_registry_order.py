@@ -23,6 +23,9 @@ def test_driver_window_covers_flagships_and_families():
         "agg_user_segments_bitmap",
         "quality_constraint_report",
         "feature_winsorize_clip",
+        "dedup_clusters_star",
+        "sketch_window_distinct",
+        "privacy_pseudonymize",
         # changed/added in round 4 — must be re-validated by the driver
         "sessionize_events",
         "tumbling_window_counts",
@@ -43,8 +46,6 @@ def test_driver_window_covers_flagships_and_families():
         # freshness rotation: oldest-green families back in the window
         "dedup_ngram_jaccard",
         "dedup_simhash",
-        "dedup_duplicate_clusters",
-        "sample_stratified_by_lang",
         "relations_orphan_cleanup",
         "agg_percentiles",
         "window_lag_lead",
