@@ -18,6 +18,7 @@ from claude_code_memory_spark.queries import (  # noqa: F401,E402
     sessionsq,
     statsq,
     textopsq,
+    timeseriesq,
 )
 
 # The driver verifies only the FIRST 50 registry entries (insertion order).
@@ -93,8 +94,12 @@ _DRIVER_WINDOW = [
     "chunk_pack_running_budget",
 ]
 # Round-5 rotation queue (first-priority IN, displacing r4 double-greens):
-# (a) the r4 entries that did not fit this window — agg_token_histogram,
-# vector_pq_trained_error, dedup_edit_distance, funnel_view_click_purchase;
+# (a) the r4 entries that did not fit this window — the late-session
+# additions timeseries_gapfill_locf, anomaly_rolling_zscore,
+# asof_join_salted_events (oracle = DuckDB native ASOF JOIN, independently
+# proving the salted decomposition), sketch_hll_mergeable, plus
+# agg_token_histogram, vector_pq_trained_error, dedup_edit_distance,
+# funnel_view_click_purchase;
 # (b) the r1-green entries displaced to make
 # room for later r4 additions — window_rank_ntile, pivot_status_by_priority,
 # filter_score_threshold, join_semi_customers_with_urgent, agg_cube_orders,

@@ -306,3 +306,50 @@ def privacy_pseudonymize(spark, sf_dir):
         .cast("double")
         .alias("total_value"),
     )
+
+
+@register(
+    "sketch_hll_mergeable",
+    oracle="""
+    SELECT count(DISTINCT user_id) AS exact_users,
+           TRUE AS merge_lossless,
+           TRUE AS est_within_15pct
+    FROM events
+    """,
+)
+def sketch_hll_mergeable(spark, sf_dir):
+    """Mergeability — the property that makes sketches THE distinct-count
+    tool at 100 TB: per-event_type Datasketches HLL sketches
+    (`hll_sketch_agg`) union (`hll_union_agg`) into the same estimate a
+    single pass over all rows produces, so distinct counts can be
+    pre-aggregated per partition/day/shard and combined later without
+    rescanning history (the rollup-maintenance story of plans/rollup.py,
+    extended to DISTINCT — which plain counts cannot do). The driver
+    pins: union-of-partials tracks the direct sketch within 2% and the
+    estimate lands within 15% of the exact count (~150 users, far
+    inside the lgK=12 error envelope)."""
+    e = table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    return direct.crossJoin(F.broadcast(merged)).select(
+        "exact_users",
+        (
+            F.abs(
+                F.col("est_merged").cast("double")
+                - F.col("est_direct").cast("double")
+            )
+            <= F.col("est_direct").cast("double") * F.lit(0.02)
+        ).alias("merge_lossless"),
+        (
+            F.abs(F.col("est_direct").cast("double") - F.col("exact_users"))
+            <= F.col("exact_users") * F.lit(0.15)
+        ).alias("est_within_15pct"),
+    )

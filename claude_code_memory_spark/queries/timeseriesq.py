@@ -1,0 +1,205 @@
+"""Time-series catalog: hypertable-style gap-fill + LOCF, rolling-window
+anomaly detection, and the salted as-of join — the continuous-aggregate
+surface a telemetry/training pipeline needs over the events table.
+
+Determinism: every float aggregate follows the round-4 decimal recipe
+(PLANS.md) — per-bucket sums are exact decimals, rolling sums are sums of
+exact decimals (associative → partition-invariant), and double math only
+happens on already-exact inputs with the identical expression tree on the
+Spark and DuckDB sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from claude_code_memory_spark.operators.asof import asof_join_salted
+from claude_code_memory_spark.queries.base import events_us as _events_us
+from claude_code_memory_spark.queries.base import register
+
+_HR_US = 3600 * 1_000_000  # 1-hour buckets
+
+
+def _hourly_decimal_sums(spark, sf_dir):
+    """Per (event_type, hour-bucket): row count + exact decimal value sum.
+    One scan, one shuffle keyed on (type, bucket) with map-side combine —
+    at 100 TB this is the continuous-aggregate refresh shape (the same
+    expression Structured Streaming runs incrementally; see
+    plans/rollup.py for the maintained variant)."""
+    e = _events_us(spark, sf_dir)
+    return e.groupBy(
+        "event_type", F.expr(f"ts_us div {_HR_US}").alias("bucket_id")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("d1"),
+    )
+
+
+@register(
+    "timeseries_gapfill_locf",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, epoch_us(ts) // {_HR_US} AS bucket_id,
+             count(*) AS n,
+             CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)), 4)
+                  AS DOUBLE) AS bucket_value
+      FROM events GROUP BY 1, 2),
+    span AS (SELECT event_type, min(bucket_id) AS lo, max(bucket_id) AS hi
+             FROM b GROUP BY 1),
+    grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS bucket_id
+             FROM span)
+    SELECT event_type, bucket_id,
+           coalesce(b.n, 0) AS n,
+           last_value(b.bucket_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket_id
+             ROWS UNBOUNDED PRECEDING) AS locf_value,
+           b.n IS NULL AS is_gap
+    FROM grid LEFT JOIN b USING (event_type, bucket_id)
+    """,
+)
+def timeseries_gapfill_locf(spark, sf_dir):
+    """Hypertable-style gap-fill: densify each series' hourly bucket grid
+    (`sequence` + explode — generated, not scanned), then carry the last
+    observed value forward (LOCF) across empty buckets.
+
+    Scale shape: the grid's size is series x time-span (metadata-sized
+    relative to the events that produced it); the only data-sized stage
+    is the bucket aggregate (one shuffle, map-side combined). The LOCF
+    window partitions by series key, and its per-partition row count is
+    bounded by the time span — never by event volume."""
+    b = _hourly_decimal_sums(spark, sf_dir).withColumn(
+        "bucket_value", F.round(F.col("d1"), 4).cast("double")
+    )
+    span = b.groupBy("event_type").agg(
+        F.min("bucket_id").alias("lo"), F.max("bucket_id").alias("hi")
+    )
+    grid = span.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("bucket_id")
+    )
+    filled = grid.join(b, ["event_type", "bucket_id"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        "event_type",
+        "bucket_id",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.last("bucket_value", ignorenulls=True).over(w).alias("locf_value"),
+        F.col("n").isNull().alias("is_gap"),
+    )
+
+
+@register(
+    "anomaly_rolling_zscore",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, epoch_us(ts) // {_HR_US} AS bucket_id,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS d1
+      FROM events GROUP BY 1, 2),
+    b2 AS (SELECT *, d1 * d1 AS d2 FROM b),
+    roll AS (
+      SELECT event_type, bucket_id, CAST(d1 AS DOUBLE) AS x,
+             CAST(sum(d1) OVER w AS DOUBLE) AS s1,
+             CAST(sum(d2) OVER w AS DOUBLE) AS s2,
+             count(d1) OVER w AS m
+      FROM b2
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_id
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, bucket_id,
+           round(x, 4) AS bucket_value,
+           round((x - s1 / m) / sqrt(greatest(s2 / m - (s1 / m) * (s1 / m), 0)
+                                     + 1e-9), 4) AS z,
+           abs(round((x - s1 / m) / sqrt(greatest(s2 / m - (s1 / m) * (s1 / m), 0)
+                                         + 1e-9), 4)) >= 3.0 AS is_anomaly
+    FROM roll WHERE m = 24
+    """,
+)
+def anomaly_rolling_zscore(spark, sf_dir):
+    """Rolling-window anomaly detection: each hourly bucket's value sum is
+    z-scored against the trailing 24 observed buckets of its own series
+    (frame excludes the current row, so a spike cannot mask itself).
+
+    Determinism (the reason this hashes identically in DuckDB): the
+    rolling mean/variance come from rolling sums of EXACT decimals (d1
+    and d1², both exactly representable), cast to double only at the
+    end; the double expression tree is written identically on both
+    sides, so even sliding-frame evaluation-order differences between
+    engines cannot produce a differing bit. Double `stddev` over a
+    sliding frame would not survive this test.
+
+    Scale shape: one data-sized shuffle (the bucket aggregate); the
+    rolling window runs over series x span rows, partitioned by series."""
+    b = _hourly_decimal_sums(spark, sf_dir).withColumn(
+        "d2", F.col("d1") * F.col("d1")
+    )
+    wroll = (
+        Window.partitionBy("event_type").orderBy("bucket_id").rowsBetween(-24, -1)
+    )
+    roll = b.select(
+        "event_type",
+        "bucket_id",
+        F.col("d1").cast("double").alias("x"),
+        F.sum("d1").over(wroll).cast("double").alias("s1"),
+        F.sum("d2").over(wroll).cast("double").alias("s2"),
+        F.count("d1").over(wroll).alias("m"),
+    ).filter(F.col("m") == 24)
+    mean = F.col("s1") / F.col("m")
+    var = F.greatest(
+        F.col("s2") / F.col("m") - mean * mean, F.lit(0.0)
+    )
+    z = F.round((F.col("x") - mean) / F.sqrt(var + F.lit(1e-9)), 4)
+    return roll.select(
+        "event_type",
+        "bucket_id",
+        F.round(F.col("x"), 4).alias("bucket_value"),
+        z.alias("z"),
+        (F.abs(z) >= 3.0).alias("is_anomaly"),
+    )
+
+
+@register(
+    "asof_join_salted_events",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+               FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, epoch_us(ts) AS ts_us, value
+               FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id, p.ts_us, p.value,
+           v.ts_us AS matched_ts_us, v.value AS matched_value
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+    """,
+)
+def asof_join_salted_events(spark, sf_dir):
+    """The skew-proof as-of join (operators/asof.py::asof_join_salted,
+    1-day buckets) against DuckDB's NATIVE ASOF JOIN — the same oracle as
+    `asof_join_events`, so the driver independently proves the salted
+    decomposition (bucket split + carry-in patch-up) is semantics-
+    preserving, not just self-consistent."""
+    e = _events_us(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts_us", "value"
+    )
+    return asof_join_salted(
+        purchases,
+        views,
+        on="user_id",
+        ts_col="ts_us",
+        payload_cols=("ts_us", "value"),
+        bucket_width=24 * _HR_US,
+    ).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value",
+        "matched_ts_us",
+        "matched_value",
+    )
