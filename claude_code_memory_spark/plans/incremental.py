@@ -92,6 +92,12 @@ class TableStore:
             # search never lists the implementation partitions
             writer = writer.partitionBy(*partition_by)
         writer.parquet(os.path.join(self.root, table, snap))
+        # file-level min/max stats manifest (plans/skipping.py) — footer
+        # metadata only, written before the commit pointer ever references
+        # this dir; read_pruned consults it to skip whole files
+        from claude_code_memory_spark.plans.skipping import collect_file_stats
+
+        collect_file_stats(self.spark, os.path.join(self.root, table, snap))
         return snap
 
     def _log_path(self, table: str) -> str:
@@ -233,6 +239,16 @@ class TableStore:
             self.write(table, merged, partition_by)
             return
         self._commit(table, snapshots, meta.get("schema", df.schema.json()))
+
+    def read_pruned(self, table: str, predicates: list[tuple]) -> DataFrame | None:
+        """`read` + file-level data skipping: scans only the part files
+        whose footer min/max stats might satisfy ``predicates``
+        ([(col, op, literal)], AND-combined), then applies the predicates
+        as a real filter — result equals read().filter(...), IO doesn't
+        (plans/skipping.py)."""
+        from claude_code_memory_spark.plans.skipping import pruned_read
+
+        return pruned_read(self, table, predicates)
 
     def manifest_key(self, table: str) -> tuple | None:
         """Stable identifier of a table's current snapshot set — changes on

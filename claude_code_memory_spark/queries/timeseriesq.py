@@ -95,6 +95,103 @@ def timeseries_gapfill_locf(spark, sf_dir):
 
 
 @register(
+    "timeseries_interpolate_linear",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, epoch_us(ts) // {_HR_US} AS bucket_id,
+             CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)), 4)
+                  AS DOUBLE) AS bucket_value
+      FROM events GROUP BY 1, 2),
+    span AS (SELECT event_type, min(bucket_id) AS lo, max(bucket_id) AS hi
+             FROM b GROUP BY 1),
+    grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS bucket_id
+             FROM span),
+    f AS (SELECT event_type, bucket_id, b.bucket_value
+          FROM grid LEFT JOIN b USING (event_type, bucket_id)),
+    ctx AS (
+      SELECT event_type, bucket_id, bucket_value,
+             last_value(bucket_value IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN bucket_value IS NOT NULL THEN bucket_id END
+                        IGNORE NULLS) OVER wp AS pb,
+             first_value(bucket_value IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN bucket_value IS NOT NULL THEN bucket_id END
+                         IGNORE NULLS) OVER wn AS nb
+      FROM f
+      WINDOW wp AS (PARTITION BY event_type ORDER BY bucket_id
+                    ROWS UNBOUNDED PRECEDING),
+             wn AS (PARTITION BY event_type ORDER BY bucket_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, bucket_id,
+           coalesce(bucket_value,
+                    round(pv + (nv - pv) * ((bucket_id - pb) / (nb - pb)), 4))
+             AS interp_value,
+           bucket_value IS NULL AS is_interpolated
+    FROM ctx
+    """,
+)
+def timeseries_interpolate_linear(spark, sf_dir):
+    """Linear-interpolation gap-fill (the `interpolate()` companion to
+    LOCF): each empty bucket gets the value linearly interpolated between
+    its nearest observed neighbors. The series' first/last buckets are
+    observed by construction (the grid spans min..max per series), so
+    every gap is interior and both neighbors exist; observed rows
+    degenerate to their own value exactly (fraction = 0).
+
+    Determinism: neighbor values are exact decimal-rounded doubles and
+    the interpolation expression tree is identical on both engines.
+    Same scale shape as the LOCF query — two windows over the
+    metadata-sized grid, partitioned by series."""
+    b = _hourly_decimal_sums(spark, sf_dir).withColumn(
+        "bucket_value", F.round(F.col("d1"), 4).cast("double")
+    )
+    span = b.groupBy("event_type").agg(
+        F.min("bucket_id").alias("lo"), F.max("bucket_id").alias("hi")
+    )
+    grid = span.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("bucket_id")
+    )
+    f = grid.join(
+        b.select("event_type", "bucket_id", "bucket_value"),
+        ["event_type", "bucket_id"],
+        "left",
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    observed_bucket = F.when(
+        F.col("bucket_value").isNotNull(), F.col("bucket_id")
+    )
+    ctx = f.select(
+        "event_type",
+        "bucket_id",
+        "bucket_value",
+        F.last("bucket_value", ignorenulls=True).over(wp).alias("pv"),
+        F.last(observed_bucket, ignorenulls=True).over(wp).alias("pb"),
+        F.first("bucket_value", ignorenulls=True).over(wn).alias("nv"),
+        F.first(observed_bucket, ignorenulls=True).over(wn).alias("nb"),
+    )
+    frac = (F.col("bucket_id") - F.col("pb")) / (F.col("nb") - F.col("pb"))
+    # observed rows short-circuit to their own value: pb == nb == bucket_id
+    # there, and a 0/0 division's NULL/NaN semantics differ across engines
+    return ctx.select(
+        "event_type",
+        "bucket_id",
+        F.coalesce(
+            F.col("bucket_value"),
+            F.round(F.col("pv") + (F.col("nv") - F.col("pv")) * frac, 4),
+        ).alias("interp_value"),
+        F.col("bucket_value").isNull().alias("is_interpolated"),
+    )
+
+
+@register(
     "anomaly_rolling_zscore",
     oracle=f"""
     WITH b AS (

@@ -1,0 +1,146 @@
+"""File-level data skipping (plans/skipping.py): per-snapshot footer
+stats manifests + predicate-driven file pruning on TableStore reads."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from claude_code_memory_spark.plans.incremental import TableStore
+from claude_code_memory_spark.plans.skipping import (
+    STATS_FILE,
+    load_file_stats,
+    prune_files,
+    pruned_read_stats,
+)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return TableStore(spark, str(tmp_path / "store"))
+
+
+def _clustered(spark, n=10_000, files=8):
+    # range-clustered on k so part files carry disjoint k ranges — the
+    # layout data skipping is designed for (io.write_clustered at scale)
+    return (
+        spark.range(0, n)
+        .selectExpr("id AS k", "id % 100 AS v", "concat('u', id % 50) AS name")
+        .repartitionByRange(files, "k")
+    )
+
+
+def _norm(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stats_manifest_written_and_loadable(spark, store):
+    store.write("t", _clustered(spark))
+    meta = store._manifest("t")
+    snap_dir = os.path.join(store.root, "t", meta["snapshots"][0])
+    assert os.path.exists(os.path.join(snap_dir, STATS_FILE))
+    manifest = load_file_stats(snap_dir)
+    assert len(manifest["files"]) == 8
+    for entry in manifest["files"].values():
+        assert entry["cols"]["k"]["min"] <= entry["cols"]["k"]["max"]
+        assert "name" in entry["cols"]  # string stats too
+
+
+def test_pruned_read_equals_filtered_read_and_skips_files(spark, store):
+    store.write("t", _clustered(spark))
+    preds = [("k", ">=", 2_000), ("k", "<", 3_000)]
+    df, kept, total = pruned_read_stats(store, "t", preds)
+    expected = store.read("t").filter((F.col("k") >= 2000) & (F.col("k") < 3000))
+    assert _norm(df) == _norm(expected)
+    assert total == 8
+    # a 10% range over 8 range-clustered files touches 1-2 of them
+    assert kept <= 2, (kept, total)
+    # the scan's file list is the pruned list, not the full dir
+    assert len(df.inputFiles()) == kept
+
+
+def test_point_lookup_prunes_to_one_file(spark, store):
+    store.write("t", _clustered(spark))
+    df, kept, total = pruned_read_stats(store, "t", [("k", "=", 7_777)])
+    assert kept == 1 and total == 8
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["v"] == 77
+
+
+def test_string_predicates_prune(spark, store):
+    df = (
+        spark.range(0, 1_000)
+        .selectExpr("concat('doc-', lpad(id, 6, '0')) AS doc", "id AS v")
+        .repartitionByRange(4, "doc")
+    )
+    store.write("t", df)
+    out, kept, total = pruned_read_stats(
+        store, "t", [("doc", ">=", "doc-000990")]
+    )
+    assert total == 4 and kept == 1
+    assert out.count() == 10
+
+
+def test_append_keeps_per_snapshot_manifests(spark, store):
+    store.write("t", _clustered(spark, n=4_000, files=4))
+    store.append(
+        "t",
+        spark.range(4_000, 8_000)
+        .selectExpr("id AS k", "id % 100 AS v", "concat('u', id % 50) AS name")
+        .repartitionByRange(4, "k"),
+    )
+    df, kept, total = pruned_read_stats(store, "t", [("k", ">=", 6_000)])
+    assert total == 8
+    assert kept <= 2  # prunes the entire first snapshot + half the second
+    assert df.count() == 2_000
+    assert _norm(df) == _norm(store.read("t").filter("k >= 6000"))
+
+
+def test_everything_pruned_yields_empty_with_schema(spark, store):
+    store.write("t", _clustered(spark, n=100, files=2))
+    df, kept, total = pruned_read_stats(store, "t", [("k", ">", 10_000)])
+    assert kept == 0 and df.count() == 0
+    assert set(df.columns) == {"k", "v", "name"}
+
+
+def test_missing_manifest_falls_back_to_full_scan(spark, store):
+    store.write("t", _clustered(spark, n=1_000, files=4))
+    meta = store._manifest("t")
+    snap_dir = os.path.join(store.root, "t", meta["snapshots"][0])
+    os.remove(os.path.join(snap_dir, STATS_FILE))
+    df, kept, total = pruned_read_stats(store, "t", [("k", "=", 5)])
+    assert kept == total == 4  # honest: no stats, no skipping
+    assert df.count() == 1
+
+
+def test_unsupported_predicates_keep_files():
+    manifest = {
+        "files": {
+            "a.parquet": {"rows": 10, "cols": {"k": {"min": 0, "max": 9, "nulls": 0}}},
+            "b.parquet": {"rows": 10, "cols": {"k": {"min": 10, "max": 19, "nulls": 0}}},
+        }
+    }
+    kept, total = prune_files(manifest, [("k", "=", 15)])
+    assert kept == ["b.parquet"] and total == 2
+    # unknown column / op: conservative keep-all
+    assert prune_files(manifest, [("zz", "=", 1)])[0] == ["a.parquet", "b.parquet"]
+    assert prune_files(manifest, [("k", "!=", 1)])[0] == ["a.parquet", "b.parquet"]
+    # cross-type comparison: keep
+    assert prune_files(manifest, [("k", "=", "x")])[0] == ["a.parquet", "b.parquet"]
+
+
+def test_engine_store_writes_still_work(spark, store):
+    """Partitioned writes (chunk_type dirs) get manifests with relative
+    paths inside partition subdirs and prune on non-partition columns."""
+    df = spark.range(0, 2_000).selectExpr(
+        "id AS point_id",
+        "CASE WHEN id % 2 = 0 THEN 'metadata' ELSE 'implementation' END AS chunk_type",
+    ).repartitionByRange(4, "point_id")
+    store.write("chunks", df, partition_by=["chunk_type"])
+    out, kept, total = pruned_read_stats(
+        store, "chunks", [("point_id", "<", 100)]
+    )
+    assert total >= 2 and kept < total
+    assert out.count() == 100

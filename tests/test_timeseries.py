@@ -137,6 +137,34 @@ class TestGapfillAndAnomaly:
         assert not out[base + 3]["is_gap"]
         assert out[base + 3]["locf_value"] == 40.0
 
+    def test_interpolate_linear_fills_interior_gaps(self, spark, tmp_path):
+        """Buckets 0,1,4 observed → 2 and 3 linearly interpolated between
+        bucket 1 (20.0) and bucket 4 (80.0); observed rows keep their
+        exact value."""
+        rows = [
+            (1, "2024-01-01 00:10:00", "click", 10.0, "{}", 1),
+            (2, "2024-01-01 01:10:00", "click", 20.0, "{}", 1),
+            (3, "2024-01-01 04:10:00", "click", 80.0, "{}", 1),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, event_type string, value double, props string, user_id long"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.write.parquet(str(tmp_path / "events.parquet"))
+        from claude_code_memory_spark.queries.timeseriesq import (
+            timeseries_interpolate_linear,
+        )
+
+        out = {
+            r["bucket_id"]: r
+            for r in timeseries_interpolate_linear(spark, str(tmp_path)).collect()
+        }
+        assert len(out) == 5
+        base = min(out)
+        vals = {b - base: r["interp_value"] for b, r in out.items()}
+        assert vals == {0: 10.0, 1: 20.0, 2: 40.0, 3: 60.0, 4: 80.0}
+        interp = {b - base for b, r in out.items() if r["is_interpolated"]}
+        assert interp == {2, 3}
+
     def test_anomaly_flags_injected_spike(self, spark, tmp_path):
         """25 calm hourly buckets then a huge spike → exactly the spike
         bucket is flagged (trailing window excludes the current row)."""
