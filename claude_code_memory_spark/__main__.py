@@ -73,6 +73,13 @@ def main(argv: list[str] | None = None) -> int:
     p_clear.add_argument("--all", action="store_true",
                          help="also drop manual memories")
 
+    p_opt = sub.add_parser(
+        "optimize",
+        help="recluster chunks by entity_name so point lookups file-skip",
+    )
+    p_opt.add_argument("-c", "--collection", required=True)
+    p_opt.add_argument("--target-files", type=int, default=None)
+
     p_stats = sub.add_parser("stats")
     p_stats.add_argument("-c", "--collection", required=True)
     p_stats.add_argument("--bloat", action="store_true",
@@ -228,6 +235,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "clear":
         eng.clear(preserve_manual=not args.all)
         print("cleared" + ("" if args.all else " (manual memories preserved)"))
+    elif args.cmd == "optimize":
+        eng.optimize(target_files=args.target_files)
+        print("optimized: chunks clustered by entity_name")
     elif args.cmd == "chat":
         print(eng.index_chat(args.file, gap_seconds=int(args.gap_hours * 3600)))
     elif args.cmd == "sql":

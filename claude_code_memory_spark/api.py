@@ -625,7 +625,12 @@ class CodeMemoryEngine:
         if scope not in ("minimal", "logical", "dependencies"):
             raise ValueError(f"invalid scope: {scope}")
         chunks = self.store.read("chunks").filter(F.col("chunk_type") == "implementation")
-        own = chunks.filter(F.col("entity_name") == entity_name)
+        # point lookup via file skipping: after optimize() clusters chunks
+        # by entity_name, this scans only the file(s) whose min/max range
+        # covers the name; unclustered tables conservatively scan all
+        own = self.store.read_pruned(
+            "chunks", [("entity_name", "=", entity_name)]
+        ).filter(F.col("chunk_type") == "implementation")
         if scope == "minimal":
             return own
         rel = self.store.read("relations")
@@ -711,6 +716,23 @@ class CodeMemoryEngine:
                 "jaccard",
             )
             .orderBy(F.desc("jaccard"), F.asc("point_a"), F.asc("point_b"))
+        )
+
+    def optimize(self, target_files: int | None = None) -> None:
+        """Serving-layout maintenance (Delta OPTIMIZE CLUSTER BY
+        analogue): rewrite `chunks` range-clustered by entity_name so
+        each part file carries a narrow, disjoint name range — after
+        which `get_implementation` / `read_graph` point lookups skip
+        every non-matching file via the footer-stats manifests
+        (plans/skipping.py) instead of scanning the collection. Also
+        folds append snapshots (compaction). Run between indexing
+        batches; reads are correct (conservatively unpruned) before,
+        during, and after."""
+        self.store.optimize(
+            "chunks",
+            cluster_by=["entity_name"],
+            partition_by=["chunk_type"],
+            target_files=target_files,
         )
 
     def sql(self, query: str) -> DataFrame:

@@ -240,6 +240,31 @@ class TableStore:
             return
         self._commit(table, snapshots, meta.get("schema", df.schema.json()))
 
+    def optimize(
+        self,
+        table: str,
+        cluster_by: list[str] | None = None,
+        partition_by: list[str] | None = None,
+        target_files: int | None = None,
+    ) -> None:
+        """Delta ``OPTIMIZE [ZORDER/CLUSTER BY]`` analogue: rewrite the
+        table as ONE new range-clustered snapshot. Clustering gives the
+        part files narrow disjoint ranges on ``cluster_by``, which is
+        what makes `read_pruned`'s file skipping bite (a point lookup
+        then scans 1 file instead of all of them); it also folds append
+        snapshots, so it subsumes compaction. Time travel to prior
+        versions is preserved (new commit, old snapshots untouched until
+        vacuum)."""
+        df = self.read(table)
+        if df is None:
+            return
+        if cluster_by:
+            n = target_files or max(
+                2, self.spark.sparkContext.defaultParallelism
+            )
+            df = df.repartitionByRange(n, *cluster_by)
+        self.write(table, df, partition_by)
+
     def read_pruned(self, table: str, predicates: list[tuple]) -> DataFrame | None:
         """`read` + file-level data skipping: scans only the part files
         whose footer min/max stats might satisfy ``predicates``

@@ -280,7 +280,12 @@ def pruned_read_stats(store, table: str, predicates: list[tuple]):
         total_n += total
         if kept:
             parts.append(
-                reader.parquet(*[os.path.join(snap_dir, rel) for rel in kept])
+                # basePath recovers partition columns (chunk_type=... dir
+                # values) when scanning an explicit file list inside a
+                # partitioned snapshot — without it they'd read as NULL
+                reader.option("basePath", snap_dir).parquet(
+                    *[os.path.join(snap_dir, rel) for rel in kept]
+                )
             )
     if not parts:
         # everything pruned: empty frame with the table schema

@@ -144,3 +144,25 @@ def test_engine_store_writes_still_work(spark, store):
     )
     assert total >= 2 and kept < total
     assert out.count() == 100
+    # partition column recovered from the dir names, not NULLed out
+    types = {r["chunk_type"] for r in out.select("chunk_type").distinct().collect()}
+    assert types == {"metadata", "implementation"}
+
+
+def test_engine_optimize_makes_get_implementation_file_skip(spark, tmp_path, temp_repo):
+    """End-to-end serving path: after optimize() clusters chunks by
+    entity_name, a get_implementation point lookup reads fewer files
+    than the table has, and returns the same rows as before."""
+    from claude_code_memory_spark.api import CodeMemoryEngine
+
+    eng = CodeMemoryEngine(spark, str(tmp_path / "store"))
+    eng.index(str(temp_repo))
+    before = _norm(eng.get_implementation("helper").select("entity_name", "content"))
+    assert before  # fixture defines helper()
+    eng.optimize(target_files=4)
+    after = _norm(eng.get_implementation("helper").select("entity_name", "content"))
+    assert after == before
+    df, kept, total = pruned_read_stats(
+        eng.store, "chunks", [("entity_name", "=", "helper")]
+    )
+    assert total >= 4 and kept < total, (kept, total)
