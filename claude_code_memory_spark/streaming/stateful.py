@@ -105,3 +105,117 @@ def stateful_sessionize(
             GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+ANOMALY_OUT_SCHEMA = (
+    "series string, bucket_id long, bucket_value double, z double, "
+    "is_anomaly boolean"
+)
+_ANOM_STATE_SCHEMA = (
+    "cur_bucket long, cur_sum double, hist_buckets array<long>, "
+    "hist_sums array<double>"
+)
+
+
+def stateful_anomaly_zscore(
+    events: DataFrame,
+    *,
+    bucket_us: int = 3600 * 1_000_000,
+    window: int = 24,
+    threshold: float = 3.0,
+    emit_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of queries/timeseriesq.py::anomaly_rolling_zscore:
+    per-series hourly bucket sums z-scored against the trailing
+    ``window`` CLOSED buckets, held in the state store.
+
+    ``events``: streaming DataFrame ``series string, ts_us long,
+    value double``. A bucket closes when a later bucket's first event
+    arrives (or the inactivity timeout fires); at close it is scored
+    against the history ring — which never includes the bucket itself,
+    same as the batch query's `ROWS BETWEEN window PRECEDING AND 1
+    PRECEDING` frame — then appended to the ring (bounded at
+    ``window`` entries per series, so state is O(series x window)
+    regardless of stream length). Scored rows are emitted only once
+    the ring is full, matching the batch twin's ``m == window`` gate.
+    Late events for already-closed buckets are dropped (the watermark
+    analogue; the batch query is the backfill path).
+
+    At scale: state hash-partitions by series; a micro-batch touches
+    only the series present in it plus timed-out ones.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    timeout_ms = emit_timeout_ms if emit_timeout_ms is not None else max(
+        bucket_us // 1000, 1
+    )
+    out_cols = ["series", "bucket_id", "bucket_value", "z", "is_anomaly"]
+
+    def score(x: float, hist: list) -> tuple:
+        import math
+
+        m = len(hist)
+        mean = sum(hist) / m
+        var = max(sum(v * v for v in hist) / m - mean * mean, 0.0)
+        z = round((x - mean) / math.sqrt(var + 1e-9), 4)
+        return z, abs(z) >= threshold
+
+    def fold(
+        key: Tuple[Any, ...],
+        pdfs: Iterable["pandas.DataFrame"],  # noqa: F821
+        state: GroupState,
+    ) -> Iterator["pandas.DataFrame"]:
+        import pandas as pd
+
+        (series,) = key
+
+        def close(cur_b, cur_s, hb, hs, emit):
+            if len(hb) >= window:
+                z, flag = score(cur_s, hs[-window:])
+                emit.append((series, cur_b, round(cur_s, 4), z, flag))
+            hb = (hb + [cur_b])[-window:]
+            hs = (hs + [cur_s])[-window:]
+            return hb, hs
+
+        if state.hasTimedOut:
+            if state.exists:
+                cur_b, cur_s, hb, hs = state.get
+                emit: list = []
+                if cur_b is not None:
+                    hb, hs = close(cur_b, cur_s, list(hb), list(hs), emit)
+                state.update((None, None, list(hb), list(hs)))
+                if emit:
+                    yield pd.DataFrame(emit, columns=out_cols)
+            return
+
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("ts_us")
+        if state.exists:
+            cur_b, cur_s, hb, hs = state.get
+            hb, hs = list(hb), list(hs)
+        else:
+            cur_b, cur_s, hb, hs = None, None, [], []
+        emit = []
+        for ts, v in zip(batch["ts_us"], batch["value"]):
+            b = int(ts) // bucket_us
+            if cur_b is None:
+                if hb and b <= hb[-1]:
+                    continue  # late event for a closed bucket: drop
+                cur_b, cur_s = b, float(v)
+            elif b == cur_b:
+                cur_s += float(v)
+            elif b > cur_b:
+                hb, hs = close(cur_b, cur_s, hb, hs, emit)
+                cur_b, cur_s = b, float(v)
+            # b < cur_b: late, drop
+        state.update((cur_b, cur_s, hb, hs))
+        state.setTimeoutDuration(timeout_ms)
+        if emit:
+            yield pd.DataFrame(emit, columns=out_cols)
+
+    return events.groupBy("series").applyInPandasWithState(
+        fold,
+        ANOMALY_OUT_SCHEMA,
+        _ANOM_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
