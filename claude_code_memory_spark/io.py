@@ -158,6 +158,19 @@ def write_zordered(
     for the range-partition + in-file sort, then dropped; file footers
     carry min/max on the ORIGINAL columns, which is what the scan prunes
     on."""
+    zorder_cluster(df, x, y, bits=bits, num_files=num_files).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def zorder_cluster(
+    df: DataFrame, x: str, y: str, bits: int = 16, num_files: int = 32
+) -> DataFrame:
+    """The layout transform of `write_zordered` without the write:
+    range-normalized Morton key → range partition → in-file sort → key
+    dropped. Reused by TableStore.optimize(zorder_by=...) so store
+    snapshots get the 2-D tile layout (and therefore 2-D file skipping
+    via the footer-stats manifests)."""
     from pyspark.sql import functions as F
 
     lo_x, hi_x, lo_y, hi_y = df.agg(
@@ -173,13 +186,11 @@ def write_zordered(
         ).cast("long")
 
     zk = zorder_key(scaled(x, lo_x, hi_x), scaled(y, lo_y, hi_y), bits=bits)
-    (
+    return (
         df.withColumn("__z", zk)
         .repartitionByRange(num_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
     )
 
 

@@ -246,22 +246,25 @@ class TableStore:
         cluster_by: list[str] | None = None,
         partition_by: list[str] | None = None,
         target_files: int | None = None,
+        zorder_by: tuple[str, str] | None = None,
     ) -> None:
         """Delta ``OPTIMIZE [ZORDER/CLUSTER BY]`` analogue: rewrite the
-        table as ONE new range-clustered snapshot. Clustering gives the
-        part files narrow disjoint ranges on ``cluster_by``, which is
-        what makes `read_pruned`'s file skipping bite (a point lookup
-        then scans 1 file instead of all of them); it also folds append
-        snapshots, so it subsumes compaction. Time travel to prior
-        versions is preserved (new commit, old snapshots untouched until
-        vacuum)."""
+        table as ONE new clustered snapshot. ``cluster_by`` range-
+        clusters (perfect file skipping on one column); ``zorder_by``
+        Morton-tiles two columns (io.zorder_cluster) so `read_pruned`
+        skips files on EITHER column or a 2-D box. Either way it also
+        folds append snapshots, so it subsumes compaction. Time travel
+        to prior versions is preserved (new commit, old snapshots
+        untouched until vacuum)."""
         df = self.read(table)
         if df is None:
             return
-        if cluster_by:
-            n = target_files or max(
-                2, self.spark.sparkContext.defaultParallelism
-            )
+        n = target_files or max(2, self.spark.sparkContext.defaultParallelism)
+        if zorder_by:
+            from claude_code_memory_spark.io import zorder_cluster
+
+            df = zorder_cluster(df, *zorder_by, num_files=n)
+        elif cluster_by:
             df = df.repartitionByRange(n, *cluster_by)
         self.write(table, df, partition_by)
 

@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 
 STATS_FILE = "_filestats.json"
 
-# predicate ops supported by the pruner; anything else keeps the file
+# predicate ops supported by the pruner (plus "in" with a value list);
+# anything else keeps the file
 _OPS = ("=", "<", "<=", ">", ">=")
 
 
@@ -178,9 +179,25 @@ def _file_may_match(cols: dict, predicates: list[tuple]) -> bool:
     predicates matches no row in the file."""
     for pred in predicates:
         col, op, value = pred
-        value = _norm(value)
         st = cols.get(col)
-        if st is None or value is None or op not in _OPS:
+        if st is None:
+            continue
+        if op == "in":
+            vals = [_norm(v) for v in value]
+            if any(v is None for v in vals) or not vals:
+                continue
+            mn, mx = st["min"], st["max"]
+            same_kind = all(isinstance(v, str) == isinstance(mn, str) for v in vals)
+            if not same_kind:
+                continue
+            try:
+                if all(v < mn or v > mx for v in vals):
+                    return False
+            except TypeError:
+                pass
+            continue
+        value = _norm(value)
+        if value is None or op not in _OPS:
             continue  # unknown → cannot exclude
         mn, mx = st["min"], st["max"]
         if type(mn) is str and not isinstance(value, str):
@@ -227,6 +244,8 @@ def _predicate_column(pred: tuple):
         return c > F.lit(value)
     if op == ">=":
         return c >= F.lit(value)
+    if op == "in":
+        return c.isin(*list(value))
     raise ValueError(f"unsupported predicate op: {op!r}")
 
 

@@ -166,3 +166,42 @@ def test_engine_optimize_makes_get_implementation_file_skip(spark, tmp_path, tem
         eng.store, "chunks", [("entity_name", "=", "helper")]
     )
     assert total >= 4 and kept < total, (kept, total)
+
+
+def test_in_predicate_prunes(spark, store):
+    store.write("t", _clustered(spark))  # 8 files, k ranges of 1250
+    df, kept, total = pruned_read_stats(
+        store, "t", [("k", "in", [5, 9_999])]
+    )
+    assert total == 8 and kept == 2  # first and last file only
+    assert {r["k"] for r in df.collect()} == {5, 9_999}
+
+
+def test_optimize_zorder_prunes_both_dimensions(spark, store):
+    """After optimize(zorder_by=(x, y)), file skipping works on an
+    x-only predicate, a y-only predicate, AND the 2-D box — range
+    clustering can only ever serve one of the three."""
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (rng.randrange(0, 1_000), rng.randrange(0, 1_000), i)
+        for i in range(20_000)
+    ]
+    df = spark.createDataFrame(rows, "x long, y long, payload long")
+    store.write("t", df.repartition(8))  # unclustered baseline
+    store.optimize("t", zorder_by=("x", "y"), target_files=16)
+    for preds in (
+        [("x", "<", 150)],
+        [("y", ">=", 870)],
+        [("x", "<", 250), ("y", "<", 250)],
+    ):
+        out, kept, total = pruned_read_stats(store, "t", preds)
+        assert total == 16, (preds, total)
+        assert kept <= total // 2, (preds, kept, total)
+        expected = store.read("t")
+        from claude_code_memory_spark.plans.skipping import _predicate_column
+
+        for p in preds:
+            expected = expected.filter(_predicate_column(p))
+        assert out.count() == expected.count()
