@@ -50,6 +50,12 @@ _DRIVER_WINDOW = [
     "dedup_clusters_star",
     "sketch_window_distinct",
     "privacy_pseudonymize",
+    # -- added in the third continuation session: never driver-checked --
+    "timeseries_gapfill_locf",
+    "timeseries_interpolate_linear",
+    "anomaly_rolling_zscore",
+    "asof_join_salted_events",
+    "sketch_hll_mergeable",
     # -- changed/added earlier this round: validate next --
     "sessionize_events",
     "tumbling_window_counts",
@@ -70,15 +76,15 @@ _DRIVER_WINDOW = [
     "hybrid_rrf_search",
     "dedup_minhash_lsh",
     # -- last green in round 1: re-validate (oldest first priority) --
+    # (filter_payload_equality / join_anti_customers_without_urgent /
+    # join_hash_dedup_probe / set_union_distinct_nations /
+    # scalar_regex_extract displaced by the five new time-series/sketch
+    # entries — all five are trivial r1-green shapes whose families keep
+    # windowed representatives; they lead the round-5 queue below)
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "q3_shipping_priority",
     "q5_revenue_by_nation",
-    "filter_payload_equality",
-    "join_anti_customers_without_urgent",
-    "join_hash_dedup_probe",
-    "set_union_distinct_nations",
-    "scalar_regex_extract",
     "relations_orphan_cleanup",
     "agg_percentiles",
     "window_lag_lead",
@@ -94,12 +100,11 @@ _DRIVER_WINDOW = [
     "chunk_pack_running_budget",
 ]
 # Round-5 rotation queue (first-priority IN, displacing r4 double-greens):
-# (a) the r4 entries that did not fit this window — the late-session
-# additions timeseries_gapfill_locf, anomaly_rolling_zscore,
-# asof_join_salted_events (oracle = DuckDB native ASOF JOIN, independently
-# proving the salted decomposition), sketch_hll_mergeable, plus
-# agg_token_histogram, vector_pq_trained_error, dedup_edit_distance,
-# funnel_view_click_purchase;
+# (a) the five r1-green shapes displaced by the new time-series/sketch
+# entries — filter_payload_equality, join_anti_customers_without_urgent,
+# join_hash_dedup_probe, set_union_distinct_nations, scalar_regex_extract —
+# plus the r4 entries that did not fit this window: agg_token_histogram,
+# vector_pq_trained_error, dedup_edit_distance, funnel_view_click_purchase;
 # (b) the r1-green entries displaced to make
 # room for later r4 additions — window_rank_ntile, pivot_status_by_priority,
 # filter_score_threshold, join_semi_customers_with_urgent, agg_cube_orders,

@@ -26,6 +26,12 @@ def test_driver_window_covers_flagships_and_families():
         "dedup_clusters_star",
         "sketch_window_distinct",
         "privacy_pseudonymize",
+        # added in the third continuation session — never driver-checked
+        "timeseries_gapfill_locf",
+        "timeseries_interpolate_linear",
+        "anomaly_rolling_zscore",
+        "asof_join_salted_events",
+        "sketch_hll_mergeable",
         # changed/added in round 4 — must be re-validated by the driver
         "sessionize_events",
         "tumbling_window_counts",
