@@ -353,3 +353,38 @@ def sketch_hll_mergeable(spark, sf_dir):
             <= F.col("exact_users") * F.lit(0.15)
         ).alias("est_within_15pct"),
     )
+
+
+@register(
+    "vector_pca_covariance",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DECIMAL(18,9)) AS x
+      FROM embeddings, generate_series(1, 64) AS t(i)),
+    s1 AS (SELECT i, sum(x) AS s_i, count(*) AS n FROM e GROUP BY i),
+    s2 AS (
+      SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS s_ij, count(*) AS n
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+      GROUP BY 1, 2)
+    SELECT s2.i, s2.j,
+           round((CAST(s_ij AS DOUBLE)
+                  - CAST(si.s_i AS DOUBLE) * CAST(sj.s_i AS DOUBLE) / s2.n)
+                 / s2.n, 10) AS cov
+    FROM s2
+    JOIN s1 si ON si.i = s2.i
+    JOIN s1 sj ON sj.i = s2.j
+    """,
+)
+def vector_pca_covariance(spark, sf_dir):
+    """The distributed half of PCA (operators/pca.py): the exact d x d
+    covariance of the embedding corpus — n x d² product rows reduce to
+    d(d+1)/2 groups with map-side combine, DECIMAL sums make the matrix
+    partition-order-invariant, and the driver-side eigendecomposition
+    (pca_fit) consumes exactly these values. The shuffle carries
+    partitions x d² rows, never the corpus."""
+    from claude_code_memory_spark.operators.pca import covariance_long
+
+    e = table(spark, sf_dir, "embeddings")
+    return covariance_long(e, "embedding").select(
+        "i", "j", F.round("cov", 10).alias("cov")
+    )

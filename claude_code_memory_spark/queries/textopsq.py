@@ -459,3 +459,86 @@ def text_gopher_rules(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents")
     return TA.gopher_rules(d)
+
+
+@register(
+    "text_pmi_cooccurrence",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> length(x) >= 4))) AS t
+      FROM documents),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    df AS (SELECT t, count(*) AS n_t FROM tok GROUP BY t),
+    pairs AS (
+      SELECT a.t AS token_a, b.t AS token_b, count(*) AS n_ab
+      FROM tok a JOIN tok b USING (doc_id)
+      WHERE a.t < b.t
+      GROUP BY 1, 2
+      HAVING count(*) >= 5)
+    SELECT token_a, token_b, n_ab, da.n_t AS n_a, db.n_t AS n_b,
+           round(n_ab * n.n_docs / (da.n_t * db.n_t), 6) AS lift
+    FROM pairs
+    JOIN df da ON da.t = token_a
+    JOIN df db ON db.t = token_b
+    CROSS JOIN n
+    ORDER BY lift DESC, token_a, token_b
+    LIMIT 20
+    """,
+)
+def text_pmi_cooccurrence(spark, sf_dir):
+    """Token co-occurrence lift (PMI without the log — `lift = P(a,b) /
+    (P(a)P(b))`, same ranking since log is monotonic, and exact-integer
+    double arithmetic where `ln` could drift an ulp between libms):
+    which token pairs appear in the same document far more often than
+    independence predicts. The feature-engineering primitive behind PMI
+    matrices / collocation mining.
+
+    Scale shape: tokenize+explode never shuffles raw text (distinct
+    per-doc tokens only); `df` and the pair aggregate are vocab- and
+    vocab²-bounded with map-side combine; the per-doc self-join is
+    (tokens/doc)² — in production band eligible tokens by document
+    frequency (drop ubiquitous stopword-likes) to bound it, the same
+    posting-cap pattern as the n-gram Jaccard dedup."""
+    from claude_code_memory_spark.functions.text import tokenize
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(tokenize("text"), lambda x: F.length(x) >= 4)
+            )
+        ).alias("t"),
+    )
+    n = d.agg(F.count("*").alias("n_docs"))
+    df_counts = tok.groupBy("t").agg(F.count("*").alias("n_t"))
+    a, b = tok.alias("a"), tok.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.t") < F.col("b.t"))
+        .groupBy(F.col("a.t").alias("token_a"), F.col("b.t").alias("token_b"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    da = df_counts.select(F.col("t").alias("token_a"), F.col("n_t").alias("n_a"))
+    db = df_counts.select(F.col("t").alias("token_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(da), "token_a")
+        .join(F.broadcast(db), "token_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "token_a",
+            "token_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_ab") * F.col("n_docs") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "token_a", "token_b")
+        .limit(20)
+    )
