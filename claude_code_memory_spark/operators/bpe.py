@@ -1,0 +1,167 @@
+"""Distributed BPE tokenizer training — byte-pair-encoding merges
+(Sennrich et al. 2016) learned as iterative DataFrame algebra.
+
+The key scale observation (same as every published BPE trainer): after
+the first pass the corpus never participates again — training runs on
+the WORD-FREQUENCY table (vocabulary-sized, Zipf-bounded), not the
+corpus. The one corpus-sized stage is the initial tokenize + word
+count, which is the `token_frequency_top50` aggregate shape: map-side
+combined, shuffle carries one row per distinct word per partition.
+
+Each merge round over the vocab table:
+  1. adjacent symbol pairs per word, weighted by word frequency
+     (a generated `transform` over the symbol array — no UDF);
+  2. the argmax pair by (total weight desc, pair asc) — a 1-row
+     aggregate, broadcast back;
+  3. leftmost-non-overlapping replace of that pair in every word's
+     symbol string (JVM `replace`).
+
+Words are represented as space-joined symbol strings with an
+end-of-word marker (the classic formulation), so `replace(' a b ',
+...)` respects symbol boundaries. Merge semantics caveat: leftmost-
+NON-OVERLAPPING replace differs from the reuse-greedy scan of
+reference BPE only inside runs of one repeated symbol ('a a a a a'
+merges as [aa, a, aa] instead of [aa, aa, a]) — irrelevant for natural-
+language pair statistics, and the trainer, the encoder expression, and
+the local twin all share the exact same rule. Every round's argmax is
+deterministic (integer weights, lexicographic tie-break), making the
+whole merge sequence partition-order-invariant — pinned against a
+pure-Python reference implementation (`bpe_train_local`, the property-
+test twin) on arbitrary corpora.
+
+At 100 TB: round cost is O(|vocab|) with a vocab-keyed shuffle per
+round; the vocab table is persisted once and each round's plan is a
+broadcast of one 1-row frame onto it — the pagerank/Lloyd iteration
+shape (edges never move, the rank vector does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EOW = "</w>"
+
+
+def words_to_symbols(words: DataFrame, word_col: str = "word") -> DataFrame:
+    """word → space-joined character symbols + end-of-word marker:
+    'low' → 'l o w </w>'."""
+    sym = F.concat_ws(
+        " ",
+        F.concat(
+            F.split(F.col(word_col), ""),  # chars (Spark split on '' = chars)
+            F.array(F.lit(EOW)),
+        ),
+    )
+    return words.withColumn("syms", sym)
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over the symbol strings."""
+    # zip the symbol list against its own tail (slice handles the
+    # fully-merged single-symbol word: slice(l, 1, 0) = [] — a
+    # sequence(1, size-1) formulation would COUNT DOWN there)
+    pairs = F.expr(
+        "zip_with("
+        "slice(split(syms, ' '), 1, size(split(syms, ' ')) - 1), "
+        "slice(split(syms, ' '), 2, size(split(syms, ' ')) - 1), "
+        "(a, b) -> concat(a, ' ', b))"
+    )
+    return (
+        vocab.select(F.explode(pairs).alias("pair"), F.col("n"))
+        .groupBy("pair")
+        .agg(F.sum("n").alias("w"))
+    )
+
+
+def bpe_train(
+    spark: SparkSession,
+    words: DataFrame,
+    num_merges: int,
+    *,
+    word_col: str = "word",
+    count_col: str = "n",
+) -> list[tuple[str, int]]:
+    """Learn ``num_merges`` BPE merges from a word-frequency table.
+
+    Returns [(merged_pair, weight)] in merge order, e.g.
+    [('e s', 120), ('es t', 97), ...]. The vocab table is persisted
+    once; each round runs one vocab-sized aggregate + a driver fetch of
+    the single argmax row (the same per-round scalar action as Lloyd's
+    centroid collect)."""
+    vocab = (
+        words_to_symbols(
+            words.select(F.col(word_col), F.col(count_col).alias("n")), word_col
+        )
+        .select("syms", "n")
+        .persist()
+    )
+    vocab.count()
+    merges: list[tuple[str, int]] = []
+    for _round in range(num_merges):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("w"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, w = top[0]["pair"], int(top[0]["w"])
+        if w <= 0:
+            break
+        merges.append((pair, w))
+        merged = pair.replace(" ", "")
+        nxt = vocab.withColumn(
+            "syms",
+            # pad with spaces so boundary symbols match whole symbols;
+            # JVM replace is leftmost-non-overlapping == greedy BPE
+            F.expr(
+                "trim(replace(concat(' ', syms, ' '), "
+                f"' {pair} ', ' {merged} '))"
+            ),
+        ).persist()
+        nxt.count()
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return merges
+
+
+def bpe_train_local(word_counts: dict[str, int], num_merges: int) -> list[tuple[str, int]]:
+    """Pure-Python reference with identical semantics (argmax by weight
+    then lexicographic pair; leftmost-non-overlapping merge) — the
+    property-test twin proving the distributed trainer computes
+    textbook BPE."""
+    vocab = {
+        " ".join(list(w) + [EOW]): n for w, n in word_counts.items()
+    }
+    merges: list[tuple[str, int]] = []
+    for _ in range(num_merges):
+        counts: dict[str, int] = {}
+        for syms, n in vocab.items():
+            parts = syms.split(" ")
+            for a, b in zip(parts, parts[1:]):
+                counts[f"{a} {b}"] = counts.get(f"{a} {b}", 0) + n
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], p))
+        merges.append((pair, counts[pair]))
+        merged = pair.replace(" ", "")
+        new_vocab: dict[str, int] = {}
+        for syms, n in vocab.items():
+            s = f" {syms} ".replace(f" {pair} ", f" {merged} ").strip()
+            new_vocab[s] = new_vocab.get(s, 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def bpe_encode_expr(merges: list[tuple[str, int]], col: str = "syms"):
+    """Column expression applying a learned merge list to a space-joined
+    symbol string — chained JVM replaces, no UDF; usable to tokenize a
+    corpus with the trained vocabulary in one narrow pass."""
+    expr = F.concat(F.lit(" "), F.col(col), F.lit(" "))
+    for pair, _w in merges:
+        merged = pair.replace(" ", "")
+        expr = F.replace(expr, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    return F.trim(expr)

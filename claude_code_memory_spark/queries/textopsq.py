@@ -542,3 +542,52 @@ def text_pmi_cooccurrence(spark, sf_dir):
         .orderBy(F.desc("lift"), "token_a", "token_b")
         .limit(20)
     )
+
+
+@register(
+    "tokenizer_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+      SELECT t AS word, count(*) AS n FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> length(x) > 1)) AS t
+        FROM documents)
+      GROUP BY t),
+    syms AS (
+      SELECT list_append(string_split_regex(word, ''), '</w>') AS s, n
+      FROM words),
+    pairs AS (
+      SELECT s[i] || ' ' || s[i + 1] AS pair, n
+      FROM (SELECT s, n, unnest(generate_series(1, len(s) - 1)) AS i
+            FROM syms))
+    SELECT pair, sum(n) AS w
+    FROM pairs GROUP BY pair
+    ORDER BY w DESC, pair ASC
+    LIMIT 20
+    """,
+)
+def tokenizer_bpe_pair_counts(spark, sf_dir):
+    """Round 1 of BPE tokenizer training (operators/bpe.py) as an
+    oracle-checked aggregate: weighted adjacent-symbol pair counts over
+    the corpus' word-frequency table — the exact argmax input the merge
+    loop consumes (the loop itself is pinned against the pure-Python
+    twin by hypothesis in test_bpe.py). Scale: the corpus contributes
+    one map-side-combined word count; everything after is vocab-sized."""
+    from claude_code_memory_spark.functions.text import tokenize
+    from claude_code_memory_spark.operators.bpe import (
+        _pair_counts,
+        words_to_symbols,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokenize("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    vocab = words_to_symbols(words).select("syms", "n")
+    return (
+        _pair_counts(vocab)
+        .orderBy(F.desc("w"), F.asc("pair"))
+        .limit(20)
+    )

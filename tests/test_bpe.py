@@ -1,0 +1,83 @@
+"""Distributed BPE trainer (operators/bpe.py): textbook corpus check,
+equivalence with the pure-Python twin, and encoder round-trip."""
+
+from __future__ import annotations
+
+import pytest
+
+from claude_code_memory_spark.operators.bpe import (
+    bpe_encode_expr,
+    bpe_train,
+    bpe_train_local,
+    words_to_symbols,
+)
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _words_df(spark, counts):
+    return spark.createDataFrame(list(counts.items()), "word string, n long")
+
+
+def test_classic_corpus_merges(spark):
+    """Sennrich et al.'s running example: the first merges fuse the
+    shared suffixes."""
+    counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = bpe_train(spark, _words_df(spark, counts), 4)
+    assert merges == bpe_train_local(counts, 4)
+    assert merges[0][0] == "e s" and merges[0][1] == 9  # newest+widest
+    assert merges[1][0] == "es t" and merges[1][1] == 9
+
+
+def test_distributed_equals_local_twin(spark):
+    counts = {
+        "banana": 4,
+        "bandana": 2,
+        "an": 7,
+        "nab": 1,
+        "aaaaa": 3,  # repeated-symbol run: the documented replace rule
+    }
+    assert bpe_train(spark, _words_df(spark, counts), 6) == bpe_train_local(
+        counts, 6
+    )
+
+
+@given(
+    counts=st.dictionaries(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        st.integers(1, 9),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(1, 4),
+)
+@settings(max_examples=12, deadline=None)
+def test_property_distributed_equals_local(spark, counts, k):
+    """The distributed trainer IS the local algorithm, on arbitrary
+    corpora including adversarial repeated-symbol words."""
+    assert bpe_train(spark, _words_df(spark, counts), k) == bpe_train_local(
+        counts, k
+    )
+
+
+def test_encoder_applies_merges(spark):
+    counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = bpe_train(spark, _words_df(spark, counts), 4)
+    enc = words_to_symbols(_words_df(spark, counts)).withColumn(
+        "enc", bpe_encode_expr(merges)
+    )
+    got = {r["word"]: r["enc"] for r in enc.collect()}
+    # 'newest' after [es, est, est</w>, l o]-style merges contains a fused token
+    assert "est</w>" in got["newest"].split(" ") or "est" in got["newest"].split(" ")
+    # encoding never changes the underlying characters
+    for w, e in got.items():
+        assert e.replace(" ", "").replace("</w>", "") == w
+
+
+def test_merge_budget_exhausts_gracefully(spark):
+    counts = {"ab": 1}
+    merges = bpe_train(spark, _words_df(spark, counts), 10)
+    # 'a b </w>' admits exactly 2 merges before no pairs remain
+    assert len(merges) == 2 == len(bpe_train_local(counts, 10))
