@@ -388,3 +388,58 @@ def vector_pca_covariance(spark, sf_dir):
     return covariance_long(e, "embedding").select(
         "i", "j", F.round("cov", 10).alias("cov")
     )
+
+
+@register(
+    "sketch_kmv_mergeable",
+    oracle="""
+    SELECT count(DISTINCT user_id) AS exact_users,
+           TRUE AS merged_equals_direct,
+           TRUE AS est_within_20pct
+    FROM events
+    """,
+)
+def sketch_kmv_mergeable(spark, sf_dir):
+    """Bottom-k (KMV) distinct sketches (operators/kmv.py) — the
+    mergeable-sketch family that, unlike HLL, also supports
+    intersection/Jaccard estimates. The driver pins the EXACT merge
+    law — bottom-k of the per-event_type sketch union must equal the
+    bottom-k built over all rows directly, hash for hash (md5, so
+    DuckDB could replay the sketch contents themselves) — plus the
+    estimator landing within 20% of the exact count (exact by
+    construction while distinct keys < k)."""
+    from claude_code_memory_spark.operators.kmv import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    k = 256
+    e = table(spark, sf_dir, "events")
+    per_type = kmv_sketch(e, "event_type", "user_id", k)
+    merged = kmv_merge(per_type, k).select(
+        F.col("sketch").alias("m_sketch")
+    )
+    direct = (
+        kmv_sketch(e.withColumn("__g", F.lit(1)), "__g", "user_id", k)
+        .select(F.col("sketch").alias("d_sketch"))
+    )
+    est = kmv_estimate(
+        kmv_merge(per_type, k), k
+    ).select(F.col("est_distinct"))
+    exact = e.agg(F.count_distinct("user_id").alias("exact_users"))
+    return (
+        exact.crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(direct))
+        .crossJoin(F.broadcast(est))
+        .select(
+            "exact_users",
+            (F.col("m_sketch") == F.col("d_sketch")).alias(
+                "merged_equals_direct"
+            ),
+            (
+                F.abs(F.col("est_distinct") - F.col("exact_users"))
+                <= F.col("exact_users") * F.lit(0.2)
+            ).alias("est_within_20pct"),
+        )
+    )
