@@ -345,3 +345,47 @@ def sliding_window_counts(spark, sf_dir):
             "total_value",
         )
     )
+
+
+@register(
+    "transition_matrix_events",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS next_type
+      FROM events),
+    pairs AS (
+      SELECT event_type, next_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2),
+    tot AS (SELECT event_type, sum(n) AS total FROM pairs GROUP BY 1)
+    SELECT p.event_type, p.next_type, p.n,
+           round(p.n / t.total, 6) AS p
+    FROM pairs p JOIN tot t USING (event_type)
+    """,
+)
+def transition_matrix_events(spark, sf_dir):
+    """First-order Markov transition matrix of user behavior: P(next
+    event type | current), from per-user event sequences. One exchange
+    (hash by user_id) feeds the lead window; the pair aggregate is
+    bounded by |types|² with map-side combine, and the row-conditional
+    probabilities are exact-integer divisions (deterministic cross-
+    engine). The product-analytics primitive behind funnel discovery
+    and next-action prediction baselines."""
+    e = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = e.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    pairs = seq.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    tot = pairs.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return (
+        pairs.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("p"),
+        )
+    )
