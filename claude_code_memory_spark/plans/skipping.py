@@ -245,7 +245,10 @@ def _predicate_column(pred: tuple):
     if op == ">=":
         return c >= F.lit(value)
     if op == "in":
-        return c.isin(*list(value))
+        vals = list(value)
+        if not vals:  # empty IN-list matches nothing
+            return F.lit(False)
+        return c.isin(*vals)
     raise ValueError(f"unsupported predicate op: {op!r}")
 
 
