@@ -624,7 +624,6 @@ class CodeMemoryEngine:
         'dependencies' = + everything it calls."""
         if scope not in ("minimal", "logical", "dependencies"):
             raise ValueError(f"invalid scope: {scope}")
-        chunks = self.store.read("chunks").filter(F.col("chunk_type") == "implementation")
         # point lookup via file skipping: after optimize() clusters chunks
         # by entity_name, this scans only the file(s) whose min/max range
         # covers the name; unclustered tables conservatively scan all
@@ -633,6 +632,8 @@ class CodeMemoryEngine:
         ).filter(F.col("chunk_type") == "implementation")
         if scope == "minimal":
             return own
+        # full-table frame only for the sibling/dependency expansions
+        chunks = self.store.read("chunks").filter(F.col("chunk_type") == "implementation")
         rel = self.store.read("relations")
         if scope == "logical":
             parents = rel.filter(
@@ -722,8 +723,8 @@ class CodeMemoryEngine:
         """Serving-layout maintenance (Delta OPTIMIZE CLUSTER BY
         analogue): rewrite `chunks` range-clustered by entity_name so
         each part file carries a narrow, disjoint name range — after
-        which `get_implementation` / `read_graph` point lookups skip
-        every non-matching file via the footer-stats manifests
+        which `get_implementation` point lookups skip every
+        non-matching file via the footer-stats manifests
         (plans/skipping.py) instead of scanning the collection. Also
         folds append snapshots (compaction). Run between indexing
         batches; reads are correct (conservatively unpruned) before,

@@ -114,11 +114,16 @@ def bpe_train(
         merged = pair.replace(" ", "")
         nxt = vocab.withColumn(
             "syms",
-            # pad with spaces so boundary symbols match whole symbols;
-            # JVM replace is leftmost-non-overlapping == greedy BPE
-            F.expr(
-                "trim(replace(concat(' ', syms, ' '), "
-                f"' {pair} ', ' {merged} '))"
+            # pad with spaces so boundary symbols match whole symbols.
+            # F.lit (not an interpolated F.expr string): corpus symbols
+            # can contain quotes/backslashes — "d'n" would otherwise
+            # break the round's SQL
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("syms"), F.lit(" ")),
+                    F.lit(f" {pair} "),
+                    F.lit(f" {merged} "),
+                )
             ),
         ).persist()
         nxt.count()

@@ -79,6 +79,8 @@ def pca_fit(
     import numpy as np
 
     rows = covariance_long(df, vec_col).collect()
+    if not rows:
+        raise ValueError("pca_fit: no vectors to fit (empty input)")
     d = max(r["j"] for r in rows) + 1
     cov = np.zeros((d, d))
     for r in rows:

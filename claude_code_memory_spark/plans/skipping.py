@@ -270,11 +270,18 @@ def pruned_read_stats(store, table: str, predicates: list[tuple]):
     meta = store._manifest(table)
     if meta is None:
         return None, 0, 0
-    reader = store.spark.read
-    if "schema" in meta:
-        from pyspark.sql.types import StructType
 
-        reader = reader.schema(StructType.fromJson(json.loads(meta["schema"])))
+    def fresh_reader():
+        # a NEW reader per scan: DataFrameReader.option mutates in
+        # place, so a basePath set for one snapshot's file-list read
+        # would leak into the next snapshot's full-dir fallback
+        r = store.spark.read
+        if "schema" in meta:
+            from pyspark.sql.types import StructType
+
+            r = r.schema(StructType.fromJson(json.loads(meta["schema"])))
+        return r
+
     parts = []
     kept_n = 0
     total_n = 0
@@ -286,7 +293,7 @@ def pruned_read_stats(store, table: str, predicates: list[tuple]):
         snap_dir = os.path.join(store.root, table, snap)
         manifest = load_file_stats(snap_dir)
         if manifest is None:
-            parts.append(reader.parquet(snap_dir))
+            parts.append(fresh_reader().parquet(snap_dir))
             # unknown file count: count parts for honest reporting
             n = sum(
                 1
@@ -305,7 +312,7 @@ def pruned_read_stats(store, table: str, predicates: list[tuple]):
                 # basePath recovers partition columns (chunk_type=... dir
                 # values) when scanning an explicit file list inside a
                 # partitioned snapshot — without it they'd read as NULL
-                reader.option("basePath", snap_dir).parquet(
+                fresh_reader().option("basePath", snap_dir).parquet(
                     *[os.path.join(snap_dir, rel) for rel in kept]
                 )
             )

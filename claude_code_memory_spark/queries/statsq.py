@@ -417,21 +417,19 @@ def sketch_kmv_mergeable(spark, sf_dir):
     k = 256
     e = table(spark, sf_dir, "events")
     per_type = kmv_sketch(e, "event_type", "user_id", k)
-    merged = kmv_merge(per_type, k).select(
-        F.col("sketch").alias("m_sketch")
+    # one merged frame serves both the merge-law check and the estimator
+    # (building kmv_merge twice would run the heaviest stage twice)
+    merged = kmv_estimate(kmv_merge(per_type, k), k).select(
+        F.col("sketch").alias("m_sketch"), "est_distinct"
     )
     direct = (
         kmv_sketch(e.withColumn("__g", F.lit(1)), "__g", "user_id", k)
         .select(F.col("sketch").alias("d_sketch"))
     )
-    est = kmv_estimate(
-        kmv_merge(per_type, k), k
-    ).select(F.col("est_distinct"))
     exact = e.agg(F.count_distinct("user_id").alias("exact_users"))
     return (
         exact.crossJoin(F.broadcast(merged))
         .crossJoin(F.broadcast(direct))
-        .crossJoin(F.broadcast(est))
         .select(
             "exact_users",
             (F.col("m_sketch") == F.col("d_sketch")).alias(

@@ -81,3 +81,11 @@ def test_merge_budget_exhausts_gracefully(spark):
     merges = bpe_train(spark, _words_df(spark, counts), 10)
     # 'a b </w>' admits exactly 2 merges before no pairs remain
     assert len(merges) == 2 == len(bpe_train_local(counts, 10))
+
+
+def test_quote_bearing_symbols_survive(spark):
+    """Merge pairs containing quotes must not break the round (the
+    replace is built from literals, not interpolated SQL)."""
+    counts = {"d'n": 5, "o'er": 3, "d'no": 2}
+    merges = bpe_train(spark, _words_df(spark, counts), 3)
+    assert merges == bpe_train_local(counts, 3)

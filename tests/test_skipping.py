@@ -205,3 +205,22 @@ def test_optimize_zorder_prunes_both_dimensions(spark, store):
         for p in preds:
             expected = expected.filter(_predicate_column(p))
         assert out.count() == expected.count()
+
+
+def test_mixed_manifest_snapshots_no_basepath_leak(spark, store):
+    """snapA has a manifest (file-list read sets basePath), snapB lost
+    its manifest (full-dir fallback) — the basePath option must not
+    leak from A's reader into B's."""
+    store.write("t", _clustered(spark, n=1_000, files=4))
+    store.append(
+        "t",
+        spark.range(1_000, 2_000)
+        .selectExpr("id AS k", "id % 100 AS v", "concat('u', id % 50) AS name")
+        .repartitionByRange(4, "k"),
+    )
+    meta = store._manifest("t")
+    snap_b = os.path.join(store.root, "t", meta["snapshots"][1])
+    os.remove(os.path.join(snap_b, STATS_FILE))
+    df, kept, total = pruned_read_stats(store, "t", [("k", "<", 250)])
+    assert total == 8 and kept == 4 + 1  # all of B (no stats) + 1 of A
+    assert df.count() == 250
