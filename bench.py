@@ -199,6 +199,41 @@ def main() -> None:
     finally:
         shutil.rmtree(store, ignore_errors=True)
 
+    # file-level data skipping (plans/skipping.py): events as a
+    # TableStore clustered by event_id -> a point lookup should scan ~1
+    # of the part files; report the scanned fraction and the wall-clock
+    # ratio vs the same filter over the full table
+    skip_fraction = skip_speedup = None
+    store_dir = tempfile.mkdtemp(prefix="bench_skip_")
+    try:
+        from claude_code_memory_spark.plans.incremental import TableStore
+        from claude_code_memory_spark.plans.skipping import pruned_read_stats
+
+        ts = TableStore(spark, store_dir)
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        ts.write("events", ev)
+        ts.optimize("events", cluster_by=["event_id"], target_files=32)
+        target = ev.agg(F.max("event_id")).first()[0] // 2
+        pruned, kept, total = pruned_read_stats(
+            ts, "events", [("event_id", "=", target)]
+        )
+        pruned.count()  # warm
+        t0 = time.time()
+        n_pruned = pruned.count()
+        t_pruned = time.time() - t0
+        full = ts.read("events").filter(F.col("event_id") == target)
+        full.count()  # warm
+        t0 = time.time()
+        n_full = full.count()
+        t_full_scan = time.time() - t0
+        assert n_pruned == n_full
+        skip_fraction = round(kept / max(total, 1), 3)
+        skip_speedup = round(t_full_scan / max(t_pruned, 1e-9), 1)
+    except Exception as exc:  # noqa: BLE001
+        errors["extra:skipping"] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     dense_t, hybrid_t = timings.get("dense_topk"), timings.get("hybrid_rrf_search")
@@ -276,6 +311,8 @@ def main() -> None:
             ),
             "pq_encode_vectors_per_sec": pq_encode_rate,
             "pq_recall10_in_top30": pq_recall,
+            "point_lookup_files_scanned_fraction": skip_fraction,
+            "point_lookup_skip_speedup": skip_speedup,
         },
     }
     if errors:

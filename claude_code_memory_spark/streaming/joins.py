@@ -30,6 +30,7 @@ def interval_join(
     right_ts: str = "ts",
     within: str = "5 minutes",
     watermark: str = "10 seconds",
+    how: str = "inner",
 ) -> DataFrame:
     """Join right-side events to left-side events with the same ``key``
     that occur in ``[left_ts, left_ts + within]``.
@@ -38,6 +39,12 @@ def interval_join(
     sides must carry a watermark (applied here) so join state is
     evictable. Column names are prefixed ``l_``/``r_`` to keep the
     output schema stable across both uses.
+
+    ``how='leftOuter'`` additionally emits each unmatched left event
+    with NULL right columns — on a stream this happens only once the
+    watermark has passed the event's interval (the state store can then
+    prove no match can still arrive), which is the streaming form of
+    "click with no purchase within 5 minutes" abandonment analytics.
     """
     l = left.select(
         F.col(key).alias("l_key"),
@@ -58,4 +65,4 @@ def interval_join(
         & (r["r_ts"] >= l["l_ts"])
         & (r["r_ts"] <= l["l_ts"] + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond)
+    return l.join(r, cond, how)
