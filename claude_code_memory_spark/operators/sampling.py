@@ -13,7 +13,7 @@ mod 10_000 — two decimal digits of split-fraction resolution.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKETS = 10_000
@@ -68,3 +68,32 @@ def stratified_sample(
             (F.col(stratum_col) == stratum) & (b < int(round(frac * BUCKETS)))
         )
     return df.filter(keep)
+
+
+def bottom_k_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """EXACTLY-k-per-group deterministic sample: keep the rows whose
+    md5(key) ranks among the group's k smallest (ties on identical keys
+    broken by the full hash order). The bottom-k-by-hash trick
+    (operators/kmv.py) applied to row sampling:
+
+    - uniform within each group (a cryptographic hash is order-free);
+    - append-stable: adding rows can only displace the largest hashes,
+      so k-samples from overlapping snapshots agree on the overlap —
+      unlike randomSplit, whose output depends on partitioning;
+    - fixed size per group regardless of group skew (stratified_sample
+      is the FRACTION-based twin).
+
+    One partitioned window over (group, hash): shuffle bounded by input
+    rows, no global sort."""
+    w = Window.partitionBy(group_col).orderBy("__h", key_col)
+    return (
+        df.withColumn("__h", F.md5(F.col(key_col).cast("string")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__h", "__rn")
+    )

@@ -441,3 +441,96 @@ def sketch_kmv_mergeable(spark, sf_dir):
             ).alias("est_within_20pct"),
         )
     )
+
+
+@register(
+    "sample_bottomk_per_type",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, event_id, user_id, md5(CAST(event_id AS VARCHAR)) AS hh
+      FROM events),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY hh, event_id) AS rn
+      FROM h)
+    SELECT event_type, event_id, user_id FROM r WHERE rn <= 20
+    """,
+)
+def sample_bottomk_per_type(spark, sf_dir):
+    """Exactly-20-per-type deterministic sample via bottom-k-by-hash
+    (operators/sampling.py::bottom_k_sample): uniform, append-stable,
+    and fixed-size per group regardless of skew. md5 makes the exact
+    member set DuckDB-replayable — the oracle reproduces the SAMPLE
+    ITSELF, not just its size."""
+    from claude_code_memory_spark.operators.sampling import bottom_k_sample
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "user_id"
+    )
+    return bottom_k_sample(e, "event_type", "event_id", 20)
+
+
+@register(
+    "corr_matrix_lineitem",
+    oracle="""
+    WITH src AS (
+      -- any per-row-unique id works: rid only pairs a row with itself
+      -- ((l_orderkey, l_linenumber) is NOT unique in the fixture)
+      SELECT row_number() OVER () AS rid,
+             l_quantity, l_extendedprice, l_discount, l_tax
+      FROM lineitem),
+    e AS (
+      SELECT rid, i - 1 AS i,
+             CAST(list_value(l_quantity, l_extendedprice, l_discount, l_tax)[i]
+                  AS DECIMAL(18,9)) AS x
+      FROM src, generate_series(1, 4) AS t(i)),
+    s1 AS (SELECT i, sum(x) AS s_i FROM e GROUP BY i),
+    s2 AS (
+      SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS s_ij, count(*) AS n
+      FROM e a JOIN e b ON a.rid = b.rid AND b.i >= a.i
+      GROUP BY 1, 2),
+    cov AS (
+      SELECT s2.i, s2.j,
+             (CAST(s_ij AS DOUBLE)
+              - CAST(si.s_i AS DOUBLE) * CAST(sj.s_i AS DOUBLE) / s2.n) / s2.n
+               AS c
+      FROM s2 JOIN s1 si ON si.i = s2.i JOIN s1 sj ON sj.i = s2.j)
+    SELECT cov.i, cov.j,
+           round(cov.c / sqrt(di.c * dj.c), 6) AS corr
+    FROM cov
+    JOIN cov di ON di.i = cov.i AND di.j = cov.i
+    JOIN cov dj ON dj.i = cov.j AND dj.j = cov.j
+    """,
+)
+def corr_matrix_lineitem(spark, sf_dir):
+    """Pearson correlation matrix of the four lineitem measures —
+    operator REUSE: the same `covariance_long` aggregate that powers
+    distributed PCA (operators/pca.py), pointed at an inline 4-vector.
+    One scan reduces n x 16 product rows to 10 groups map-side;
+    normalization joins the broadcast diagonal. Exact decimal sums →
+    the matrix replays bit-for-bit in DuckDB."""
+    from claude_code_memory_spark.operators.pca import covariance_long
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.array("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .cast("array<double>")
+        .alias("v")
+    )
+    cov = covariance_long(li, "v")
+    di = cov.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("di"), F.col("cov").alias("var_i")
+    )
+    dj = cov.filter(F.col("i") == F.col("j")).select(
+        F.col("j").alias("dj"), F.col("cov").alias("var_j")
+    )
+    return (
+        cov.join(F.broadcast(di), cov["i"] == di["di"])
+        .join(F.broadcast(dj), cov["j"] == dj["dj"])
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("cov") / F.sqrt(F.col("var_i") * F.col("var_j")), 6
+            ).alias("corr"),
+        )
+    )
