@@ -105,7 +105,7 @@ _DRIVER_WINDOW = [
 # join_hash_dedup_probe, set_union_distinct_nations, scalar_regex_extract —
 # plus the r4 entries that did not fit this window: text_pmi_cooccurrence,
 # tokenizer_bpe_pair_counts, sketch_kmv_mergeable, transition_matrix_events,
-# sample_bottomk_per_type, corr_matrix_lineitem,
+# sample_bottomk_per_type, corr_matrix_lineitem, anomaly_mad_outliers,
 # vector_pca_covariance, agg_token_histogram,
 # vector_pq_trained_error, dedup_edit_distance, funnel_view_click_purchase;
 # (b) the r1-green entries displaced to make

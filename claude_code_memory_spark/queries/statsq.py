@@ -534,3 +534,65 @@ def corr_matrix_lineitem(spark, sf_dir):
             ).alias("corr"),
         )
     )
+
+
+@register(
+    "anomaly_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    mad AS (
+      SELECT e.event_type,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type),
+    flagged AS (
+      SELECT e.event_type,
+             CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * d.mad
+                  THEN 1 ELSE 0 END AS is_out
+      FROM events e
+      JOIN med m USING (event_type)
+      JOIN mad d USING (event_type))
+    SELECT f.event_type,
+           CAST(sum(is_out) AS BIGINT) AS n_outliers,
+           count(*) AS n,
+           round(min(m.med), 4) AS med,
+           round(min(d.mad), 4) AS mad
+    FROM flagged f
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    GROUP BY f.event_type
+    """,
+)
+def anomaly_mad_outliers(spark, sf_dir):
+    """Robust outlier detection: |x - median| > 3·1.4826·MAD per event
+    type — the median/MAD pair shrugs off the very outliers that
+    contaminate a mean/stddev z-score (the modified-z-score rule,
+    Iglewicz & Hoaglin 1993). Two exact-percentile aggregates (median,
+    then MAD of residuals vs the broadcast medians) + one flagging
+    scan; Spark's `percentile` and DuckDB's `quantile_cont` share the
+    interpolation definition, so thresholds replay exactly. At 100 TB
+    swap `percentile` for `approx_percentile` and the plan shape —
+    two group-aggregates + broadcast joins — is unchanged."""
+    e = table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    resid = e.join(F.broadcast(med), "event_type")
+    mad = resid.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    flagged = resid.join(F.broadcast(mad), "event_type").withColumn(
+        "is_out",
+        (
+            F.abs(F.col("value") - F.col("med"))
+            > F.lit(3) * F.lit(1.4826) * F.col("mad")
+        ).cast("int"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.sum("is_out").cast("long").alias("n_outliers"),
+        F.count("*").alias("n"),
+        F.round(F.min("med"), 4).alias("med"),
+        F.round(F.min("mad"), 4).alias("mad"),
+    )
