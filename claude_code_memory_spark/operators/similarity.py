@@ -492,3 +492,86 @@ def lsh_bucket_topk(
         F.round(cosine_similarity(F.col(vec_col), vector_lit(q)), 6).alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def ivfpq_build(
+    embeddings: DataFrame,
+    *,
+    dim: int,
+    n_centroids: int = 8,
+    m: int = 8,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, "np.ndarray"]:
+    """FAISS ``IVF{n},PQ{m}`` index build from the existing pieces:
+    seeded-IVF cell assignment (`ivf_seeded_build`) + trained PQ
+    codebook (`pq_trained_codebook`) + per-vector codes CARRYING their
+    cell id, so the query path filters codes by cell with no join.
+
+    Returns (codes [id, ivf_cluster, sub_idx, code_id], codebook,
+    centers). Storage for the scan is m bytes/vector + a cell id —
+    written `partitionBy(ivf_cluster)` the probe is directory pruning
+    (test_layout::test_ivf_store_partition_pruning's layout). This
+    variant PQ-encodes raw vectors; encoding residuals (vec − centroid)
+    is the classic accuracy refinement and would reuse the same pieces
+    with a centroid-subtracted column."""
+    from claude_code_memory_spark.operators.quantize import (
+        pq_encode,
+        pq_trained_codebook,
+    )
+
+    assigned, centers = ivf_seeded_build(
+        embeddings, n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    codebook = pq_trained_codebook(
+        embeddings, dim, m, 16, iters=train_iters, vec_col=vec_col
+    )
+    codes = pq_encode(
+        assigned, codebook, dim, m, vec_col=vec_col, keep=(id_col, "ivf_cluster")
+    )
+    return codes, codebook, centers
+
+
+def ivfpq_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    centers: "np.ndarray",
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    nprobe: int = 2,
+    refine: int = 0,
+    embeddings: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ query — the canonical billion-scale ANN scan: probe the
+    ``nprobe`` nearest cells (driver-side argsort over the tiny centroid
+    matrix), ADC-scan ONLY those cells' PQ codes (m lookups/vector over
+    m-byte rows), and optionally re-rank the top ``refine * k``
+    candidates against the full-precision vectors (point reads by id,
+    never a table scan).
+
+    Cost at 100 TB: scanned bytes ≈ corpus_bytes x (nprobe/n_centroids)
+    x (m / (4·dim)) — both factors compound, which is why IVFPQ is the
+    layout FAISS/Milvus/ScaNN-class systems default to. Returns
+    (id, score-or-approx_d2) with deterministic tie-breaks."""
+    from claude_code_memory_spark.operators.quantize import pq_topk
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    dists = np.linalg.norm(centers - q, axis=1)
+    probe = [int(c) for c in np.argsort(dists)[:nprobe]]
+    cell_codes = codes.filter(F.col("ivf_cluster").isin(probe))
+    fetch = (refine * k) if refine else k
+    approx = pq_topk(cell_codes, codebook, list(q), fetch, id_col=id_col)
+    if not refine:
+        return approx
+    if embeddings is None:
+        raise ValueError("refine > 0 requires the full-precision embeddings")
+    rerank = approx.join(embeddings.select(id_col, vec_col), id_col)
+    scored = rerank.select(
+        id_col,
+        F.round(cosine_similarity(F.col(vec_col), vector_lit(q)), 6).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

@@ -259,3 +259,46 @@ class TestMMR:
         assert [r["point_id"] for r in same.collect()] == [
             r["point_id"] for r in plain.collect()
         ]
+
+
+class TestIVFPQ:
+    def test_ivfpq_recall_and_monotonicity(self, spark, sf_dir):
+        """The composed IVF,PQ index: refined full-probe recall beats the
+        unrefined single-cell probe, and the refined operating point
+        recovers a usable fraction of the exact top-10."""
+        from claude_code_memory_spark.operators.similarity import (
+            brute_force_topk,
+            ivfpq_build,
+            ivfpq_topk,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+        dim = len(emb.first()["embedding"])
+        codes, cb, centers = ivfpq_build(emb, dim=dim, n_centroids=8, m=8)
+        codes = codes.cache()
+        codes.count()
+
+        def recall(nprobe, refine):
+            hits = 0
+            for r in emb.filter(F.col("vec_id") < 3).collect():
+                qv = [float(x) for x in r["embedding"]]
+                exact = {
+                    x["vec_id"]
+                    for x in brute_force_topk(
+                        emb, qv, 10, exclude_id=r["vec_id"]
+                    ).collect()
+                }
+                got = ivfpq_topk(
+                    codes, cb, centers, qv, k=11, nprobe=nprobe,
+                    refine=refine, embeddings=emb if refine else None,
+                )
+                ids = [x["vec_id"] for x in got.collect() if x["vec_id"] != r["vec_id"]][:10]
+                hits += len(exact & set(ids))
+            return hits / 30.0
+
+        r_full_refined = recall(nprobe=8, refine=4)
+        r_one_raw = recall(nprobe=1, refine=0)
+        assert r_full_refined >= r_one_raw
+        assert r_full_refined >= 0.4, r_full_refined
+        codes.unpersist()
+        emb.unpersist()
