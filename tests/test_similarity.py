@@ -302,3 +302,30 @@ class TestIVFPQ:
         assert r_full_refined >= 0.4, r_full_refined
         codes.unpersist()
         emb.unpersist()
+
+    def test_residual_encoding_beats_raw_at_same_budget(self, spark, sf_dir):
+        """FAISS-faithful residual IVF,PQ: encoding (vec - Lloyd
+        centroid) spends the same 16-code budget on a tighter
+        distribution, so total quantization error drops vs raw-vector
+        codes — and the residual query path still retrieves."""
+        from claude_code_memory_spark.operators.similarity import (
+            ivfpq_build,
+            ivfpq_build_residual,
+            ivfpq_topk_residual,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+        dim = len(emb.first()["embedding"])
+        raw_codes, _cb, _c = ivfpq_build(emb, dim=dim, n_centroids=8, m=8)
+        res_codes, cb, centers = ivfpq_build_residual(
+            emb, dim=dim, n_centroids=8, m=8
+        )
+        e_raw = raw_codes.agg(F.sum("sub_err")).first()[0]
+        e_res = res_codes.agg(F.sum("sub_err")).first()[0]
+        assert e_res < e_raw, (e_res, e_raw)
+        qv = [float(x) for x in emb.first()["embedding"]]
+        got = ivfpq_topk_residual(
+            res_codes, cb, centers, qv, k=5, nprobe=8, refine=3, embeddings=emb
+        ).collect()
+        assert len(got) == 5 and got[0]["score"] >= got[-1]["score"]
+        emb.unpersist()
