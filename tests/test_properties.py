@@ -318,3 +318,30 @@ def test_pruner_never_excludes_a_matching_file_strings(file_rows, preds):
     if not _file_may_match(cols, preds):
         for v in file_rows:
             assert not all(_pred_matches(v, op, val) for _c, op, val in preds)
+
+
+# --- KMV bottom-k sketches: the merge law is exact set algebra --------
+
+
+@given(
+    groups=st.lists(
+        st.sets(st.integers(0, 500), min_size=0, max_size=60),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(1, 32),
+)
+@settings(max_examples=200, deadline=None)
+def test_kmv_merge_law_pure(groups, k):
+    """bottom-k(union of per-group bottom-ks) == bottom-k(union of the
+    raw sets) — the invariant operators/kmv.py::kmv_merge relies on
+    (any globally-bottom-k hash is bottom-k within its own group)."""
+    import hashlib
+
+    def h(v):
+        return hashlib.md5(str(v).encode()).hexdigest()
+
+    per_group = [sorted(h(v) for v in g)[:k] for g in groups]
+    merged = sorted({x for sk in per_group for x in sk})[:k]
+    direct = sorted({h(v) for g in groups for v in g})[:k]
+    assert merged == direct

@@ -459,3 +459,34 @@ def test_stream_stream_interval_left_outer_join(spark, tmp_path):
         assert got["u2"]["r_key"] is None and got["u2"]["r_amount"] is None
     finally:
         q.stop()
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: a streaming fact enriched against a static
+    dimension — planned as a broadcast join per micro-batch, the
+    standard dimension-enrichment shape (no state store involved)."""
+    dim = spark.createDataFrame(
+        [(1, "EU"), (2, "US")], "region_id long, region string"
+    )
+    src = tmp_path / "ss_events"
+    src.mkdir()
+    with open(src / "e1.jsonl", "w") as f:
+        for r in ({"region_id": 1, "v": 10.0}, {"region_id": 2, "v": 5.0},
+                  {"region_id": 9, "v": 1.0}):
+            f.write(json.dumps(r) + "\n")
+    stream = spark.readStream.schema("region_id long, v double").json(str(src))
+    enriched = stream.join(F.broadcast(dim), "region_id", "left")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("ss_enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {r["region_id"]: r for r in spark.sql("SELECT * FROM ss_enriched").collect()}
+        assert rows[1]["region"] == "EU" and rows[2]["region"] == "US"
+        assert rows[9]["region"] is None  # unmatched key kept (left join)
+    finally:
+        q.stop()
