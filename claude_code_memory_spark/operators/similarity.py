@@ -672,3 +672,90 @@ def ivfpq_topk_residual(
         F.round(cosine_similarity(F.col(vec_col), vector_lit(q)), 6).alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def ivfpq_knn_join(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    centers: "np.ndarray",
+    k: int = 5,
+    *,
+    nprobe: int = 2,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    exclude_same_id: bool = True,
+) -> DataFrame:
+    """Batch k-NN join over PQ CODES — `ivf_knn_join` at ADC cost.
+
+    `ivf_knn_join`'s same-cell pairs carry full float vectors through
+    the shuffle (dim x 8 bytes each side). Here the corpus side ships
+    m one-byte codes and the query side ships an m x 16 distance table
+    (derived once per query from the broadcast codebook): the pair
+    scoring becomes an equi-join on (cell, sub_idx, code_id) + a
+    decimal sum per (query, candidate) — for dim=64, m=8 that is ~16x
+    less shuffled data per pair, which is the difference between a
+    feasible and an infeasible nightly dedup join at 100 TB. Recall at
+    a given nprobe is bounded by PQ quantization (refine the top
+    candidates against full vectors when exactness matters — the
+    `ivfpq_topk` refine pattern applies per query).
+
+    ``codes`` must carry ``ivf_cluster`` (from `ivfpq_build`); returns
+    (q_id, c_id, approx_d2, rnk <= k) ascending by distance."""
+    from claude_code_memory_spark.operators.quantize import _d2, pq_split
+
+    # 1. probe cells per query (broadcast centroid table, top-nprobe)
+    cent = queries.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centers)],
+        "ivf_cluster int, __cvec array<double>",
+    )
+    qv = F.col(q_vec).cast("array<double>")
+    d2c = (
+        dot(qv, qv) - 2 * dot(qv, F.col("__cvec"))
+        + dot(F.col("__cvec"), F.col("__cvec"))
+    )
+    w_probe = Window.partitionBy(q_id).orderBy("__d2", "ivf_cluster")
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn("__d2", d2c)
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select(q_id, "ivf_cluster")
+    )
+
+    # 2. per-query ADC distance table: (q_id, sub_idx, code_id, qd2) —
+    # Q x m x 16 rows, built from one broadcast join, never the corpus
+    qsubs = pq_split(queries, _infer_dim(queries, q_vec),
+                     _infer_m(codebook), vec_col=q_vec, keep=(q_id,))
+    dtable = qsubs.join(F.broadcast(codebook), "sub_idx").select(
+        q_id, "sub_idx", "code_id",
+        F.round(_d2(F.col("sv"), F.col("cv")), 6).alias("qd2"),
+    )
+    # attach each query's probe cells so the code join restricts pairs
+    dtable_cells = dtable.join(probes, q_id)
+
+    # 3. pair scoring: equi-join on (cell, sub, code), decimal sum
+    pairs = codes.withColumnRenamed("ivf_cluster", "__cell").join(
+        dtable_cells.withColumnRenamed("ivf_cluster", "__cell"),
+        ["__cell", "sub_idx", "code_id"],
+    )
+    scored = pairs.groupBy(q_id, c_id).agg(
+        F.round(
+            F.sum(F.col("qd2").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("approx_d2")
+    )
+    if exclude_same_id:
+        scored = scored.filter(F.col(q_id) != F.col(c_id))
+    w = Window.partitionBy(q_id).orderBy(F.asc("approx_d2"), F.asc(c_id))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    return len(df.select(vec_col).first()[0])
+
+
+def _infer_m(codebook: DataFrame) -> int:
+    return codebook.agg(F.max("sub_idx")).first()[0] + 1

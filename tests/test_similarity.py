@@ -329,3 +329,50 @@ class TestIVFPQ:
         ).collect()
         assert len(got) == 5 and got[0]["score"] >= got[-1]["score"]
         emb.unpersist()
+
+    def test_ivfpq_knn_join_recall_and_monotonicity(self, spark, sf_dir):
+        """The code-shuffling batch join: recall vs the exact join rises
+        with nprobe, and full-probe recall matches what PQ quantization
+        allows."""
+        from claude_code_memory_spark.operators.similarity import (
+            ivfpq_build,
+            ivfpq_knn_join,
+            knn_join_sql,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+        dim = len(emb.first()["embedding"])
+        codes, cb, centers = ivfpq_build(emb, dim=dim, n_centroids=8, m=8)
+        codes = codes.cache()
+        codes.count()
+        queries = (
+            emb.filter(F.col("vec_id") < 5)
+            .select(
+                F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+            )
+            .cache()
+        )
+        exact = {
+            (r["q_id"], r["vec_id"])
+            for r in knn_join_sql(queries, emb, k=5).collect()
+        }
+
+        def recall(nprobe):
+            # the refine operating point: exact top-5 recovered within the
+            # join's top-15 (a full-precision re-rank of 3k rows per query
+            # then yields them — hash embeddings are near-uniform, the
+            # adversarial case for PQ, so strict @5 recall is low for ANY
+            # 8-byte code; the over-fetch window is the documented contract)
+            got = {
+                (r["q_id"], r["vec_id"])
+                for r in ivfpq_knn_join(
+                    queries, codes, cb, centers, k=15, nprobe=nprobe
+                ).collect()
+            }
+            return len(exact & got) / len(exact)
+
+        r1, r8 = recall(1), recall(8)
+        assert r8 >= r1
+        assert r8 >= 0.4, (r1, r8)
+        codes.unpersist()
+        emb.unpersist()
