@@ -389,3 +389,58 @@ def transition_matrix_events(spark, sf_dir):
             F.round(F.col("n") / F.col("total"), 6).alias("p"),
         )
     )
+
+
+@register(
+    "scd2_user_state_intervals",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    changes AS (
+      SELECT user_id, event_type AS state, ts_us AS valid_from
+      FROM seq WHERE prev_type IS NULL OR prev_type <> event_type),
+    intervals AS (
+      SELECT user_id, state, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from) AS valid_to
+      FROM changes)
+    SELECT user_id, state, valid_from,
+           coalesce(valid_to, 9223372036854775807) AS valid_to,
+           valid_to IS NULL AS is_current
+    FROM intervals
+    """,
+)
+def scd2_user_state_intervals(spark, sf_dir):
+    """Type-2 slowly-changing-dimension build from an event stream: each
+    user's state (last event type) becomes [valid_from, valid_to)
+    intervals — consecutive same-state events collapse, the open
+    interval is flagged current. Two windows over ONE user_id exchange
+    (change detection, then lead for the closing edge); the interval
+    table is bounded by state CHANGES, not events — the compression
+    that makes point-in-time joins cheap at scale. The warehouse
+    primitive behind dimension history and as-of attribute lookups
+    (pair with operators/asof.py to resolve an attribute at event
+    time)."""
+    e = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = e.withColumn("prev_type", F.lag("event_type").over(w))
+    changes = seq.filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts_us").alias("valid_from"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    iv = changes.withColumn("valid_to", F.lead("valid_from").over(w2))
+    return iv.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.coalesce("valid_to", F.lit(9223372036854775807)).alias("valid_to"),
+        F.col("valid_to").isNull().alias("is_current"),
+    )

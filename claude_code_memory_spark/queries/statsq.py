@@ -7,6 +7,7 @@ that holds at any scale factor.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from claude_code_memory_spark.queries.base import register, table, ts_us_col
@@ -595,4 +596,115 @@ def anomaly_mad_outliers(spark, sf_dir):
         F.count("*").alias("n"),
         F.round(F.min("med"), 4).alias("med"),
         F.round(F.min("mad"), 4).alias("mad"),
+    )
+
+
+@register(
+    "pareto_nation_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name),
+    tot AS (SELECT sum(revenue) AS total FROM rev),
+    ranked AS (
+      SELECT nation, revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, nation
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM rev)
+    SELECT nation, revenue,
+           round(revenue / t.total, 6) AS share,
+           round(cum / t.total, 6) AS cum_share,
+           cum / t.total <= 0.8 AS in_top80
+    FROM ranked CROSS JOIN tot t
+    """,
+)
+def pareto_nation_revenue(spark, sf_dir):
+    """Pareto / contribution analysis: each nation's revenue share plus
+    the cumulative share in descending order, flagging the heads that
+    make up 80% of revenue. Per-nation revenue uses the decimal recipe;
+    the cumulative window runs over the 25-row aggregate (bounded), and
+    the grand total rides as a broadcast 1-row cross join — the
+    everything-already-reduced shape where a global window is safe."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    tot = rev.agg(F.sum("revenue").alias("total"))
+    w = Window.orderBy(F.desc("revenue"), F.asc("nation")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = rev.withColumn("cum", F.sum("revenue").over(w))
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "revenue",
+        F.round(F.col("revenue") / F.col("total"), 6).alias("share"),
+        F.round(F.col("cum") / F.col("total"), 6).alias("cum_share"),
+        (F.col("cum") / F.col("total") <= 0.8).alias("in_top80"),
+    )
+
+
+@register(
+    "diag_key_skew",
+    oracle="""
+    WITH g AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+    s AS (SELECT count(*) AS n_keys, sum(n) AS n_rows, max(n) AS max_n,
+                 quantile_cont(n, 0.5) AS med_n,
+                 quantile_cont(n, 0.99) AS p99_n
+          FROM g)
+    SELECT n_keys, n_rows, max_n,
+           round(med_n, 4) AS med_n,
+           round(p99_n, 4) AS p99_n,
+           round(max_n * n_keys / CAST(n_rows AS DOUBLE), 4)
+             AS hottest_vs_uniform
+    FROM s
+    """,
+)
+def diag_key_skew(spark, sf_dir):
+    """Partition-skew diagnostic for a prospective shuffle key: group-
+    size distribution (median/p99/max) plus the hottest key's load
+    relative to a perfectly uniform spread — the number that says
+    whether a join/window on this key needs salting
+    (operators/skew.py) or AQE skew handling before it ships. One
+    aggregate over the key, one 1-row summary."""
+    e = table(spark, sf_dir, "events")
+    g = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    return g.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        F.round(F.expr("percentile(n, 0.5)"), 4).alias("med_n"),
+        F.round(F.expr("percentile(n, 0.99)"), 4).alias("p99_n"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        "max_n",
+        "med_n",
+        "p99_n",
+        F.round(
+            F.col("max_n") * F.col("n_keys") / F.col("n_rows").cast("double"), 4
+        ).alias("hottest_vs_uniform"),
     )
