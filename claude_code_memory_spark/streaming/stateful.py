@@ -219,3 +219,67 @@ def stateful_anomaly_zscore(
         "append",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+TOTALS_OUT_SCHEMA = "user_id long, n_events long, total_value double"
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user lifetime totals on Spark 4's `transformWithStateInPandas`
+    — the successor API to `applyInPandasWithState` (explicit typed
+    state handles, timers, TTL support) that the other stateful
+    operators here will migrate to. State = one ValueState(n, total)
+    per user; every micro-batch emits the user's updated running totals
+    (Update output mode — the dashboard-feed shape).
+
+    ``events``: streaming DataFrame ``user_id long, ts_us long,
+    value double``. State is O(users); a micro-batch touches only the
+    users present in it.
+
+    Environment gate (same pattern as the multimodal decoders): the
+    transformWithState protocol serializes state over a protobuf
+    channel, so `google.protobuf` must be importable on the workers —
+    raise loudly here rather than fail opaquely mid-query. Every other
+    stateful operator in this module runs without it."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "transformWithStateInPandas requires google.protobuf on the "
+            "workers (pip install protobuf); use stateful_sessionize / "
+            "stateful_anomaly_zscore (applyInPandasWithState) otherwise"
+        ) from exc
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("tot", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            if self._state.exists():
+                n, total = self._state.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=TOTALS_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

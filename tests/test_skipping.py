@@ -224,3 +224,20 @@ def test_mixed_manifest_snapshots_no_basepath_leak(spark, store):
     df, kept, total = pruned_read_stats(store, "t", [("k", "<", 250)])
     assert total == 8 and kept == 4 + 1  # all of B (no stats) + 1 of A
     assert df.count() == 250
+
+
+def test_distributed_footer_collection_over_16_files(spark, store):
+    """>16 part files takes the mapInPandas path (footer reads on
+    executors); manifest contents must match the driver path's shape."""
+    store.write("t", _clustered(spark, n=5_000, files=24))
+    meta = store._manifest("t")
+    snap_dir = os.path.join(store.root, "t", meta["snapshots"][0])
+    manifest = load_file_stats(snap_dir)
+    assert len(manifest["files"]) == 24
+    ks = [e["cols"]["k"] for e in manifest["files"].values()]
+    assert all(e["min"] <= e["max"] for e in ks)
+    # ranges tile the keyspace: global min/max recovered from the manifest
+    assert min(e["min"] for e in ks) == 0
+    assert max(e["max"] for e in ks) == 4_999
+    df, kept, total = pruned_read_stats(store, "t", [("k", "=", 4_321)])
+    assert total == 24 and kept == 1 and df.count() == 1
