@@ -71,7 +71,17 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     results.
 
     Returns (node, n_triangles) for every node in at least one triangle.
+
+    The edge list is persisted before use: it is referenced five times
+    (degree counts twice, both wedge sides, the closing-edge probe), and
+    without materialization each reference replays the caller's whole
+    edge-derivation subtree — the audited plan carried ~122 Exchange
+    nodes from that replication (the same iterative-lineage trap
+    pagerank_fixed hit). At 100 TB the edge list is written to storage
+    once instead (same note as the Lloyd/pagerank operators).
     """
+    edges = edges.persist()
+    edges.count()
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
@@ -88,7 +98,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("__db")).otherwise(F.col("__da")).alias("__dv"),
-    )
+    ).persist()  # referenced three times (both wedge sides + closing probe)
     x = oriented.select(
         F.col("u"), F.col("v").alias("x"), F.col("__dv").alias("__dx")
     )
