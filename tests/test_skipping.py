@@ -241,3 +241,26 @@ def test_distributed_footer_collection_over_16_files(spark, store):
     assert max(e["max"] for e in ks) == 4_999
     df, kept, total = pruned_read_stats(store, "t", [("k", "=", 4_321)])
     assert total == 24 and kept == 1 and df.count() == 1
+
+
+def test_optimize_then_vacuum_keeps_pruning(spark, store):
+    """optimize → vacuum(1): old snapshots gone, the clustered snapshot's
+    manifest still prunes, data intact."""
+    store.write("t", _clustered(spark, n=2_000, files=4))
+    store.append(
+        "t",
+        spark.range(2_000, 4_000)
+        .selectExpr("id AS k", "id % 100 AS v", "concat('u', id % 50) AS name"),
+    )
+    store.optimize("t", cluster_by=["k"], target_files=8)
+    store.vacuum()
+    df, kept, total = pruned_read_stats(store, "t", [("k", "=", 3_500)])
+    assert total == 8 and kept == 1
+    assert df.count() == 1
+    assert store.read("t").count() == 4_000
+
+
+def test_pruned_read_missing_table_is_none(store):
+    from claude_code_memory_spark.plans.skipping import pruned_read
+
+    assert pruned_read(store, "nope", [("k", "=", 1)]) is None
