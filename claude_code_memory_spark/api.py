@@ -428,6 +428,68 @@ class CodeMemoryEngine:
         self._postings_cache = (key, df)
         return df
 
+    def _ann_index(self, n_centroids: int = 16):
+        """Materialized IVF serving index for the dense path — the
+        engine's analogue of the reference's HNSW-backed search
+        (storage/qdrant.py:827-886), built from the public IVF pieces:
+        vectors written `partitionBy(ivf_cluster)` under
+        `<store>/annindex/<fingerprint>` so a probe reads only the
+        nprobe cell directories (file-level pruning), with the centroid
+        matrix in a sidecar JSON. Cache-keyed on the vectors manifest
+        (the `_sparse_postings` pattern): any write/append invalidates
+        exactly; superseded dirs are GC'd on rebuild; a dir without
+        `_SUCCESS` is a torn build and is discarded."""
+        key = self.store.manifest_key("vectors")
+        if key is None:
+            return None
+        cached = getattr(self, "_ann_cache", None)
+        if cached is not None and cached[0] == (key, n_centroids):
+            return cached[1], cached[2]
+        import hashlib
+        import json as _json
+        import os
+        import shutil
+
+        import numpy as np
+
+        from claude_code_memory_spark.operators.similarity import ivf_build
+
+        fp = hashlib.sha256(
+            ("|".join(key) + f"|ivf{n_centroids}").encode()
+        ).hexdigest()[:16]
+        adir = os.path.join(self.store.root, "annindex")
+        path = os.path.join(adir, fp)
+        cpath = os.path.join(adir, fp + ".centers.json")
+        if os.path.exists(path) and not os.path.exists(
+            os.path.join(path, "_SUCCESS")
+        ):
+            shutil.rmtree(path, ignore_errors=True)
+        if not (os.path.exists(path) and os.path.exists(cpath)):
+            v = self.store.read("vectors").select("point_id", "dense")
+            n_vec = v.count()
+            if n_vec < n_centroids:
+                return None  # corpus smaller than the cell count: brute wins
+            assigned, centers = ivf_build(v, n_centroids, vec_col="dense")
+            assigned.write.partitionBy("ivf_cluster").mode("overwrite").parquet(
+                path
+            )
+            tmp = cpath + ".tmp"
+            with open(tmp, "w") as fh:
+                _json.dump([[float(x) for x in c] for c in centers], fh)
+            os.replace(tmp, cpath)
+            for d in os.listdir(adir):  # GC superseded materializations
+                if d not in (fp, fp + ".centers.json"):
+                    p2 = os.path.join(adir, d)
+                    if os.path.isdir(p2):
+                        shutil.rmtree(p2, ignore_errors=True)
+                    else:
+                        os.remove(p2)
+        with open(cpath) as fh:
+            centers = np.array(_json.load(fh))
+        df = self.spark.read.parquet(path)
+        self._ann_cache = ((key, n_centroids), df, centers)
+        return df, centers
+
     # -- search ------------------------------------------------------------
 
     def search(
@@ -443,6 +505,8 @@ class CodeMemoryEngine:
         mmr: bool = False,
         mmr_lambda: float = 0.5,
         mmr_fetch: int = 50,
+        ann: bool = False,
+        nprobe: int = 4,
     ) -> DataFrame:
         """T1-T4: semantic / keyword / hybrid top-k with payload filters.
 
@@ -474,6 +538,31 @@ class CodeMemoryEngine:
         fetch = overfetch_limit(k) if mode == "hybrid" else k
 
         def dense(limit):
+            # ann=True + no payload filters: probe the materialized IVF
+            # layout (nprobe cell dirs, file-level pruning) instead of
+            # scanning the corpus; filtered searches fall back to the
+            # brute scan, where the filter prunes the corpus side (the
+            # same unfiltered-only rule as the postings index)
+            if ann and not entity_types and not chunk_type:
+                idx = self._ann_index()
+                if idx is not None:
+                    from claude_code_memory_spark.operators.similarity import (
+                        ivf_topk,
+                    )
+
+                    indexed, centers = idx
+                    r = ivf_topk(
+                        indexed,
+                        centers,
+                        embed_text(query, self.dim),
+                        limit,
+                        nprobe=nprobe,
+                        id_col="point_id",
+                        vec_col="dense",
+                    )
+                    if mode != "hybrid" and score_threshold:
+                        r = r.filter(F.col("score") >= score_threshold)
+                    return r
             return dense_topk(
                 vectors,
                 embed_text(query, self.dim),

@@ -196,9 +196,14 @@ def timeseries_interpolate_linear(spark, sf_dir):
     oracle=f"""
     WITH b AS (
       SELECT event_type, epoch_us(ts) // {_HR_US} AS bucket_id,
-             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS d1
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(16,6)) AS d1
       FROM events GROUP BY 1, 2),
-    b2 AS (SELECT *, d1 * d1 AS d2 FROM b),
+    -- mixed-width square: DuckDB multiplies two INT64-class decimals IN
+    -- int64 and overflows at sf0.1 bucket sums; one DECIMAL(19,6)
+    -- operand forces the INT128 path -> exact DECIMAL(35,12), and Spark's
+    -- (16,6)x(19,6) -> (36,12) is exact too (a (19,6)^2 would exceed
+    -- Spark's 38-digit cap and silently round to scale 11)
+    b2 AS (SELECT *, d1 * CAST(d1 AS DECIMAL(19,6)) AS d2 FROM b),
     roll AS (
       SELECT event_type, bucket_id, CAST(d1 AS DOUBLE) AS x,
              CAST(sum(d1) OVER w AS DOUBLE) AS s1,
@@ -232,8 +237,8 @@ def anomaly_rolling_zscore(spark, sf_dir):
     Scale shape: one data-sized shuffle (the bucket aggregate); the
     rolling window runs over series x span rows, partitioned by series."""
     b = _hourly_decimal_sums(spark, sf_dir).withColumn(
-        "d2", F.col("d1") * F.col("d1")
-    )
+        "d1", F.col("d1").cast("decimal(16,6)")
+    ).withColumn("d2", F.col("d1") * F.col("d1").cast("decimal(19,6)"))
     wroll = (
         Window.partitionBy("event_type").orderBy("bucket_id").rowsBetween(-24, -1)
     )
