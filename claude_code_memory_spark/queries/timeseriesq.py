@@ -40,6 +40,7 @@ def _hourly_decimal_sums(spark, sf_dir):
 
 @register(
     "timeseries_gapfill_locf",
+    headline=True,
     oracle=f"""
     WITH b AS (
       SELECT event_type, epoch_us(ts) // {_HR_US} AS bucket_id,
@@ -193,6 +194,7 @@ def timeseries_interpolate_linear(spark, sf_dir):
 
 @register(
     "anomaly_rolling_zscore",
+    headline=True,
     oracle=f"""
     WITH b AS (
       SELECT event_type, epoch_us(ts) // {_HR_US} AS bucket_id,
