@@ -655,3 +655,105 @@ def vector_pq_adc_topk(spark, sf_dir):
     codes = pq_encode(emb, cb, dim=64, m=8)
     q = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
     return pq_topk(codes, cb, q, k=10)
+
+
+@register(
+    "vector_ivfpq_adc_topk",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cvec FROM emb WHERE vec_id < 8),
+    q AS (SELECT v AS qv FROM emb WHERE vec_id = 3),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT a.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_dd_d2("a.v", "c.cvec")}, c.cid) AS rn
+        FROM emb a CROSS JOIN cent c) t
+      WHERE rn = 1),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (
+                 ORDER BY {_dd_d2("c.cvec", "q.qv")}, c.cid) AS rn
+        FROM cent c CROSS JOIN q) t
+      WHERE rn <= 2),
+    subs AS (
+      SELECT vec_id, i AS sub_idx, v[(i*8+1):(i*8+8)] AS sv
+      FROM emb, range(0, 8) t(i)),
+    cb AS (
+      SELECT i AS sub_idx, vec_id::INT AS code_id, v[(i*8+1):(i*8+8)] AS cv
+      FROM emb, range(0, 8) t(i) WHERE vec_id < 16),
+    codes AS (
+      SELECT vec_id, sub_idx, code_id FROM (
+        SELECT s.vec_id, s.sub_idx, c.code_id,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub_idx
+                 ORDER BY round({_dd_d2("s.sv", "c.cv")}, 6), c.code_id) AS rn
+        FROM subs s JOIN cb c USING (sub_idx)) t
+      WHERE rn = 1),
+    cell_codes AS (
+      SELECT k.vec_id, k.sub_idx, k.code_id
+      FROM codes k JOIN assigned a USING (vec_id)
+      JOIN probe p ON a.cid = p.cid),
+    dtable AS (
+      SELECT c.sub_idx, c.code_id,
+             round({_dd_d2("qs.qsv", "c.cv")}, 6) AS qd2
+      FROM (SELECT i AS sub_idx, qv[(i*8+1):(i*8+8)] AS qsv
+            FROM q, range(0, 8) t(i)) qs
+      JOIN cb c USING (sub_idx)),
+    dists AS (
+      SELECT k.vec_id,
+             round(sum(d.qd2::DECIMAL(18,6))::DOUBLE, 6) AS approx_d2
+      FROM cell_codes k JOIN dtable d USING (sub_idx, code_id)
+      GROUP BY k.vec_id)
+    SELECT vec_id, approx_d2 FROM dists
+    ORDER BY approx_d2 ASC, vec_id ASC LIMIT 10
+    """,
+)
+def vector_ivfpq_adc_topk(spark, sf_dir):
+    """The full IVF,PQ composite, driver-checkable end to end: seeded
+    IVF cells (centroids = first 8 vectors, dot-identity argmin), probe
+    = the query's 2 nearest cells computed IN-PLAN (same expression /
+    tie-break as the oracle — a driver-side numpy argsort could break
+    float ties differently), seeded PQ8x16 codebook, and the ADC scan
+    restricted to the probed cells' codes. DuckDB replays centroid
+    assignment, probe selection, codebook, encoding, distance table,
+    and the final ranking — closing the last oracle gap in the ANN
+    family (the trained/Lloyd variants are pinned by pytest recall and
+    error-inequality tests; this is the replayable twin)."""
+    from claude_code_memory_spark.functions.vector import dot
+    from claude_code_memory_spark.operators.quantize import (
+        pq_encode,
+        pq_seeded_codebook,
+        pq_topk,
+    )
+    from claude_code_memory_spark.operators.similarity import ivf_seeded_build
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, _centers = ivf_seeded_build(emb, 8)
+    cb = pq_seeded_codebook(emb, dim=64, m=8, k_codes=16)
+    codes = pq_encode(assigned, cb, dim=64, m=8, keep=("vec_id", "ivf_cluster"))
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    qdf = emb.filter(F.col("vec_id") == 3).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    d2 = (
+        dot(F.col("cvec"), F.col("cvec"))
+        - 2 * dot(F.col("cvec"), F.col("qv"))
+        + dot(F.col("qv"), F.col("qv"))
+    )
+    probe = (
+        cent.crossJoin(F.broadcast(qdf))
+        .withColumn("__d2", d2)
+        .orderBy("__d2", "cid")
+        .limit(2)
+        .select("cid")
+    )
+    cell_codes = codes.join(
+        F.broadcast(probe), codes["ivf_cluster"] == F.col("cid")
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    return pq_topk(cell_codes, cb, qvec, k=10)
