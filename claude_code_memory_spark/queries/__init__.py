@@ -107,7 +107,7 @@ _DRIVER_WINDOW = [
 # tokenizer_bpe_pair_counts, sketch_kmv_mergeable, transition_matrix_events,
 # sample_bottomk_per_type, corr_matrix_lineitem, anomaly_mad_outliers,
 # scd2_user_state_intervals, pareto_nation_revenue, diag_key_skew,
-# vector_ivfpq_adc_topk,
+# vector_ivfpq_adc_topk, stickiness_dau_wau,
 # vector_pca_covariance, agg_token_histogram,
 # vector_pq_trained_error, dedup_edit_distance, funnel_view_click_purchase;
 # (b) the r1-green entries displaced to make

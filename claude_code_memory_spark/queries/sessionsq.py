@@ -444,3 +444,63 @@ def scd2_user_state_intervals(spark, sf_dir):
         F.coalesce("valid_to", F.lit(9223372036854775807)).alias("valid_to"),
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+@register(
+    "stickiness_dau_wau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             user_id
+      FROM events),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+    wau AS (
+      SELECT d.day, count(DISTINCT u.user_id) AS wau
+      FROM days d JOIN du u
+        ON u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day)
+    SELECT d.day, dau.dau, wau.wau,
+           round(dau.dau / CAST(wau.wau AS DOUBLE), 6) AS stickiness
+    FROM days d JOIN dau USING (day) JOIN wau USING (day)
+    """,
+)
+def stickiness_dau_wau(spark, sf_dir):
+    """DAU/WAU stickiness per day — the engagement ratio every product
+    dashboard tracks. Distinct (day, user) pairs are reduced FIRST (the
+    only corpus-sized stage, map-side combined); the trailing-7-day
+    distinct count is a range join over that reduced table (each pair
+    feeds <= 7 anchor days, so the join is 7x |day-user pairs|, never
+    events x days), and the ratio is exact-integer division. A
+    sliding `window()` can't express cross-window DISTINCT — this
+    day-grid range join is the scalable formulation (HLL sketches per
+    day + union-merge is the approximate one: sketch_hll_mergeable)."""
+    e = _events_us(spark, sf_dir)
+    du = e.select(
+        F.expr("ts_us div 86400000000").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    d = days.alias("d")
+    u = du.alias("u")
+    wau = (
+        d.join(
+            u,
+            (F.col("u.day") >= F.col("d.day") - 6)
+            & (F.col("u.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct("u.user_id").alias("wau"))
+    )
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
