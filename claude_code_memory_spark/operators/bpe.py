@@ -170,3 +170,22 @@ def bpe_encode_expr(merges: list[tuple[str, int]], col: str = "syms"):
         merged = pair.replace(" ", "")
         expr = F.replace(expr, F.lit(f" {pair} "), F.lit(f" {merged} "))
     return F.trim(expr)
+
+
+def bpe_save(path: str, merges: list[tuple[str, int]]) -> None:
+    """Persist a learned merge list (atomic tmp+rename) — the trained
+    tokenizer artifact `bpe_encode_expr` replays at serving time."""
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump([[p, w] for p, w in merges], fh)
+    os.replace(tmp, path)
+
+
+def bpe_load(path: str) -> list[tuple[str, int]]:
+    import json
+
+    with open(path) as fh:
+        return [(p, int(w)) for p, w in json.load(fh)]

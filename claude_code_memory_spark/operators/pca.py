@@ -175,3 +175,35 @@ def pca_reconstruction_mse(
     )
     row = proj.select(F.avg(err).alias("mse")).first()
     return float(row["mse"])
+
+
+def pca_save(path: str, components, eigenvalues, mean) -> None:
+    """Persist a fitted PCA (atomic tmp+rename, the TableStore commit
+    discipline) so serving sessions project without refitting — the
+    same model-artifact contract as embeddings/bm25.py save/load."""
+    import json
+    import os
+
+    payload = {
+        "components": [[float(x) for x in c] for c in components],
+        "eigenvalues": [float(v) for v in eigenvalues],
+        "mean": [float(m) for m in mean],
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, path)
+
+
+def pca_load(path: str):
+    import json
+
+    import numpy as np
+
+    with open(path) as fh:
+        p = json.load(fh)
+    return (
+        np.array(p["components"]),
+        np.array(p["eigenvalues"]),
+        np.array(p["mean"]),
+    )

@@ -89,3 +89,13 @@ def test_quote_bearing_symbols_survive(spark):
     counts = {"d'n": 5, "o'er": 3, "d'no": 2}
     merges = bpe_train(spark, _words_df(spark, counts), 3)
     assert merges == bpe_train_local(counts, 3)
+
+
+def test_bpe_save_load_roundtrip(spark, tmp_path):
+    from claude_code_memory_spark.operators.bpe import bpe_load, bpe_save
+
+    counts = {"low": 5, "newest": 6}
+    merges = bpe_train(spark, _words_df(spark, counts), 3)
+    p = str(tmp_path / "merges.json")
+    bpe_save(p, merges)
+    assert bpe_load(p) == merges

@@ -76,3 +76,19 @@ def test_projection_is_narrow(emb, fitted):
     )
     for node in ("Join", "Exchange", "Window"):
         assert node not in plan, node
+
+
+def test_save_load_roundtrip_and_projection_identical(emb, fitted, tmp_path):
+    import numpy as np
+
+    from claude_code_memory_spark.operators.pca import pca_load, pca_save
+
+    comps, vals, mean = fitted
+    p = str(tmp_path / "pca.json")
+    pca_save(p, comps, vals, mean)
+    c2, v2, m2 = pca_load(p)
+    assert np.array_equal(c2, comps) and np.array_equal(v2, vals)
+    assert np.array_equal(m2, mean)
+    a = pca_project(emb, comps, mean).select("projected").collect()
+    b = pca_project(emb, c2, m2).select("projected").collect()
+    assert [r["projected"] for r in a] == [r["projected"] for r in b]
