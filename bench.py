@@ -287,6 +287,13 @@ def main() -> None:
                     q for q, r in ratios.items() if r > 1.25
                 ),
             }
+            # the RRF overhead ratio drifted 3.76 -> 4.26 across r3->r4:
+            # watch it as a NAMED regression (threshold 5x, the bound the
+            # 3x-over-fetch design should never exceed), not a buried extra
+            if dense_t and hybrid_t and hybrid_t / dense_t > 5.0:
+                trend["regressions"].append(
+                    f"hybrid_rrf_overhead_vs_dense>{5.0} ({round(hybrid_t / dense_t, 2)})"
+                )
             break
         except (json.JSONDecodeError, OSError):
             continue

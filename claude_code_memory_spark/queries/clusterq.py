@@ -35,15 +35,19 @@ def _dd_cos(a: str, b: str) -> str:
     )
 
 
-def _kmeans_ctes(k: int = 8, iters: int = 2) -> str:
+def _kmeans_ctes(k: int | str = 8, iters: int = 2) -> str:
     """CTE chain replaying `kmeans_lloyd` exactly: seeded init, argmin
     assignment via the dot identity, DECIMAL(38,12) per-dimension means
     rounded to 6 dp. Terminal CTEs: ``af`` (final assignment: vec_id, v,
-    cluster_id) and ``cent{iters}`` (cluster_id, cvec)."""
+    cluster_id) and ``cent{iters}`` (cluster_id, cvec).
+
+    ``k`` may be an int literal or a SQL scalar expression (e.g. a
+    subquery deriving k from corpus size) — the seeding predicate only
+    compares ids against it."""
     parts = [
         "emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         f"cent0 AS (SELECT vec_id::INT AS cluster_id, v AS cvec FROM emb"
-        f" WHERE vec_id < {k})",
+        f" WHERE vec_id < ({k}))",
     ]
 
     def assign(name: str, cent: str) -> str:
@@ -103,11 +107,25 @@ def cluster_kmeans_sizes(spark, sf_dir):
     return sizes.join(norms, "cluster_id")
 
 
+# SemDeDup cell count scales with corpus size so per-cell cost stays
+# bounded: k = max(8, n_vectors // TARGET_CELL_SIZE) keeps the expected
+# cell at ~256 vectors, making the pairwise scan O(N * cell) — linear in
+# N at fixed cell size — instead of the Θ(N²) a constant k degenerates
+# to at 100×. SemDeDup's own recipe scales k with N (arXiv:2303.09540).
+# The oracle derives the same k via a scalar subquery, so any sf replays.
+_SEMDEDUP_CELL_SIZE = 256
+_SEMDEDUP_K_SQL = f"SELECT greatest(8, count(*) // {_SEMDEDUP_CELL_SIZE}) FROM embeddings"
+
+
+def _semdedup_k(n_vectors: int) -> int:
+    return max(8, n_vectors // _SEMDEDUP_CELL_SIZE)
+
+
 @register(
     "dedup_semantic_cells",
     headline=True,
     oracle=f"""
-    WITH {_kmeans_ctes(k=8, iters=2)},
+    WITH {_kmeans_ctes(k=_SEMDEDUP_K_SQL, iters=2)},
     pairs AS (
       SELECT a.vec_id AS ia, b.vec_id AS ib
       FROM af a JOIN af b
@@ -123,18 +141,25 @@ def dedup_semantic_cells(spark, sf_dir):
     k-means cells instead of labels — the variant that works when no
     labels exist. One verdict row per vector: its cell and whether a
     lower-id cell-mate within cosine 0.4 removes it. The cell equi-join
-    keeps the pairwise scan at (n/k)^2 per cell — never N x N; at scale
-    the assignment is stored partitioned by cell so the self-join is
-    co-located. Complements `dedup_embedding_neardup` (label-blocked)
+    keeps the pairwise scan at (n/k)^2 per cell — never N x N — and k
+    scales with corpus size (k = max(8, N // 256)) so total pair cost is
+    O(N * cell_size), linear in N; at scale the assignment is stored
+    partitioned by cell so the self-join is co-located. Complements `dedup_embedding_neardup` (label-blocked)
     with the unsupervised blocking a real corpus needs."""
     emb = _spread(spark, table(spark, sf_dir, "embeddings"))
-    assigned, _ = kmeans_lloyd(emb, k=8, iters=2)
+    # k derives from corpus size (one count job over the parquet footer
+    # stats — cheap at any scale) so cell size stays ~256 as N grows
+    k = _semdedup_k(emb.count())
+    assigned, _ = kmeans_lloyd(emb, k=k, iters=2)
     # three consumers (both self-join sides + the verdict join) — persist
     # so the assignment computes once; at scale this is the write-
-    # partitioned-by-cell materialization the docstring describes
-    # n_salt=8: k=8 cells < local parallelism — salt the pairwise join
-    # (identical pair set; see semantic_dedup's strategy note)
-    return semantic_dedup(assigned.persist(), threshold=0.4, n_salt=8)
+    # partitioned-by-cell materialization the docstring describes.
+    # Salt the pairwise join only while cells < local parallelism
+    # (identical pair set; see semantic_dedup's strategy note): with
+    # dynamic k the salt shrinks as cells multiply, hitting n_salt=1
+    # (the bucketed co-located regime) once k alone saturates the cores.
+    n_salt = max(1, -(-64 // k))
+    return semantic_dedup(assigned.persist(), threshold=0.4, n_salt=n_salt)
 
 
 # DuckDB twin of functions.text.word_shingles(n=5): lowercase alnum

@@ -346,22 +346,22 @@ def q19_disjunctive_filter(spark, sf_dir):
     "quality_constraint_report",
     oracle="""
     SELECT 'not_null(o_custkey)' AS rule,
-           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_violations
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
     FROM orders
     UNION ALL
     SELECT 'accepted_values(o_orderstatus)',
-           sum(CASE WHEN o_orderstatus IS NULL
-                      OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN o_orderstatus IS NULL
+                      OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT)
     FROM orders
     UNION ALL
     SELECT 'in_range(o_totalprice)',
-           sum(CASE WHEN o_totalprice IS NULL
+           CAST(sum(CASE WHEN o_totalprice IS NULL
                       OR o_totalprice < 0 OR o_totalprice > 1000000
-                    THEN 1 ELSE 0 END)
+                    THEN 1 ELSE 0 END) AS BIGINT)
     FROM orders
     UNION ALL
     SELECT 'unique(o_orderkey)',
-           coalesce(sum(n - 1), 0)
+           CAST(coalesce(sum(n - 1), 0) AS BIGINT)
     FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY o_orderkey)
     UNION ALL
     SELECT 'references(o_custkey)', count(*)

@@ -29,8 +29,8 @@ _WIN_US = 300 * 1_000_000  # 5-minute tumbling windows
                      THEN 1 ELSE 0 END AS is_new
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
     sessions AS (
-      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged)
     SELECT user_id, session_id,
            count(*) AS n_events,

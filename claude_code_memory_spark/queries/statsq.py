@@ -671,7 +671,7 @@ def pareto_nation_revenue(spark, sf_dir):
     "diag_key_skew",
     oracle="""
     WITH g AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
-    s AS (SELECT count(*) AS n_keys, sum(n) AS n_rows, max(n) AS max_n,
+    s AS (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows, max(n) AS max_n,
                  quantile_cont(n, 0.5) AS med_n,
                  quantile_cont(n, 0.99) AS p99_n
           FROM g)

@@ -378,7 +378,7 @@ def text_c4_filter(spark, sf_dir):
     oracle="""
     SELECT (ws_tokens // 10) * 10 AS bucket_lo,
            count(*) AS n_docs,
-           sum(ws_tokens) AS total_tokens
+           CAST(sum(ws_tokens) AS BIGINT) AS total_tokens
     FROM (
       SELECT len(list_filter(string_split_regex(text, '\\s+'),
                              x -> length(x) > 0)) AS ws_tokens
@@ -560,7 +560,7 @@ def text_pmi_cooccurrence(spark, sf_dir):
       SELECT s[i] || ' ' || s[i + 1] AS pair, n
       FROM (SELECT s, n, unnest(generate_series(1, len(s) - 1)) AS i
             FROM syms))
-    SELECT pair, sum(n) AS w
+    SELECT pair, CAST(sum(n) AS BIGINT) AS w
     FROM pairs GROUP BY pair
     ORDER BY w DESC, pair ASC
     LIMIT 20

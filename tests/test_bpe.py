@@ -99,3 +99,33 @@ def test_bpe_save_load_roundtrip(spark, tmp_path):
     p = str(tmp_path / "merges.json")
     bpe_save(p, merges)
     assert bpe_load(p) == merges
+
+def test_batched_equals_sequential_on_nonchaining_text(spark):
+    """merges_per_round > 1 must reproduce one-at-a-time merges when the
+    top pairs don't chain (disjoint symbol sets — the documented exact
+    regime). Distinct-alphabet words guarantee non-chaining batches."""
+    counts = {"ab": 9, "cd": 7, "ef": 5, "gh": 3}
+    seq = bpe_train(spark, _words_df(spark, counts), 4)
+    for m in (2, 4):
+        assert bpe_train(spark, _words_df(spark, counts), 4, merges_per_round=m) == seq
+
+
+def test_batched_stops_at_chaining_pair(spark):
+    """The greedy batch cuts at the first symbol-sharing pair instead of
+    skipping it, so the merge ORDER always matches sequential BPE on the
+    selected prefix; a chained corpus therefore still trains correctly,
+    just with smaller effective batches."""
+    counts = {"aaab": 6, "ab": 4}  # 'a a' and 'a b' share 'a' → chain
+    seq = bpe_train_local(counts, 5)
+    got = bpe_train(spark, _words_df(spark, counts), 5, merges_per_round=4)
+    assert got == seq
+
+
+def test_select_batch_unit():
+    from claude_code_memory_spark.operators.bpe import _select_batch
+
+    ranked = [("a b", 9), ("c d", 8), ("b x", 7), ("e f", 6)]
+    # 'b x' chains on 'b' → batch cuts there even though 'e f' is free
+    assert _select_batch(ranked, 4) == [("a b", 9), ("c d", 8)]
+    assert _select_batch(ranked, 1) == [("a b", 9)]
+    assert _select_batch([], 4) == []
