@@ -107,17 +107,50 @@ class CodeMemoryEngine:
         # observed node appears exactly once per query (via the chunk path)
         entities = entities_raw.observe(obs_entities, F.count(F.lit(1)).alias("n"))
 
+        # Cross-file resolution BEFORE J4: rewrite calls through the
+        # import graph (aliased from-imports → defining name, module-
+        # alias attribute calls → the defining module's entity) so the
+        # universe check below validates the REAL target, not the local
+        # alias. Bindings and defs come from stored ∪ batch with
+        # replaced files' stored rows excluded (they're superseded by
+        # this batch's re-parse). Reference: tree-sitter+Jedi pairing
+        # (analysis/parser.py:15).
+        from claude_code_memory_spark.operators.resolve import resolve_calls
+        from claude_code_memory_spark.sources.python_parser import import_bindings
+
+        stored_entities = self.store.read("entities")
+        bindings = import_bindings(parsed)
+        all_bindings = bindings
+        stored_bindings = self.store.read("bindings")
+        if stored_bindings is not None:
+            all_bindings = bindings.unionByName(
+                stored_bindings.join(F.broadcast(replaced), "file_path", "left_anti")
+            )
+        def_cols = ["entity_name", "entity_type", "file_path"]
+        defs = entities_raw.select(*def_cols)
+        if stored_entities is not None:
+            defs = defs.unionByName(
+                stored_entities.select(*def_cols).join(
+                    F.broadcast(replaced), "file_path", "left_anti"
+                )
+            )
+        relations = resolve_calls(relations, all_bindings, defs)
+
         # J4: pre-storage orphan filter — entity universe = stored ∪ batch.
         # Only calls/inherits require a resolvable target; imports and
         # `uses` keep external targets (modules, data files) — the
         # reference whitelists external files too (qdrant.py:2183-2213).
-        stored_entities = self.store.read("entities")
         universe = entities_raw.select("entity_name")
         if stored_entities is not None:
             universe = universe.unionByName(stored_entities.select("entity_name"))
         relations = self._filter_resolvable(relations, universe.distinct()).observe(
             obs_relations, F.count(F.lit(1)).alias("n")
         )
+        # the resolve+validate lineage is ~a dozen joins deep and has
+        # three consumers (relation chunks, the merge write, cleanup
+        # scoping); persist the entity-scale result so each consumer
+        # reuses one computation instead of replaying the join tree
+        relations = relations.persist()
 
         meta = entity_metadata_chunks(entities, impl)
         impl_ch = implementation_chunks(impl)
@@ -195,6 +228,7 @@ class CodeMemoryEngine:
         # chunks/vectors partition on chunk_type (metadata-first pruning)
         merge_replace_by_file(self.store, "entities", entities, replaced)
         merge_replace_by_file(self.store, "relations", relations, replaced)
+        merge_replace_by_file(self.store, "bindings", bindings, replaced)
         merge_replace_by_file(self.store, "chunks", chunks, replaced, ["chunk_type"])
         merge_replace_by_file(self.store, "vectors", vectors, replaced, ["chunk_type"])
 
@@ -240,6 +274,7 @@ class CodeMemoryEngine:
         }
         changed.unpersist()
         parsed.unpersist()
+        relations.unpersist()
         return counters
 
     @staticmethod
@@ -833,7 +868,7 @@ class CodeMemoryEngine:
         free (the reference requires bespoke scroll/aggregate code per
         question, e.g. bloat_analysis.py). Views are snapshot reads:
         re-register by calling again after writes."""
-        for name in ("chunks", "entities", "relations", "vectors", "file_state"):
+        for name in ("chunks", "entities", "relations", "bindings", "vectors", "file_state"):
             df = self.store.read(name)
             if df is not None:
                 df.createOrReplaceTempView(name)
@@ -1071,7 +1106,7 @@ class CodeMemoryEngine:
         """K3: clear the collection. ``preserve_manual=True`` keeps chunks/
         vectors with NULL file_path (manual memories) and drops everything
         auto-indexed + all relation chunks (qdrant.py:1303-1401)."""
-        for t in ("entities", "relations", "file_state"):
+        for t in ("entities", "relations", "bindings", "file_state"):
             df = self.store.read(t)
             if df is not None:
                 self.store.write(t, df.limit(0))

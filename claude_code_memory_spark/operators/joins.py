@@ -64,8 +64,19 @@ def phantom_calls(
     content_col: str = "content",
 ) -> DataFrame:
     """J3: 'calls' relations whose callee no longer appears as `callee(` in
-    the caller's implementation content."""
+    the caller's implementation content.
+
+    Cross-file-RESOLVED calls are exempt: their to_entity is the
+    DEFINING name, which by construction differs from the aliased name
+    in the caller's source (`from m import f as g; g()` stores a call
+    to f while the text says `g(`), and they were already validated
+    against the import graph + entity universe — strictly stronger
+    evidence than this textual heuristic (operators/resolve.py)."""
     calls = relations.filter(F.col(type_col) == "calls")
+    if "import_type" in relations.columns:
+        calls = calls.filter(
+            ~F.coalesce(F.col("import_type") == "resolved", F.lit(False))
+        )
     impl = impl_chunks.select(
         F.col(entity_col).alias("__caller"), F.col(content_col).alias("__content")
     )

@@ -1,0 +1,313 @@
+"""Cross-file call resolution — the Jedi-resolution analogue, as joins.
+
+The reference pairs tree-sitter with Jedi to resolve calls across files
+(analysis/parser.py:1, :15, :120): `from m import f as g; g()` records
+a call to *f*, and `import pkg.mod as z; z.f()` pins *f* to pkg.mod
+rather than any same-named entity anywhere. The stdlib-ast parser
+extracts the same raw material per file (call sites with their dotted
+base, import alias bindings — sources/python_parser.py); this module
+does the cross-file step as pure DataFrame algebra:
+
+1. every file's module name is derived from its path (a column
+   expression — no driver work);
+2. relative import targets (leading dots) are absolutized against the
+   importing file's package;
+3. re-export chains (`pkg/__init__.py: from .core import f`) are
+   chased by iterated self-joins on the binding table, bounded by
+   ``max_hops`` (import chains deeper than 3 are vanishingly rare);
+4. bare calls rewrite through from-import bindings to the DEFINING
+   name; attribute calls rewrite through module-alias bindings to the
+   defining module's entity (including `C.method()` → the `C.method`
+   entity when C was from-imported).
+
+Resolved rows carry ``import_type='resolved'`` so downstream consumers
+(and tests) can see which calls are cross-file-pinned; unresolved rows
+pass through byte-identical, so the operator strictly refines J4's
+entity-universe validation — it never loses a relation.
+
+Scale: bindings and defs are entity-scale tables (rows ∝ import
+statements / definitions, not corpus bytes); every step is an
+equi-join on (module, name) keys — shuffle-partitioned, skew-free
+(module names are near-unique), no UDFs, no driver loops beyond the
+fixed ``max_hops`` join chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def module_of_path(path_col: Column | str) -> Column:
+    """Dotted module name of a repo-relative path:
+    ``a/b/c.py`` → ``a.b.c``; ``a/b/__init__.py`` → ``a.b``;
+    ``./x.py`` → ``x``; top-level ``__init__.py`` → ``''``."""
+    p = F.regexp_replace(path_col, r"^\./", "")
+    p = F.regexp_replace(p, r"\.py$", "")
+    p = F.regexp_replace(p, "/", ".")
+    p = F.regexp_replace(p, r"\.__init__$", "")
+    return F.regexp_replace(p, r"^__init__$", "")
+
+
+def _absolutize(bindings: DataFrame) -> DataFrame:
+    """Resolve leading-dot relative targets against the importing file's
+    package: in ``pkg/sub.py`` (module pkg.sub), ``.m`` → ``pkg.m`` and
+    ``..m`` → ``m``; in ``pkg/__init__.py`` (module pkg), ``.m`` →
+    ``pkg.m`` (a package's level-1 base is itself)."""
+    mod = module_of_path("file_path")
+    is_init = F.col("file_path").rlike(r"(^|/)__init__\.py$")
+    dots = F.length(F.regexp_extract("target_module", r"^(\.+)", 1))
+    rest = F.regexp_replace("target_module", r"^\.+", "")
+    parts = F.split(mod, r"\.")
+    n_parts = F.when(mod == "", F.lit(0)).otherwise(F.size(parts))
+    # ascend (dots-1) packages above the file's own package
+    keep = n_parts - (dots - 1) - F.when(is_init, 0).otherwise(1)
+    base = F.array_join(F.slice(parts, 1, F.greatest(keep, F.lit(0))), ".")
+    absolute = F.when(dots == 0, F.col("target_module")).otherwise(
+        F.concat_ws(".", *[F.when(c != "", c) for c in (base, rest)])
+    )
+    return bindings.withColumn("module", mod).withColumn("target_module", absolute)
+
+
+def _normalize_targets(
+    bindings: DataFrame, known_modules: DataFrame, *, max_trim: int = 2
+) -> DataFrame:
+    """Map absolute import targets onto the PATH-derived module
+    namespace. When the indexed project root is the package directory
+    itself (the common `index("…/mypkg")` call), a file's path-derived
+    module is ``sources.files`` while the code imports
+    ``mypkg.sources.files`` — Jedi resolves this via sys.path; here the
+    analogue is suffix matching: try the target minus 0..max_trim
+    leading segments against the known module set (exact match, or
+    prefix-of-a-known-module for module imports whose attribute chain
+    completes the path), keep the FEWEST-trims match, and leave the
+    target untouched when nothing matches (external imports: os,
+    pyspark, …). ``known_modules``: 1-column (module) frame, entity-
+    scale, broadcast."""
+    parts = F.split("target_module", r"\.")
+    cands = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(max_trim)),
+            lambda t: F.struct(
+                t.alias("trim"),
+                F.array_join(
+                    F.slice(parts, t + 1, F.greatest(F.size(parts) - t, F.lit(0))), "."
+                ).alias("cand"),
+            ),
+        ),
+        lambda s: (s["trim"] < F.size(parts)) & (s["cand"] != ""),
+    )
+    b = bindings.withColumn("__bid", F.monotonically_increasing_id())
+    exploded = b.select(
+        "__bid", F.explode(cands).alias("c")
+    ).select("__bid", F.col("c.trim").alias("__trim"), F.col("c.cand").alias("__cand"))
+    km = F.broadcast(known_modules.select(F.col("module").alias("__km")).distinct())
+    hits = (
+        exploded.join(
+            km,
+            (F.col("__cand") == F.col("__km"))
+            | F.col("__km").startswith(F.concat(F.col("__cand"), F.lit("."))),
+        )
+        .groupBy("__bid")
+        .agg(F.min(F.struct("__trim", "__cand")).alias("__best"))
+        .select("__bid", F.col("__best.__cand").alias("__norm"))
+    )
+    return (
+        b.join(hits, "__bid", "left")
+        .withColumn("target_module", F.coalesce("__norm", "target_module"))
+        .drop("__bid", "__norm")
+    )
+
+
+def _chase(from_bindings: DataFrame, max_hops: int) -> DataFrame:
+    """Follow re-export chains: a from-binding whose (target_module,
+    member) is itself a from-binding in that module keeps hopping, up to
+    ``max_hops`` joins. Output schema matches the input; terminal
+    (target_module, member) either names a definition or nothing."""
+    cur = from_bindings
+    step = from_bindings.select(
+        F.col("module").alias("s_module"),
+        F.col("local_name").alias("s_local"),
+        F.col("target_module").alias("s_tmod"),
+        F.col("member").alias("s_member"),
+    )
+    for _ in range(max_hops - 1):
+        cur = (
+            cur.join(
+                step,
+                (cur.target_module == step.s_module) & (cur.member == step.s_local),
+                "left",
+            )
+            .select(
+                "file_path",
+                "module",
+                "local_name",
+                F.coalesce("s_tmod", "target_module").alias("target_module"),
+                F.coalesce("s_member", "member").alias("member"),
+                "import_type",
+            )
+        )
+    return cur
+
+
+def resolve_calls(
+    relations: DataFrame,
+    bindings: DataFrame,
+    entities: DataFrame,
+    *,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Rewrite `calls` relations through the import graph.
+
+    ``relations``: split_parsed's relation slice (context = dotted call
+    base for attribute calls). ``bindings``: import_bindings(parsed).
+    ``entities``: the entity table (entity_name, entity_type,
+    file_path, ...). Returns relations with the same schema; resolved
+    calls have to_entity rewritten to the defining entity's name and
+    import_type='resolved'. Non-call rows and unresolvable calls pass
+    through unchanged."""
+    # last-import-wins isn't statically knowable row-order-free; dedupe
+    # so a re-imported name can't fan a call out into duplicate rows
+    b = _absolutize(bindings).dropDuplicates(["file_path", "local_name", "import_type"])
+
+    # definitions: non-import entities keyed by (defining module, name)
+    defs = (
+        entities.filter(~F.col("entity_type").isin("import", "file"))
+        .select(
+            module_of_path("file_path").alias("def_module"),
+            F.col("entity_name").alias("def_name"),
+        )
+        .distinct()
+    )
+
+    # absolute import targets → the path-derived module namespace
+    # (handles project-root == package-dir; see _normalize_targets)
+    known = defs.select(F.col("def_module").alias("module")).unionByName(
+        b.select("module")
+    )
+    b = _normalize_targets(b, known)
+    fromb = b.filter(F.col("import_type") == "from")
+    modb = b.filter(F.col("import_type") == "module")
+    chased = _chase(fromb, max_hops).dropDuplicates(["file_path", "local_name"])
+
+    calls = relations.filter(F.col("relation_type") == "calls")
+    passthrough = relations.filter(F.col("relation_type") != "calls")
+
+    # --- bare calls: f() where f is a from-import binding -------------
+    bare = calls.filter(F.col("context").isNull())
+    cb = chased.select(
+        F.col("file_path").alias("b_file"),
+        F.col("local_name").alias("b_local"),
+        F.col("target_module").alias("b_tmod"),
+        F.col("member").alias("b_member"),
+    )
+    bare = (
+        bare.join(
+            cb,
+            (bare.file_path == cb.b_file) & (bare.to_entity == cb.b_local),
+            "left",
+        )
+        .join(
+            defs,
+            (F.col("b_tmod") == defs.def_module) & (F.col("b_member") == defs.def_name),
+            "left",
+        )
+        .select(
+            "from_entity",
+            F.coalesce("def_name", "to_entity").alias("to_entity"),
+            "relation_type",
+            "context",
+            "confidence",
+            F.when(F.col("def_name").isNotNull(), F.lit("resolved"))
+            .otherwise(F.col("import_type"))
+            .alias("import_type"),
+            "file_path",
+        )
+    )
+
+    # --- attribute calls: base.f() ------------------------------------
+    attr = calls.filter(F.col("context").isNotNull())
+    b0 = F.split(F.col("context"), r"\.")[0]
+    brem = F.regexp_replace(F.col("context"), r"^[^.]+", "")  # '.y.z' or ''
+    attr = attr.withColumn("__b0", b0).withColumn("__brem", brem)
+
+    # (a) base head is a module alias: z.f() / z.sub.f() → module zTarget(.sub)
+    mb = modb.select(
+        F.col("file_path").alias("m_file"),
+        F.col("local_name").alias("m_local"),
+        F.col("target_module").alias("m_tmod"),
+    )
+    attr = attr.join(
+        mb, (attr.file_path == mb.m_file) & (attr.__b0 == mb.m_local), "left"
+    ).withColumn(
+        "__mod",
+        F.when(
+            F.col("m_tmod").isNotNull(), F.concat(F.col("m_tmod"), F.col("__brem"))
+        ),
+    )
+    # the aliased module may re-export the callee — chase one lookup
+    cb2 = chased.select(
+        F.col("module").alias("c_module"),
+        F.col("local_name").alias("c_local"),
+        F.col("target_module").alias("c_tmod"),
+        F.col("member").alias("c_member"),
+    )
+    attr = attr.join(
+        cb2,
+        (F.col("__mod") == cb2.c_module) & (attr.to_entity == cb2.c_local),
+        "left",
+    ).withColumn(
+        "__mod_final", F.coalesce("c_tmod", "__mod")
+    ).withColumn(
+        "__name_final", F.coalesce("c_member", "to_entity")
+    )
+    d1 = defs.select(
+        F.col("def_module").alias("d1_module"), F.col("def_name").alias("d1_name")
+    )
+    attr = attr.join(
+        d1,
+        (F.col("__mod_final") == d1.d1_module) & (F.col("__name_final") == d1.d1_name),
+        "left",
+    )
+
+    # (b) whole base is a from-imported name: C.method() where
+    # `from m import C` → entity 'C.method' in module m
+    cb3 = chased.select(
+        F.col("file_path").alias("e_file"),
+        F.col("local_name").alias("e_local"),
+        F.col("target_module").alias("e_tmod"),
+        F.col("member").alias("e_member"),
+    )
+    d2 = defs.select(
+        F.col("def_module").alias("d2_module"), F.col("def_name").alias("d2_name")
+    )
+    attr = (
+        attr.join(
+            cb3,
+            (attr.file_path == cb3.e_file) & (attr.context == cb3.e_local),
+            "left",
+        )
+        .join(
+            d2,
+            (F.col("e_tmod") == d2.d2_module)
+            & (F.concat_ws(".", F.col("e_member"), attr.to_entity) == d2.d2_name),
+            "left",
+        )
+    )
+
+    attr = attr.select(
+        "from_entity",
+        F.coalesce("d1_name", "d2_name", "to_entity").alias("to_entity"),
+        "relation_type",
+        "context",
+        "confidence",
+        F.when(
+            F.col("d1_name").isNotNull() | F.col("d2_name").isNotNull(),
+            F.lit("resolved"),
+        )
+        .otherwise(F.col("import_type"))
+        .alias("import_type"),
+        "file_path",
+    )
+
+    return passthrough.unionByName(bare).unionByName(attr)

@@ -26,7 +26,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 
-TABLES = ("entities", "relations", "chunks", "vectors", "file_state")
+TABLES = ("entities", "relations", "bindings", "chunks", "vectors", "file_state")
 
 
 class TableStore:

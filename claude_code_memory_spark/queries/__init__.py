@@ -22,106 +22,83 @@ from claude_code_memory_spark.queries import (  # noqa: F401,E402
 )
 
 # The driver verifies only the FIRST 50 registry entries (insertion order).
-# Round-4 window — freshness rotation (verdict r3 item 5): (a) everything
-# changed or added this round leads (sessionize/tumbling decimal sums,
-# knn_per_label's de-globalized rank, the new ivf_knn_join_batch, the
-# widened sketch bound); (b) all entries whose most recent green driver
-# row is round 1 rotate back in (33 of them); (c) the eight r2-last-green
-# entries; (d) the three flagship search modes + dedup_minhash_lsh stay as
-# permanent anchors. Displaced: the r3 double-greens (text-analysis
-# family, relational4 family) — each keeps a green row ≤ 2 rounds old.
-# tests/test_registry_order.py pins this window.
+# Round-5 window, executing the round-4 queue exactly: (a) the 17 round-4
+# entries never driver-checked lead (all selfcheck-green, HUGEINT oracles
+# pre-cast); (b) the two round-4 hash-red rows (oracle HUGEINT artifact,
+# now CAST AS BIGINT — values were proven exactly equal) re-validate;
+# (c) the queries added THIS round (count-min, bigram-LM scoring, KMV
+# Jaccard); (d) the four permanent anchors; (e) freshness rotation:
+# the five r1-green shapes displaced last round, the six r2-last-green
+# entries (two rounds stale — the freshness bound), and 13 of the 18
+# r1-green entries the round-4 queue listed. tests/test_registry_order.py
+# pins this window.
 _DRIVER_WINDOW = [
-    # -- new in the round-4 continuation session: never driver-checked,
-    # validate first --
-    "text_gopher_rules",
-    "graph_triangle_counts",
-    "sketch_heavy_hitters",
-    "sessionize_builtin_window",
-    "dedup_cross_substring",
-    "layout_zorder_tiles",
-    "retention_cohorts",
-    "sliding_window_counts",
-    "agg_grouping_sets",
-    "window_time_range_frame",
-    "agg_user_segments_bitmap",
-    "quality_constraint_report",
-    "feature_winsorize_clip",
-    "dedup_clusters_star",
-    "sketch_window_distinct",
-    "privacy_pseudonymize",
-    # -- added in the third continuation session: never driver-checked --
-    "timeseries_gapfill_locf",
-    "timeseries_interpolate_linear",
-    "anomaly_rolling_zscore",
-    "asof_join_salted_events",
-    "sketch_hll_mergeable",
-    # -- changed/added earlier this round: validate next --
+    # -- (a) round-4 additions never driver-checked: validate first --
+    "text_pmi_cooccurrence",
+    "tokenizer_bpe_pair_counts",
+    "sketch_kmv_mergeable",
+    "transition_matrix_events",
+    "sample_bottomk_per_type",
+    "corr_matrix_lineitem",
+    "anomaly_mad_outliers",
+    "scd2_user_state_intervals",
+    "pareto_nation_revenue",
+    "diag_key_skew",
+    "vector_ivfpq_adc_topk",
+    "stickiness_dau_wau",
+    "vector_pca_covariance",
+    "agg_token_histogram",
+    "vector_pq_trained_error",
+    "dedup_edit_distance",
+    "funnel_view_click_purchase",
+    # -- (b) the round-4 hash-reds, oracle-typing fixed --
     "sessionize_events",
-    "tumbling_window_counts",
-    "knn_per_label",
-    "ivf_knn_join_batch",
-    "sketch_approx_distinct",
-    "cluster_kmeans_sizes",
-    "dedup_semantic_cells",
-    "dedup_repeated_ngrams",
-    "sample_domain_mixture",
-    "vector_pq_error",
-    "graph_pagerank_nations",
-    "vector_pq_adc_topk",
-    "dedup_minhash_delta",
-    # -- permanent anchors: the reference's core query modes --
+    "quality_constraint_report",
+    # -- (c) new this round: never driver-checked --
+    "sketch_countmin_freq",
+    "lm_bigram_doc_scores",
+    "sketch_kmv_jaccard",
+    "sketch_approx_quantiles",
+    # -- (d) permanent anchors: the reference's core query modes --
     "dense_topk",
     "bm25_keyword_topk",
     "hybrid_rrf_search",
     "dedup_minhash_lsh",
-    # -- last green in round 1: re-validate (oldest first priority) --
-    # (filter_payload_equality / join_anti_customers_without_urgent /
-    # join_hash_dedup_probe / set_union_distinct_nations /
-    # scalar_regex_extract displaced by the five new time-series/sketch
-    # entries — all five are trivial r1-green shapes whose families keep
-    # windowed representatives; they lead the round-5 queue below)
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "q3_shipping_priority",
-    "q5_revenue_by_nation",
-    "relations_orphan_cleanup",
-    "agg_percentiles",
-    "window_lag_lead",
-    "scroll_pagination",
-    "q17_small_quantity_revenue",
-    "range_join_click_to_purchase",
-    # -- last green in round 2 (dedup_exact_kept / agg_event_stats /
-    # filter_must_should_not / set_except_intersect / hash_ids_documents /
-    # join_salted_status_revenue displaced by the six new round-4 entries;
-    # rotate them back in round 5 — at end of r4 they are exactly two
-    # rounds stale, the freshness bound) --
-    "decontaminate_vs_benchmark",
-    "chunk_pack_running_budget",
+    # -- (e) freshness: r1-green shapes displaced by round 4's window --
+    "filter_payload_equality",
+    "join_anti_customers_without_urgent",
+    "join_hash_dedup_probe",
+    "set_union_distinct_nations",
+    "scalar_regex_extract",
+    # -- (e) r2-last-green (two rounds stale, the freshness bound) --
+    "dedup_exact_kept",
+    "agg_event_stats",
+    "filter_must_should_not",
+    "set_except_intersect",
+    "hash_ids_documents",
+    "join_salted_status_revenue",
+    # -- (e) r1-green entries from the round-4 queue (13 of 18 fit) --
+    "window_rank_ntile",
+    "pivot_status_by_priority",
+    "filter_score_threshold",
+    "join_semi_customers_with_urgent",
+    "agg_cube_orders",
+    "q6_revenue_delta",
+    "q10_returned_items",
+    "scalar_datetime_parts",
+    "q4_order_priority",
+    "agg_rollup_orders",
+    "dedup_embedding_neardup",
+    "dedup_duplicate_clusters",
 ]
-# Round-5 rotation queue (first-priority IN, displacing r4 double-greens):
-# (a) the five r1-green shapes displaced by the new time-series/sketch
-# entries — filter_payload_equality, join_anti_customers_without_urgent,
-# join_hash_dedup_probe, set_union_distinct_nations, scalar_regex_extract —
-# plus the r4 entries that did not fit this window: text_pmi_cooccurrence,
-# tokenizer_bpe_pair_counts, sketch_kmv_mergeable, transition_matrix_events,
-# sample_bottomk_per_type, corr_matrix_lineitem, anomaly_mad_outliers,
-# scd2_user_state_intervals, pareto_nation_revenue, diag_key_skew,
-# vector_ivfpq_adc_topk, stickiness_dau_wau,
-# vector_pca_covariance, agg_token_histogram,
-# vector_pq_trained_error, dedup_edit_distance, funnel_view_click_purchase;
-# (b) the r1-green entries displaced to make
-# room for later r4 additions — window_rank_ntile, pivot_status_by_priority,
-# filter_score_threshold, join_semi_customers_with_urgent, agg_cube_orders,
-# q6_revenue_delta, q10_returned_items, scalar_datetime_parts,
-# q4_order_priority, agg_rollup_orders, dedup_embedding_neardup,
-# dedup_duplicate_clusters (star twin windowed), sample_stratified_by_lang,
-# weighted_content_assembly, window_running_user_value,
-# token_frequency_top50, filter_exclude_pattern, join_full_outer_diff
-# (each family-covered by a windowed twin: dense_topk_filtered /
-# join_anti+hash_dedup / agg_rollup_orders / q3+q5+q17 / scalar_regex /
-# window_lag_lead+time_range_frame / sketch_heavy_hitters);
-# (c) the six r2-last-green entries named above.
+# Round-6 rotation queue: (a) the six r1-green entries that did not fit
+# this window — sample_stratified_by_lang, weighted_content_assembly,
+# window_running_user_value, token_frequency_top50, filter_exclude_pattern,
+# join_full_outer_diff
+# (each family-covered by a windowed twin); (b) the r3/r4 double-greens
+# displaced this round (text-analysis family, time-series flagships,
+# dedup family, graph family) — at end of r5 they are one-to-two rounds
+# stale; rotate oldest-green-first as usual.
 
 
 def _apply_driver_window() -> None:

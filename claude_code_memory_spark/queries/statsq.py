@@ -708,3 +708,208 @@ def diag_key_skew(spark, sf_dir):
             F.col("max_n") * F.col("n_keys") / F.col("n_rows").cast("double"), 4
         ).alias("hottest_vs_uniform"),
     )
+
+
+_CM_D, _CM_W = 4, 32  # count-min: 4 hash rows x 32 buckets
+
+
+@register(
+    "sketch_countmin_freq",
+    oracle=f"""
+    WITH counts AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type),
+    cells AS (
+      SELECT i,
+             ('0x' || substr(md5(i::VARCHAR || ':' || event_type), 1, 8))
+               ::UBIGINT::BIGINT % {_CM_W} AS bucket,
+             CAST(sum(n) AS BIGINT) AS total
+      FROM counts, (SELECT unnest(range({_CM_D})) AS i)
+      GROUP BY i, bucket),
+    est AS (
+      SELECT c.event_type, c.n,
+             min(s.total) AS cm_est
+      FROM counts c, (SELECT unnest(range({_CM_D})) AS i) d
+      JOIN cells s
+        ON s.i = d.i
+       AND s.bucket = ('0x' || substr(md5(d.i::VARCHAR || ':' || c.event_type), 1, 8))
+                        ::UBIGINT::BIGINT % {_CM_W}
+      GROUP BY c.event_type, c.n)
+    SELECT event_type, n AS exact_n, CAST(cm_est AS BIGINT) AS cm_est,
+           cm_est >= n AS never_underestimates
+    FROM est
+    """,
+)
+def sketch_countmin_freq(spark, sf_dir):
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over event-type
+    frequencies: d=4 md5-derived hash rows x w=32 buckets, point
+    estimate = min over rows of the bucket total. The sketch is a
+    MERGEABLE d x w counter grid — partitions build partial grids that
+    sum cell-wise, so at 100 TB the frequency summary of any key column
+    costs one map-side-combined aggregate into 128 counters, not a
+    vocabulary-sized shuffle. md5 on both engines makes the oracle
+    replay the exact grid; CM's one-sided error (est >= exact, bounded
+    by collisions) is pinned per key. Reference parity: the collection
+    stats surface (A2) summarizes key distributions the same way at
+    fixture scale."""
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(F.count("*").alias("n"))
+
+    def bucket(i_col, key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(i_col.cast("string"), F.lit(":"), F.col(key_col))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CM_W
+        )
+
+    rows = F.explode(F.array(*[F.lit(i) for i in range(_CM_D)])).alias("i")
+    hashed = counts.select("event_type", "n", rows).withColumn(
+        "bucket", bucket(F.col("i"), "event_type")
+    )
+    cells = hashed.groupBy("i", "bucket").agg(F.sum("n").alias("total"))
+    probes = counts.select("event_type", "n", rows).withColumn(
+        "bucket", bucket(F.col("i"), "event_type")
+    )
+    est = (
+        probes.join(cells, ["i", "bucket"])
+        .groupBy("event_type", "n")
+        .agg(F.min("total").alias("cm_est"))
+    )
+    return est.select(
+        "event_type",
+        F.col("n").alias("exact_n"),
+        "cm_est",
+        (F.col("cm_est") >= F.col("n")).alias("never_underestimates"),
+    )
+
+
+_KMV_J_K = 128
+
+
+@register(
+    "sketch_kmv_jaccard",
+    oracle=f"""
+    WITH t AS (SELECT DISTINCT event_type FROM events),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM t a JOIN t b ON a.event_type < b.event_type),
+    ut AS (SELECT DISTINCT event_type, md5(user_id::VARCHAR) AS h FROM events),
+    mem AS (
+      SELECT p.type_a, p.type_b, u.h,
+             max(CASE WHEN u.event_type = p.type_a THEN 1 ELSE 0 END) AS ia,
+             max(CASE WHEN u.event_type = p.type_b THEN 1 ELSE 0 END) AS ib
+      FROM pairs p JOIN ut u ON u.event_type IN (p.type_a, p.type_b)
+      GROUP BY p.type_a, p.type_b, u.h),
+    l AS (SELECT *, row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+          FROM mem)
+    SELECT type_a, type_b,
+           round((count(*) FILTER (rn <= {_KMV_J_K} AND ia = 1 AND ib = 1))::DOUBLE
+                 / (count(*) FILTER (rn <= {_KMV_J_K})), 6) AS jaccard_est,
+           round((count(*) FILTER (ia = 1 AND ib = 1))::DOUBLE / count(*), 6)
+             AS jaccard_exact
+    FROM l GROUP BY type_a, type_b
+    """,
+)
+def sketch_kmv_jaccard(spark, sf_dir):
+    """Pairwise Jaccard similarity between event-type user sets via
+    bottom-k (KMV) sketches — THE estimate HLL cannot give you (Beyer
+    et al. SIGMOD'07): take the k smallest hashes of the pair's union,
+    estimate J by the fraction of those that belong to both sets. md5
+    on both engines means the oracle replays the sketch BIT FOR BIT —
+    estimator value included, not just an error envelope — alongside
+    the exact Jaccard for comparison. Scale shape: one distinct
+    (type, user-hash) projection of the fact table, a tiny type-pair
+    broadcast fan-out, one bounded per-pair window — user cardinality
+    never crosses the shuffle unsketched. Pairs with fewer than k
+    union members estimate exactly by construction."""
+    e = table(spark, sf_dir, "events")
+    ut = e.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    types = ut.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .crossJoin(types.select(F.col("event_type").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    mem = (
+        F.broadcast(pairs)
+        .join(
+            ut,
+            (ut.event_type == F.col("type_a")) | (ut.event_type == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "h")
+        .agg(
+            F.max((F.col("event_type") == F.col("type_a")).cast("int")).alias("ia"),
+            F.max((F.col("event_type") == F.col("type_b")).cast("int")).alias("ib"),
+        )
+    )
+    w = Window.partitionBy("type_a", "type_b").orderBy("h")
+    l = mem.withColumn("rn", F.row_number().over(w))
+    in_sketch = F.col("rn") <= _KMV_J_K
+    both = (F.col("ia") == 1) & (F.col("ib") == 1)
+    return l.groupBy("type_a", "type_b").agg(
+        F.round(
+            F.sum((in_sketch & both).cast("long"))
+            / F.sum(in_sketch.cast("long")).cast("double"),
+            6,
+        ).alias("jaccard_est"),
+        F.round(
+            F.sum(both.cast("long")) / F.count("*").cast("double"), 6
+        ).alias("jaccard_exact"),
+    )
+
+
+@register(
+    "sketch_approx_quantiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS exact_p50,
+           round(quantile_cont(value, 0.99), 4) AS exact_p99,
+           TRUE AS p50_within_rank_eps,
+           TRUE AS p99_within_rank_eps
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def sketch_approx_quantiles(spark, sf_dir):
+    """The quantile member of the sketch family (HLL distinct / KMV
+    Jaccard / Misra-Gries hitters / count-min freq): one-pass MERGEABLE
+    approximate percentiles via `approx_percentile` (Greenwald-Khanna
+    style, relative rank error <= accuracy^-1), the only way p99 over
+    100 TB avoids a full sort. Sketch internals are engine-specific, so
+    — the `sketch_approx_distinct` pattern — the query emits the exact
+    interpolated quantiles plus booleans pinning the sketch within the
+    published RANK guarantee: the approx value must sit between the
+    exact (q-eps) and (q+eps) quantiles, eps = 1/accuracy. A sketch
+    outside its own contract trips the row; an unlucky-but-legal
+    fixture cannot."""
+    acc = 100  # rank error eps = 1/100
+    e = table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("exact_p50"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("exact_p99"),
+        F.expr(f"approx_percentile(value, 0.5, {acc})").alias("__a50"),
+        F.expr(f"approx_percentile(value, 0.99, {acc})").alias("__a99"),
+        F.expr("percentile(value, 0.49)").alias("__lo50"),
+        F.expr("percentile(value, 0.51)").alias("__hi50"),
+        F.expr("percentile(value, 0.98)").alias("__lo99"),
+        F.expr("percentile(value, 1.0)").alias("__hi99"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_p50",
+        "exact_p99",
+        ((F.col("__a50") >= F.col("__lo50")) & (F.col("__a50") <= F.col("__hi50"))).alias(
+            "p50_within_rank_eps"
+        ),
+        ((F.col("__a99") >= F.col("__lo99")) & (F.col("__a99") <= F.col("__hi99"))).alias(
+            "p99_within_rank_eps"
+        ),
+    ).orderBy("event_type")

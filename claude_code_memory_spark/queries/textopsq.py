@@ -591,3 +591,85 @@ def tokenizer_bpe_pair_counts(spark, sf_dir):
         .orderBy(F.desc("w"), F.asc("pair"))
         .limit(20)
     )
+
+
+@register(
+    "lm_bigram_doc_scores",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DD_TOKENIZE} AS ts FROM documents),
+    uni AS (
+      SELECT t AS tok, CAST(count(*) AS BIGINT) AS c1 FROM (
+        SELECT unnest(ts) AS t FROM toks) GROUP BY t),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM uni),
+    big AS (
+      SELECT doc_id, ts[i] AS a, ts[i + 1] AS b
+      FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+            FROM toks WHERE len(ts) >= 2)),
+    bc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY a, b),
+    scored AS (
+      SELECT g.doc_id,
+             CAST(round(ln((bc.c2 + 1.0) / (uni.c1 + v.vocab)), 6)
+                  AS DECIMAL(20,6)) AS logp
+      FROM big g
+      JOIN bc ON g.a = bc.a AND g.b = bc.b
+      JOIN uni ON g.a = uni.tok
+      CROSS JOIN v)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(round(sum(logp) / count(*), 4) AS DOUBLE) AS avg_logp
+    FROM scored GROUP BY doc_id
+    """,
+)
+def lm_bigram_doc_scores(spark, sf_dir):
+    """Corpus-trained bigram language model (add-1 smoothing) scoring
+    every document by mean log-probability — the classic LM-based
+    quality filter (low-scoring docs read as noise relative to the
+    corpus itself; CCNet/KenLM do this with an external 5-gram model,
+    the self-trained bigram is the engine-native analogue). Train and
+    score are the SAME two aggregates: unigram + bigram counts (map-
+    side combined, vocabulary-sized output), then each document's
+    bigrams join the count tables — at 100 TB the count tables are the
+    small side of a broadcast-able join and the corpus is touched
+    exactly twice. Per-bigram log-probs round to 6 dp then sum as
+    DECIMAL so the doc score is partition-order-invariant (the BM25
+    precedent for cross-engine ln agreement)."""
+    from claude_code_memory_spark.functions.text import tokenize
+
+    from claude_code_memory_spark.queries.base import spread
+
+    d = spread(spark, table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", tokenize("text").alias("ts"))
+    uni = (
+        toks.select(F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = uni.agg(F.count("*").alias("vocab"))
+    big = (
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.posexplode(F.expr("slice(ts, 1, size(ts) - 1)")).alias("i", "a"),
+            F.col("ts"),
+        )
+        .select("doc_id", "a", F.expr("ts[i + 1]").alias("b"))
+    )
+    bc = big.groupBy("a", "b").agg(F.count("*").alias("c2"))
+    scored = (
+        big.join(bc, ["a", "b"])
+        .join(uni, big.a == uni.tok)
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("vocab"))), 6
+            )
+            .cast("decimal(20,6)")
+            .alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("logp") / F.count("*"), 4).cast("double").alias("avg_logp"),
+    )

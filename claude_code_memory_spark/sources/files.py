@@ -6,10 +6,12 @@ Reference semantics:
 - S2 changed-file scan: SHA256 diff vs stored state, deletions via key
   set-difference (indexer.py:954-987; mtime pruning :898-952)
 
-Spark-first: `binaryFile` source lists + reads in parallel with
-partition-sized tasks; exclude patterns are column predicates evaluated
-before content ever reaches Python; change detection is a full-outer join
-against the `file_state` table — at 100 TB both sides are just parquet.
+Spark-first: metadata listing is an explicit walk (the `binaryFile`
+source is unusable here — Hadoop's hidden-file filter silently drops
+`__init__.py` and every `_`-prefixed module); content reads are an
+Arrow-batched distributed stage over the path list; change detection is
+a full-outer join against the `file_state` table — at 100 TB both sides
+are just parquet.
 """
 
 from __future__ import annotations
@@ -49,36 +51,83 @@ def scan_project(
 ) -> DataFrame:
     """S1: scan a project tree into the `source_files` schema.
 
-    Reads via the binaryFile source (parallel listing + reading), decodes
-    UTF-8 lossily, filters exclude dirs and oversized files *before*
-    decoding so the predicate prunes at the listing level.
+    Listing is an explicit walk (metadata only — cheap at any repo
+    size); content reads run DISTRIBUTED via an Arrow-batched
+    mapInPandas over the path list, so the expensive byte IO scales
+    with executors. The `binaryFile` source is deliberately NOT used:
+    Hadoop's hidden-file convention silently drops every file whose
+    name starts with ``_`` or ``.`` — which in a Python project means
+    ``__init__.py``, ``__main__.py``, and every ``_internal.py`` module
+    would never be indexed (and package re-exports through __init__
+    could never resolve). Dot-prefixed files and directories stay
+    excluded (they are genuinely hidden); underscore files are code.
 
-    Note: zero-byte files are skipped by the binaryFile listing — they
-    carry no indexable content, so this matches the engine's needs (the
-    parser itself still handles empty strings gracefully)."""
-    raw = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", include_glob)
-        .option("recursiveFileLookup", "true")
-        .load(project_dir)
+    Exclude dirs prune during the walk (never descended); oversized
+    and zero-byte files are dropped at listing time, before any byte
+    is read."""
+    import fnmatch
+    import os
+
+    root = project_dir.rstrip("/")
+    listing: list[tuple[str, str, int, float]] = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [
+            d for d in dirnames if d not in excludes and not d.startswith(".")
+        ]
+        for name in filenames:
+            if name.startswith(".") or not fnmatch.fnmatch(name, include_glob):
+                continue
+            p = os.path.join(dirpath, name)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            if st.st_size == 0 or st.st_size > max_file_size:
+                continue
+            listing.append((p, os.path.relpath(p, root), st.st_size, st.st_mtime))
+
+    meta = spark.createDataFrame(
+        listing or [], "file_path string, relative_path string, size long, mtime_s double"
     )
-    for pat in excludes:
-        raw = raw.filter(~F.col("path").contains(f"/{pat}/"))
-    raw = raw.filter(F.col("length") <= max_file_size)
-    prefix_len = len(project_dir.rstrip("/")) + 2  # substring() is 1-based
-    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    n_part = max(1, min(len(listing), spark.sparkContext.defaultParallelism))
+
+    def read_contents(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            contents, hashes = [], []
+            for p in pdf["file_path"]:
+                try:
+                    with open(p, "rb") as fh:
+                        raw = fh.read()
+                except OSError:
+                    raw = b""
+                contents.append(raw.decode("utf-8", errors="replace"))
+                hashes.append(hashlib.sha256(raw).hexdigest())
+            out = pdf[["file_path", "relative_path", "size"]].copy()
+            out["content"] = contents
+            out["mtime_s"] = pdf["mtime_s"]
+            out["sha256"] = hashes
+            yield out
+
+    read_schema = (
+        "file_path string, relative_path string, size long, content string, "
+        "mtime_s double, sha256 string"
+    )
+    raw = meta.repartition(n_part).mapInPandas(read_contents, schema=read_schema)
+    ext = F.lower(F.element_at(F.split(F.col("relative_path"), r"\."), -1))
     lang = F.create_map(
         *[F.lit(x) for kv in LANGUAGE_BY_EXT.items() for x in kv]
     )[ext]
     return raw.select(
-        F.regexp_replace(F.col("path"), "^file:", "").alias("file_path"),
-        F.substring(F.regexp_replace(F.col("path"), "^file:", ""), prefix_len, 1_000_000).alias(
-            "relative_path"
-        ),
-        F.decode(F.col("content"), "UTF-8").alias("content"),
-        F.col("length").alias("size"),
-        F.col("modificationTime").alias("mtime"),
-        F.sha2(F.col("content"), 256).alias("sha256"),
+        "file_path",
+        "relative_path",
+        "content",
+        "size",
+        F.timestamp_seconds(F.col("mtime_s")).alias("mtime"),
+        "sha256",
         lang.alias("language"),
     )
 

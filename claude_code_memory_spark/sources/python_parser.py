@@ -87,14 +87,35 @@ def _file_op_relations(owner: str, node: ast.AST, path: str) -> list[dict]:
 
 def _call_names(node: ast.AST) -> set[str]:
     # X9: function-call extraction (parser.py:1109-1159) — AST beats regex
-    out = set()
+    return {name for name, _base in _call_sites(node)}
+
+
+def _call_sites(node: ast.AST) -> set[tuple[str, str | None]]:
+    """(callee_name, dotted_base) call sites: ``f()`` → ('f', None),
+    ``z.f()`` → ('f', 'z'), ``a.b.f()`` → ('f', 'a.b'). The base feeds
+    cross-file resolution (operators/resolve.py): when it names an
+    imported module alias, the call pins to that module's entity instead
+    of any same-named entity anywhere (the Jedi-resolution analogue the
+    reference gets from analysis/parser.py:15's tree-sitter+Jedi pair).
+    A base that isn't a plain name chain (call result, subscript) is
+    None — unresolvable statically, same as today."""
+    out: set[tuple[str, str | None]] = set()
     for n in ast.walk(node):
-        if isinstance(n, ast.Call):
-            f = n.func
-            if isinstance(f, ast.Name):
-                out.add(f.id)
-            elif isinstance(f, ast.Attribute):
-                out.add(f.attr)
+        if not isinstance(n, ast.Call):
+            continue
+        f = n.func
+        if isinstance(f, ast.Name):
+            out.add((f.id, None))
+        elif isinstance(f, ast.Attribute):
+            parts: list[str] = []
+            cur = f.value
+            while isinstance(cur, ast.Attribute):
+                parts.append(cur.attr)
+                cur = cur.value
+            base = (
+                ".".join([cur.id, *reversed(parts)]) if isinstance(cur, ast.Name) else None
+            )
+            out.add((f.attr, base))
     return out
 
 
@@ -220,9 +241,11 @@ def parse_python_source(path: str, source: str) -> list[dict]:
         recs.append(
             _impl_rec(qual, etype, path, fn.lineno, fn.end_lineno, seg, _complexity(fn))
         )
-        for callee in sorted(_call_names(fn)):
+        for callee, base in sorted(_call_sites(fn), key=lambda t: (t[0], t[1] or "")):
             if callee != fn.name:
-                recs.append(_relation_rec(qual, callee, "calls", path))
+                rec = _relation_rec(qual, callee, "calls", path)
+                rec["content"] = base  # dotted call base, for cross-file resolution
+                recs.append(rec)
         recs.extend(_file_op_relations(qual, fn, path))
         for deco in _decorator_names(fn):
             recs.append(_relation_rec(qual, deco, "uses", path, "decorator"))
@@ -238,15 +261,33 @@ def parse_python_source(path: str, source: str) -> list[dict]:
                                     [f"Imports module {alias.name}"])
                     )
                     recs.append(_relation_rec(path, alias.name, "imports", path, "module"))
+                    # binding: `import x.y as z` binds z→x.y; bare
+                    # `import x.y` binds only the root name x→x
+                    local = alias.asname or alias.name.split(".")[0]
+                    target = alias.name if alias.asname else alias.name.split(".")[0]
+                    b = _relation_rec(local, target, "import_binding", path, "module")
+                    b["record_kind"] = "import_binding"
+                    recs.append(b)
             else:
-                mod = node.module or ""
+                # leading dots encode the relative level (`from ..m import f`
+                # → target module '..m'); the resolver absolutizes against
+                # the importing file's package
+                mod = "." * node.level + (node.module or "")
                 for alias in node.names:
                     recs.append(
-                        _entity_rec(f"{mod}.{alias.name}" if mod else alias.name, "import",
+                        _entity_rec(f"{mod}.{alias.name}" if node.module else alias.name,
+                                    "import",
                                     path, node.lineno, node.end_lineno,
                                     [f"Imports {alias.name} from {mod}"])
                     )
-                    recs.append(_relation_rec(path, mod or alias.name, "imports", path, "from"))
+                    recs.append(_relation_rec(path, node.module or alias.name, "imports",
+                                              path, "from"))
+                    if alias.name != "*":  # star imports bind nothing statically
+                        local = alias.asname or alias.name
+                        b = _relation_rec(local, mod, "import_binding", path, "from")
+                        b["record_kind"] = "import_binding"
+                        b["content"] = alias.name  # the imported member
+                        recs.append(b)
         elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
             handle_function(node, None, "function")
         elif isinstance(node, ast.ClassDef):
@@ -329,7 +370,9 @@ def split_parsed(parsed: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
         "from_entity",
         "to_entity",
         "relation_type",
-        F.lit(None).cast("string").alias("context"),
+        # for calls: the dotted attribute base (`z.f()` → 'z'), the
+        # hook cross-file resolution joins on; NULL for bare calls
+        F.col("content").alias("context"),
         F.lit(1.0).alias("confidence"),
         "import_type",
         "file_path",
@@ -344,3 +387,24 @@ def split_parsed(parsed: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
         "complexity",
     )
     return entities, relations, impl
+
+
+def import_bindings(parsed: DataFrame) -> DataFrame:
+    """The per-file import alias table the cross-file resolver joins on:
+    (file_path, local_name, target_module, member, import_type).
+
+    ``import x.y as z``      → (f, 'z', 'x.y', NULL, 'module')
+    ``import x.y``           → (f, 'x', 'x',  NULL, 'module')
+    ``from .m import f as g``→ (f, 'g', '.m', 'f',  'from')
+
+    Relative targets keep their leading dots; operators/resolve.py
+    absolutizes them against the importing file's package."""
+    from pyspark.sql import functions as F
+
+    return parsed.filter(F.col("record_kind") == "import_binding").select(
+        "file_path",
+        F.col("from_entity").alias("local_name"),
+        F.col("to_entity").alias("target_module"),
+        F.col("content").alias("member"),
+        "import_type",
+    )

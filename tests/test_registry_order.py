@@ -3,70 +3,61 @@ order). Pin the window so every operator family keeps at least one
 driver-checked representative and the flagship search modes stay inside.
 """
 
-from claude_code_memory_spark.queries import REGISTRY
+from claude_code_memory_spark.queries import REGISTRY, _DRIVER_WINDOW
 
 
 def test_driver_window_covers_flagships_and_families():
     window = list(REGISTRY)[:50]
     must_have = {
-        # new in the round-4 continuation session — never driver-checked
-        "text_gopher_rules",
-        "graph_triangle_counts",
-        "sketch_heavy_hitters",
-        "sessionize_builtin_window",
-        "dedup_cross_substring",
-        "layout_zorder_tiles",
-        "retention_cohorts",
-        "sliding_window_counts",
-        "agg_grouping_sets",
-        "window_time_range_frame",
-        "agg_user_segments_bitmap",
-        "quality_constraint_report",
-        "feature_winsorize_clip",
-        "dedup_clusters_star",
-        "sketch_window_distinct",
-        "privacy_pseudonymize",
-        # added in the third continuation session — never driver-checked
-        "timeseries_gapfill_locf",
-        "timeseries_interpolate_linear",
-        "anomaly_rolling_zscore",
-        "asof_join_salted_events",
-        "sketch_hll_mergeable",
-        # changed/added in round 4 — must be re-validated by the driver
+        # round-4 additions that had never been driver-checked — the
+        # round-5 window's first priority (verdict r4 item 2)
+        "text_pmi_cooccurrence",
+        "tokenizer_bpe_pair_counts",
+        "sketch_kmv_mergeable",
+        "transition_matrix_events",
+        "sample_bottomk_per_type",
+        "corr_matrix_lineitem",
+        "anomaly_mad_outliers",
+        "scd2_user_state_intervals",
+        "pareto_nation_revenue",
+        "diag_key_skew",
+        "vector_ivfpq_adc_topk",
+        "stickiness_dau_wau",
+        "vector_pca_covariance",
+        "agg_token_histogram",
+        "vector_pq_trained_error",
+        "dedup_edit_distance",
+        "funnel_view_click_purchase",
+        # the two round-4 hash-red rows, re-validating after the
+        # oracle HUGEINT casts (verdict r4 item 1)
         "sessionize_events",
-        "tumbling_window_counts",
-        "knn_per_label",
-        "ivf_knn_join_batch",
-        "sketch_approx_distinct",
-        "cluster_kmeans_sizes",
-        "dedup_semantic_cells",
-        "dedup_repeated_ngrams",
-        "sample_domain_mixture",
-        "vector_pq_error",
-        "graph_pagerank_nations",
+        "quality_constraint_report",
+        # new in round 5 — never driver-checked
+        "sketch_countmin_freq",
+        "lm_bigram_doc_scores",
+        "sketch_kmv_jaccard",
+        "sketch_approx_quantiles",
         # permanent anchors: the reference's core query modes
         "dense_topk",
         "bm25_keyword_topk",
         "hybrid_rrf_search",
         "dedup_minhash_lsh",
-        # freshness rotation: oldest-green families back in the window
-        "dedup_ngram_jaccard",
-        "dedup_simhash",
-        "relations_orphan_cleanup",
-        "agg_percentiles",
-        "window_lag_lead",
-        "scroll_pagination",
-        "range_join_click_to_purchase",
-        "chunk_pack_running_budget",
-        "decontaminate_vs_benchmark",
     }
     missing = must_have - set(window)
     assert not missing, f"driver window is missing: {sorted(missing)}"
 
 
+def test_window_is_exactly_the_declared_list():
+    """The registry's first len(_DRIVER_WINDOW) entries ARE the declared
+    window, in order — a silent reorder (e.g. an import-order change)
+    would otherwise shrink driver coverage invisibly."""
+    assert list(REGISTRY)[: len(_DRIVER_WINDOW)] == _DRIVER_WINDOW
+    assert len(_DRIVER_WINDOW) == 50
+
+
 def test_registry_complete():
     # every entry callable, oracles are strings when present
-    assert len(REGISTRY) >= 82
+    assert len(REGISTRY) >= 138
     for name, e in REGISTRY.items():
         assert callable(e.fn), name
         assert e.oracle is None or isinstance(e.oracle, str), name

@@ -1,0 +1,248 @@
+"""Cross-file call resolution (operators/resolve.py): aliased from-
+imports rewrite to the defining name, module-alias attribute calls pin
+to the defining module, re-export chains chase through __init__, and
+everything unresolvable passes through byte-identical.
+
+Reference parity: analysis/parser.py pairs tree-sitter with Jedi for
+exactly this cross-file step; here it is DataFrame joins over the
+parser's import-binding and call-base columns."""
+
+from __future__ import annotations
+
+import pytest
+
+from claude_code_memory_spark.operators.resolve import (
+    module_of_path,
+    resolve_calls,
+)
+from claude_code_memory_spark.sources.python_parser import (
+    import_bindings,
+    parse_python_files,
+    parse_python_source,
+    split_parsed,
+)
+
+FIXTURE = {
+    "pkg/__init__.py": "from .core import helper\n",
+    "pkg/core.py": (
+        "def helper(x):\n"
+        "    return x + 1\n"
+        "\n"
+        "class Tool:\n"
+        "    def run(self):\n"
+        "        return 1\n"
+    ),
+    "pkg/other.py": "def helper(x):\n    return x - 1\n",
+    "app.py": (
+        "from pkg import helper as h\n"
+        "import pkg.core as c\n"
+        "from pkg.core import Tool\n"
+        "\n"
+        "def use_alias():\n"
+        "    return h(1)\n"
+        "\n"
+        "def use_module():\n"
+        "    return c.helper(2)\n"
+        "\n"
+        "def use_method():\n"
+        "    t = Tool()\n"
+        "    return t.run() + Tool.run(t)\n"
+        "\n"
+        "def use_unknown():\n"
+        "    return mystery(3)\n"
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def resolved(spark):
+    recs = []
+    for path, src in FIXTURE.items():
+        recs.extend(parse_python_source(path, src))
+    from claude_code_memory_spark.sources.python_parser import PARSED_SCHEMA
+
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA).cache()
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(relations, import_bindings(parsed), entities)
+    return {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in out.filter(out.relation_type == "calls").collect()
+    }
+
+
+def test_module_of_path_cases(spark):
+    rows = spark.createDataFrame(
+        [
+            ("a/b/c.py",),
+            ("a/b/__init__.py",),
+            ("./x.py",),
+            ("__init__.py",),
+            ("top.py",),
+        ],
+        "p string",
+    ).select(module_of_path("p").alias("m"))
+    assert [r["m"] for r in rows.collect()] == ["a.b.c", "a.b", "x", "", "top"]
+
+
+def test_aliased_from_import_resolves_to_defining_name(resolved):
+    # `from pkg import helper as h; h(1)` — through the __init__
+    # re-export — lands on pkg/core.py's helper, by its REAL name
+    assert ("use_alias", "helper", "resolved") in resolved
+    assert ("use_alias", "h", None) not in {(a, b, c) for a, b, c in resolved}
+
+
+def test_module_alias_attribute_call_resolves(resolved):
+    # `import pkg.core as c; c.helper(2)` pins helper to pkg.core
+    assert ("use_module", "helper", "resolved") in resolved
+
+
+def test_class_method_attribute_call_resolves(resolved):
+    # `from pkg.core import Tool; Tool.run(t)` → the Tool.run entity
+    assert ("use_method", "Tool.run", "resolved") in resolved
+
+
+def test_unresolvable_calls_pass_through(resolved):
+    # mystery() has no binding and no def — byte-identical passthrough
+    assert ("use_unknown", "mystery", None) in resolved
+    # t.run(): base 't' is a local variable, not an import — unchanged
+    assert ("use_method", "run", None) in resolved
+
+
+def test_non_call_relations_untouched(spark):
+    recs = []
+    for path, src in FIXTURE.items():
+        recs.extend(parse_python_source(path, src))
+    from claude_code_memory_spark.sources.python_parser import PARSED_SCHEMA
+
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(relations, import_bindings(parsed), entities)
+    before = relations.filter(relations.relation_type != "calls").count()
+    after = out.filter(out.relation_type != "calls").count()
+    assert before == after
+
+
+def test_relative_import_binding_absolutized(spark):
+    # pkg/__init__.py's `from .core import helper` → target pkg.core
+    from claude_code_memory_spark.operators.resolve import _absolutize
+
+    recs = parse_python_source("pkg/__init__.py", FIXTURE["pkg/__init__.py"])
+    from claude_code_memory_spark.sources.python_parser import PARSED_SCHEMA
+
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    b = _absolutize(import_bindings(parsed)).collect()
+    assert len(b) == 1
+    assert b[0]["target_module"] == "pkg.core" and b[0]["member"] == "helper"
+
+
+def test_deep_relative_import_absolutized(spark):
+    from claude_code_memory_spark.operators.resolve import _absolutize
+    from claude_code_memory_spark.sources.python_parser import PARSED_SCHEMA
+
+    recs = parse_python_source(
+        "a/b/c/mod.py", "from ..x import f\nfrom . import g\nfrom ...top import h\n"
+    )
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    got = {
+        r["member"]: r["target_module"]
+        for r in _absolutize(import_bindings(parsed)).collect()
+    }
+    assert got == {"f": "a.b.x", "g": "a.b.c", "h": "a.top"}
+
+
+def test_resolution_is_refinement_never_loss(resolved, spark):
+    """Every original call survives (possibly renamed) — the operator
+    refines, it never drops."""
+    recs = []
+    for path, src in FIXTURE.items():
+        recs.extend(parse_python_source(path, src))
+    from claude_code_memory_spark.sources.python_parser import PARSED_SCHEMA
+
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(relations, import_bindings(parsed), entities)
+    assert out.filter(out.relation_type == "calls").count() == relations.filter(
+        relations.relation_type == "calls"
+    ).count()
+
+def test_engine_index_resolves_and_incremental_uses_stored_bindings(spark, tmp_path):
+    """End-to-end through CodeMemoryEngine: the aliased call survives J4
+    under its defining name; an incremental re-index of ONLY the calling
+    file still resolves through the STORED bindings/defs of untouched
+    files (the persisted `bindings` table)."""
+    import os
+    import time
+
+    from claude_code_memory_spark.api import CodeMemoryEngine
+
+    proj = tmp_path / "proj"
+    (proj / "pkg").mkdir(parents=True)
+    (proj / "pkg" / "__init__.py").write_text("from .core import unique_helper\n")
+    (proj / "pkg" / "core.py").write_text("def unique_helper(x):\n    return x\n")
+    app = proj / "app.py"
+    app.write_text(
+        "from pkg import unique_helper as uh\n\n"
+        "def caller():\n    return uh(1)\n"
+    )
+
+    eng = CodeMemoryEngine(spark, str(tmp_path / "store"))
+    eng.index(str(proj))
+    rels = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in eng.store.read("relations")
+        .filter("relation_type = 'calls'")
+        .collect()
+    }
+    assert ("caller", "unique_helper", "resolved") in rels
+    # the alias name must NOT appear as a phantom target
+    assert not any(t == "uh" for _, t, _ in rels)
+
+    # touch only app.py; pkg/* untouched → bindings must come from store
+    time.sleep(0.01)
+    app.write_text(
+        "from pkg import unique_helper as uh2\n\n"
+        "def caller():\n    return uh2(2)\n"
+    )
+    os.utime(app)
+    res = eng.index(str(proj))
+    assert res["files_changed"] == 1
+    rels2 = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in eng.store.read("relations")
+        .filter("relation_type = 'calls'")
+        .collect()
+    }
+    assert ("caller", "unique_helper", "resolved") in rels2
+    assert not any(t in ("uh", "uh2") for _, t, _ in rels2)
+
+
+def test_package_rooted_absolute_imports_normalize(spark):
+    """Indexing the package directory itself: code imports
+    `mypkg.sub.core` but path-derived modules are `sub.core` — the
+    suffix normalization maps the absolute target onto the known
+    namespace (the Jedi sys.path analogue)."""
+    fixture = {
+        "sub/core.py": "def pkg_helper(x):\n    return x\n",
+        "use.py": (
+            "from mypkg.sub.core import pkg_helper\n"
+            "import mypkg.sub.core as mc\n"
+            "\n"
+            "def consumer():\n"
+            "    return pkg_helper(1) + mc.pkg_helper(2)\n"
+        ),
+    }
+    from claude_code_memory_spark.sources.python_parser import PARSED_SCHEMA
+
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_python_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(relations, import_bindings(parsed), entities)
+    got = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in out.filter(out.relation_type == "calls").collect()
+    }
+    assert ("consumer", "pkg_helper", "resolved") in got
+    # both call forms resolve; no unresolved duplicates of pkg_helper left
+    assert ("consumer", "pkg_helper", None) not in got
