@@ -41,9 +41,15 @@ from pyspark.sql import functions as F
 def module_of_path(path_col: Column | str) -> Column:
     """Dotted module name of a repo-relative path:
     ``a/b/c.py`` → ``a.b.c``; ``a/b/__init__.py`` → ``a.b``;
-    ``./x.py`` → ``x``; top-level ``__init__.py`` → ``''``."""
+    ``./x.py`` → ``x``; top-level ``__init__.py`` → ``''``.
+    JS/TS files follow the same rule with their package-entry
+    convention: ``src/lib/index.ts`` → ``src.lib`` (index ≙ __init__)."""
     p = F.regexp_replace(path_col, r"^\./", "")
-    p = F.regexp_replace(p, r"\.py$", "")
+    # JS-only: the index entry file IS its directory's module (a Python
+    # file literally named index.py keeps its name)
+    p = F.regexp_replace(p, r"(^|/)index\.(js|jsx|ts|tsx|mjs|cjs)$", "")
+    p = F.regexp_replace(p, r"\.(py|js|jsx|ts|tsx|mjs|cjs)$", "")
+    p = F.regexp_replace(p, "/$", "")
     p = F.regexp_replace(p, "/", ".")
     p = F.regexp_replace(p, r"\.__init__$", "")
     return F.regexp_replace(p, r"^__init__$", "")

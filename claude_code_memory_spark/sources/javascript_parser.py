@@ -137,8 +137,27 @@ _EXPORT_FROM = re.compile(
     r"from\s+['\"]([^'\"]+)['\"]"
 )
 _REQUIRE = re.compile(
-    r"(?:const|let|var)\s+(?:\{[^}]*\}|\w+)\s*=\s*require\s*\(\s*['\"]([^'\"]+)['\"]"
+    r"(?:const|let|var)\s+(\{[^}]*\}|\w+)\s*=\s*require\s*\(\s*['\"]([^'\"]+)['\"]"
 )
+
+
+def _spec_to_module(path: str, spec: str) -> str | None:
+    """Relative import specifier → dotted module in the path-derived
+    namespace operators/resolve.py joins on: from ``src/app.js``,
+    ``./lib/util`` → ``src.lib.util``; ``../x`` → ``x``; ``./lib`` may
+    be the package entry ``lib/index.js`` whose module IS ``src.lib``
+    (module_of_path strips the index segment symmetrically). Bare
+    package specifiers ('react') are external → None."""
+    if not spec.startswith("."):
+        return None
+    import posixpath
+
+    p = posixpath.normpath(posixpath.join(posixpath.dirname(path), spec))
+    if p.startswith(".."):
+        return None  # escapes the project root — unresolvable
+    p = re.sub(r"\.(js|jsx|ts|tsx|mjs|cjs)$", "", p)
+    p = re.sub(r"(^|/)index$", r"", p).rstrip("/")
+    return p.replace("/", ".")
 _DYNAMIC_IMPORT = re.compile(r"\bimport\s*\(\s*['\"]([^'\"]+)['\"]")
 _DECORATOR = re.compile(r"^\s*@(\w+)")
 # leading decorator incl. a single-line argument list, for stripping
@@ -148,7 +167,9 @@ _THROW = re.compile(r"\bthrow\s+new\s+(\w+)")
 _JSON_LOAD = re.compile(
     r"\b(?:fetch|require|import)\s*\(\s*['\"]([^'\"]+\.json)['\"]"
 )
-_CALL = re.compile(r"\b(\w+)\s*\(")
+# optional dotted base before the callee: `ns.util.f(` → base 'ns.util',
+# callee 'f' — the base feeds cross-file resolution (operators/resolve.py)
+_CALL = re.compile(r"(?:\b([\w$]+(?:\.[\w$]+)*)\s*\.\s*)?\b([\w$]+)\s*\(")
 _CALL_KEYWORDS = frozenset(
     "if for while switch catch function return new typeof await import require "
     "super constructor".split()
@@ -347,10 +368,16 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
     def add_calls(owner, masked_body):
         seen = set()
         for m in _CALL.finditer(masked_body):
-            callee = m.group(1)
-            if callee not in _CALL_KEYWORDS and callee != owner and callee not in seen:
-                seen.add(callee)
-                recs.append(_relation_rec(owner, callee, "calls", path))
+            base, callee = m.group(1), m.group(2)
+            if (
+                callee not in _CALL_KEYWORDS
+                and callee != owner
+                and (callee, base) not in seen
+            ):
+                seen.add((callee, base))
+                rec = _relation_rec(owner, callee, "calls", path)
+                rec["content"] = base  # dotted call base for resolution
+                recs.append(rec)
 
     class_stack: list[tuple[str, int]] = []  # (name, entry depth)
     depth = 0
@@ -563,18 +590,34 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
                 _entity_rec(module, "import", path, line_no, None, [f"Imports {module}"])
             )
             recs.append(_relation_rec(path, module, "imports", path, "module"))
+            target = _spec_to_module(path, module)
             for g, itype in ((m.group(1), "default"), (m.group(3), "namespace"),
                              (m.group(5), "namespace")):
                 if g:
                     recs.append(_relation_rec(path, g, "imports", path, itype))
+                    if target and itype == "namespace":
+                        # `import * as ns from './m'` ≙ Python's module
+                        # alias: ns.f() resolves against the module's defs
+                        b = _relation_rec(g, target, "import_binding", path, "module")
+                        b["record_kind"] = "import_binding"
+                        recs.append(b)
             for names in (m.group(2), m.group(4)):
                 if names:
                     for nm in names.split(","):
-                        nm = nm.strip().split(" as ")[0].replace("type ", "").strip()
-                        if nm:
+                        nm = nm.strip().replace("type ", "").strip()
+                        orig, _, local = nm.partition(" as ")
+                        orig, local = orig.strip(), (local.strip() or orig.strip())
+                        if orig:
                             recs.append(
-                                _relation_rec(path, nm, "imports", path, "named")
+                                _relation_rec(path, orig, "imports", path, "named")
                             )
+                            if target:
+                                b = _relation_rec(
+                                    local, target, "import_binding", path, "from"
+                                )
+                                b["record_kind"] = "import_binding"
+                                b["content"] = orig
+                                recs.append(b)
             matched = True
 
         if not matched:
@@ -594,15 +637,42 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
             rm = _REQUIRE.search(raw)
             dm2 = _DYNAMIC_IMPORT.search(raw)
             mod = None
-            for g in (bm, rm, dm2):
-                if g:
-                    mod = g.group(1)
-                    break
+            if bm:
+                mod = bm.group(1)
+            elif rm:
+                mod = rm.group(2)
+            elif dm2:
+                mod = dm2.group(1)
             if mod and not mod.endswith(".json"):
                 recs.append(
                     _entity_rec(mod, "import", path, line_no, None, [f"Imports {mod}"])
                 )
                 recs.append(_relation_rec(path, mod, "imports", path, "module"))
+                if rm and not bm:
+                    # require() binds like imports: destructuring ≙ named
+                    # imports, a bare identifier ≙ a module alias
+                    target = _spec_to_module(path, mod)
+                    lhs = rm.group(1)
+                    if target:
+                        if lhs.startswith("{"):
+                            for nm in lhs.strip("{}").split(","):
+                                nm = nm.strip()
+                                orig, _, local = nm.partition(":")
+                                orig = orig.strip()
+                                local = local.strip() or orig
+                                if orig:
+                                    b = _relation_rec(
+                                        local, target, "import_binding", path, "from"
+                                    )
+                                    b["record_kind"] = "import_binding"
+                                    b["content"] = orig
+                                    recs.append(b)
+                        else:
+                            b = _relation_rec(
+                                lhs, target, "import_binding", path, "module"
+                            )
+                            b["record_kind"] = "import_binding"
+                            recs.append(b)
                 matched = True
 
         if not matched and (in_class is None or depth <= class_depth):

@@ -246,3 +246,69 @@ def test_package_rooted_absolute_imports_normalize(spark):
     assert ("consumer", "pkg_helper", "resolved") in got
     # both call forms resolve; no unresolved duplicates of pkg_helper left
     assert ("consumer", "pkg_helper", None) not in got
+
+
+def test_js_named_import_alias_resolves(spark):
+    """JS named imports with aliases resolve to the defining name, and
+    `import * as ns` behaves like Python's module alias — same resolver,
+    same binding table, different parser."""
+    from claude_code_memory_spark.sources.javascript_parser import (
+        parse_javascript_source,
+    )
+    from claude_code_memory_spark.sources.python_parser import PARSED_SCHEMA
+
+    fixture = {
+        "src/lib/util.js": "export function jsHelper(x) {\n  return x + 1;\n}\n",
+        "src/app.js": (
+            "import { jsHelper as jh } from './lib/util';\n"
+            "import * as util from './lib/util';\n"
+            "\n"
+            "function run() {\n"
+            "  return jh(1) + util.jsHelper(2);\n"
+            "}\n"
+        ),
+    }
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_javascript_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(relations, import_bindings(parsed), entities)
+    got = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in out.filter(out.relation_type == "calls").collect()
+    }
+    assert ("run", "jsHelper", "resolved") in got
+    assert not any(t == "jh" for _, t, _ in got)
+
+
+def test_js_index_entry_module_and_require(spark):
+    """`require('./lib')` hits lib/index.js (the package-entry
+    convention module_of_path strips symmetrically); destructured
+    require binds like a named import."""
+    from claude_code_memory_spark.sources.javascript_parser import (
+        parse_javascript_source,
+    )
+    from claude_code_memory_spark.sources.python_parser import PARSED_SCHEMA
+
+    fixture = {
+        "lib/index.js": "export function entryFn(x) {\n  return x;\n}\n",
+        "main.js": (
+            "const { entryFn: ef } = require('./lib');\n"
+            "\n"
+            "function go() {\n"
+            "  return ef(1);\n"
+            "}\n"
+        ),
+    }
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_javascript_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(relations, import_bindings(parsed), entities)
+    got = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in out.filter(out.relation_type == "calls").collect()
+    }
+    assert ("go", "entryFn", "resolved") in got
