@@ -9,6 +9,7 @@ from claude_code_memory_spark.queries import (  # noqa: F401,E402
     clusterq,
     dedupq,
     graphq,
+    mlq,
     pipelineq,
     relational,
     relational2,
@@ -59,6 +60,7 @@ _DRIVER_WINDOW = [
     "lm_bigram_doc_scores",
     "sketch_kmv_jaccard",
     "sketch_approx_quantiles",
+    "ml_logreg_quality",
     # -- (d) permanent anchors: the reference's core query modes --
     "dense_topk",
     "bm25_keyword_topk",
@@ -89,10 +91,10 @@ _DRIVER_WINDOW = [
     "q4_order_priority",
     "agg_rollup_orders",
     "dedup_embedding_neardup",
-    "dedup_duplicate_clusters",
 ]
-# Round-6 rotation queue: (a) the six r1-green entries that did not fit
-# this window — sample_stratified_by_lang, weighted_content_assembly,
+# Round-6 rotation queue: (a) the seven r1-green entries that did not fit
+# this window — dedup_duplicate_clusters (star twin green r4),
+# sample_stratified_by_lang, weighted_content_assembly,
 # window_running_user_value, token_frequency_top50, filter_exclude_pattern,
 # join_full_outer_diff
 # (each family-covered by a windowed twin); (b) the r3/r4 double-greens

@@ -1,0 +1,142 @@
+"""Distributed classifier training as DataFrame algebra — the quality-
+classifier piece of a training-data pipeline (GPT-3/LLaMA-style corpora
+train a linear model to score documents against a 'high-quality'
+reference; CCNet uses an LM, `lm_bigram_doc_scores` covers that arm).
+
+Logistic regression by full-batch gradient descent, every iteration a
+single map-side-combined aggregate over the corpus: the model (3
+weights) broadcasts into the row expression, per-row gradient
+contributions round to 8 dp and sum as DECIMAL (partition-order-
+invariant — the k-means/PageRank determinism recipe), and the weight
+update is one driver round-trip per iteration (bounded: 3 iterations,
+the Lloyd/PageRank shape — the corpus never moves, the model does).
+The DuckDB oracle replays the ENTIRE training loop — features, sigmoid,
+gradient sums, weight updates — so a drifting iteration breaks the
+driver hash, exactly like the Lloyd CTE chain in clusterq.py.
+
+At 100 TB: per iteration one scan + a 3-number aggregate; nothing else
+shuffles. exp() agrees cross-engine at 6-dp-rounded inputs (the BM25
+ln precedent), and every intermediate is re-rounded before reuse so no
+accumulated ulp can flip a hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from claude_code_memory_spark.queries.base import register, spread, table
+
+_LR = 1.0
+_ITERS = 3
+
+# features (replayed verbatim in the oracle):
+#   x1 = round(least(n_chars / 500, 2), 6)      — length signal
+#   x2 = round(least(ws_tokens / 100, 2), 6)    — token-count signal
+# label y = (lang = 'en')
+_DD_X1 = "round(least(length(text) / 500.0, 2.0), 6)"
+_DD_X2 = (
+    "round(least(len(list_filter(string_split_regex(text, '\\s+'),"
+    " t -> length(t) > 0)) / 100.0, 2.0), 6)"
+)
+
+
+def _logreg_oracle(iters: int = _ITERS, lr: float = _LR) -> str:
+    parts = [
+        f"""feats AS (
+      SELECT {_DD_X1} AS x1, {_DD_X2} AS x2,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents)""",
+        "w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2)",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f"""g{i} AS (
+      SELECT count(*) AS n,
+             sum(CAST(round((f.y - round(1.0 / (1.0 + exp(-round(w.b + w.w1 * f.x1 + w.w2 * f.x2, 6))), 8)) * 1.0, 8) AS DECIMAL(28,8))) AS gb,
+             sum(CAST(round((f.y - round(1.0 / (1.0 + exp(-round(w.b + w.w1 * f.x1 + w.w2 * f.x2, 6))), 8)) * f.x1, 8) AS DECIMAL(28,8))) AS g1,
+             sum(CAST(round((f.y - round(1.0 / (1.0 + exp(-round(w.b + w.w1 * f.x1 + w.w2 * f.x2, 6))), 8)) * f.x2, 8) AS DECIMAL(28,8))) AS g2
+      FROM feats f CROSS JOIN {prev} w)""",
+        )
+        parts.append(
+            f"""w{i} AS (
+      SELECT round(w.b + {lr} * (g.gb::DOUBLE / g.n), 6) AS b,
+             round(w.w1 + {lr} * (g.g1::DOUBLE / g.n), 6) AS w1,
+             round(w.w2 + {lr} * (g.g2::DOUBLE / g.n), 6) AS w2
+      FROM {prev} w CROSS JOIN g{i} g)""",
+        )
+    final = f"w{iters}"
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined}
+    SELECT w.b, w.w1, w.w2,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(CASE WHEN (round(1.0 / (1.0 + exp(-round(w.b + w.w1 * f.x1 + w.w2 * f.x2, 6))), 8) >= 0.5) = (f.y = 1.0)
+                          THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS train_accuracy
+    FROM feats f CROSS JOIN {final} w
+    GROUP BY w.b, w.w1, w.w2
+    """
+
+
+@register("ml_logreg_quality", oracle=_logreg_oracle())
+def ml_logreg_quality(spark, sf_dir):
+    """Train a 3-weight logistic classifier (is-English from length +
+    token-count signals) by 3 full-batch GD steps, then report the
+    weights and training accuracy. See the module docstring for the
+    determinism and scale contracts; the oracle replays every step."""
+    from claude_code_memory_spark.functions.text import whitespace_token_count
+
+    d = spread(spark, table(spark, sf_dir, "documents"))
+    feats = d.select(
+        F.round(F.least(F.length("text") / 500.0, F.lit(2.0)), 6).alias("x1"),
+        F.round(
+            F.least(whitespace_token_count("text") / 100.0, F.lit(2.0)), 6
+        ).alias("x2"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    ).persist()
+
+    def p_of(b: float, w1: float, w2: float):
+        z = F.round(
+            F.lit(b) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2"), 6
+        )
+        return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 8)
+
+    def _round6(x: float) -> float:
+        # SQL ROUND semantics (half away from zero) — Python's built-in
+        # round() is banker's and could flip a hash at a .5 boundary
+        import math
+
+        s = -1.0 if x < 0 else 1.0
+        return s * math.floor(abs(x) * 1e6 + 0.5) / 1e6
+
+    b = w1 = w2 = 0.0
+    for _ in range(_ITERS):
+        p = p_of(b, w1, w2)
+        resid = F.col("y") - p
+        row = feats.agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(resid * 1.0, 8).cast("decimal(28,8)")).alias("gb"),
+            F.sum(F.round(resid * F.col("x1"), 8).cast("decimal(28,8)")).alias("g1"),
+            F.sum(F.round(resid * F.col("x2"), 8).cast("decimal(28,8)")).alias("g2"),
+        ).first()
+        n = row["n"]
+        b = _round6(b + _LR * (float(row["gb"]) / n))
+        w1 = _round6(w1 + _LR * (float(row["g1"]) / n))
+        w2 = _round6(w2 + _LR * (float(row["g2"]) / n))
+
+    p = p_of(b, w1, w2)
+    correct = ((p >= 0.5) == (F.col("y") == 1.0)).cast("long")
+    out = feats.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum(correct) / F.count("*").cast("double"), 4).alias(
+            "train_accuracy"
+        ),
+    ).select(
+        F.lit(b).alias("b"),
+        F.lit(w1).alias("w1"),
+        F.lit(w2).alias("w2"),
+        "n_docs",
+        "train_accuracy",
+    )
+    feats.unpersist()
+    return out

@@ -37,6 +37,7 @@ def test_driver_window_covers_flagships_and_families():
         "lm_bigram_doc_scores",
         "sketch_kmv_jaccard",
         "sketch_approx_quantiles",
+        "ml_logreg_quality",
         # permanent anchors: the reference's core query modes
         "dense_topk",
         "bm25_keyword_topk",
