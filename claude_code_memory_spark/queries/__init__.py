@@ -61,6 +61,7 @@ _DRIVER_WINDOW = [
     "sketch_kmv_jaccard",
     "sketch_approx_quantiles",
     "ml_logreg_quality",
+    "pack_training_sequences",
     # -- (d) permanent anchors: the reference's core query modes --
     "dense_topk",
     "bm25_keyword_topk",
@@ -90,10 +91,10 @@ _DRIVER_WINDOW = [
     "scalar_datetime_parts",
     "q4_order_priority",
     "agg_rollup_orders",
-    "dedup_embedding_neardup",
 ]
-# Round-6 rotation queue: (a) the seven r1-green entries that did not fit
-# this window — dedup_duplicate_clusters (star twin green r4),
+# Round-6 rotation queue: (a) the eight r1-green entries that did not fit
+# this window — dedup_embedding_neardup (SemDeDup twin windowed),
+# dedup_duplicate_clusters (star twin green r4),
 # sample_stratified_by_lang, weighted_content_assembly,
 # window_running_user_value, token_frequency_top50, filter_exclude_pattern,
 # join_full_outer_diff

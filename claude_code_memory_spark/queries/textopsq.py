@@ -5,6 +5,7 @@ reference's scalar text functions (X4/X12/X13).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from claude_code_memory_spark.functions.text import STOPWORDS
@@ -672,4 +673,61 @@ def lm_bigram_doc_scores(spark, sf_dir):
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.round(F.sum("logp") / F.count("*"), 4).cast("double").alias("avg_logp"),
+    )
+
+
+_PACK_BUDGET = 2048  # tokens per training sequence
+
+
+@register(
+    "pack_training_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> length(x) > 0)) AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, toks,
+             sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t WHERE toks > 0)
+    SELECT doc_id, source, CAST(toks AS BIGINT) AS toks,
+           CAST((cum - toks) // {_PACK_BUDGET} AS BIGINT) AS first_seq,
+           CAST((cum - 1) // {_PACK_BUDGET} AS BIGINT) AS last_seq
+    FROM c
+    """,
+)
+def pack_training_sequences(spark, sf_dir):
+    """GPT-style sequence packing: documents are concatenated per source
+    shard in doc_id order and cut into fixed 2048-token training
+    sequences, documents straddling boundaries exactly as pretraining
+    packing does (concat-then-chunk — no padding waste). Output maps
+    every document to the sequence range it lands in, the manifest a
+    dataloader needs. One running-sum window per source shard — at
+    100 TB each shard packs independently and in parallel, and the
+    window never leaves its partition. Companion of
+    `chunk_pack_running_budget` (which packs WITHOUT straddling, the
+    retrieval-chunk discipline); `shards.py` exports the physical
+    files."""
+    from claude_code_memory_spark.functions.text import whitespace_token_count
+
+    from claude_code_memory_spark.queries.base import spread
+
+    d = spread(spark, table(spark, sf_dir, "documents"))
+    t = d.select(
+        "doc_id", "source", whitespace_token_count("text").alias("toks")
+    ).filter(F.col("toks") > 0)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("cum", F.sum("toks").over(w))
+    return c.select(
+        "doc_id",
+        "source",
+        F.col("toks").cast("long").alias("toks"),
+        F.floor((F.col("cum") - F.col("toks")) / _PACK_BUDGET).alias("first_seq"),
+        F.floor((F.col("cum") - 1) / _PACK_BUDGET).alias("last_seq"),
     )

@@ -38,6 +38,7 @@ def test_driver_window_covers_flagships_and_families():
         "sketch_kmv_jaccard",
         "sketch_approx_quantiles",
         "ml_logreg_quality",
+        "pack_training_sequences",
         # permanent anchors: the reference's core query modes
         "dense_topk",
         "bm25_keyword_topk",
