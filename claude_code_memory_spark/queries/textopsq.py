@@ -596,6 +596,7 @@ def tokenizer_bpe_pair_counts(spark, sf_dir):
 
 @register(
     "lm_bigram_doc_scores",
+    headline=True,
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, {_DD_TOKENIZE} AS ts FROM documents),
