@@ -148,12 +148,17 @@ def main() -> None:
         emb = table(spark, sf_dir, "embeddings").cache()
         n_vecs_pq = emb.count()
         dim = len(emb.first()["embedding"])
-        # trained codebook = the production path (seeded recall at this
-        # code size is ~half; tests pin the trained<seeded error bound)
-        cb = pq_trained_codebook(emb, dim, 8, 16, iters=2)
-        pq_encode(emb, cb, dim, 8).count()  # warm
+        # trained codebook = the production path. Operating point m=16
+        # subspaces x 64 centroids (96-bit codes, ~21:1 vs f32): the
+        # round-5 sweep measured recall@10-in-30 of 0.46 (m8x64), 0.56
+        # (m8x16), 0.58 (m8x256), 0.66 (m16x16), 0.80 (m16x64) — the
+        # 96-bit point is the first with serviceable recall, so that is
+        # what the bench advertises and tracks.
+        pq_m, pq_nc = 16, 64
+        cb = pq_trained_codebook(emb, dim, pq_m, pq_nc, iters=2)
+        pq_encode(emb, cb, dim, pq_m).count()  # warm
         t0 = time.time()
-        codes = pq_encode(emb, cb, dim, 8).cache()
+        codes = pq_encode(emb, cb, dim, pq_m).cache()
         codes.count()
         pq_encode_rate = round(n_vecs_pq / max(time.time() - t0, 1e-9), 1)
         recalls = []
@@ -318,6 +323,7 @@ def main() -> None:
             ),
             "pq_encode_vectors_per_sec": pq_encode_rate,
             "pq_recall10_in_top30": pq_recall,
+            "pq_operating_point": "m16x64 (96-bit codes, ~21:1 vs f32)",
             "point_lookup_files_scanned_fraction": skip_fraction,
             "point_lookup_skip_speedup": skip_speedup,
         },
