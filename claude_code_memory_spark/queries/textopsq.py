@@ -623,19 +623,29 @@ def tokenizer_bpe_pair_counts(spark, sf_dir):
     FROM scored GROUP BY doc_id
     """,
 )
-def lm_bigram_doc_scores(spark, sf_dir):
+def lm_bigram_doc_scores(spark, sf_dir, min_count: int = 0):
     """Corpus-trained bigram language model (add-1 smoothing) scoring
     every document by mean log-probability — the classic LM-based
     quality filter (low-scoring docs read as noise relative to the
     corpus itself; CCNet/KenLM do this with an external 5-gram model,
     the self-trained bigram is the engine-native analogue). Train and
     score are the SAME two aggregates: unigram + bigram counts (map-
-    side combined, vocabulary-sized output), then each document's
-    bigrams join the count tables — at 100 TB the count tables are the
-    small side of a broadcast-able join and the corpus is touched
-    exactly twice. Per-bigram log-probs round to 6 dp then sum as
-    DECIMAL so the doc score is partition-order-invariant (the BM25
-    precedent for cross-engine ln agreement)."""
+    side combined), then each document's bigrams join the count tables.
+
+    Scale contract: the corpus is touched exactly twice and there is ONE
+    corpus-sized shuffle (the tokenized-bigram stream hashing onto the
+    count tables). The count tables are NOT broadcast-able at 100 TB —
+    the distinct-bigram table is billions of rows (vocabulary², minus
+    sparsity) — so the scoring join is a partitioned equi-join on the
+    bigram key, the same shape as BM25's tf×idf join. ``min_count > 1``
+    prunes the count table's Zipf tail (hapax bigrams dominate the
+    distinct count) before the join: pruned bigrams fall back to the
+    unseen probability (c2 = 0 under add-1 smoothing), shrinking the
+    shuffled count table typically 5-10x for a ~0 quality-signal change.
+
+    Per-bigram log-probs round to 6 dp then sum as DECIMAL so the doc
+    score is partition-order-invariant (the BM25 precedent for
+    cross-engine ln agreement)."""
     from claude_code_memory_spark.functions.text import tokenize
 
     from claude_code_memory_spark.queries.base import spread
@@ -658,14 +668,22 @@ def lm_bigram_doc_scores(spark, sf_dir):
         .select("doc_id", "a", F.expr("ts[i + 1]").alias("b"))
     )
     bc = big.groupBy("a", "b").agg(F.count("*").alias("c2"))
+    if min_count > 1:
+        # left join + coalesce(0): a pruned bigram scores as unseen,
+        # never drops from the doc's bigram count
+        bc = bc.filter(F.col("c2") >= min_count)
     scored = (
-        big.join(bc, ["a", "b"])
+        big.join(bc, ["a", "b"], "left")
         .join(uni, big.a == uni.tok)
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
             F.round(
-                F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("vocab"))), 6
+                F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("c1") + F.col("vocab"))
+                ),
+                6,
             )
             .cast("decimal(20,6)")
             .alias("logp"),

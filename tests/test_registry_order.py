@@ -1,52 +1,76 @@
 """The driver verifies only the first 50 registry entries (insertion
-order). Pin the window so every operator family keeps at least one
-driver-checked representative and the flagship search modes stay inside.
+order). Pin the window so the rotation rule (oldest-green-first, see
+queries/__init__.py) is executed exactly and an import-order change can
+never silently shrink driver coverage.
 """
 
 from claude_code_memory_spark.queries import REGISTRY, _DRIVER_WINDOW
 
+# Round-6 window: the staleness sweep consumes all 50 slots —
+# the 8 entries whose only green row is round 1, then the full
+# 42-entry round-3-last-green cohort (verdict r5 item 3).
+R1_ONLY = {
+    "dedup_duplicate_clusters",
+    "dedup_embedding_neardup",
+    "filter_exclude_pattern",
+    "join_full_outer_diff",
+    "sample_stratified_by_lang",
+    "token_frequency_top50",
+    "weighted_content_assembly",
+    "window_running_user_value",
+}
 
-def test_driver_window_covers_flagships_and_families():
-    window = list(REGISTRY)[:50]
-    must_have = {
-        # round-4 additions that had never been driver-checked — the
-        # round-5 window's first priority (verdict r4 item 2)
-        "text_pmi_cooccurrence",
-        "tokenizer_bpe_pair_counts",
-        "sketch_kmv_mergeable",
-        "transition_matrix_events",
-        "sample_bottomk_per_type",
-        "corr_matrix_lineitem",
-        "anomaly_mad_outliers",
-        "scd2_user_state_intervals",
-        "pareto_nation_revenue",
-        "diag_key_skew",
-        "vector_ivfpq_adc_topk",
-        "stickiness_dau_wau",
-        "vector_pca_covariance",
-        "agg_token_histogram",
-        "vector_pq_trained_error",
-        "dedup_edit_distance",
-        "funnel_view_click_purchase",
-        # the two round-4 hash-red rows, re-validating after the
-        # oracle HUGEINT casts (verdict r4 item 1)
-        "sessionize_events",
-        "quality_constraint_report",
-        # new in round 5 — never driver-checked
-        "sketch_countmin_freq",
-        "lm_bigram_doc_scores",
-        "sketch_kmv_jaccard",
-        "sketch_approx_quantiles",
-        "ml_logreg_quality",
-        "pack_training_sequences",
-        # permanent anchors: the reference's core query modes
-        "dense_topk",
-        "bm25_keyword_topk",
-        "hybrid_rrf_search",
-        "dedup_minhash_lsh",
-    }
-    missing = must_have - set(window)
-    assert not missing, f"driver window is missing: {sorted(missing)}"
+R3_COHORT = {
+    "agg_second_moments",
+    "agg_value_percentiles",
+    "ann_ivf_probe",
+    "ann_lsh_bucket",
+    "asof_join_events",
+    "corpus_filter_funnel",
+    "debounce_last_event_wins",
+    "dense_topk_filtered",
+    "events_json_props",
+    "graph_bfs2_brand_parts",
+    "knn_join_queries",
+    "multimodal_binary_stats",
+    "pivot_priority_by_year",
+    "q11_important_stock",
+    "q12_priority_by_returnflag",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q18_large_volume_customers",
+    "q19_disjunctive_filter",
+    "q1_pricing_summary",
+    "q20_dominant_supplier",
+    "q21_sole_returning_supplier",
+    "q22_idle_rich_customers",
+    "q2_top_supplier_per_part",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "rrf_fusion_events",
+    "split_train_val_test",
+    "text_c4_filter",
+    "text_camel_spacing",
+    "text_complexity",
+    "text_fingerprints",
+    "text_language_id",
+    "text_pii_redaction",
+    "text_quality_scores",
+    "text_repetition_signals",
+    "text_token_counts",
+    "vector_quantization_error",
+    "window_top_customers_per_nation",
+}
+
+
+def test_driver_window_is_the_staleness_sweep():
+    window = set(list(REGISTRY)[:50])
+    assert R1_ONLY <= window, f"missing r1-only entries: {sorted(R1_ONLY - window)}"
+    assert R3_COHORT <= window, f"missing r3 cohort: {sorted(R3_COHORT - window)}"
+    assert len(R1_ONLY | R3_COHORT) == 50
 
 
 def test_window_is_exactly_the_declared_list():

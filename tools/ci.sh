@@ -43,4 +43,21 @@ if [ "$fail" = 0 ]; then
 else
   echo "== ci: RED"
 fi
+
+# Record the gate's verdict in PROGRESS.jsonl (verdict r5 item 8): every
+# commit batch runs this gate first, so the driver's 50-query window is
+# never the first place a red appears. Lines carry a distinguishing
+# "ci" key; the driver's own progress lines are untouched.
+mode=full; [ "$fast" = 1 ] && mode=fast
+python - "$fail" "$mode" <<'PYEOF'
+import json, subprocess, sys, time
+fail, mode = sys.argv[1], sys.argv[2]
+head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                      capture_output=True, text=True).stdout.strip()
+with open("PROGRESS.jsonl", "a") as fh:
+    fh.write(json.dumps({"ts": round(time.time(), 3),
+                         "ci": "pass" if fail == "0" else "fail",
+                         "mode": mode, "head": head}) + "\n")
+PYEOF
+
 exit $fail
