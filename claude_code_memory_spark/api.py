@@ -116,7 +116,10 @@ class CodeMemoryEngine:
         # this batch's re-parse). Reference: tree-sitter+Jedi pairing
         # (analysis/parser.py:15).
         from claude_code_memory_spark.operators.resolve import resolve_calls
-        from claude_code_memory_spark.sources.python_parser import import_bindings
+        from claude_code_memory_spark.sources.python_parser import (
+            import_bindings,
+            type_bindings,
+        )
 
         stored_entities = self.store.read("entities")
         bindings = import_bindings(parsed)
@@ -126,6 +129,13 @@ class CodeMemoryEngine:
             all_bindings = bindings.unionByName(
                 stored_bindings.join(F.broadcast(replaced), "file_path", "left_anti")
             )
+        tbinds = type_bindings(parsed)
+        all_tbinds = tbinds
+        stored_tbinds = self.store.read("type_bindings")
+        if stored_tbinds is not None:
+            all_tbinds = tbinds.unionByName(
+                stored_tbinds.join(F.broadcast(replaced), "file_path", "left_anti")
+            )
         def_cols = ["entity_name", "entity_type", "file_path"]
         defs = entities_raw.select(*def_cols)
         if stored_entities is not None:
@@ -134,7 +144,7 @@ class CodeMemoryEngine:
                     F.broadcast(replaced), "file_path", "left_anti"
                 )
             )
-        relations = resolve_calls(relations, all_bindings, defs)
+        relations = resolve_calls(relations, all_bindings, defs, all_tbinds)
 
         # J4: pre-storage orphan filter — entity universe = stored ∪ batch.
         # Only calls/inherits require a resolvable target; imports and
@@ -229,6 +239,7 @@ class CodeMemoryEngine:
         merge_replace_by_file(self.store, "entities", entities, replaced)
         merge_replace_by_file(self.store, "relations", relations, replaced)
         merge_replace_by_file(self.store, "bindings", bindings, replaced)
+        merge_replace_by_file(self.store, "type_bindings", tbinds, replaced)
         merge_replace_by_file(self.store, "chunks", chunks, replaced, ["chunk_type"])
         merge_replace_by_file(self.store, "vectors", vectors, replaced, ["chunk_type"])
 
@@ -868,7 +879,15 @@ class CodeMemoryEngine:
         free (the reference requires bespoke scroll/aggregate code per
         question, e.g. bloat_analysis.py). Views are snapshot reads:
         re-register by calling again after writes."""
-        for name in ("chunks", "entities", "relations", "bindings", "vectors", "file_state"):
+        for name in (
+            "chunks",
+            "entities",
+            "relations",
+            "bindings",
+            "type_bindings",
+            "vectors",
+            "file_state",
+        ):
             df = self.store.read(name)
             if df is not None:
                 df.createOrReplaceTempView(name)
@@ -1106,7 +1125,7 @@ class CodeMemoryEngine:
         """K3: clear the collection. ``preserve_manual=True`` keeps chunks/
         vectors with NULL file_path (manual memories) and drops everything
         auto-indexed + all relation chunks (qdrant.py:1303-1401)."""
-        for t in ("entities", "relations", "bindings", "file_state"):
+        for t in ("entities", "relations", "bindings", "type_bindings", "file_state"):
             df = self.store.read(t)
             if df is not None:
                 self.store.write(t, df.limit(0))

@@ -156,20 +156,100 @@ def _chase(from_bindings: DataFrame, max_hops: int) -> DataFrame:
     return cur
 
 
+def _class_ancestors(
+    relations: DataFrame,
+    chased: DataFrame,
+    classes: DataFrame,
+    *,
+    max_inherit: int = 3,
+) -> DataFrame:
+    """Bounded transitive closure of the `inherits` graph, module-
+    qualified: (c_module, c_name, a_module, a_name, depth) with depth 0
+    = the class itself. Parent names in an `inherits` relation resolve
+    through the declaring file's chased from-import bindings first
+    (``from base import Base``), else to a class defined in the same
+    module; external bases (object, ABC, library classes) produce edges
+    that simply never match a definition downstream.
+
+    ``classes``: (file_path, k_module, k_name) — every known class.
+    All joins are equi-joins on (module, name); the closure is
+    ``max_inherit`` self-joins of an entity-scale edge table, the
+    PageRank-iteration shape at class-count scale. Diamond inheritance
+    dedupes to min depth (closest ancestor wins — the C3-linearization
+    approximation; ties broken lexicographically at the lookup site)."""
+    inh = relations.filter(F.col("relation_type") == "inherits").select(
+        "file_path",
+        F.col("from_entity").alias("child"),
+        F.col("to_entity").alias("parent"),
+    )
+    ch = chased.select(
+        F.col("file_path").alias("i_file"),
+        F.col("local_name").alias("i_local"),
+        F.col("target_module").alias("i_tmod"),
+        F.col("member").alias("i_member"),
+    )
+    lc = classes.select(
+        F.col("file_path").alias("p_file"),
+        F.col("k_module").alias("p_module"),
+        F.col("k_name").alias("p_name"),
+    )
+    edges = (
+        inh.join(ch, (inh.file_path == ch.i_file) & (inh.parent == ch.i_local), "left")
+        .join(lc, (inh.file_path == lc.p_file) & (inh.parent == lc.p_name), "left")
+        .select(
+            module_of_path("file_path").alias("e_cm"),
+            F.col("child").alias("e_cn"),
+            F.coalesce("i_tmod", "p_module").alias("e_pm"),
+            F.coalesce("i_member", "p_name").alias("e_pn"),
+        )
+        .filter(F.col("e_pm").isNotNull())
+        .distinct()
+    )
+    self0 = classes.select(
+        F.col("k_module").alias("c_module"),
+        F.col("k_name").alias("c_name"),
+        F.col("k_module").alias("a_module"),
+        F.col("k_name").alias("a_name"),
+        F.lit(0).alias("depth"),
+    ).distinct()
+    anc = self0
+    frontier = self0
+    for d in range(1, max_inherit + 1):
+        frontier = frontier.join(
+            edges,
+            (frontier.a_module == edges.e_cm) & (frontier.a_name == edges.e_cn),
+        ).select(
+            "c_module",
+            "c_name",
+            F.col("e_pm").alias("a_module"),
+            F.col("e_pn").alias("a_name"),
+            F.lit(d).alias("depth"),
+        )
+        anc = anc.unionByName(frontier)
+    return anc.groupBy("c_module", "c_name", "a_module", "a_name").agg(
+        F.min("depth").alias("depth")
+    )
+
+
 def resolve_calls(
     relations: DataFrame,
     bindings: DataFrame,
     entities: DataFrame,
+    type_binds: DataFrame | None = None,
     *,
     max_hops: int = 3,
+    max_inherit: int = 3,
 ) -> DataFrame:
     """Rewrite `calls` relations through the import graph.
 
     ``relations``: split_parsed's relation slice (context = dotted call
     base for attribute calls). ``bindings``: import_bindings(parsed).
     ``entities``: the entity table (entity_name, entity_type,
-    file_path, ...). Returns relations with the same schema; resolved
-    calls have to_entity rewritten to the defining entity's name and
+    file_path, ...). ``type_binds``: type_bindings(parsed) — enables
+    instance-typed method resolution (``x = C(); x.m()`` → the C.m
+    entity, looking through inherited classes when C doesn't define m).
+    Returns relations with the same schema; resolved calls have
+    to_entity rewritten to the defining entity's name and
     import_type='resolved'. Non-call rows and unresolvable calls pass
     through unchanged."""
     # last-import-wins isn't statically knowable row-order-free; dedupe
@@ -276,39 +356,230 @@ def resolve_calls(
         "left",
     )
 
-    # (b) whole base is a from-imported name: C.method() where
-    # `from m import C` → entity 'C.method' in module m
+    # (b) class-valued bases: direct (`C.m()` with C from-imported or
+    # defined in-file), instance-typed (`x = C(); x.m()`), and
+    # self-attribute (`self.db = C()` … `self.db.query()`) all funnel
+    # into ONE method lookup through the inheritance closure, so a
+    # method defined on a base class resolves wherever the subclass is
+    # used. Every step is an entity-scale equi-join.
+    classes = (
+        entities.filter(F.col("entity_type") == "class")
+        .select(
+            "file_path",
+            module_of_path("file_path").alias("k_module"),
+            F.col("entity_name").alias("k_name"),
+        )
+        .distinct()
+    )
+
+    # direct: the whole base names a chased from-import or a same-file class
     cb3 = chased.select(
         F.col("file_path").alias("e_file"),
         F.col("local_name").alias("e_local"),
         F.col("target_module").alias("e_tmod"),
         F.col("member").alias("e_member"),
     )
-    d2 = defs.select(
-        F.col("def_module").alias("d2_module"), F.col("def_name").alias("d2_name")
+    lc1 = classes.select(
+        F.col("file_path").alias("l1_file"),
+        F.col("k_module").alias("l1_module"),
+        F.col("k_name").alias("l1_name"),
     )
+    attr = attr.join(
+        cb3, (attr.file_path == cb3.e_file) & (attr.context == cb3.e_local), "left"
+    ).join(lc1, (F.col("file_path") == lc1.l1_file) & (F.col("context") == lc1.l1_name), "left")
+
+    # instance-typed: (file, scope, var) → the var's unambiguous
+    # constructor. Scope priority mirrors Python name lookup: the
+    # calling function's locals, then the class scope (self.attrs),
+    # then module scope.
+    if type_binds is not None:
+        tb = type_binds.dropDuplicates(["file_path", "scope", "var"])
+        tbf = tb.select(
+            F.col("file_path").alias("tf_file"),
+            F.col("scope").alias("tf_scope"),
+            F.col("var").alias("tf_var"),
+            F.struct(F.col("ctor").alias("ctor"), F.col("ctor_base").alias("base")).alias("tf_c"),
+        )
+        tbs = tb.select(
+            F.col("file_path").alias("ts_file"),
+            F.col("scope").alias("ts_scope"),
+            F.col("var").alias("ts_var"),
+            F.struct(F.col("ctor").alias("ctor"), F.col("ctor_base").alias("base")).alias("ts_c"),
+        )
+        tbm = tb.select(
+            F.col("file_path").alias("tm_file"),
+            F.col("scope").alias("tm_scope"),
+            F.col("var").alias("tm_var"),
+            F.struct(F.col("ctor").alias("ctor"), F.col("ctor_base").alias("base")).alias("tm_c"),
+        )
+        attr = (
+            attr.join(
+                tbf,
+                (F.col("file_path") == tbf.tf_file)
+                & (F.col("from_entity") == tbf.tf_scope)
+                & (F.col("context") == tbf.tf_var),
+                "left",
+            )
+            .join(
+                tbs,
+                (F.col("file_path") == tbs.ts_file)
+                & (F.split(F.col("from_entity"), r"\.")[0] == tbs.ts_scope)
+                & (F.col("context") == tbs.ts_var)
+                & F.col("context").startswith("self."),
+                "left",
+            )
+            .join(
+                tbm,
+                (F.col("file_path") == tbm.tm_file)
+                & (F.col("file_path") == tbm.tm_scope)
+                & (F.col("context") == tbm.tm_var),
+                "left",
+            )
+            .withColumn("__ctor", F.coalesce("tf_c", "ts_c", "tm_c"))
+        )
+    else:
+        attr = attr.withColumn(
+            "__ctor",
+            F.lit(None).cast("struct<ctor:string,base:string>"),
+        )
+
+    # the ctor name itself resolves like a bare name (chased from-import
+    # or same-file class) or, with a dotted base, through a module alias
+    cb4 = chased.select(
+        F.col("file_path").alias("c4_file"),
+        F.col("local_name").alias("c4_local"),
+        F.col("target_module").alias("c4_tmod"),
+        F.col("member").alias("c4_member"),
+    )
+    lc2 = classes.select(
+        F.col("file_path").alias("l2_file"),
+        F.col("k_module").alias("l2_module"),
+        F.col("k_name").alias("l2_name"),
+    )
+    mb2 = modb.select(
+        F.col("file_path").alias("m2_file"),
+        F.col("local_name").alias("m2_local"),
+        F.col("target_module").alias("m2_tmod"),
+    )
+    ctor_head = F.split(F.col("__ctor.base"), r"\.")[0]
+    ctor_rem = F.regexp_replace(F.col("__ctor.base"), r"^[^.]+", "")
     attr = (
         attr.join(
-            cb3,
-            (attr.file_path == cb3.e_file) & (attr.context == cb3.e_local),
+            cb4,
+            F.col("__ctor.base").isNull()
+            & (F.col("file_path") == cb4.c4_file)
+            & (F.col("__ctor.ctor") == cb4.c4_local),
             "left",
         )
         .join(
-            d2,
-            (F.col("e_tmod") == d2.d2_module)
-            & (F.concat_ws(".", F.col("e_member"), attr.to_entity) == d2.d2_name),
+            lc2,
+            F.col("__ctor.base").isNull()
+            & (F.col("file_path") == lc2.l2_file)
+            & (F.col("__ctor.ctor") == lc2.l2_name),
             "left",
         )
+        .join(
+            mb2,
+            F.col("__ctor.base").isNotNull()
+            & (F.col("file_path") == mb2.m2_file)
+            & (ctor_head == mb2.m2_local),
+            "left",
+        )
+        .withColumn(
+            "__cls",
+            F.coalesce(
+                F.when(
+                    F.col("e_tmod").isNotNull(),
+                    F.struct(F.col("e_tmod").alias("mod"), F.col("e_member").alias("name")),
+                ),
+                F.when(
+                    F.col("l1_module").isNotNull(),
+                    F.struct(F.col("l1_module").alias("mod"), F.col("context").alias("name")),
+                ),
+                F.when(
+                    F.col("c4_tmod").isNotNull(),
+                    F.struct(F.col("c4_tmod").alias("mod"), F.col("c4_member").alias("name")),
+                ),
+                F.when(
+                    F.col("l2_module").isNotNull(),
+                    F.struct(F.col("l2_module").alias("mod"), F.col("__ctor.ctor").alias("name")),
+                ),
+                F.when(
+                    F.col("m2_tmod").isNotNull(),
+                    F.struct(
+                        F.concat(F.col("m2_tmod"), ctor_rem).alias("mod"),
+                        F.col("__ctor.ctor").alias("name"),
+                    ),
+                ),
+            ),
+        )
+    )
+    # one more re-export chase: `import pkg as p; p.Tool()` lands on
+    # (pkg, Tool) which pkg/__init__ re-exports from pkg.core
+    cb5 = chased.select(
+        F.col("module").alias("g_module"),
+        F.col("local_name").alias("g_local"),
+        F.col("target_module").alias("g_tmod"),
+        F.col("member").alias("g_member"),
+    )
+    attr = (
+        attr.join(
+            cb5,
+            (F.col("__cls.mod") == cb5.g_module) & (F.col("__cls.name") == cb5.g_local),
+            "left",
+        )
+        .withColumn("__cm", F.coalesce("g_tmod", "__cls.mod"))
+        .withColumn("__cn", F.coalesce("g_member", "__cls.name"))
+    )
+
+    # method lookup with inheritance: the DISTINCT (class, method) pairs
+    # walk the ancestor closure to the nearest definition, then join
+    # back — class-count-scale work regardless of call-site count
+    anc = _class_ancestors(relations, chased, classes, max_inherit=max_inherit)
+    dm = defs.select(
+        F.col("def_module").alias("dm_module"), F.col("def_name").alias("dm_name")
+    )
+    need = (
+        attr.filter(F.col("__cm").isNotNull())
+        .select(
+            F.col("__cm").alias("n_mod"),
+            F.col("__cn").alias("n_name"),
+            F.col("to_entity").alias("n_method"),
+        )
+        .distinct()
+    )
+    hits = (
+        need.join(anc, (need.n_mod == anc.c_module) & (need.n_name == anc.c_name))
+        .join(
+            dm,
+            (F.col("a_module") == dm.dm_module)
+            & (F.concat_ws(".", F.col("a_name"), F.col("n_method")) == dm.dm_name),
+        )
+        .groupBy("n_mod", "n_name", "n_method")
+        .agg(F.min(F.struct("depth", "dm_name")).alias("__best"))
+        .select(
+            F.col("n_mod").alias("h_mod"),
+            F.col("n_name").alias("h_name"),
+            F.col("n_method").alias("h_method"),
+            F.col("__best.dm_name").alias("h_def"),
+        )
+    )
+    attr = attr.join(
+        hits,
+        (F.col("__cm") == hits.h_mod)
+        & (F.col("__cn") == hits.h_name)
+        & (F.col("to_entity") == hits.h_method),
+        "left",
     )
 
     attr = attr.select(
         "from_entity",
-        F.coalesce("d1_name", "d2_name", "to_entity").alias("to_entity"),
+        F.coalesce("d1_name", "h_def", "to_entity").alias("to_entity"),
         "relation_type",
         "context",
         "confidence",
         F.when(
-            F.col("d1_name").isNotNull() | F.col("d2_name").isNotNull(),
+            F.col("d1_name").isNotNull() | F.col("h_def").isNotNull(),
             F.lit("resolved"),
         )
         .otherwise(F.col("import_type"))

@@ -90,6 +90,24 @@ def _call_names(node: ast.AST) -> set[str]:
     return {name for name, _base in _call_sites(node)}
 
 
+def _name_and_base(f: ast.AST) -> tuple[str | None, str | None]:
+    """(name, dotted_base) of a callable/annotation expression:
+    ``f`` → ('f', None), ``z.f`` → ('f', 'z'), ``a.b.f`` → ('f', 'a.b').
+    A base that isn't a plain name chain (call result, subscript) yields
+    base None; a non-name expression yields (None, None)."""
+    if isinstance(f, ast.Name):
+        return f.id, None
+    if isinstance(f, ast.Attribute):
+        parts: list[str] = []
+        cur = f.value
+        while isinstance(cur, ast.Attribute):
+            parts.append(cur.attr)
+            cur = cur.value
+        base = ".".join([cur.id, *reversed(parts)]) if isinstance(cur, ast.Name) else None
+        return f.attr, base
+    return None, None
+
+
 def _call_sites(node: ast.AST) -> set[tuple[str, str | None]]:
     """(callee_name, dotted_base) call sites: ``f()`` → ('f', None),
     ``z.f()`` → ('f', 'z'), ``a.b.f()`` → ('f', 'a.b'). The base feeds
@@ -103,20 +121,104 @@ def _call_sites(node: ast.AST) -> set[tuple[str, str | None]]:
     for n in ast.walk(node):
         if not isinstance(n, ast.Call):
             continue
-        f = n.func
-        if isinstance(f, ast.Name):
-            out.add((f.id, None))
-        elif isinstance(f, ast.Attribute):
-            parts: list[str] = []
-            cur = f.value
-            while isinstance(cur, ast.Attribute):
-                parts.append(cur.attr)
-                cur = cur.value
-            base = (
-                ".".join([cur.id, *reversed(parts)]) if isinstance(cur, ast.Name) else None
-            )
-            out.add((f.attr, base))
+        name, base = _name_and_base(n.func)
+        if name is not None:
+            out.add((name, base))
     return out
+
+
+_SCOPE_BARRIERS = (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef, ast.Lambda)
+
+
+def _scope_nodes(root: ast.AST) -> list[ast.AST]:
+    """The statements/expressions belonging to ``root``'s own scope —
+    descends through if/for/while/try/with bodies but NOT into nested
+    function/class/lambda definitions (their assignments bind in their
+    own scope, not root's)."""
+    stack = list(ast.iter_child_nodes(root))
+    out: list[ast.AST] = []
+    while stack:
+        n = stack.pop()
+        if isinstance(n, _SCOPE_BARRIERS):
+            continue
+        out.append(n)
+        stack.extend(ast.iter_child_nodes(n))
+    return out
+
+
+def _collect_type_binds(
+    root: ast.AST,
+) -> tuple[dict[str, tuple[str, str | None] | None], dict[str, tuple[str, str | None] | None]]:
+    """Flow-free local type inference, the static slice of what Jedi
+    infers dynamically (reference: analysis/parser.py:15, :120): a
+    variable assigned EXACTLY ONE constructor call (``x = C()``, ``x:
+    C``, ``with C() as x``) in a scope is bound to that class. Any
+    conflicting rebinding — a second different constructor, a non-call
+    value, a loop target, an augmented assignment — poisons the name
+    (maps it to None) so resolution stays a strict refinement: we only
+    ever pin a method call to a class we are certain about.
+
+    Returns (locals, self_attrs): var → (ctor_name, ctor_dotted_base)
+    or None when poisoned. ``self.x = C()`` keys as 'self.x' in the
+    second dict (merged per-class by the caller across methods)."""
+    local: dict[str, tuple[str, str | None] | None] = {}
+    selfa: dict[str, tuple[str, str | None] | None] = {}
+
+    def note(d, key, val):
+        if key in d:
+            if d[key] != val:
+                d[key] = None
+        else:
+            d[key] = val
+
+    def note_target(t, val):
+        if isinstance(t, ast.Name):
+            note(local, t.id, val)
+        elif (
+            isinstance(t, ast.Attribute)
+            and isinstance(t.value, ast.Name)
+            and t.value.id == "self"
+        ):
+            note(selfa, f"self.{t.attr}", val)
+
+    def call_val(v):
+        if isinstance(v, ast.Call):
+            name, base = _name_and_base(v.func)
+            if name is not None:
+                return (name, base)
+        return None
+
+    for n in _scope_nodes(root):
+        if isinstance(n, ast.Assign):
+            val = call_val(n.value)
+            for t in n.targets:
+                if isinstance(t, (ast.Tuple, ast.List)):
+                    for e in t.elts:  # per-element values unknown
+                        note_target(e, None)
+                else:
+                    note_target(t, val)
+        elif isinstance(n, ast.AnnAssign):
+            name, base = _name_and_base(n.annotation)
+            note_target(n.target, (name, base) if name else call_val(n.value))
+        elif isinstance(n, ast.AugAssign):
+            note_target(n.target, None)
+        elif isinstance(n, (ast.For, ast.AsyncFor)):
+            for e in ast.walk(n.target):
+                note_target(e, None)
+        elif isinstance(n, (ast.With, ast.AsyncWith)):
+            for item in n.items:
+                if item.optional_vars is not None:
+                    for e in ast.walk(item.optional_vars):
+                        note_target(e, call_val(item.context_expr))
+    return local, selfa
+
+
+def _type_bind_rec(scope: str, var: str, ctor: str, base: str | None, path: str) -> dict:
+    r = _relation_rec(scope, ctor, None, path)
+    r["record_kind"] = "type_binding"
+    r["entity_name"] = var
+    r["content"] = base
+    return r
 
 
 def _decorator_names(node) -> list[str]:
@@ -228,6 +330,8 @@ def parse_python_source(path: str, source: str) -> list[dict]:
     )
 
     def handle_function(fn, parent_name: str | None, etype: str):
+        """Emits the function's records; returns its self-attribute type
+        binds for class-level merging."""
         qual = f"{parent_name}.{fn.name}" if parent_name else fn.name
         doc = ast.get_docstring(fn)
         obs = [f"{'Method' if etype == 'method' else 'Function'} {_signature(fn)}"]
@@ -251,6 +355,18 @@ def parse_python_source(path: str, source: str) -> list[dict]:
             recs.append(_relation_rec(qual, deco, "uses", path, "decorator"))
         for exc in sorted(_raised_names(fn)):
             recs.append(_relation_rec(qual, exc, "throws", path))
+        # instance-typed method resolution raw material: x = C() binds
+        # x→C in THIS function's scope; parameters shadow (poison) any
+        # same-named local constructor bind
+        local_binds, self_binds = _collect_type_binds(fn)
+        a = fn.args
+        for arg in [*a.posonlyargs, *a.args, *a.kwonlyargs, a.vararg, a.kwarg]:
+            if arg is not None:
+                local_binds[arg.arg] = None
+        for var, val in sorted(local_binds.items()):
+            if val is not None:
+                recs.append(_type_bind_rec(qual, var, val[0], val[1], path))
+        return self_binds
 
     for node in tree.body:
         if isinstance(node, (ast.Import, ast.ImportFrom)):
@@ -313,9 +429,19 @@ def parse_python_source(path: str, source: str) -> list[dict]:
                     recs.append(_relation_rec(node.name, base_name, "inherits", path))
             for deco in _decorator_names(node):
                 recs.append(_relation_rec(node.name, deco, "uses", path, "decorator"))
+            # self.x = C() binds at CLASS scope: any two methods pinning
+            # the same attribute to different constructors poison it
+            cls_binds: dict[str, tuple[str, str | None] | None] = {}
             for item in node.body:
                 if isinstance(item, (ast.FunctionDef, ast.AsyncFunctionDef)):
-                    handle_function(item, node.name, "method")
+                    for var, val in handle_function(item, node.name, "method").items():
+                        if var in cls_binds and cls_binds[var] != val:
+                            cls_binds[var] = None
+                        elif var not in cls_binds:
+                            cls_binds[var] = val
+            for var, val in sorted(cls_binds.items()):
+                if val is not None:
+                    recs.append(_type_bind_rec(node.name, var, val[0], val[1], path))
         elif isinstance(node, ast.Assign):
             # module-level variables incl. tuple unpacking (parser.py:521-641)
             targets = []
@@ -331,6 +457,13 @@ def parse_python_source(path: str, source: str) -> list[dict]:
                                 [f"{'Constant' if etype == 'constant' else 'Variable'} {name}"])
                 )
                 recs.append(_relation_rec(path, name, "contains", path))
+    # module-scope type binds (x = C() at top level, visible to every
+    # function in the file unless shadowed): scope keys as the file path,
+    # the same parent convention `contains` relations use
+    mod_binds, _ = _collect_type_binds(tree)
+    for var, val in sorted(mod_binds.items()):
+        if val is not None:
+            recs.append(_type_bind_rec(path, var, val[0], val[1], path))
     return recs
 
 
@@ -407,4 +540,27 @@ def import_bindings(parsed: DataFrame) -> DataFrame:
         F.col("to_entity").alias("target_module"),
         F.col("content").alias("member"),
         "import_type",
+    )
+
+
+def type_bindings(parsed: DataFrame) -> DataFrame:
+    """The per-scope constructor-bind table instance-typed method
+    resolution joins on: (file_path, scope, var, ctor, ctor_base).
+
+    ``def f(): x = Tool()``      → (f, 'f',  'x',       'Tool', NULL)
+    ``def f(): t = m.Tool()``    → (f, 'f',  't',       'Tool', 'm')
+    ``class C: self.s = Db()``   → (f, 'C',  'self.s',  'Db',   NULL)
+    module-level ``x = Tool()``  → (f, path, 'x',       'Tool', NULL)
+
+    Only unambiguous binds are emitted — a var rebound to a different
+    value anywhere in its scope never appears (parser poisons it), so a
+    join hit is a certainty, not a guess."""
+    from pyspark.sql import functions as F
+
+    return parsed.filter(F.col("record_kind") == "type_binding").select(
+        "file_path",
+        F.col("from_entity").alias("scope"),
+        F.col("entity_name").alias("var"),
+        F.col("to_entity").alias("ctor"),
+        F.col("content").alias("ctor_base"),
     )

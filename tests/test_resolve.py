@@ -20,15 +20,20 @@ from claude_code_memory_spark.sources.python_parser import (
     parse_python_files,
     parse_python_source,
     split_parsed,
+    type_bindings,
 )
 
 FIXTURE = {
     "pkg/__init__.py": "from .core import helper\n",
     "pkg/core.py": (
+        "class Base:\n"
+        "    def close(self):\n"
+        "        return 0\n"
+        "\n"
         "def helper(x):\n"
         "    return x + 1\n"
         "\n"
-        "class Tool:\n"
+        "class Tool(Base):\n"
         "    def run(self):\n"
         "        return 1\n"
     ),
@@ -46,10 +51,26 @@ FIXTURE = {
         "\n"
         "def use_method():\n"
         "    t = Tool()\n"
-        "    return t.run() + Tool.run(t)\n"
+        "    return t.run() + Tool.run(t) + t.close()\n"
+        "\n"
+        "def use_alias_ctor():\n"
+        "    u = c.Tool()\n"
+        "    return u.run()\n"
+        "\n"
+        "def use_ambiguous():\n"
+        "    t = Tool()\n"
+        "    t = helper(1)\n"
+        "    return t.run()\n"
         "\n"
         "def use_unknown():\n"
-        "    return mystery(3)\n"
+        "    q = mystery(3)\n"
+        "    return q.frob()\n"
+        "\n"
+        "class App:\n"
+        "    def __init__(self):\n"
+        "        self.db = Tool()\n"
+        "    def go(self):\n"
+        "        return self.db.close()\n"
     ),
 }
 
@@ -63,7 +84,9 @@ def resolved(spark):
 
     parsed = spark.createDataFrame(recs, PARSED_SCHEMA).cache()
     entities, relations, _ = split_parsed(parsed)
-    out = resolve_calls(relations, import_bindings(parsed), entities)
+    out = resolve_calls(
+        relations, import_bindings(parsed), entities, type_bindings(parsed)
+    )
     return {
         (r["from_entity"], r["to_entity"], r["import_type"])
         for r in out.filter(out.relation_type == "calls").collect()
@@ -104,8 +127,37 @@ def test_class_method_attribute_call_resolves(resolved):
 def test_unresolvable_calls_pass_through(resolved):
     # mystery() has no binding and no def — byte-identical passthrough
     assert ("use_unknown", "mystery", None) in resolved
-    # t.run(): base 't' is a local variable, not an import — unchanged
-    assert ("use_method", "run", None) in resolved
+    # q = mystery(); q.frob(): q's "constructor" resolves to nothing —
+    # the method call passes through unchanged
+    assert ("use_unknown", "frob", None) in resolved
+
+
+def test_instance_typed_method_call_resolves(resolved):
+    # `t = Tool(); t.run()` — local type inference pins t to Tool
+    assert ("use_method", "Tool.run", "resolved") in resolved
+    assert ("use_method", "run", None) not in resolved
+
+
+def test_inherited_method_resolves_through_base(resolved):
+    # `t.close()` — Tool doesn't define close; Base does (same module)
+    assert ("use_method", "Base.close", "resolved") in resolved
+
+
+def test_module_alias_constructor_resolves(resolved):
+    # `u = c.Tool(); u.run()` — ctor through the module alias
+    assert ("use_alias_ctor", "Tool.run", "resolved") in resolved
+
+
+def test_self_attribute_type_binding_resolves(resolved):
+    # `self.db = Tool()` in __init__; `self.db.close()` in another
+    # method — class-scope binding plus inheritance
+    assert ("App.go", "Base.close", "resolved") in resolved
+
+
+def test_ambiguous_rebinding_stays_unresolved(resolved):
+    # t is rebound (Tool() then helper(...)) — poisoned, never guessed
+    assert ("use_ambiguous", "run", None) in resolved
+    assert ("use_ambiguous", "Tool.run", "resolved") not in resolved
 
 
 def test_non_call_relations_untouched(spark):
@@ -214,6 +266,41 @@ def test_engine_index_resolves_and_incremental_uses_stored_bindings(spark, tmp_p
     }
     assert ("caller", "unique_helper", "resolved") in rels2
     assert not any(t in ("uh", "uh2") for _, t, _ in rels2)
+
+
+def test_engine_instance_typed_and_inherited_resolution(spark, tmp_path):
+    """End-to-end through CodeMemoryEngine: `t = Tool(); t.run()`
+    resolves to Tool.run and the inherited `t.close()` to Base.close —
+    across three files, surviving J4's universe check."""
+    from claude_code_memory_spark.api import CodeMemoryEngine
+
+    proj = tmp_path / "proj"
+    (proj / "pkg").mkdir(parents=True)
+    (proj / "pkg" / "__init__.py").write_text("")
+    (proj / "pkg" / "base.py").write_text(
+        "class Base:\n    def close(self):\n        return 0\n"
+    )
+    (proj / "pkg" / "tool.py").write_text(
+        "from pkg.base import Base\n\n"
+        "class Tool(Base):\n    def run(self):\n        return 1\n"
+    )
+    (proj / "app.py").write_text(
+        "from pkg.tool import Tool\n\n"
+        "def caller():\n"
+        "    t = Tool()\n"
+        "    return t.run() + t.close()\n"
+    )
+
+    eng = CodeMemoryEngine(spark, str(tmp_path / "store"))
+    eng.index(str(proj))
+    rels = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in eng.store.read("relations")
+        .filter("relation_type = 'calls'")
+        .collect()
+    }
+    assert ("caller", "Tool.run", "resolved") in rels
+    assert ("caller", "Base.close", "resolved") in rels
 
 
 def test_package_rooted_absolute_imports_normalize(spark):
