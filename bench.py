@@ -191,7 +191,7 @@ def main() -> None:
     # is not measured here because at local fixture sizes the groupBy
     # overhead dominates (the win is scanned bytes, which local[32]
     # page-cached parquet cannot exhibit)
-    pq_encode_rate = pq_recall = None
+    pq_encode_rate = pq_recall = pq_resid_recall = None
     try:
         from claude_code_memory_spark.operators.quantize import (
             pq_encode,
@@ -215,13 +215,16 @@ def main() -> None:
         codes = pq_encode(emb, cb, dim, pq_m).cache()
         codes.count()
         pq_encode_rate = round(n_vecs_pq / max(time.time() - t0, 1e-9), 1)
+        pq_queries = emb.filter(F.col("vec_id") < 5).collect()
+        exact_by_q = {}
         recalls = []
-        for r in emb.filter(F.col("vec_id") < 5).collect():
+        for r in pq_queries:
             qv = [float(x) for x in r["embedding"]]
             exact = {
                 x["vec_id"]
                 for x in brute_force_topk(emb, qv, 10, exclude_id=r["vec_id"]).collect()
             }
+            exact_by_q[r["vec_id"]] = exact
             ranked = [x["vec_id"] for x in pq_topk(codes, cb, qv, k=31).collect()]
             # exactly 30 non-self candidates — the advertised operating
             # point even when the query misses its own top-31
@@ -229,6 +232,36 @@ def main() -> None:
             recalls.append(len(exact & approx) / 10.0)
         pq_recall = round(sum(recalls) / len(recalls), 3)
         codes.unpersist()
+        # FAISS-default composition at the same 96-bit code size: codes
+        # encode the residual against Lloyd IVF centroids (round-6 sweep:
+        # plain full-scan 0.80; residual ncent=16 nprobe=4 AND nprobe=2
+        # both 0.82 while scanning 1/8-1/4 of the cells; ncent=64
+        # nprobe=8 degraded to 0.76 — cells too small to train tight
+        # residual codebooks at this corpus size). The serving path
+        # probes 4 of 16 cells.
+        from claude_code_memory_spark.operators.similarity import (
+            ivfpq_build_residual,
+            ivfpq_topk_residual,
+        )
+
+        rcodes, rcb, rcenters = ivfpq_build_residual(
+            emb, dim=dim, n_centroids=16, m=pq_m, k_codes=pq_nc, train_iters=2
+        )
+        rcodes = rcodes.cache()
+        rcodes.count()
+        rrecalls = []
+        for r in pq_queries:
+            qv = [float(x) for x in r["embedding"]]
+            ranked = [
+                x["vec_id"]
+                for x in ivfpq_topk_residual(
+                    rcodes, rcb, rcenters, qv, k=31, nprobe=4
+                ).collect()
+            ]
+            approx = set([i for i in ranked if i != r["vec_id"]][:30])
+            rrecalls.append(len(exact_by_q[r["vec_id"]] & approx) / 10.0)
+        pq_resid_recall = round(sum(rrecalls) / len(rrecalls), 3)
+        rcodes.unpersist()
         emb.unpersist()
     except Exception as exc:  # noqa: BLE001
         errors["extra:pq"] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
@@ -378,7 +411,11 @@ def main() -> None:
             ),
             "pq_encode_vectors_per_sec": pq_encode_rate,
             "pq_recall10_in_top30": pq_recall,
-            "pq_operating_point": "m16x64 (96-bit codes, ~21:1 vs f32)",
+            "pq_resid_recall10_in_top30": pq_resid_recall,
+            "pq_operating_point": (
+                "m16x64 (96-bit codes, ~21:1 vs f32); residual variant "
+                "IVF16,PQ16x64 nprobe=4"
+            ),
             "point_lookup_files_scanned_fraction": skip_fraction,
             "point_lookup_skip_speedup": skip_speedup,
         },

@@ -583,6 +583,7 @@ def ivfpq_build_residual(
     dim: int,
     n_centroids: int = 8,
     m: int = 8,
+    k_codes: int = 16,
     train_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -621,7 +622,7 @@ def ivfpq_build_residual(
         ),
     )
     codebook = pq_trained_codebook(
-        resid, dim, m, 16, iters=train_iters, id_col=id_col, vec_col="__resid"
+        resid, dim, m, k_codes, iters=train_iters, id_col=id_col, vec_col="__resid"
     )
     codes = pq_encode(
         resid, codebook, dim, m, vec_col="__resid", keep=(id_col, "ivf_cluster")
