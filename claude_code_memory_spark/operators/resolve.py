@@ -441,7 +441,10 @@ def resolve_calls(
                 (F.col("file_path") == tbs.ts_file)
                 & (F.split(F.col("from_entity"), r"\.")[0] == tbs.ts_scope)
                 & (F.col("context") == tbs.ts_var)
-                & F.col("context").startswith("self."),
+                & (
+                    F.col("context").startswith("self.")  # Python
+                    | F.col("context").startswith("this.")  # JS/TS
+                ),
                 "left",
             )
             .join(

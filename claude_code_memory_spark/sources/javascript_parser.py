@@ -170,6 +170,55 @@ _JSON_LOAD = re.compile(
 # optional dotted base before the callee: `ns.util.f(` → base 'ns.util',
 # callee 'f' — the base feeds cross-file resolution (operators/resolve.py)
 _CALL = re.compile(r"(?:\b([\w$]+(?:\.[\w$]+)*)\s*\.\s*)?\b([\w$]+)\s*\(")
+# instance-typed resolution raw material (the regex twin of
+# python_parser._collect_type_binds): `const x = new C()` binds x→C,
+# `this.db = new C()` binds at class scope; any reassignment poisons
+_NEW_ASSIGN = re.compile(
+    r"(?<![.\w$])(?:const\s+|let\s+|var\s+)?([\w$]+)"
+    r"\s*(?::\s*[\w$.<>\[\], |&]+)?=\s*new\s+([\w$]+(?:\.[\w$]+)*)"
+)
+_ANY_ASSIGN = re.compile(
+    r"(?<![.\w$])(?:const\s+|let\s+|var\s+)?([\w$]+)"
+    r"\s*(?::\s*[\w$.<>\[\], |&]+)?=(?![=>])"
+)
+_THIS_NEW = re.compile(
+    r"\bthis\.([\w$]+)\s*=\s*new\s+([\w$]+(?:\.[\w$]+)*)"
+)
+_THIS_ASSIGN = re.compile(r"\bthis\.([\w$]+)\s*=(?![=>])")
+
+
+def _local_type_binds(body: str) -> dict[str, str]:
+    """var → dotted ctor for vars assigned exactly one ``new C()`` and
+    never reassigned in this body — a join hit downstream is a
+    certainty, not a guess."""
+    news: dict[str, set[str]] = {}
+    for m in _NEW_ASSIGN.finditer(body):
+        news.setdefault(m.group(1), set()).add(m.group(2))
+    counts: dict[str, int] = {}
+    for m in _ANY_ASSIGN.finditer(body):
+        counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    return {
+        v: next(iter(c))
+        for v, c in news.items()
+        if len(c) == 1 and counts.get(v, 0) <= 1 and v not in _CALL_KEYWORDS
+    }
+
+
+def _this_type_binds(body: str) -> dict[str, str | None]:
+    """'this.attr' → ctor (or None = poisoned) for every this-attribute
+    assigned in this body; the caller merges across a class's methods."""
+    news: dict[str, set[str]] = {}
+    for m in _THIS_NEW.finditer(body):
+        news.setdefault(m.group(1), set()).add(m.group(2))
+    out: dict[str, str | None] = {}
+    for m in _THIS_ASSIGN.finditer(body):
+        v = m.group(1)
+        c = news.get(v, set())
+        cnt = out.get(f"this.{v}", "__unseen__")
+        one = next(iter(c)) if len(c) == 1 else None
+        # second assignment (or non-new / multi-ctor) poisons
+        out[f"this.{v}"] = one if cnt == "__unseen__" else None
+    return out
 _CALL_KEYWORDS = frozenset(
     "if for while switch catch function return new typeof await import require "
     "super constructor".split()
@@ -333,6 +382,7 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
         _entity_rec,
         _impl_rec,
         _relation_rec,
+        _type_bind_rec,
     )
 
     recs: list[dict] = []
@@ -379,7 +429,22 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
                 rec["content"] = base  # dotted call base for resolution
                 recs.append(rec)
 
+    this_binds: dict[str, dict[str, str | None]] = {}  # class → attr binds
+
+    def add_type_binds(scope, masked_body, cls=None):
+        for var, ctor in sorted(_local_type_binds(masked_body).items()):
+            base, _, name = ctor.rpartition(".")
+            recs.append(_type_bind_rec(scope, var, name, base or None, path))
+        if cls is not None:
+            d = this_binds.setdefault(cls, {})
+            for var, ctor in _this_type_binds(masked_body).items():
+                if var in d and d[var] != ctor:
+                    d[var] = None  # two methods pin different ctors
+                elif var not in d:
+                    d[var] = ctor
+
     class_stack: list[tuple[str, int]] = []  # (name, entry depth)
+    toplevel_masked: list[str] = []  # module-scope lines, for module binds
     depth = 0
     pending_decorators: list[str] = []
     i = 0
@@ -393,6 +458,10 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
         line_no = i + 1
         in_class = class_stack[-1][0] if class_stack else None
         class_depth = class_stack[-1][1] if class_stack else -1
+        if depth == 0 and in_class is None:
+            # function/class bodies are consumed wholesale below, so the
+            # surviving depth-0 lines ARE the module scope
+            toplevel_masked.append(msk)
 
         dm = _DECORATOR.match(msk)
         if dm:
@@ -502,6 +571,7 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
             add_entity(name, "function", line_no, end + 1, obs, sig=sig)
             add_impl(name, "function", i, end)
             add_calls(name, body)
+            add_type_binds(name, body)
             consume_decorators(name)
             for t in set(_THROW.findall(body)):
                 recs.append(_relation_rec(name, t, "throws", path))
@@ -538,6 +608,7 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
             add_entity(name, "function", line_no, end + 1, obs, sig=sig)
             add_impl(name, "function", i, end)
             add_calls(name, body)
+            add_type_binds(name, body)
             for t in set(_THROW.findall(body)):
                 recs.append(_relation_rec(name, t, "throws", path))
             depth += sum(r.count("{") - r.count("}") for r in masked[i : end + 1])
@@ -562,13 +633,30 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
                     sig=sig, parent=in_class,
                 )
                 body = add_impl(qual, "method", i, end)
-                add_calls(qual, "\n".join(masked[i : end + 1]))
+                mbody = "\n".join(masked[i : end + 1])
+                add_calls(qual, mbody)
+                add_type_binds(qual, mbody, cls=in_class)
                 consume_decorators(qual)
                 for t in set(_THROW.findall("\n".join(masked[i : end + 1]))):
                     recs.append(_relation_rec(qual, t, "throws", path))
                 depth += sum(r.count("{") - r.count("}") for r in masked[i : end + 1])
                 i = end + 1
                 continue
+            m = _METHOD.match(dmsk)
+            if m and m.group(1) == "constructor":
+                # constructors are not entities (reference parity) but
+                # their `this.x = new C()` assignments ARE the canonical
+                # class-scope type binds — peek without consuming so the
+                # existing line-by-line handling is unchanged
+                c_end = _end_of_block(masked, i)
+                d = this_binds.setdefault(in_class, {})
+                for var, ctor in _this_type_binds(
+                    "\n".join(masked[i : c_end + 1])
+                ).items():
+                    if var in d and d[var] != ctor:
+                        d[var] = None
+                    elif var not in d:
+                        d[var] = ctor
             m = _FIELD.match(dmsk)
             if m and m.group(1) not in _CALL_KEYWORDS:
                 qual = f"{in_class}.{m.group(1)}"
@@ -715,4 +803,12 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
             class_stack.pop()
         i += 1
 
+    # class-scope (this.attr) binds merged across constructor + methods
+    for cls, binds in sorted(this_binds.items()):
+        for var, ctor in sorted(binds.items()):
+            if ctor is not None:
+                base, _, name = ctor.rpartition(".")
+                recs.append(_type_bind_rec(cls, var, name, base or None, path))
+    # module-scope binds (const client = new Client() at top level)
+    add_type_binds(path, "\n".join(toplevel_masked))
     return recs

@@ -369,6 +369,70 @@ def test_js_named_import_alias_resolves(spark):
     assert not any(t == "jh" for _, t, _ in got)
 
 
+def test_js_instance_typed_and_this_attr_resolution(spark):
+    """`const t = new Tool(); t.run()` and `this.db = new Tool();
+    this.db.close()` resolve through the same machinery as Python —
+    including the inherited method through `extends`."""
+    from claude_code_memory_spark.sources.javascript_parser import (
+        parse_javascript_source,
+    )
+    from claude_code_memory_spark.sources.python_parser import (
+        PARSED_SCHEMA,
+        type_bindings,
+    )
+
+    fixture = {
+        "lib/core.js": (
+            "export class Base {\n"
+            "  close() { return 0; }\n"
+            "}\n"
+            "export class Tool extends Base {\n"
+            "  run() { return 1; }\n"
+            "}\n"
+        ),
+        "app.js": (
+            "import { Tool } from './lib/core';\n"
+            "\n"
+            "function caller() {\n"
+            "  const t = new Tool();\n"
+            "  return t.run() + t.close();\n"
+            "}\n"
+            "\n"
+            "function rebound() {\n"
+            "  let t = new Tool();\n"
+            "  t = other();\n"
+            "  return t.run();\n"
+            "}\n"
+            "\n"
+            "class App {\n"
+            "  constructor() {\n"
+            "    this.db = new Tool();\n"
+            "  }\n"
+            "  go() {\n"
+            "    return this.db.close();\n"
+            "  }\n"
+            "}\n"
+        ),
+    }
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_javascript_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(
+        relations, import_bindings(parsed), entities, type_bindings(parsed)
+    )
+    got = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in out.filter(out.relation_type == "calls").collect()
+    }
+    assert ("caller", "Tool.run", "resolved") in got
+    assert ("caller", "Base.close", "resolved") in got  # through extends
+    assert ("App.go", "Base.close", "resolved") in got  # this-attr bind
+    # rebound var stays unresolved — poisoning survives the regex parser
+    assert ("rebound", "run", None) in got
+
+
 def test_js_index_entry_module_and_require(spark):
     """`require('./lib')` hits lib/index.js (the package-entry
     convention module_of_path strips symmetrically); destructured
