@@ -97,7 +97,9 @@ _DRIVER_WINDOW = [
     "window_top_customers_per_nation",
 ]
 # Round-7 rotation queue (oldest-green-first after this round lands):
-# (a) any query added in round 6 (never driver-checked) leads;
+# (a) the queries added in round 6 lead (never driver-checked:
+#     dedup_keep_best_per_cluster, mixture_domain_weights — both
+#     selfcheck-green on arrival);
 # (b) the 44-entry r4-last-green cohort (two rounds stale at end of r6 —
 # the freshness bound): sessionize_builtin_window, chunk_pack_running_budget,
 # relations_orphan_cleanup, scroll_pagination, the dedup family

@@ -373,3 +373,62 @@ def dedup_clusters_star(spark, sf_dir):
         .select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_keep_best_per_cluster",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle(threshold=0.5)}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs),
+    reach(node, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    comps AS (SELECT node AS doc_id, min(comp) AS component
+              FROM reach GROUP BY node),
+    ranked AS (
+      SELECT c.doc_id, c.component, d.n_chars,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+      FROM comps c JOIN documents d USING (doc_id))
+    SELECT doc_id, component, n_chars, CAST(rn = 1 AS INT) AS kept
+    FROM ranked ORDER BY component, doc_id
+    """,
+)
+def dedup_keep_best_per_cluster(spark, sf_dir):
+    """The dedup pipeline's END STATE: near-dup pairs → connected
+    components → ONE representative kept per cluster (longest document,
+    ties to the smallest id — the C4 keep-longest rule; swap the order
+    key for a model quality score and the plan is unchanged). Output is
+    every clustered doc with its component and a kept flag, so the
+    training-set filter is one semi-join against kept=1.
+
+    Scale: the pairs/components steps are the audited banded-LSH and
+    min-label shapes; the new work is one entity-scale join onto the
+    documents' (doc_id, n_chars) projection plus a per-component window
+    — components are near-dup clusters, bounded small, so the window
+    partitions are skew-free."""
+    from pyspark.sql import Window
+
+    from claude_code_memory_spark.operators.components import connected_components
+
+    d = spread(spark, table(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(d, threshold=0.5, n=3, num_hashes=16, bands=4)
+    comps = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        comps.join(d.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "component",
+            "n_chars",
+            (F.col("rn") == 1).cast("int").alias("kept"),
+        )
+        .orderBy("component", "doc_id")
+    )

@@ -140,3 +140,65 @@ def ml_logreg_quality(spark, sf_dir):
     )
     feats.unpersist()
     return out
+
+
+@register(
+    "mixture_domain_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> length(x) > 0)) AS toks
+      FROM documents),
+    dom AS (SELECT lang, count(*) AS n_docs,
+                   CAST(sum(toks) AS BIGINT) AS tokens
+            FROM tok GROUP BY lang),
+    tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS all_toks FROM dom),
+    raw AS (SELECT lang, n_docs, tokens,
+                   round(tokens / (1.0 * all_toks), 6) AS token_share,
+                   round(pow(tokens / (1.0 * all_toks), 0.5), 6) AS w_raw
+            FROM dom, tot),
+    norm AS (SELECT round(sum(w_raw), 6) AS z FROM raw)
+    SELECT lang, n_docs, tokens, token_share,
+           round(w_raw / z, 6) AS weight
+    FROM raw, norm ORDER BY lang
+    """,
+)
+def mixture_domain_weights(spark, sf_dir):
+    """Temperature-scaled domain mixture weights — the multilingual-
+    training sampling recipe (mBERT/XLM-R alpha-sampling; DoReMi learns
+    the same vector iteratively): per language, its token share is
+    raised to tau=0.5 and renormalized, up-sampling tail domains so the
+    mixture doesn't collapse onto the head. Two map-side-combined
+    aggregates (domain rollup, then the normalizer as a broadcast
+    1-row cross join — domains are few even at 100 TB, so nothing here
+    is data-sized after the first rollup). Intermediates round to 6 dp
+    before reuse so the weights hash identically cross-engine."""
+    from claude_code_memory_spark.functions.text import whitespace_token_count
+
+    d = table(spark, sf_dir, "documents")
+    dom = (
+        d.select("lang", whitespace_token_count("text").alias("toks"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("toks").alias("tokens"))
+    )
+    tot = F.broadcast(dom.agg(F.sum("tokens").alias("all_toks")))
+    raw = dom.crossJoin(tot).select(
+        "lang",
+        "n_docs",
+        "tokens",
+        F.round(F.col("tokens") / F.col("all_toks"), 6).alias("token_share"),
+        F.round(F.pow(F.col("tokens") / F.col("all_toks"), 0.5), 6).alias("w_raw"),
+    )
+    z = F.broadcast(raw.agg(F.round(F.sum("w_raw"), 6).alias("z")))
+    return (
+        raw.crossJoin(z)
+        .select(
+            "lang",
+            "n_docs",
+            "tokens",
+            "token_share",
+            F.round(F.col("w_raw") / F.col("z"), 6).alias("weight"),
+        )
+        .orderBy("lang")
+    )

@@ -417,11 +417,17 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
 
     def add_calls(owner, masked_body):
         seen = set()
+        # a method's own declaration line (`go() {`) matches _CALL;
+        # excluding the owner's last segment drops it — and self-
+        # recursion with it, matching the Python parser's
+        # `callee != fn.name` rule exactly
+        own = owner.rpartition(".")[2]
         for m in _CALL.finditer(masked_body):
             base, callee = m.group(1), m.group(2)
             if (
                 callee not in _CALL_KEYWORDS
                 and callee != owner
+                and callee != own
                 and (callee, base) not in seen
             ):
                 seen.add((callee, base))
