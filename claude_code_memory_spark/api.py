@@ -144,7 +144,17 @@ class CodeMemoryEngine:
                     F.broadcast(replaced), "file_path", "left_anti"
                 )
             )
-        relations = resolve_calls(relations, all_bindings, defs, all_tbinds)
+        # the batch's relation slice lacks untouched files' `inherits`
+        # edges; hand the resolver the stored ones (minus replaced) so
+        # inherited-method resolution survives incremental reindex
+        stored_rels = self.store.read("relations")
+        if stored_rels is not None:
+            stored_rels = stored_rels.filter(
+                F.col("relation_type") == "inherits"
+            ).join(F.broadcast(replaced), "file_path", "left_anti")
+        relations = resolve_calls(
+            relations, all_bindings, defs, all_tbinds, stored_relations=stored_rels
+        )
 
         # J4: pre-storage orphan filter — entity universe = stored ∪ batch.
         # Only calls/inherits require a resolvable target; imports and

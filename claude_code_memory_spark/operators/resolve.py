@@ -253,6 +253,7 @@ def resolve_calls(
     entities: DataFrame,
     type_binds: DataFrame | None = None,
     *,
+    stored_relations: DataFrame | None = None,
     max_hops: int = 3,
     max_inherit: int = 3,
 ) -> DataFrame:
@@ -264,6 +265,11 @@ def resolve_calls(
     file_path, ...). ``type_binds``: type_bindings(parsed) — enables
     instance-typed method resolution (``x = C(); x.m()`` → the C.m
     entity, looking through inherited classes when C doesn't define m).
+    ``stored_relations``: previously-indexed relations (replaced files
+    already excluded) — an INCREMENTAL batch's own relation slice lacks
+    the `inherits` edges of untouched files, so without this the
+    ancestor closure would silently forget every cross-file base class
+    on reindex.
     Returns relations with the same schema; resolved calls have
     to_entity rewritten to the defining entity's name and
     import_type='resolved'. Non-call rows and unresolvable calls pass
@@ -554,7 +560,12 @@ def resolve_calls(
     # method lookup with inheritance: the DISTINCT (class, method) pairs
     # walk the ancestor closure to the nearest definition, then join
     # back — class-count-scale work regardless of call-site count
-    anc = _pin(_class_ancestors(relations, chased, classes, max_inherit=max_inherit))
+    rel_for_anc = relations
+    if stored_relations is not None:
+        rel_for_anc = relations.unionByName(
+            stored_relations.select(*relations.columns)
+        )
+    anc = _pin(_class_ancestors(rel_for_anc, chased, classes, max_inherit=max_inherit))
     dm = defs.select(
         F.col("def_module").alias("dm_module"), F.col("def_name").alias("dm_name")
     )

@@ -302,6 +302,32 @@ def test_engine_instance_typed_and_inherited_resolution(spark, tmp_path):
     assert ("caller", "Tool.run", "resolved") in rels
     assert ("caller", "Base.close", "resolved") in rels
 
+    # incremental: touch ONLY the calling file — the batch has no
+    # `inherits` edges, so the inherited resolution must come from the
+    # STORED relations (regression: without them the Base.close call
+    # was dropped by the universe filter on reindex)
+    import os
+    import time
+
+    time.sleep(0.01)
+    (proj / "app.py").write_text(
+        "from pkg.tool import Tool\n\n"
+        "def caller():\n"
+        "    t = Tool()\n"
+        "    return t.close() + t.run()\n"
+    )
+    os.utime(proj / "app.py")
+    res = eng.index(str(proj))
+    assert res["files_changed"] == 1
+    rels2 = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in eng.store.read("relations")
+        .filter("relation_type = 'calls'")
+        .collect()
+    }
+    assert ("caller", "Base.close", "resolved") in rels2
+    assert ("caller", "Tool.run", "resolved") in rels2
+
 
 def test_package_rooted_absolute_imports_normalize(spark):
     """Indexing the package directory itself: code imports
