@@ -18,7 +18,17 @@ does the cross-file step as pure DataFrame algebra:
 4. bare calls rewrite through from-import bindings to the DEFINING
    name; attribute calls rewrite through module-alias bindings to the
    defining module's entity (including `C.method()` → the `C.method`
-   entity when C was from-imported).
+   entity when C was from-imported);
+5. instance-typed method calls resolve through the parser's
+   unambiguous constructor binds (`x = C(); x.m()`, `self.db = C()` /
+   `this.db = new C()`, module-level singletons) — the static slice of
+   what Jedi infers dynamically, emitted only when the binding is
+   certain;
+6. methods a class doesn't define look up through a bounded
+   transitive closure of the `inherits` graph (closest ancestor wins),
+   so `t.close()` resolves to `Base.close` wherever the subclass is
+   used — across files, and across incremental batches via the stored
+   relations' inherits edges.
 
 Resolved rows carry ``import_type='resolved'`` so downstream consumers
 (and tests) can see which calls are cross-file-pinned; unresolved rows
