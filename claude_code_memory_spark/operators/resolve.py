@@ -551,11 +551,22 @@ def resolve_calls(
     )
     # one more re-export chase: `import pkg as p; p.Tool()` lands on
     # (pkg, Tool) which pkg/__init__ re-exports from pkg.core
-    cb5 = chased.select(
-        F.col("module").alias("g_module"),
-        F.col("local_name").alias("g_local"),
-        F.col("target_module").alias("g_tmod"),
-        F.col("member").alias("g_member"),
+    # chased is unique per (file, local) but NOT per (module, local):
+    # `lib/index.js` and `lib.js` both derive module 'lib', so a
+    # collision would fan this join out into duplicate call rows —
+    # dedupe on the join key (deterministic min target on ties)
+    cb5 = (
+        chased.groupBy(
+            F.col("module").alias("g_module"),
+            F.col("local_name").alias("g_local"),
+        )
+        .agg(F.min(F.struct("target_module", "member")).alias("__t"))
+        .select(
+            "g_module",
+            "g_local",
+            F.col("__t.target_module").alias("g_tmod"),
+            F.col("__t.member").alias("g_member"),
+        )
     )
     attr = (
         attr.join(

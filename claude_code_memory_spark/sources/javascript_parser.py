@@ -724,6 +724,25 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
                     _entity_rec(mod, "import", path, line_no, None, [f"Imports {mod}"])
                 )
                 recs.append(_relation_rec(path, mod, "imports", path, "reexport"))
+                # named re-exports bind like from-imports so the
+                # resolver's chase can hop through barrel files
+                # (`lib/index.js: export { Tool } from './core'` — the
+                # JS twin of `__init__.py: from .core import Tool`);
+                # star re-exports bind nothing statically, as in Python
+                target = _spec_to_module(path, mod)
+                brace = re.search(r"\{([^}]*)\}", raw)
+                if target and brace:
+                    for nm in brace.group(1).split(","):
+                        nm = nm.strip().replace("type ", "").strip()
+                        orig, _, local = nm.partition(" as ")
+                        orig, local = orig.strip(), (local.strip() or orig.strip())
+                        if orig:
+                            b = _relation_rec(
+                                local, target, "import_binding", path, "from"
+                            )
+                            b["record_kind"] = "import_binding"
+                            b["content"] = orig
+                            recs.append(b)
                 matched = True
 
         if not matched:

@@ -459,6 +459,51 @@ def test_js_instance_typed_and_this_attr_resolution(spark):
     assert ("rebound", "run", None) in got
 
 
+def test_module_name_collision_never_duplicates_calls(spark):
+    """`lib/index.js` and `lib.js` both derive module 'lib'; the
+    re-export chase joins on (module, local), so a collision must
+    dedupe instead of fanning a call out into duplicate rows —
+    refinement-never-loss holds in BOTH directions (no drops, no
+    duplicates)."""
+    from claude_code_memory_spark.sources.javascript_parser import (
+        parse_javascript_source,
+    )
+    from claude_code_memory_spark.sources.python_parser import (
+        PARSED_SCHEMA,
+        type_bindings,
+    )
+
+    fixture = {
+        "lib/core.js": "export class Tool {\n  run() { return 1; }\n}\n",
+        "lib/index.js": "export { Tool } from './core';\n",
+        "lib.js": "export { Tool } from './lib/core';\n",
+        "app.js": (
+            "import { Tool } from './lib';\n"
+            "\n"
+            "function caller() {\n"
+            "  const t = new Tool();\n"
+            "  return t.run();\n"
+            "}\n"
+        ),
+    }
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_javascript_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(
+        relations, import_bindings(parsed), entities, type_bindings(parsed)
+    )
+    n_in = relations.filter(relations.relation_type == "calls").count()
+    calls = out.filter(out.relation_type == "calls")
+    assert calls.count() == n_in  # no drops, no duplicates
+    got = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in calls.collect()
+    }
+    assert ("caller", "Tool.run", "resolved") in got
+
+
 def test_js_index_entry_module_and_require(spark):
     """`require('./lib')` hits lib/index.js (the package-entry
     convention module_of_path strips symmetrically); destructured
