@@ -178,6 +178,10 @@ class CodeMemoryEngine:
         chunks = meta.unionByName(impl_ch).unionByName(rel_ch).observe(
             obs_chunks, F.count(F.lit(1)).alias("n")
         )
+        # three consumers (the chunks merge, the embed/dedup path into
+        # vectors, the BM25 corpus slice) — persist so each reuses one
+        # computation instead of replaying chunk building per consumer
+        chunks = chunks.persist()
 
         # J6: dedup vs stored content hashes — skip re-embedding unchanged
         stored_chunks = self.store.read("chunks")
@@ -245,7 +249,10 @@ class CodeMemoryEngine:
             vectors = vectors.unionByName(reused)
 
         # fixed merge order: delete-replaced → insert (processors.py:155-179);
-        # chunks/vectors partition on chunk_type (metadata-first pruning)
+        # chunks/vectors partition on chunk_type (metadata-first pruning).
+        # (Measured and rejected: thread-pooling the six merges — they
+        # re-execute the shared chunk lineage concurrently and contend
+        # for the same cores, 38 s → 48 s on a 1-file batch.)
         merge_replace_by_file(self.store, "entities", entities, replaced)
         merge_replace_by_file(self.store, "relations", relations, replaced)
         merge_replace_by_file(self.store, "bindings", bindings, replaced)
@@ -296,6 +303,7 @@ class CodeMemoryEngine:
         changed.unpersist()
         parsed.unpersist()
         relations.unpersist()
+        chunks.unpersist()
         return counters
 
     @staticmethod
