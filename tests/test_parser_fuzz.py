@@ -88,3 +88,68 @@ def test_markdown_packing_invariants(source, target):
     for sec in sections:
         if sec.get("heading"):
             assert sec["heading"] in packed_text
+
+
+# --- type-bind soundness ---------------------------------------------------
+# The resolver treats a type-bind as a CERTAINTY (it rewrites the call
+# target), so the collector's poisoning must be sound: a var that is
+# assigned anything other than exactly one constructor form must never
+# be emitted. Generate random scopes and check the invariant directly
+# against a straightforward recount of the assignments.
+
+_CTORS = ["Alpha", "Beta", "ns.Gamma"]
+_VALUES = ["1", "x + 1", "Alpha()", "Beta()", "ns.Gamma()", "make()", "[1]"]
+
+
+@st.composite
+def _py_function(draw):
+    n = draw(st.integers(min_value=1, max_value=6))
+    var_names = ["a", "b", "c"]
+    stmts = []
+    for _ in range(n):
+        v = draw(st.sampled_from(var_names))
+        kind = draw(st.integers(min_value=0, max_value=3))
+        if kind == 0:
+            stmts.append(f"    {v} = {draw(st.sampled_from(_VALUES))}")
+        elif kind == 1:
+            stmts.append(f"    {v} += 1")
+        elif kind == 2:
+            stmts.append(f"    for {v} in range(3):\n        pass")
+        else:
+            stmts.append(f"    {v}: {draw(st.sampled_from(_CTORS))}")
+    return "def f():\n" + "\n".join(stmts) + "\n"
+
+
+@settings(max_examples=200, deadline=None)
+@given(_py_function())
+def test_python_type_binds_only_when_unambiguous(src):
+    import re
+
+    recs = parse_python_source("a.py", src)
+    binds = {
+        r["entity_name"]: r["to_entity"]
+        for r in recs
+        if r["record_kind"] == "type_binding" and r["from_entity"] == "f"
+    }
+    for var, ctor in binds.items():
+        # recount from the source: every statement mentioning the var as
+        # an assignment/annotation/loop target must be the SAME ctor form
+        pat = re.compile(
+            rf"^\s*(?:{var} = (?P<val>.+)|{var} \+= .+|for {var} in .+|"
+            rf"{var}: (?P<ann>[\w.]+))$"
+        )
+        forms = []
+        for line in src.splitlines():
+            m = pat.match(line)
+            if not m:
+                continue
+            if m.group("val") is not None:
+                forms.append(m.group("val"))
+            elif m.group("ann") is not None:
+                forms.append(m.group("ann") + "()")
+            else:
+                forms.append("<poison>")
+        assert forms, f"{var} bound but never assigned in source"
+        expected = {f.split("(")[0].split(".")[-1] for f in forms if "(" in f}
+        assert all("(" in f for f in forms), f"{var}: non-ctor form in {forms}"
+        assert expected == {ctor}, f"{var}: {forms} vs bind {ctor}"
