@@ -117,13 +117,23 @@ def _normalize_targets(
     exploded = b.select(
         "__bid", F.explode(cands).alias("c")
     ).select("__bid", F.col("c.trim").alias("__trim"), F.col("c.cand").alias("__cand"))
-    km = F.broadcast(known_modules.select(F.col("module").alias("__km")).distinct())
+    # "cand equals a known module, or is a dot-boundary prefix of one"
+    # as an EQUI-join: explode every known module into its dot-prefix
+    # set (≤ path-depth rows each) and hash-join on equality. The
+    # direct OR-of-startswith condition is a broadcast nested-loop —
+    # O(bindings × modules) scans at mega-repo scale; this is
+    # O(bindings + module-prefixes) with an ordinary shuffle/broadcast
+    # hash join.
+    segs = F.split("module", r"\.")
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size(segs)),
+        lambda k: F.array_join(F.slice(segs, 1, k), "."),
+    )
+    km = F.broadcast(
+        known_modules.select(F.explode(prefixes).alias("__km")).distinct()
+    )
     hits = (
-        exploded.join(
-            km,
-            (F.col("__cand") == F.col("__km"))
-            | F.col("__km").startswith(F.concat(F.col("__cand"), F.lit("."))),
-        )
+        exploded.join(km, F.col("__cand") == F.col("__km"))
         .groupBy("__bid")
         .agg(F.min(F.struct("__trim", "__cand")).alias("__best"))
         .select("__bid", F.col("__best.__cand").alias("__norm"))
