@@ -406,6 +406,11 @@ def main() -> None:
             "hybrid_rrf_overhead_vs_dense": (
                 round(hybrid_t / dense_t, 2) if dense_t and hybrid_t else None
             ),
+            # the ratio divides by a ~1.5 s denominator, so 0.3 s of
+            # no-op drift moves it 5+ points — the raw pair makes any
+            # round-over-round swing attributable to the right side
+            "reindex_full_sec": round(t_full, 2) if t_full else None,
+            "reindex_noop_sec": round(t_noop, 2) if t_noop else None,
             "incremental_reindex_speedup": (
                 round(t_full / max(t_noop, 1e-9), 1) if t_full is not None else None
             ),
