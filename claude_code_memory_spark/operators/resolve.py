@@ -359,7 +359,23 @@ def resolve_calls(
     brem = F.regexp_replace(F.col("context"), r"^[^.]+", "")  # '.y.z' or ''
     attr = attr.withColumn("__b0", b0).withColumn("__brem", brem)
 
-    # (a) base head is a module alias: z.f() / z.sub.f() → module zTarget(.sub)
+    # whole-context from-import binding — feeds BOTH the module path
+    # (`from . import utils; utils.helper()` → module pkg.utils) and
+    # the class path (`from m import C; C.method()`); locals never
+    # contain dots, so a hit implies __brem == ''
+    cb3 = chased.select(
+        F.col("file_path").alias("e_file"),
+        F.col("local_name").alias("e_local"),
+        F.col("target_module").alias("e_tmod"),
+        F.col("member").alias("e_member"),
+    )
+    attr = attr.join(
+        cb3, (attr.file_path == cb3.e_file) & (attr.context == cb3.e_local), "left"
+    )
+
+    # (a) base is a module: the head is a module-alias binding
+    # (z.f() / z.sub.f() → module zTarget(.sub)), or the whole base is
+    # a from-imported module (target.member names it)
     mb = modb.select(
         F.col("file_path").alias("m_file"),
         F.col("local_name").alias("m_local"),
@@ -369,8 +385,15 @@ def resolve_calls(
         mb, (attr.file_path == mb.m_file) & (attr.__b0 == mb.m_local), "left"
     ).withColumn(
         "__mod",
-        F.when(
-            F.col("m_tmod").isNotNull(), F.concat(F.col("m_tmod"), F.col("__brem"))
+        F.coalesce(
+            F.when(
+                F.col("m_tmod").isNotNull(),
+                F.concat(F.col("m_tmod"), F.col("__brem")),
+            ),
+            F.when(
+                F.col("e_tmod").isNotNull(),
+                F.concat_ws(".", F.col("e_tmod"), F.col("e_member")),
+            ),
         ),
     )
     # the aliased module may re-export the callee — chase one lookup
@@ -414,21 +437,18 @@ def resolve_calls(
         .distinct()
     )
 
-    # direct: the whole base names a chased from-import or a same-file class
-    cb3 = chased.select(
-        F.col("file_path").alias("e_file"),
-        F.col("local_name").alias("e_local"),
-        F.col("target_module").alias("e_tmod"),
-        F.col("member").alias("e_member"),
-    )
+    # direct: the whole base names a chased from-import (e_* columns,
+    # joined above) or a same-file class
     lc1 = classes.select(
         F.col("file_path").alias("l1_file"),
         F.col("k_module").alias("l1_module"),
         F.col("k_name").alias("l1_name"),
     )
     attr = attr.join(
-        cb3, (attr.file_path == cb3.e_file) & (attr.context == cb3.e_local), "left"
-    ).join(lc1, (F.col("file_path") == lc1.l1_file) & (F.col("context") == lc1.l1_name), "left")
+        lc1,
+        (F.col("file_path") == lc1.l1_file) & (F.col("context") == lc1.l1_name),
+        "left",
+    )
 
     # instance-typed: (file, scope, var) → the var's unambiguous
     # constructor. Scope priority mirrors Python name lookup: the

@@ -93,6 +93,35 @@ def resolved(spark):
     }
 
 
+def test_from_imported_module_attribute_call_resolves(spark):
+    """`from pkg import utils; utils.helper()` — the from-import binds a
+    MODULE, not a name; the attribute call resolves into it (the
+    module-path twin of the class-valued from-import)."""
+    fixture = {
+        "pkg/__init__.py": "",
+        "pkg/utils.py": "def util_helper(x):\n    return x\n",
+        "app2.py": (
+            "from pkg import utils\n"
+            "\n"
+            "def consume():\n"
+            "    return utils.util_helper(1)\n"
+        ),
+    }
+    from claude_code_memory_spark.sources.python_parser import PARSED_SCHEMA
+
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_python_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(relations, import_bindings(parsed), entities)
+    got = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in out.filter(out.relation_type == "calls").collect()
+    }
+    assert ("consume", "util_helper", "resolved") in got
+
+
 def test_module_of_path_cases(spark):
     rows = spark.createDataFrame(
         [
