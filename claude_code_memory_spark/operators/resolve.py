@@ -319,10 +319,31 @@ def resolve_calls(
     chased = _pin(_chase(fromb, max_hops).dropDuplicates(["file_path", "local_name"]))
 
     calls = relations.filter(F.col("relation_type") == "calls")
-    passthrough = relations.filter(F.col("relation_type") != "calls")
+    # throws targets and bare decorator uses are names in the SAME
+    # namespace as bare calls (`raise NotReady` / `@cached` where the
+    # name was from-imported, possibly aliased) — route them through
+    # the bare rewrite so the graph stores the defining name
+    bare_named = relations.filter(
+        (F.col("relation_type") == "throws")
+        | (
+            (F.col("relation_type") == "uses")
+            & (F.col("import_type") == "decorator")
+        )
+    )
+    passthrough = relations.filter(
+        (F.col("relation_type") != "calls")
+        & (F.col("relation_type") != "throws")
+        # eqNullSafe: `uses` rows with NULL import_type (JSON loads,
+        # data files) must stay in the passthrough, and a plain ==
+        # yields NULL there, which filter() would silently drop
+        & ~(
+            (F.col("relation_type") == "uses")
+            & F.col("import_type").eqNullSafe("decorator")
+        )
+    )
 
     # --- bare calls: f() where f is a from-import binding -------------
-    bare = calls.filter(F.col("context").isNull())
+    bare = calls.filter(F.col("context").isNull()).unionByName(bare_named)
     cb = chased.select(
         F.col("file_path").alias("b_file"),
         F.col("local_name").alias("b_local"),

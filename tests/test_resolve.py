@@ -122,6 +122,40 @@ def test_from_imported_module_attribute_call_resolves(spark):
     assert ("consume", "util_helper", "resolved") in got
 
 
+def test_throws_and_decorator_targets_resolve(spark):
+    """`raise X` and bare `@deco` targets live in the same namespace as
+    bare calls — an aliased from-import rewrites to the defining name;
+    `uses` rows with NULL import_type pass through untouched."""
+    fixture = {
+        "pkg/__init__.py": "",
+        "pkg/errs.py": "class NotReady(Exception):\n    pass\n",
+        "pkg/deco.py": "def cached(f):\n    return f\n",
+        "app3.py": (
+            "from pkg.errs import NotReady as NR\n"
+            "from pkg.deco import cached as memo\n"
+            "\n"
+            "@memo\n"
+            "def risky():\n"
+            "    raise NR('x')\n"
+        ),
+    }
+    from claude_code_memory_spark.sources.python_parser import PARSED_SCHEMA
+
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_python_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(relations, import_bindings(parsed), entities)
+    assert out.count() == relations.count()  # refinement, never loss
+    got = {
+        (r["from_entity"], r["to_entity"], r["relation_type"], r["import_type"])
+        for r in out.collect()
+    }
+    assert ("risky", "NotReady", "throws", "resolved") in got
+    assert ("risky", "cached", "uses", "resolved") in got
+
+
 def test_module_of_path_cases(spark):
     rows = spark.createDataFrame(
         [
