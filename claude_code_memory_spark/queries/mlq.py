@@ -202,3 +202,115 @@ def mixture_domain_weights(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# -- DSIR: hashed-n-gram importance weights for targeted data selection --
+#
+# B buckets keep the feature table at a FIXED size regardless of corpus
+# or vocabulary scale — that is the whole point of the hashing trick in
+# DSIR (Xie et al. 2023, arXiv:2302.03169): the target/raw count table is
+# B rows, broadcastable at ANY corpus size, so scoring never shuffles the
+# corpus by token.
+_DSIR_B = 1024
+# portable 32-bit token hash (the md5-prefix idiom every dedup oracle uses)
+_DD_DSIR_TOK = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 1)"
+)
+
+
+@register(
+    "sample_dsir_importance",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(t.tk), 1, 8))::UBIGINT::BIGINT % {_DSIR_B} AS b
+      FROM (SELECT doc_id, lang, unnest({_DD_DSIR_TOK}) AS tk FROM documents) t),
+    cnt AS (
+      SELECT b, count(*) AS n_raw,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_tgt
+      FROM tok GROUP BY b),
+    tot AS (
+      SELECT CAST(sum(n_raw) AS BIGINT) AS tot_raw,
+             CAST(sum(n_tgt) AS BIGINT) AS tot_tgt
+      FROM cnt),
+    lr AS (
+      SELECT b,
+             round(ln(round(((n_tgt + 1.0) * (tot_raw + {_DSIR_B})) /
+                            ((n_raw + 1.0) * (tot_tgt + {_DSIR_B})), 6)), 6) AS lr
+      FROM cnt CROSS JOIN tot),
+    scored AS (
+      SELECT t.doc_id, t.lang,
+             round(sum(CAST(lr.lr AS DECIMAL(38,12)))::DOUBLE, 6) AS dsir_weight
+      FROM tok t JOIN lr ON t.b = lr.b
+      GROUP BY t.doc_id, t.lang)
+    SELECT doc_id, lang, dsir_weight FROM scored
+    ORDER BY dsir_weight DESC, doc_id ASC LIMIT 50
+    """,
+)
+def sample_dsir_importance(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score every
+    document by how much its hashed-unigram distribution looks like a
+    target domain (here lang='en') versus the raw corpus, as the sum of
+    per-token log-likelihood ratios under add-1-smoothed bucket
+    distributions; return the top 50 candidates for the training mix.
+
+    The hashing trick is the scale contract: tokens map to B=1024 md5
+    buckets, so the target/raw count table is B rows — broadcast to the
+    scoring join at ANY corpus size (a raw-vocab variant would be a
+    billions-row table needing a corpus-wide token shuffle; see the
+    lm_bigram scale note). Plan: one tokenize+explode of the corpus
+    (persisted across its two consumers), one map-side-combined B-key
+    aggregate, a 1-row totals broadcast, then the broadcast scoring join
+    and one doc-keyed aggregate — the corpus shuffles exactly once (by
+    doc_id) and the top-50 is TakeOrderedAndProject, never a global sort.
+    The log-ratio rounds to 6 dp before the decimal sum so the per-doc
+    weight is partition-order invariant (the k-means determinism recipe).
+    Complements `mixture_domain_weights` (per-DOMAIN sampling rates):
+    DSIR picks individual documents, the mixture weights pick domains.
+    Reference parity: progressive-disclosure relevance ranking
+    (storage/qdrant.py search facade) re-expressed as corpus curation."""
+    from claude_code_memory_spark.functions.text import tokenize
+
+    d = spread(spark, table(spark, sf_dir, "documents"))
+    tok = (
+        d.select("doc_id", "lang", F.explode(tokenize("text")).alias("tk"))
+        .select(
+            "doc_id",
+            "lang",
+            (F.conv(F.substring(F.md5("tk"), 1, 8), 16, 10).cast("long") % _DSIR_B).alias("b"),
+        )
+        .persist()
+    )
+    cnt = tok.groupBy("b").agg(
+        F.count("*").alias("n_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_tgt"),
+    )
+    tot = F.broadcast(
+        cnt.agg(
+            F.sum("n_raw").cast("long").alias("tot_raw"),
+            F.sum("n_tgt").cast("long").alias("tot_tgt"),
+        )
+    )
+    lr = cnt.crossJoin(tot).select(
+        "b",
+        F.round(
+            F.log(
+                F.round(
+                    ((F.col("n_tgt") + 1.0) * (F.col("tot_raw") + _DSIR_B))
+                    / ((F.col("n_raw") + 1.0) * (F.col("tot_tgt") + _DSIR_B)),
+                    6,
+                )
+            ),
+            6,
+        ).alias("lr"),
+    )
+    scored = (
+        tok.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.sum(F.col("lr").cast("decimal(38,12)")).cast("double"), 6
+            ).alias("dsir_weight")
+        )
+    )
+    return scored.orderBy(F.desc("dsir_weight"), F.asc("doc_id")).limit(50)

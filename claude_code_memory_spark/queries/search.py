@@ -757,3 +757,58 @@ def vector_ivfpq_adc_topk(spark, sf_dir):
     )
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
     return pq_topk(cell_codes, cb, qvec, k=10)
+
+
+@register(
+    "ann_hard_negatives",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT qv.vec_id AS q_id, qv.label AS q_label,
+             a.vec_id, a.label, {_DD_COS} AS score,
+             row_number() OVER (PARTITION BY qv.vec_id
+                                ORDER BY {_DD_COS} DESC, a.vec_id ASC) AS rnk
+      FROM embeddings a,
+           (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 8)
+             qv(vec_id, label, embedding),
+           LATERAL (SELECT qv.embedding AS embedding) q
+      WHERE a.vec_id <> qv.vec_id AND a.label <> qv.label)
+    WHERE rnk <= 3
+    """,
+)
+def ann_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive / embedding training (the
+    sentence-transformers ANCE/RocketQA recipe): for each of 8 anchor
+    vectors, the 3 most-similar corpus vectors carrying a DIFFERENT
+    label — the near-miss negatives that make a contrastive batch
+    informative, as opposed to random negatives the model already
+    separates.
+
+    Plan shape = the `knn_join_queries` broadcast kNN join with the
+    label-mismatch predicate fused into the scoring pass: anchors (a
+    handful of rows) broadcast onto the corpus scan, same-label pairs
+    drop BEFORE the per-anchor top-k window, so the shuffled window
+    input is the scored survivors only. At production scale the anchor
+    set is a training batch (10^2-10^4 rows) — still broadcast-sized —
+    and the window key space matches the anchor count, so parallelism
+    scales with the batch, never the corpus. Reference parity: scored
+    similarity search with payload filtering (storage/qdrant.py
+    search + filter facade), repurposed as a training-data miner."""
+    emb = table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter((F.col("vec_id") != F.col("q_id")) & (F.col("label") != F.col("q_label")))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            "label",
+            F.round(cosine_similarity(F.col("embedding"), F.col("q_vec")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
