@@ -750,3 +750,102 @@ def pack_training_sequences(spark, sf_dir):
         F.floor((F.col("cum") - F.col("toks")) / _PACK_BUDGET).alias("first_seq"),
         F.floor((F.col("cum") - 1) / _PACK_BUDGET).alias("last_seq"),
     )
+
+
+def _bpe_train_ctes(rounds: int = 3) -> str:
+    """CTE chain replaying `operators/bpe.py::bpe_train` (one merge per
+    round, textbook-exact mode) symbol-for-symbol: weighted adjacent-pair
+    counts over the space-joined symbol strings, argmax by (weight DESC,
+    pair ASC), space-padded leftmost-non-overlapping replace — DuckDB's
+    `replace` shares the scan-resume-after-replacement rule with JVM
+    `replace`, so every round's vocab string matches bit-for-bit.
+    Terminal CTE: ``v{rounds}`` (syms, n)."""
+    parts = [
+        """words AS (
+      SELECT t AS word, count(*) AS n FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> length(x) > 1)) AS t
+        FROM documents)
+      GROUP BY t)""",
+        """v0 AS (
+      SELECT array_to_string(list_append(string_split_regex(word, ''), '</w>'), ' ') AS syms, n
+      FROM words)""",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"v{i - 1}"
+        parts.append(
+            f"""pc{i} AS (
+      SELECT p[j] || ' ' || p[j + 1] AS pair, CAST(sum(n) AS BIGINT) AS w
+      FROM (SELECT string_split(syms, ' ') AS p, n,
+                   unnest(generate_series(1, len(string_split(syms, ' ')) - 1)) AS j
+            FROM {prev})
+      GROUP BY pair)"""
+        )
+        parts.append(
+            f"m{i} AS (SELECT pair, replace(pair, ' ', '') AS merged FROM pc{i}"
+            f" ORDER BY w DESC, pair ASC LIMIT 1)"
+        )
+        parts.append(
+            f"""v{i} AS (
+      SELECT trim(replace(' ' || v.syms || ' ', ' ' || m.pair || ' ',
+                          ' ' || m.merged || ' ')) AS syms, v.n
+      FROM {prev} v CROSS JOIN m{i} m)"""
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "tokenizer_bpe_encode_top_symbols",
+    oracle=f"""
+    WITH {_bpe_train_ctes(rounds=3)}
+    SELECT sym, CAST(sum(n) AS BIGINT) AS w
+    FROM (SELECT unnest(string_split(syms, ' ')) AS sym, n FROM v3)
+    GROUP BY sym
+    ORDER BY w DESC, sym ASC
+    LIMIT 20
+    """,
+)
+def tokenizer_bpe_encode_top_symbols(spark, sf_dir):
+    """BPE train -> encode end to end (the serving half the pair-count
+    query stops short of): learn 3 merges on the corpus word-frequency
+    table (`bpe_train`, textbook one-merge-per-round mode), apply them
+    with the chained-replace encoder expression (`bpe_encode_expr` — the
+    narrow JVM pass a stored tokenizer replays at serving time), and
+    report the top-20 vocabulary symbols by encoded corpus frequency.
+    The oracle replays ALL THREE training rounds plus the encode in SQL,
+    so a drifted argmax tie-break, a wrong merge application, or an
+    encoder/trainer rule mismatch all hash-mismatch.
+
+    Scale: the corpus is touched ONCE (the word-count aggregate —
+    map-side combined); training and encoding run on the Zipf-bounded
+    vocabulary table, each round one vocab-sized aggregate + a 1-row
+    driver fetch (the Lloyd/PageRank bounded-collect shape), and the
+    encode is a narrow chained-replace projection — no shuffle at all.
+    Reference parity: deterministic tokenizer artifacts for incremental
+    re-index (embeddings/bm25.py fit/store discipline)."""
+    from claude_code_memory_spark.functions.text import tokenize
+    from claude_code_memory_spark.operators.bpe import (
+        bpe_encode_expr,
+        bpe_train,
+        words_to_symbols,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokenize("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    words = words.persist()  # two consumers: trainer rounds + encode pass
+    merges = bpe_train(spark, words, num_merges=3)
+    encoded = words_to_symbols(words).withColumn(
+        "syms", bpe_encode_expr(merges)
+    )
+    out = (
+        encoded.select(F.explode(F.split("syms", " ")).alias("sym"), "n")
+        .groupBy("sym")
+        .agg(F.sum("n").alias("w"))
+        .orderBy(F.desc("w"), F.asc("sym"))
+        .limit(20)
+    )
+    return out
