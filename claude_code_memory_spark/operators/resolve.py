@@ -18,7 +18,10 @@ does the cross-file step as pure DataFrame algebra:
 4. bare calls rewrite through from-import bindings to the DEFINING
    name; attribute calls rewrite through module-alias bindings to the
    defining module's entity (including `C.method()` → the `C.method`
-   entity when C was from-imported);
+   entity when C was from-imported); `from m import *` resolves a bare
+   name when exactly one starred module defines it (directly or via one
+   re-export hop) and the importer doesn't shadow it — ambiguity stays
+   unresolved rather than guessed;
 5. instance-typed method calls resolve through the parser's
    unambiguous constructor binds (`x = C(); x.m()`, `self.db = C()` /
    `this.db = new C()`, module-level singletons) — the static slice of
@@ -350,24 +353,96 @@ def resolve_calls(
         F.col("target_module").alias("b_tmod"),
         F.col("member").alias("b_member"),
     )
+    bare = bare.join(
+        cb,
+        (bare.file_path == cb.b_file) & (bare.to_entity == cb.b_local),
+        "left",
+    ).join(
+        defs,
+        (F.col("b_tmod") == defs.def_module) & (F.col("b_member") == defs.def_name),
+        "left",
+    )
+
+    # star-import fallback: `from m import *; f()` resolves when EXACTLY
+    # ONE starred module supplies a definition of the name — directly, or
+    # through one re-export hop of that module's own from-bindings
+    # (`from pkg import *` picking up pkg/__init__'s re-exports) — and
+    # the importing module does not define the name itself (locals shadow
+    # star imports; Python's true last-import-wins order isn't statically
+    # knowable, so ambiguity stays unresolved rather than guessed).
+    # Candidate building is star-bindings × target-module defs — both
+    # entity-scale — and the hits table is distinct (file, name) pairs.
+    sb = b.filter(F.col("import_type") == "star").select(
+        F.col("file_path").alias("sb_file"),
+        F.col("module").alias("sb_mod"),
+        F.col("target_module").alias("sb_tmod"),
+    )
+    sd = defs.select(
+        F.col("def_module").alias("sd_mod"), F.col("def_name").alias("sd_name")
+    )
+    star_direct = sb.join(sd, F.col("sb_tmod") == F.col("sd_mod")).select(
+        "sb_file",
+        "sb_mod",
+        F.col("sd_name").alias("st_name"),
+        F.col("sd_mod").alias("st_dmod"),
+        F.col("sd_name").alias("st_def"),
+    )
+    ce = chased.select(
+        F.col("module").alias("ce_mod"),
+        F.col("local_name").alias("ce_local"),
+        F.col("target_module").alias("ce_tmod"),
+        F.col("member").alias("ce_member"),
+    )
+    star_reexp = (
+        sb.join(ce, F.col("sb_tmod") == F.col("ce_mod"))
+        .join(
+            sd,
+            (F.col("ce_tmod") == F.col("sd_mod"))
+            & (F.col("ce_member") == F.col("sd_name")),
+        )
+        .select(
+            "sb_file",
+            "sb_mod",
+            F.col("ce_local").alias("st_name"),
+            F.col("sd_mod").alias("st_dmod"),
+            F.col("sd_name").alias("st_def"),
+        )
+    )
+    own = defs.select(
+        F.col("def_module").alias("o_mod"), F.col("def_name").alias("o_name")
+    )
+    star_hits = (
+        star_direct.unionByName(star_reexp)
+        .join(
+            own,
+            (F.col("sb_mod") == F.col("o_mod")) & (F.col("st_name") == F.col("o_name")),
+            "left_anti",
+        )
+        .groupBy("sb_file", "st_name")
+        .agg(
+            F.count_distinct("st_dmod", "st_def").alias("__n"),
+            F.min("st_def").alias("st_def"),
+        )
+        .filter(F.col("__n") == 1)
+        .select(F.col("sb_file").alias("st_file"), "st_name", "st_def")
+    )
     bare = (
         bare.join(
-            cb,
-            (bare.file_path == cb.b_file) & (bare.to_entity == cb.b_local),
-            "left",
-        )
-        .join(
-            defs,
-            (F.col("b_tmod") == defs.def_module) & (F.col("b_member") == defs.def_name),
+            star_hits,
+            (F.col("file_path") == star_hits.st_file)
+            & (F.col("to_entity") == star_hits.st_name),
             "left",
         )
         .select(
             "from_entity",
-            F.coalesce("def_name", "to_entity").alias("to_entity"),
+            F.coalesce("def_name", "st_def", "to_entity").alias("to_entity"),
             "relation_type",
             "context",
             "confidence",
-            F.when(F.col("def_name").isNotNull(), F.lit("resolved"))
+            F.when(
+                F.col("def_name").isNotNull() | F.col("st_def").isNotNull(),
+                F.lit("resolved"),
+            )
             .otherwise(F.col("import_type"))
             .alias("import_type"),
             "file_path",

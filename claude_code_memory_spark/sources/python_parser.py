@@ -398,11 +398,21 @@ def parse_python_source(path: str, source: str) -> list[dict]:
                     )
                     recs.append(_relation_rec(path, node.module or alias.name, "imports",
                                               path, "from"))
-                    if alias.name != "*":  # star imports bind nothing statically
+                    if alias.name != "*":
                         local = alias.asname or alias.name
                         b = _relation_rec(local, mod, "import_binding", path, "from")
                         b["record_kind"] = "import_binding"
                         b["content"] = alias.name  # the imported member
+                        recs.append(b)
+                    else:
+                        # star import: binds every public name of the
+                        # target — not enumerable file-locally, so emit
+                        # a 'star' binding the resolver expands against
+                        # the target module's definition table.
+                        # local_name carries the raw target so multiple
+                        # star imports in one file stay distinct rows.
+                        b = _relation_rec("*" + mod, mod, "import_binding", path, "star")
+                        b["record_kind"] = "import_binding"
                         recs.append(b)
         elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
             handle_function(node, None, "function")

@@ -597,3 +597,53 @@ def test_js_index_entry_module_and_require(spark):
         for r in out.filter(out.relation_type == "calls").collect()
     }
     assert ("go", "entryFn", "resolved") in got
+
+
+def test_star_import_resolution(spark):
+    """`from m import *`: a bare name resolves when exactly one starred
+    module defines it (directly, or through one re-export hop of a
+    starred package's __init__); two starred modules defining the same
+    name stay unresolved, and a name the importer defines itself is
+    shadowed — never rewritten to the starred module's def."""
+    fixture = {
+        "pkg/__init__.py": "from .core import shiny\n",
+        "pkg/core.py": "def shiny(x):\n    return x\n",
+        "pkg/helpers.py": (
+            "def star_fn(x):\n    return x\n"
+            "\n"
+            "def dup(x):\n    return x\n"
+            "\n"
+            "def mine(x):\n    return x\n"
+        ),
+        "pkg/extra.py": "def dup(x):\n    return x + 1\n",
+        "app4.py": (
+            "from pkg.helpers import *\n"
+            "from pkg.extra import *\n"
+            "from pkg import *\n"
+            "\n"
+            "def mine(x):\n"
+            "    return x * 2\n"
+            "\n"
+            "def consume():\n"
+            "    return star_fn(1) + dup(2) + shiny(3) + mine(4)\n"
+        ),
+    }
+    from claude_code_memory_spark.sources.python_parser import PARSED_SCHEMA
+
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_python_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(relations, import_bindings(parsed), entities)
+    assert out.count() == relations.count()  # refinement, never loss
+    got = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in out.filter(out.relation_type == "calls").collect()
+    }
+    assert ("consume", "star_fn", "resolved") in got  # unique star def
+    assert ("consume", "shiny", "resolved") in got  # via __init__ re-export
+    # ambiguous across two starred modules: passes through unresolved
+    assert any(t == "dup" and it != "resolved" for _, t, it in got)
+    # locally shadowed: never rewritten to the starred module's def
+    assert any(t == "mine" and it != "resolved" for _, t, it in got)
