@@ -118,6 +118,7 @@ class CodeMemoryEngine:
         from claude_code_memory_spark.operators.resolve import resolve_calls
         from claude_code_memory_spark.sources.python_parser import (
             import_bindings,
+            return_bindings,
             type_bindings,
         )
 
@@ -136,6 +137,13 @@ class CodeMemoryEngine:
             all_tbinds = tbinds.unionByName(
                 stored_tbinds.join(F.broadcast(replaced), "file_path", "left_anti")
             )
+        rbinds = return_bindings(parsed)
+        all_rbinds = rbinds
+        stored_rbinds = self.store.read("return_binds")
+        if stored_rbinds is not None:
+            all_rbinds = rbinds.unionByName(
+                stored_rbinds.join(F.broadcast(replaced), "file_path", "left_anti")
+            )
         def_cols = ["entity_name", "entity_type", "file_path"]
         defs = entities_raw.select(*def_cols)
         if stored_entities is not None:
@@ -153,7 +161,12 @@ class CodeMemoryEngine:
                 F.col("relation_type") == "inherits"
             ).join(F.broadcast(replaced), "file_path", "left_anti")
         relations = resolve_calls(
-            relations, all_bindings, defs, all_tbinds, stored_relations=stored_rels
+            relations,
+            all_bindings,
+            defs,
+            all_tbinds,
+            return_binds=all_rbinds,
+            stored_relations=stored_rels,
         )
 
         # J4: pre-storage orphan filter — entity universe = stored ∪ batch.
@@ -257,6 +270,7 @@ class CodeMemoryEngine:
         merge_replace_by_file(self.store, "relations", relations, replaced)
         merge_replace_by_file(self.store, "bindings", bindings, replaced)
         merge_replace_by_file(self.store, "type_bindings", tbinds, replaced)
+        merge_replace_by_file(self.store, "return_binds", rbinds, replaced)
         merge_replace_by_file(self.store, "chunks", chunks, replaced, ["chunk_type"])
         merge_replace_by_file(self.store, "vectors", vectors, replaced, ["chunk_type"])
 
@@ -903,6 +917,7 @@ class CodeMemoryEngine:
             "relations",
             "bindings",
             "type_bindings",
+            "return_binds",
             "vectors",
             "file_state",
         ):
@@ -1143,7 +1158,14 @@ class CodeMemoryEngine:
         """K3: clear the collection. ``preserve_manual=True`` keeps chunks/
         vectors with NULL file_path (manual memories) and drops everything
         auto-indexed + all relation chunks (qdrant.py:1303-1401)."""
-        for t in ("entities", "relations", "bindings", "type_bindings", "file_state"):
+        for t in (
+            "entities",
+            "relations",
+            "bindings",
+            "type_bindings",
+            "return_binds",
+            "file_state",
+        ):
             df = self.store.read(t)
             if df is not None:
                 self.store.write(t, df.limit(0))

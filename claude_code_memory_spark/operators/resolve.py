@@ -26,7 +26,9 @@ does the cross-file step as pure DataFrame algebra:
    unambiguous constructor binds (`x = C(); x.m()`, `self.db = C()` /
    `this.db = new C()`, module-level singletons) — the static slice of
    what Jedi infers dynamically, emitted only when the binding is
-   certain;
+   certain; a bind whose "constructor" is a FACTORY FUNCTION (every
+   return the same constructor call) substitutes the returned class,
+   so `x = make_tool(); x.run()` pins to Tool.run across files;
 6. methods a class doesn't define look up through a bounded
    transitive closure of the `inherits` graph (closest ancestor wins),
    so `t.close()` resolves to `Base.close` wherever the subclass is
@@ -276,6 +278,7 @@ def resolve_calls(
     entities: DataFrame,
     type_binds: DataFrame | None = None,
     *,
+    return_binds: DataFrame | None = None,
     stored_relations: DataFrame | None = None,
     max_hops: int = 3,
     max_inherit: int = 3,
@@ -288,6 +291,9 @@ def resolve_calls(
     file_path, ...). ``type_binds``: type_bindings(parsed) — enables
     instance-typed method resolution (``x = C(); x.m()`` → the C.m
     entity, looking through inherited classes when C doesn't define m).
+    ``return_binds``: return_bindings(parsed) — factory-function
+    returns; a type-bind whose ctor names such a function substitutes
+    the factory's returned class before method lookup.
     ``stored_relations``: previously-indexed relations (replaced files
     already excluded) — an INCREMENTAL batch's own relation slice lacks
     the `inherits` edges of untouched files, so without this the
@@ -672,6 +678,18 @@ def resolve_calls(
                         F.col("__ctor.ctor").alias("name"),
                     ),
                 ),
+                # bare ctor with no import/class hit: try the calling
+                # file's own module — this is what lets a SAME-FILE
+                # factory function (`def make(): return Tool()` beside
+                # its caller) reach the factory join below; a name the
+                # module doesn't define simply matches nothing downstream
+                F.when(
+                    F.col("__ctor.ctor").isNotNull() & F.col("__ctor.base").isNull(),
+                    F.struct(
+                        module_of_path("file_path").alias("mod"),
+                        F.col("__ctor.ctor").alias("name"),
+                    ),
+                ),
             ),
         )
     )
@@ -703,6 +721,116 @@ def resolve_calls(
         .withColumn("__cm", F.coalesce("g_tmod", "__cls.mod"))
         .withColumn("__cn", F.coalesce("g_member", "__cls.name"))
     )
+
+    # factory functions: when (__cm, __cn) names a module-level function
+    # whose every return is the same constructor call, the call site's
+    # value is that class — `x = make_tool(); x.run()` proceeds into the
+    # method lookup as Tool. The returned ctor resolves in the FACTORY's
+    # own file context (its chased from-imports, its same-file classes,
+    # its module aliases), then chases one re-export hop, so the
+    # substituted (module, class) is terminal. Entity-scale equi-joins
+    # throughout; built once, keyed by defining (module, function).
+    if return_binds is not None:
+        rb = return_binds.withColumn("rb_module", module_of_path("file_path"))
+        rcb = chased.select(
+            F.col("file_path").alias("rc_file"),
+            F.col("local_name").alias("rc_local"),
+            F.col("target_module").alias("rc_tmod"),
+            F.col("member").alias("rc_member"),
+        )
+        rlc = classes.select(
+            F.col("file_path").alias("rl_file"),
+            F.col("k_module").alias("rl_module"),
+            F.col("k_name").alias("rl_name"),
+        )
+        rmb = modb.select(
+            F.col("file_path").alias("rm_file"),
+            F.col("local_name").alias("rm_local"),
+            F.col("target_module").alias("rm_tmod"),
+        )
+        rb_head = F.split(F.col("ctor_base"), r"\.")[0]
+        rb_rem = F.regexp_replace(F.col("ctor_base"), r"^[^.]+", "")
+        fx = (
+            rb.join(
+                rcb,
+                F.col("ctor_base").isNull()
+                & (F.col("file_path") == rcb.rc_file)
+                & (F.col("ctor") == rcb.rc_local),
+                "left",
+            )
+            .join(
+                rlc,
+                F.col("ctor_base").isNull()
+                & (F.col("file_path") == rlc.rl_file)
+                & (F.col("ctor") == rlc.rl_name),
+                "left",
+            )
+            .join(
+                rmb,
+                F.col("ctor_base").isNotNull()
+                & (F.col("file_path") == rmb.rm_file)
+                & (rb_head == rmb.rm_local),
+                "left",
+            )
+            .select(
+                F.col("rb_module").alias("fx_module"),
+                F.col("func").alias("fx_func"),
+                F.coalesce(
+                    F.when(
+                        F.col("rc_tmod").isNotNull(),
+                        F.struct(
+                            F.col("rc_tmod").alias("mod"), F.col("rc_member").alias("name")
+                        ),
+                    ),
+                    F.when(
+                        F.col("rl_module").isNotNull(),
+                        F.struct(
+                            F.col("rl_module").alias("mod"), F.col("ctor").alias("name")
+                        ),
+                    ),
+                    F.when(
+                        F.col("rm_tmod").isNotNull(),
+                        F.struct(
+                            F.concat(F.col("rm_tmod"), rb_rem).alias("mod"),
+                            F.col("ctor").alias("name"),
+                        ),
+                    ),
+                ).alias("fx_cls"),
+            )
+            .filter(F.col("fx_cls").isNotNull())
+        )
+        fcb = cb5.select(
+            F.col("g_module").alias("f_module"),
+            F.col("g_local").alias("f_local"),
+            F.col("g_tmod").alias("f_tmod"),
+            F.col("g_member").alias("f_member"),
+        )
+        fx = (
+            fx.join(
+                fcb,
+                (F.col("fx_cls.mod") == fcb.f_module)
+                & (F.col("fx_cls.name") == fcb.f_local),
+                "left",
+            )
+            .groupBy("fx_module", "fx_func")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.coalesce("f_tmod", "fx_cls.mod").alias("mod"),
+                        F.coalesce("f_member", "fx_cls.name").alias("name"),
+                    )
+                ).alias("fx_c")
+            )
+        )
+        attr = (
+            attr.join(
+                fx,
+                (F.col("__cm") == fx.fx_module) & (F.col("__cn") == fx.fx_func),
+                "left",
+            )
+            .withColumn("__cm", F.coalesce("fx_c.mod", "__cm"))
+            .withColumn("__cn", F.coalesce("fx_c.name", "__cn"))
+        )
 
     # method lookup with inheritance: the DISTINCT (class, method) pairs
     # walk the ancestor closure to the nearest definition, then join

@@ -146,6 +146,33 @@ def _scope_nodes(root: ast.AST) -> list[ast.AST]:
     return out
 
 
+def _function_return_bind(fn: ast.AST) -> tuple[str, str | None] | None:
+    """(ctor, dotted_base) when EVERY return statement in ``fn``'s own
+    scope returns the SAME named call (and there is at least one) — the
+    factory-function pattern ``def make(): return Tool()``. Any bare
+    return, non-call value, differing call, or yield (a generator's
+    caller receives the generator, not the return) yields None, so the
+    resolver only pins factory results it is certain about."""
+    seen: tuple[str, str | None] | None = None
+    any_ret = False
+    for n in _scope_nodes(fn):
+        if isinstance(n, (ast.Yield, ast.YieldFrom)):
+            return None
+        if not isinstance(n, ast.Return):
+            continue
+        any_ret = True
+        if n.value is None or not isinstance(n.value, ast.Call):
+            return None
+        name, base = _name_and_base(n.value.func)
+        if name is None:
+            return None
+        if seen is None:
+            seen = (name, base)
+        elif seen != (name, base):
+            return None
+    return seen if any_ret else None
+
+
 def _collect_type_binds(
     root: ast.AST,
 ) -> tuple[dict[str, tuple[str, str | None] | None], dict[str, tuple[str, str | None] | None]]:
@@ -366,6 +393,16 @@ def parse_python_source(path: str, source: str) -> list[dict]:
         for var, val in sorted(local_binds.items()):
             if val is not None:
                 recs.append(_type_bind_rec(qual, var, val[0], val[1], path))
+        # factory pattern: a module-level function whose every return is
+        # the same constructor call types its callers' assignments
+        # (`x = make_tool(); x.run()` — resolver joins this table)
+        if parent_name is None and etype == "function":
+            rb = _function_return_bind(fn)
+            if rb is not None:
+                r = _relation_rec(qual, rb[0], None, path)
+                r["record_kind"] = "return_bind"
+                r["content"] = rb[1]
+                recs.append(r)
         return self_binds
 
     for node in tree.body:
@@ -571,6 +608,23 @@ def type_bindings(parsed: DataFrame) -> DataFrame:
         "file_path",
         F.col("from_entity").alias("scope"),
         F.col("entity_name").alias("var"),
+        F.col("to_entity").alias("ctor"),
+        F.col("content").alias("ctor_base"),
+    )
+
+
+def return_bindings(parsed: DataFrame) -> DataFrame:
+    """The factory-function table: (file_path, func, ctor, ctor_base) —
+    module-level functions whose EVERY return statement returns the same
+    named constructor call (``def make_tool(): return Tool()``). The
+    resolver joins a call-site type-bind whose 'ctor' is such a function
+    onto this table, so ``x = make_tool(); x.run()`` pins to Tool.run —
+    the static slice of Jedi's return-type inference."""
+    from pyspark.sql import functions as F
+
+    return parsed.filter(F.col("record_kind") == "return_bind").select(
+        "file_path",
+        F.col("from_entity").alias("func"),
         F.col("to_entity").alias("ctor"),
         F.col("content").alias("ctor_base"),
     )

@@ -647,3 +647,84 @@ def test_star_import_resolution(spark):
     assert any(t == "dup" and it != "resolved" for _, t, it in got)
     # locally shadowed: never rewritten to the starred module's def
     assert any(t == "mine" and it != "resolved" for _, t, it in got)
+
+
+def test_factory_return_type_resolution(spark):
+    """`x = make_tool(); x.run()` resolves through the factory's return
+    type (the static slice of Jedi's return-type inference): cross-file
+    factories, same-file factories, inherited methods on the returned
+    class — and a function with divergent returns types nothing."""
+    fixture = {
+        "pkg/__init__.py": "",
+        "pkg/core.py": (
+            "class FBase:\n"
+            "    def teardown(self):\n"
+            "        return 0\n"
+            "\n"
+            "class Widget(FBase):\n"
+            "    def spin(self):\n"
+            "        return 1\n"
+        ),
+        "pkg/make.py": (
+            "from pkg.core import Widget\n"
+            "\n"
+            "def make_widget():\n"
+            "    return Widget()\n"
+            "\n"
+            "def maybe_widget(flag):\n"
+            "    if flag:\n"
+            "        return Widget()\n"
+            "    return None\n"
+        ),
+        "app5.py": (
+            "from pkg.make import make_widget, maybe_widget\n"
+            "from pkg.core import Widget\n"
+            "\n"
+            "def local_factory():\n"
+            "    return Widget()\n"
+            "\n"
+            "def use_cross_file():\n"
+            "    w = make_widget()\n"
+            "    return w.spin() + w.teardown()\n"
+            "\n"
+            "def use_same_file():\n"
+            "    v = local_factory()\n"
+            "    return v.spin()\n"
+            "\n"
+            "def use_divergent():\n"
+            "    m = maybe_widget(True)\n"
+            "    return m.spin()\n"
+        ),
+    }
+    from claude_code_memory_spark.sources.python_parser import (
+        PARSED_SCHEMA,
+        return_bindings,
+    )
+
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_python_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(
+        relations,
+        import_bindings(parsed),
+        entities,
+        type_bindings(parsed),
+        return_binds=return_bindings(parsed),
+    )
+    assert out.count() == relations.count()  # refinement, never loss
+    got = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in out.filter(out.relation_type == "calls").collect()
+    }
+    assert ("use_cross_file", "Widget.spin", "resolved") in got
+    # inherited method on the factory's returned class
+    assert ("use_cross_file", "FBase.teardown", "resolved") in got
+    # factory defined in the calling file itself
+    assert ("use_same_file", "Widget.spin", "resolved") in got
+    # divergent returns (Widget | None) emit no bind: never resolved
+    assert any(
+        f == "use_divergent" and t == "spin" and it != "resolved"
+        for f, t, it in got
+    )
