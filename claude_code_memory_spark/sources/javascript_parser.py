@@ -185,15 +185,28 @@ _THIS_NEW = re.compile(
     r"\bthis\.([\w$]+)\s*=\s*new\s+([\w$]+(?:\.[\w$]+)*)"
 )
 _THIS_ASSIGN = re.compile(r"\bthis\.([\w$]+)\s*=(?![=>])")
+# plain call assignment (`const t = makeTool()`) — the Python parser
+# binds ANY call value; here the callee may be a factory function whose
+# return_bind types the var downstream (non-factory callees simply
+# match nothing in the resolver)
+_CALL_ASSIGN = re.compile(
+    r"(?<![.\w$])(?:const\s+|let\s+|var\s+)?([\w$]+)"
+    r"\s*(?::\s*[\w$.<>\[\], |&]+)?=\s*(?:await\s+)?([\w$]+(?:\.[\w$]+)*)\s*\("
+)
 
 
 def _local_type_binds(body: str) -> dict[str, str]:
-    """var → dotted ctor for vars assigned exactly one ``new C()`` and
-    never reassigned in this body — a join hit downstream is a
-    certainty, not a guess."""
+    """var → dotted ctor for vars assigned exactly one ``new C()`` (or
+    one plain call — the factory pattern) and never reassigned in this
+    body — a join hit downstream is a certainty, not a guess."""
     news: dict[str, set[str]] = {}
     for m in _NEW_ASSIGN.finditer(body):
         news.setdefault(m.group(1), set()).add(m.group(2))
+    for m in _CALL_ASSIGN.finditer(body):
+        callee = m.group(2)
+        if callee.split(".")[0] in _CALL_KEYWORDS:
+            continue  # require(, import(, await(, if(, ...
+        news.setdefault(m.group(1), set()).add(callee)
     counts: dict[str, int] = {}
     for m in _ANY_ASSIGN.finditer(body):
         counts[m.group(1)] = counts.get(m.group(1), 0) + 1
@@ -219,6 +232,39 @@ def _this_type_binds(body: str) -> dict[str, str | None]:
         # second assignment (or non-new / multi-ctor) poisons
         out[f"this.{v}"] = one if cnt == "__unseen__" else None
     return out
+# factory pattern (JS twin of python_parser._function_return_bind):
+# every `return` in the (masked) body is `return new C(...)` with the
+# same C. Bare returns (undefined), non-new values, differing ctors, or
+# a yield anywhere poison the function — masked-scan approximation:
+# returns of nested closures are attributed to the enclosing function,
+# where the divergence rule almost always poisons them (documented
+# trade of the regex design).
+_RETURN_STMT = re.compile(r"\breturn\b[ \t]*([^;\n]*)")
+_RETURN_NEW = re.compile(r"^new\s+([\w$]+(?:\.[\w$]+)*)\s*\(")
+
+
+def _function_return_bind(body: str) -> tuple[str, str | None] | None:
+    if re.search(r"\byield\b", body):
+        return None
+    seen: tuple[str, str | None] | None = None
+    any_ret = False
+    for m in _RETURN_STMT.finditer(body):
+        expr = m.group(1).strip()
+        if not expr:
+            return None  # bare return → undefined
+        any_ret = True
+        nm = _RETURN_NEW.match(expr)
+        if nm is None:
+            return None
+        base, _, name = nm.group(1).rpartition(".")
+        val = (name, base or None)
+        if seen is None:
+            seen = val
+        elif seen != val:
+            return None
+    return seen if any_ret else None
+
+
 _CALL_KEYWORDS = frozenset(
     "if for while switch catch function return new typeof await import require "
     "super constructor".split()
@@ -437,6 +483,14 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
 
     this_binds: dict[str, dict[str, str | None]] = {}  # class → attr binds
 
+    def add_return_bind(name, masked_body):
+        rb = _function_return_bind(masked_body)
+        if rb is not None:
+            r = _relation_rec(name, rb[0], None, path)
+            r["record_kind"] = "return_bind"
+            r["content"] = rb[1]
+            recs.append(r)
+
     def add_type_binds(scope, masked_body, cls=None):
         for var, ctor in sorted(_local_type_binds(masked_body).items()):
             base, _, name = ctor.rpartition(".")
@@ -578,6 +632,7 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
             add_impl(name, "function", i, end)
             add_calls(name, body)
             add_type_binds(name, body)
+            add_return_bind(name, body)
             consume_decorators(name)
             for t in set(_THROW.findall(body)):
                 recs.append(_relation_rec(name, t, "throws", path))
@@ -615,6 +670,19 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
             add_impl(name, "function", i, end)
             add_calls(name, body)
             add_type_binds(name, body)
+            # implicit-return arrow: `const make = () => new Tool()` has
+            # no `return` keyword — the expression after => IS the value
+            arrow_col2 = msk.find("=>")
+            impl_expr = msk[arrow_col2 + 2 :].strip() if arrow_col2 >= 0 else ""
+            im = _RETURN_NEW.match(impl_expr)
+            if im is not None:
+                ibase, _, iname = im.group(1).rpartition(".")
+                r = _relation_rec(name, iname, None, path)
+                r["record_kind"] = "return_bind"
+                r["content"] = ibase or None
+                recs.append(r)
+            elif impl_expr.startswith("{"):
+                add_return_bind(name, body)
             for t in set(_THROW.findall(body)):
                 recs.append(_relation_rec(name, t, "throws", path))
             depth += sum(r.count("{") - r.count("}") for r in masked[i : end + 1])

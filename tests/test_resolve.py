@@ -728,3 +728,78 @@ def test_factory_return_type_resolution(spark):
         f == "use_divergent" and t == "spin" and it != "resolved"
         for f, t, it in got
     )
+
+
+def test_js_factory_return_type_resolution(spark):
+    """JS factories: `function makeTool() { return new Tool(); }` and the
+    implicit-return arrow `const quickTool = () => new Tool()` both type
+    their callers' instance binds; a divergent factory types nothing."""
+    from claude_code_memory_spark.sources.javascript_parser import (
+        parse_javascript_source,
+    )
+    from claude_code_memory_spark.sources.python_parser import (
+        PARSED_SCHEMA,
+        return_bindings,
+        type_bindings,
+    )
+
+    fixture = {
+        "src/core.js": (
+            "export class JsTool {\n"
+            "  run() { return 1; }\n"
+            "}\n"
+        ),
+        "src/make.js": (
+            "import { JsTool } from './core';\n"
+            "\n"
+            "export function makeTool() {\n"
+            "  return new JsTool();\n"
+            "}\n"
+            "\n"
+            "export const quickTool = () => new JsTool();\n"
+            "\n"
+            "export function maybeTool(flag) {\n"
+            "  if (flag) { return new JsTool(); }\n"
+            "  return null;\n"
+            "}\n"
+        ),
+        "src/app.js": (
+            "import { makeTool, quickTool, maybeTool } from './make';\n"
+            "\n"
+            "function useMade() {\n"
+            "  const t = makeTool();\n"
+            "  return t.run();\n"
+            "}\n"
+            "\n"
+            "function useQuick() {\n"
+            "  const q = quickTool();\n"
+            "  return q.run();\n"
+            "}\n"
+            "\n"
+            "function useMaybe() {\n"
+            "  const m = maybeTool(true);\n"
+            "  return m.run();\n"
+            "}\n"
+        ),
+    }
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_javascript_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(
+        relations,
+        import_bindings(parsed),
+        entities,
+        type_bindings(parsed),
+        return_binds=return_bindings(parsed),
+    )
+    got = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in out.filter(out.relation_type == "calls").collect()
+    }
+    assert ("useMade", "JsTool.run", "resolved") in got
+    assert ("useQuick", "JsTool.run", "resolved") in got
+    assert any(
+        f == "useMaybe" and t == "run" and it != "resolved" for f, t, it in got
+    )
