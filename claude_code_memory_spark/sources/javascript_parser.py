@@ -217,12 +217,24 @@ def _local_type_binds(body: str) -> dict[str, str]:
     }
 
 
+_THIS_CALL = re.compile(
+    r"\bthis\.([\w$]+)\s*=\s*(?:await\s+)?([\w$]+(?:\.[\w$]+)*)\s*\("
+)
+
+
 def _this_type_binds(body: str) -> dict[str, str | None]:
     """'this.attr' → ctor (or None = poisoned) for every this-attribute
-    assigned in this body; the caller merges across a class's methods."""
+    assigned in this body; the caller merges across a class's methods.
+    Plain call values participate like locals do (`this.db = makeDb()`
+    types through the callee's return_bind when it is a factory)."""
     news: dict[str, set[str]] = {}
     for m in _THIS_NEW.finditer(body):
         news.setdefault(m.group(1), set()).add(m.group(2))
+    for m in _THIS_CALL.finditer(body):
+        callee = m.group(2)
+        if callee.split(".")[0] in _CALL_KEYWORDS:
+            continue
+        news.setdefault(m.group(1), set()).add(callee)
     out: dict[str, str | None] = {}
     for m in _THIS_ASSIGN.finditer(body):
         v = m.group(1)

@@ -780,6 +780,15 @@ def test_js_factory_return_type_resolution(spark):
             "  const m = maybeTool(true);\n"
             "  return m.run();\n"
             "}\n"
+            "\n"
+            "class Holder {\n"
+            "  constructor() {\n"
+            "    this.db = makeTool();\n"
+            "  }\n"
+            "  use() {\n"
+            "    return this.db.run();\n"
+            "  }\n"
+            "}\n"
         ),
     }
     recs = []
@@ -800,6 +809,8 @@ def test_js_factory_return_type_resolution(spark):
     }
     assert ("useMade", "JsTool.run", "resolved") in got
     assert ("useQuick", "JsTool.run", "resolved") in got
+    # this-attribute factory bind: this.db = makeTool(); this.db.run()
+    assert ("Holder.use", "JsTool.run", "resolved") in got
     assert any(
         f == "useMaybe" and t == "run" and it != "resolved" for f, t, it in got
     )
