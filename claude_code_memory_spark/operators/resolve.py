@@ -832,6 +832,77 @@ def resolve_calls(
             .withColumn("__cn", F.coalesce("fx_c.name", "__cn"))
         )
 
+        # classmethod factories: `t = Tool.create(); t.run()` — the
+        # type-bind's base names a CLASS (chased from-import or
+        # same-file), and 'Class.method' keys the factory table. Only
+        # single-segment bases participate (dotted bases are module
+        # paths, handled above).
+        cb6 = chased.select(
+            F.col("file_path").alias("x6_file"),
+            F.col("local_name").alias("x6_local"),
+            F.col("target_module").alias("x6_tmod"),
+            F.col("member").alias("x6_member"),
+        )
+        lc3 = classes.select(
+            F.col("file_path").alias("l3_file"),
+            F.col("k_module").alias("l3_module"),
+            F.col("k_name").alias("l3_name"),
+        )
+        fx2 = fx.select(
+            F.col("fx_module").alias("f2_module"),
+            F.col("fx_func").alias("f2_func"),
+            F.col("fx_c").alias("f2_c"),
+        )
+        base_is_name = F.col("__ctor.base").isNotNull() & ~F.col(
+            "__ctor.base"
+        ).contains(".")
+        attr = (
+            attr.join(
+                cb6,
+                base_is_name
+                & (F.col("file_path") == cb6.x6_file)
+                & (F.col("__ctor.base") == cb6.x6_local),
+                "left",
+            )
+            .join(
+                lc3,
+                base_is_name
+                & (F.col("file_path") == lc3.l3_file)
+                & (F.col("__ctor.base") == lc3.l3_name),
+                "left",
+            )
+            .withColumn(
+                "__bcls",
+                F.coalesce(
+                    F.when(
+                        F.col("x6_tmod").isNotNull(),
+                        F.struct(
+                            F.col("x6_tmod").alias("mod"),
+                            F.col("x6_member").alias("name"),
+                        ),
+                    ),
+                    F.when(
+                        F.col("l3_module").isNotNull(),
+                        F.struct(
+                            F.col("l3_module").alias("mod"),
+                            F.col("__ctor.base").alias("name"),
+                        ),
+                    ),
+                ),
+            )
+            .join(
+                fx2,
+                (F.col("__bcls.mod") == fx2.f2_module)
+                & (
+                    F.concat_ws(".", F.col("__bcls.name"), F.col("__ctor.ctor"))
+                    == fx2.f2_func
+                ),
+                "left",
+            )
+            .withColumn("__cm", F.coalesce("f2_c.mod", "__cm"))
+            .withColumn("__cn", F.coalesce("f2_c.name", "__cn"))
+        )
+
     # method lookup with inheritance: the DISTINCT (class, method) pairs
     # walk the ancestor closure to the nearest definition, then join
     # back — class-count-scale work regardless of call-site count

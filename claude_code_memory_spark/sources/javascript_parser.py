@@ -722,6 +722,7 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
                 mbody = "\n".join(masked[i : end + 1])
                 add_calls(qual, mbody)
                 add_type_binds(qual, mbody, cls=in_class)
+                add_return_bind(qual, mbody)  # static factory: Tool.create()
                 consume_decorators(qual)
                 for t in set(_THROW.findall("\n".join(masked[i : end + 1]))):
                     recs.append(_relation_rec(qual, t, "throws", path))

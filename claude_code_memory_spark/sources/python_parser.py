@@ -393,15 +393,21 @@ def parse_python_source(path: str, source: str) -> list[dict]:
         for var, val in sorted(local_binds.items()):
             if val is not None:
                 recs.append(_type_bind_rec(qual, var, val[0], val[1], path))
-        # factory pattern: a module-level function whose every return is
-        # the same constructor call types its callers' assignments
-        # (`x = make_tool(); x.run()` — resolver joins this table)
-        if parent_name is None and etype == "function":
+        # factory pattern: a function whose every return is the same
+        # constructor call types its callers' assignments (`x =
+        # make_tool(); x.run()` — resolver joins this table). Methods
+        # participate keyed as 'Class.method' (the classmethod-factory
+        # idiom `Tool.create()`); `return cls(...)` / `return Tool(...)`
+        # inside Tool both mean the class itself.
+        if etype in ("function", "method"):
             rb = _function_return_bind(fn)
             if rb is not None:
-                r = _relation_rec(qual, rb[0], None, path)
+                name, base = rb
+                if parent_name is not None and base is None and name in ("cls", parent_name):
+                    name = parent_name
+                r = _relation_rec(qual, name, None, path)
                 r["record_kind"] = "return_bind"
-                r["content"] = rb[1]
+                r["content"] = base
                 recs.append(r)
         return self_binds
 
@@ -614,12 +620,14 @@ def type_bindings(parsed: DataFrame) -> DataFrame:
 
 
 def return_bindings(parsed: DataFrame) -> DataFrame:
-    """The factory-function table: (file_path, func, ctor, ctor_base) —
-    module-level functions whose EVERY return statement returns the same
-    named constructor call (``def make_tool(): return Tool()``). The
-    resolver joins a call-site type-bind whose 'ctor' is such a function
-    onto this table, so ``x = make_tool(); x.run()`` pins to Tool.run —
-    the static slice of Jedi's return-type inference."""
+    """The factory table: (file_path, func, ctor, ctor_base) — functions
+    (and methods, keyed 'Class.method') whose EVERY return statement
+    returns the same named constructor call (``def make_tool(): return
+    Tool()``; classmethod factories ``return cls()`` key to their own
+    class). The resolver joins a call-site type-bind whose 'ctor' is
+    such a function onto this table, so ``x = make_tool(); x.run()`` and
+    ``t = Tool.create(); t.run()`` pin to Tool.run — the static slice of
+    Jedi's return-type inference."""
     from pyspark.sql import functions as F
 
     return parsed.filter(F.col("record_kind") == "return_bind").select(

@@ -814,3 +814,107 @@ def test_js_factory_return_type_resolution(spark):
     assert any(
         f == "useMaybe" and t == "run" and it != "resolved" for f, t, it in got
     )
+
+
+def test_classmethod_factory_resolution(spark):
+    """`t = Tool.create(); t.run()` — a classmethod returning `cls()`
+    (or the class's own name) keys the factory table as 'Tool.create';
+    the type-bind's base resolves as a class through the import graph
+    and the method lookup proceeds with the real class, inherited
+    methods included."""
+    fixture = {
+        "pkg/__init__.py": "",
+        "pkg/core.py": (
+            "class CBase:\n"
+            "    def halt(self):\n"
+            "        return 0\n"
+            "\n"
+            "class Gadget(CBase):\n"
+            "    def whirr(self):\n"
+            "        return 1\n"
+            "    @classmethod\n"
+            "    def create(cls):\n"
+            "        return cls()\n"
+        ),
+        "app6.py": (
+            "from pkg.core import Gadget\n"
+            "\n"
+            "def use_create():\n"
+            "    g = Gadget.create()\n"
+            "    return g.whirr() + g.halt()\n"
+        ),
+    }
+    from claude_code_memory_spark.sources.python_parser import (
+        PARSED_SCHEMA,
+        return_bindings,
+    )
+
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_python_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(
+        relations,
+        import_bindings(parsed),
+        entities,
+        type_bindings(parsed),
+        return_binds=return_bindings(parsed),
+    )
+    assert out.count() == relations.count()
+    got = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in out.filter(out.relation_type == "calls").collect()
+    }
+    assert ("use_create", "Gadget.whirr", "resolved") in got
+    assert ("use_create", "CBase.halt", "resolved") in got
+
+
+def test_js_static_factory_resolution(spark):
+    """JS static factory: `static create() { return new JsGadget(); }`
+    keys 'JsGadget.create'; `const g = JsGadget.create(); g.spin()`
+    resolves through it."""
+    from claude_code_memory_spark.sources.javascript_parser import (
+        parse_javascript_source,
+    )
+    from claude_code_memory_spark.sources.python_parser import (
+        PARSED_SCHEMA,
+        return_bindings,
+        type_bindings,
+    )
+
+    fixture = {
+        "src/gadget.js": (
+            "export class JsGadget {\n"
+            "  spin() { return 1; }\n"
+            "  static create() {\n"
+            "    return new JsGadget();\n"
+            "  }\n"
+            "}\n"
+        ),
+        "src/use.js": (
+            "import { JsGadget } from './gadget';\n"
+            "\n"
+            "function useStatic() {\n"
+            "  const g = JsGadget.create();\n"
+            "  return g.spin();\n"
+            "}\n"
+        ),
+    }
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_javascript_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(
+        relations,
+        import_bindings(parsed),
+        entities,
+        type_bindings(parsed),
+        return_binds=return_bindings(parsed),
+    )
+    got = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in out.filter(out.relation_type == "calls").collect()
+    }
+    assert ("useStatic", "JsGadget.spin", "resolved") in got
