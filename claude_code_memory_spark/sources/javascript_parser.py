@@ -255,6 +255,17 @@ _RETURN_STMT = re.compile(r"\breturn\b[ \t]*([^;\n]*)")
 _RETURN_NEW = re.compile(r"^new\s+([\w$]+(?:\.[\w$]+)*)\s*\(")
 
 
+# TS annotations, conservatively: a parameter `t: Tool` (optionally
+# `t?:`) whose type is a plain dotted name immediately followed by
+# `,` `)` or `=` — unions (`Tool | null`) and generics (`Array<Tool>`)
+# fail the lookahead and bind nothing
+_PARAM_ANN = re.compile(r"([\w$]+)\??\s*:\s*([\w$]+(?:\.[\w$]+)*)\s*(?=[,)=])")
+_SIG_RET = re.compile(r"\)\s*:\s*([\w$]+(?:\.[\w$]+)*)\s*$")
+_TS_BUILTIN_TYPES = frozenset(
+    "string number boolean any unknown void never object symbol bigint".split()
+)
+
+
 def _function_return_bind(body: str) -> tuple[str, str | None] | None:
     if re.search(r"\byield\b", body):
         return None
@@ -495,13 +506,41 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
 
     this_binds: dict[str, dict[str, str | None]] = {}  # class → attr binds
 
-    def add_return_bind(name, masked_body):
-        rb = _function_return_bind(masked_body)
+    def add_return_bind(name, masked_body, sig_text=None):
+        # a plain-name TS return annotation (`function make(): Tool`)
+        # is declared intent and wins over body inference; wrapped
+        # types (Promise<Tool>, Tool | null) fail the match and fall
+        # back — a Promise is not the instance
+        rb = None
+        if sig_text:
+            ms = _SIG_RET.search(sig_text)
+            if ms is not None:
+                base, _, nm = ms.group(1).rpartition(".")
+                rb = (nm, base or None)
+        if rb is None:
+            rb = _function_return_bind(masked_body)
         if rb is not None:
             r = _relation_rec(name, rb[0], None, path)
             r["record_kind"] = "return_bind"
             r["content"] = rb[1]
             recs.append(r)
+
+    def add_param_binds(scope, sig_text, masked_body):
+        """TS parameter annotations (`function f(t: Tool)`) bind like
+        Python's annotated params — declared intent; any body
+        assignment to the param poisons it (mirrors the Python rule).
+        Union/generic/complex types fail the conservative match."""
+        o = sig_text.find("(")
+        c = sig_text.find(")", o) if o >= 0 else -1
+        if o < 0 or c < 0:
+            return
+        assigned = {m.group(1) for m in _ANY_ASSIGN.finditer(masked_body)}
+        for m in _PARAM_ANN.finditer(sig_text[o : c + 1]):
+            var, typ = m.groups()
+            if var in assigned or typ.split(".")[0] in _TS_BUILTIN_TYPES:
+                continue
+            base, _, nm = typ.rpartition(".")
+            recs.append(_type_bind_rec(scope, var, nm, base or None, path))
 
     def add_type_binds(scope, masked_body, cls=None):
         for var, ctor in sorted(_local_type_binds(masked_body).items()):
@@ -644,7 +683,8 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
             add_impl(name, "function", i, end)
             add_calls(name, body)
             add_type_binds(name, body)
-            add_return_bind(name, body)
+            add_param_binds(name, sig, body)
+            add_return_bind(name, body, sig)
             consume_decorators(name)
             for t in set(_THROW.findall(body)):
                 recs.append(_relation_rec(name, t, "throws", path))
@@ -694,7 +734,8 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
                 r["content"] = ibase or None
                 recs.append(r)
             elif impl_expr.startswith("{"):
-                add_return_bind(name, body)
+                add_return_bind(name, body, sig)
+            add_param_binds(name, sig, body)
             for t in set(_THROW.findall(body)):
                 recs.append(_relation_rec(name, t, "throws", path))
             depth += sum(r.count("{") - r.count("}") for r in masked[i : end + 1])
@@ -722,7 +763,8 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
                 mbody = "\n".join(masked[i : end + 1])
                 add_calls(qual, mbody)
                 add_type_binds(qual, mbody, cls=in_class)
-                add_return_bind(qual, mbody)  # static factory: Tool.create()
+                add_param_binds(qual, sig, mbody)
+                add_return_bind(qual, mbody, sig)  # static factory: Tool.create()
                 consume_decorators(qual)
                 for t in set(_THROW.findall("\n".join(masked[i : end + 1]))):
                     recs.append(_relation_rec(qual, t, "throws", path))

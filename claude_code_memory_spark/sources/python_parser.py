@@ -387,7 +387,21 @@ def parse_python_source(path: str, source: str) -> list[dict]:
         # same-named local constructor bind
         local_binds, self_binds = _collect_type_binds(fn)
         a = fn.args
-        for arg in [*a.posonlyargs, *a.args, *a.kwonlyargs, a.vararg, a.kwarg]:
+        # an ANNOTATED parameter binds to its declared type (`def f(t:
+        # Tool)` — declared intent, as certain as `x: Tool = ...`);
+        # unannotated parameters, *args/**kwargs, and any param the body
+        # reassigns to a different value stay poisoned
+        for arg in [*a.posonlyargs, *a.args, *a.kwonlyargs]:
+            val = None
+            if arg.annotation is not None:
+                ann_name, ann_base = _name_and_base(arg.annotation)
+                if ann_name is not None:
+                    val = (ann_name, ann_base)
+            if val is None or (arg.arg in local_binds and local_binds[arg.arg] != val):
+                local_binds[arg.arg] = None
+            else:
+                local_binds[arg.arg] = val
+        for arg in (a.vararg, a.kwarg):
             if arg is not None:
                 local_binds[arg.arg] = None
         for var, val in sorted(local_binds.items()):
@@ -400,7 +414,16 @@ def parse_python_source(path: str, source: str) -> list[dict]:
         # idiom `Tool.create()`); `return cls(...)` / `return Tool(...)`
         # inside Tool both mean the class itself.
         if etype in ("function", "method"):
-            rb = _function_return_bind(fn)
+            # a plain-name return ANNOTATION (`-> Tool`) is declared
+            # intent and wins over body inference; otherwise infer from
+            # the return statements
+            rb = None
+            if fn.returns is not None:
+                ann_name, ann_base = _name_and_base(fn.returns)
+                if ann_name is not None:
+                    rb = (ann_name, ann_base)
+            if rb is None:
+                rb = _function_return_bind(fn)
             if rb is not None:
                 name, base = rb
                 if parent_name is not None and base is None and name in ("cls", parent_name):

@@ -918,3 +918,157 @@ def test_js_static_factory_resolution(spark):
         for r in out.filter(out.relation_type == "calls").collect()
     }
     assert ("useStatic", "JsGadget.spin", "resolved") in got
+
+
+def test_annotation_typed_resolution(spark):
+    """Type annotations are declared intent: `def f(t: Tool)` binds the
+    parameter, `def make() -> Tool` feeds the factory table even when
+    the body defeats inference, and a param the body reassigns to a
+    different value stays poisoned."""
+    fixture = {
+        "pkg/__init__.py": "",
+        "pkg/core.py": (
+            "class ABase:\n"
+            "    def stop(self):\n"
+            "        return 0\n"
+            "\n"
+            "class Motor(ABase):\n"
+            "    def rev(self):\n"
+            "        return 1\n"
+        ),
+        "pkg/build.py": (
+            "from pkg.core import Motor\n"
+            "\n"
+            "def pick_motor(flag) -> Motor:\n"
+            "    if flag:\n"
+            "        return Motor()\n"
+            "    return _cached()\n"  # body inference fails; annotation wins
+            "\n"
+            "def _cached():\n"
+            "    return Motor()\n"
+        ),
+        "app7.py": (
+            "from pkg.core import Motor\n"
+            "from pkg.build import pick_motor\n"
+            "\n"
+            "def use_param(m: Motor, raw):\n"
+            "    return m.rev() + m.stop() + raw.rev()\n"
+            "\n"
+            "def use_annotated_factory():\n"
+            "    x = pick_motor(True)\n"
+            "    return x.rev()\n"
+            "\n"
+            "def use_reassigned(m: Motor):\n"
+            "    m = object()\n"
+            "    return m.rev()\n"
+        ),
+    }
+    from claude_code_memory_spark.sources.python_parser import (
+        PARSED_SCHEMA,
+        return_bindings,
+    )
+
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_python_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(
+        relations,
+        import_bindings(parsed),
+        entities,
+        type_bindings(parsed),
+        return_binds=return_bindings(parsed),
+    )
+    assert out.count() == relations.count()
+    got = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in out.filter(out.relation_type == "calls").collect()
+    }
+    assert ("use_param", "Motor.rev", "resolved") in got
+    assert ("use_param", "ABase.stop", "resolved") in got  # inherited
+    # unannotated param never resolves
+    assert any(f == "use_param" and t == "rev" and it != "resolved" for f, t, it in got)
+    # annotation feeds the factory table where body inference fails
+    assert ("use_annotated_factory", "Motor.rev", "resolved") in got
+    # body reassignment poisons the annotated param
+    assert any(
+        f == "use_reassigned" and t == "rev" and it != "resolved" for f, t, it in got
+    )
+
+
+def test_ts_annotation_typed_resolution(spark):
+    """TS annotations: `function f(t: Tool)` binds the parameter and
+    `function make(): Tool` feeds the factory table; Promise-wrapped
+    and union types conservatively bind nothing."""
+    from claude_code_memory_spark.sources.javascript_parser import (
+        parse_javascript_source,
+    )
+    from claude_code_memory_spark.sources.python_parser import (
+        PARSED_SCHEMA,
+        return_bindings,
+        type_bindings,
+    )
+
+    fixture = {
+        "src/engine.ts": (
+            "export class Engine {\n"
+            "  ignite() { return 1; }\n"
+            "}\n"
+        ),
+        "src/dep.ts": (
+            "import { Engine } from './engine';\n"
+            "\n"
+            "export function pickEngine(flag: boolean): Engine {\n"
+            "  return flag ? cached : fresh;\n"
+            "}\n"
+            "\n"
+            "export function lazyEngine(): Promise<Engine> {\n"
+            "  return load();\n"
+            "}\n"
+        ),
+        "src/use.ts": (
+            "import { Engine } from './engine';\n"
+            "import { pickEngine, lazyEngine } from './dep';\n"
+            "\n"
+            "function useParam(e: Engine, raw) {\n"
+            "  return e.ignite() + raw.ignite();\n"
+            "}\n"
+            "\n"
+            "function usePicked() {\n"
+            "  const p = pickEngine(true);\n"
+            "  return p.ignite();\n"
+            "}\n"
+            "\n"
+            "function useLazy() {\n"
+            "  const l = lazyEngine();\n"
+            "  return l.ignite();\n"
+            "}\n"
+        ),
+    }
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_javascript_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(
+        relations,
+        import_bindings(parsed),
+        entities,
+        type_bindings(parsed),
+        return_binds=return_bindings(parsed),
+    )
+    got = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in out.filter(out.relation_type == "calls").collect()
+    }
+    assert ("useParam", "Engine.ignite", "resolved") in got
+    assert any(
+        f == "useParam" and t == "ignite" and it != "resolved" for f, t, it in got
+    )
+    # return annotation feeds the factory table (body defeats inference)
+    assert ("usePicked", "Engine.ignite", "resolved") in got
+    # Promise<Engine> is not the instance: never resolved
+    assert any(
+        f == "useLazy" and t == "ignite" and it != "resolved" for f, t, it in got
+    )
