@@ -849,3 +849,67 @@ def tokenizer_bpe_encode_top_symbols(spark, sf_dir):
         .limit(20)
     )
     return out
+
+
+@register(
+    "text_token_entropy",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DD_TOKENIZE}) AS tok FROM documents),
+    tc AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+    dt AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_distinct
+      FROM tc GROUP BY doc_id),
+    terms AS (
+      SELECT tc.doc_id,
+             CAST(round(round(ln(tc.c * 1.0 / dt.n), 6) * tc.c / dt.n, 9)
+                  AS DECIMAL(38,12)) AS h
+      FROM tc JOIN dt USING (doc_id))
+    SELECT t.doc_id, dt.n AS n_tokens, dt.n_distinct,
+           round(-sum(t.h)::DOUBLE, 6) AS entropy
+    FROM terms t JOIN dt ON t.doc_id = dt.doc_id
+    GROUP BY t.doc_id, dt.n, dt.n_distinct
+    """,
+)
+def text_token_entropy(spark, sf_dir):
+    """Per-document token (Shannon) entropy — the quality-filter signal
+    that separates natural prose from boilerplate and template spam:
+    low-entropy documents repeat a few tokens (nats near 0), healthy
+    text sits near ln(n_distinct). Complements `text_repetition_signals`
+    (which detects SPANS of repetition) with a distribution-level score.
+
+    Determinism: each token's contribution rounds the ln to 6 dp (the
+    lm_bigram cross-engine precedent) and the weighted term to 9 dp
+    before the DECIMAL sum, so per-doc entropy is partition-order
+    invariant. Plan: one tokenize+explode, one (doc, token) count with
+    map-side combine, doc totals as a second rollup of THAT table
+    (token-count-scale, not corpus-scale), one scoring join partitioned
+    by doc_id — the corpus is scanned once and shuffles once."""
+    from claude_code_memory_spark.functions.text import tokenize
+
+    d = table(spark, sf_dir, "documents")
+    tc = (
+        d.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    dt = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_distinct"),
+    )
+    terms = tc.join(dt, "doc_id").select(
+        "doc_id",
+        "n",
+        "n_distinct",
+        F.round(
+            F.round(F.log(F.col("c") * 1.0 / F.col("n")), 6) * F.col("c") / F.col("n"),
+            9,
+        )
+        .cast("decimal(38,12)")
+        .alias("h"),
+    )
+    return terms.groupBy(
+        "doc_id", F.col("n").alias("n_tokens"), "n_distinct"
+    ).agg(F.round(-F.sum("h").cast("double"), 6).alias("entropy"))
