@@ -383,7 +383,11 @@ def resolve_calls(
         F.col("module").alias("sb_mod"),
         F.col("target_module").alias("sb_tmod"),
     )
-    sd = defs.select(
+    # underscore-prefixed names are private to their module: `from m
+    # import *` never binds them (the no-__all__ default; an explicit
+    # __all__ could widen this, but a missed private name only leaves a
+    # call unresolved — the safe direction)
+    sd = defs.filter(~F.col("def_name").startswith("_")).select(
         F.col("def_module").alias("sd_mod"), F.col("def_name").alias("sd_name")
     )
     star_direct = sb.join(sd, F.col("sb_tmod") == F.col("sd_mod")).select(
@@ -400,7 +404,12 @@ def resolve_calls(
         F.col("member").alias("ce_member"),
     )
     star_reexp = (
-        sb.join(ce, F.col("sb_tmod") == F.col("ce_mod"))
+        sb.join(
+            ce,
+            (F.col("sb_tmod") == F.col("ce_mod"))
+            # the re-exported LOCAL name must itself be public
+            & ~F.col("ce_local").startswith("_"),
+        )
         .join(
             sd,
             (F.col("ce_tmod") == F.col("sd_mod"))

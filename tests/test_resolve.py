@@ -1072,3 +1072,39 @@ def test_ts_annotation_typed_resolution(spark):
     assert any(
         f == "useLazy" and t == "ignite" and it != "resolved" for f, t, it in got
     )
+
+
+def test_star_import_excludes_private_names(spark):
+    """`from m import *` never binds underscore-prefixed names — a call
+    to `_hidden` stays unresolved even when exactly one starred module
+    defines it."""
+    fixture = {
+        "pkg/__init__.py": "",
+        "pkg/internals.py": (
+            "def _hidden(x):\n    return x\n"
+            "\n"
+            "def visible(x):\n    return x\n"
+        ),
+        "app8.py": (
+            "from pkg.internals import *\n"
+            "\n"
+            "def consume():\n"
+            "    return visible(1) + _hidden(2)\n"
+        ),
+    }
+    from claude_code_memory_spark.sources.python_parser import PARSED_SCHEMA
+
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_python_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(relations, import_bindings(parsed), entities)
+    got = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in out.filter(out.relation_type == "calls").collect()
+    }
+    assert ("consume", "visible", "resolved") in got
+    assert any(
+        t == "_hidden" and it != "resolved" for _, t, it in got
+    )
