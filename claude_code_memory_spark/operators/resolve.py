@@ -814,7 +814,7 @@ def resolve_calls(
             F.col("g_tmod").alias("f_tmod"),
             F.col("g_member").alias("f_member"),
         )
-        fx = (
+        fx = _pin(  # referenced twice (instance + classmethod joins)
             fx.join(
                 fcb,
                 (F.col("fx_cls.mod") == fcb.f_module)
