@@ -383,16 +383,13 @@ def resolve_calls(
         F.col("module").alias("sb_mod"),
         F.col("target_module").alias("sb_tmod"),
     )
-    # underscore-prefixed names are private to their module: `from m
-    # import *` never binds them (the no-__all__ default; an explicit
-    # __all__ could widen this, but a missed private name only leaves a
-    # call unresolved — the safe direction)
-    sd = defs.filter(~F.col("def_name").startswith("_")).select(
+    sd = defs.select(
         F.col("def_module").alias("sd_mod"), F.col("def_name").alias("sd_name")
     )
     star_direct = sb.join(sd, F.col("sb_tmod") == F.col("sd_mod")).select(
         "sb_file",
         "sb_mod",
+        F.col("sb_tmod").alias("st_src"),
         F.col("sd_name").alias("st_name"),
         F.col("sd_mod").alias("st_dmod"),
         F.col("sd_name").alias("st_def"),
@@ -404,12 +401,7 @@ def resolve_calls(
         F.col("member").alias("ce_member"),
     )
     star_reexp = (
-        sb.join(
-            ce,
-            (F.col("sb_tmod") == F.col("ce_mod"))
-            # the re-exported LOCAL name must itself be public
-            & ~F.col("ce_local").startswith("_"),
-        )
+        sb.join(ce, F.col("sb_tmod") == F.col("ce_mod"))
         .join(
             sd,
             (F.col("ce_tmod") == F.col("sd_mod"))
@@ -418,16 +410,34 @@ def resolve_calls(
         .select(
             "sb_file",
             "sb_mod",
+            F.col("sb_tmod").alias("st_src"),
             F.col("ce_local").alias("st_name"),
             F.col("sd_mod").alias("st_dmod"),
             F.col("sd_name").alias("st_def"),
         )
     )
+    # what a starred module actually exports: its __all__ list when it
+    # declares one (which may include underscore names), else its public
+    # (non-underscore) names — the Python star-import contract
+    exp = b.filter(F.col("import_type") == "export").select(
+        F.col("module").alias("x_mod"), F.col("local_name").alias("x_name")
+    )
+    has_exp = exp.select(F.col("x_mod").alias("hx_mod")).distinct()
     own = defs.select(
         F.col("def_module").alias("o_mod"), F.col("def_name").alias("o_name")
     )
     star_hits = (
         star_direct.unionByName(star_reexp)
+        .join(
+            exp,
+            (F.col("st_src") == F.col("x_mod")) & (F.col("st_name") == F.col("x_name")),
+            "left",
+        )
+        .join(has_exp, F.col("st_src") == F.col("hx_mod"), "left")
+        .filter(
+            F.col("x_name").isNotNull()
+            | (F.col("hx_mod").isNull() & ~F.col("st_name").startswith("_"))
+        )
         .join(
             own,
             (F.col("sb_mod") == F.col("o_mod")) & (F.col("st_name") == F.col("o_name")),

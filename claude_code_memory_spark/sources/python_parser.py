@@ -480,6 +480,21 @@ def parse_python_source(path: str, source: str) -> list[dict]:
                         b = _relation_rec("*" + mod, mod, "import_binding", path, "star")
                         b["record_kind"] = "import_binding"
                         recs.append(b)
+        elif isinstance(node, (ast.Assign, ast.AugAssign)) and any(
+            isinstance(t, ast.Name) and t.id == "__all__"
+            for t in (node.targets if isinstance(node, ast.Assign) else [node.target])
+        ):
+            # __all__ names restrict (and can widen past the underscore
+            # rule) what a star import of this module binds. Only string
+            # literals count; a dynamically-built __all__ contributes the
+            # literals it does contain — star candidates outside the list
+            # stay unresolved, never wrong (the safe direction).
+            if isinstance(node.value, (ast.List, ast.Tuple, ast.Set)):
+                for elt in node.value.elts:
+                    if isinstance(elt, ast.Constant) and isinstance(elt.value, str):
+                        b = _relation_rec(elt.value, "", "import_binding", path, "export")
+                        b["record_kind"] = "import_binding"
+                        recs.append(b)
         elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
             handle_function(node, None, "function")
         elif isinstance(node, ast.ClassDef):

@@ -1108,3 +1108,44 @@ def test_star_import_excludes_private_names(spark):
     assert any(
         t == "_hidden" and it != "resolved" for _, t, it in got
     )
+
+
+def test_star_import_respects_dunder_all(spark):
+    """A starred module's __all__ is the export contract: names outside
+    it never bind (even public ones), and a private name it lists DOES
+    bind — both directions of the Python star-import rule."""
+    fixture = {
+        "pkg/__init__.py": "",
+        "pkg/exports.py": (
+            "__all__ = ['offered', '_blessed']\n"
+            "\n"
+            "def offered(x):\n    return x\n"
+            "\n"
+            "def _blessed(x):\n    return x\n"
+            "\n"
+            "def unlisted(x):\n    return x\n"
+        ),
+        "app9.py": (
+            "from pkg.exports import *\n"
+            "\n"
+            "def consume():\n"
+            "    return offered(1) + _blessed(2) + unlisted(3)\n"
+        ),
+    }
+    from claude_code_memory_spark.sources.python_parser import PARSED_SCHEMA
+
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_python_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(relations, import_bindings(parsed), entities)
+    got = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in out.filter(out.relation_type == "calls").collect()
+    }
+    assert ("consume", "offered", "resolved") in got
+    # __all__ widens past the underscore rule
+    assert ("consume", "_blessed", "resolved") in got
+    # public but unlisted: not exported
+    assert any(t == "unlisted" and it != "resolved" for _, t, it in got)
