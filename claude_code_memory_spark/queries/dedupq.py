@@ -432,3 +432,61 @@ def dedup_keep_best_per_cluster(spark, sf_dir):
         )
         .orderBy("component", "doc_id")
     )
+
+
+@register(
+    "dedup_ngram_exposure",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ')
+                                    FOR i IN range(1, greatest(len(toks) - 4, 0) + 1)]) AS grams
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> length(x) > 1) AS toks
+            FROM documents)
+      WHERE len(toks) >= 5),
+    inv AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+    gs AS (SELECT gram, count(*) AS n_docs FROM inv GROUP BY gram)
+    SELECT inv.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN gs.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           round(sum(CASE WHEN gs.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS shared_frac
+    FROM inv JOIN gs USING (gram)
+    GROUP BY inv.doc_id
+    """,
+)
+def dedup_ngram_exposure(spark, sf_dir):
+    """Per-document duplication EXPOSURE: the fraction of a document's
+    distinct token 5-grams that appear in at least one other document —
+    the doc-level novelty score the Lee et al. span-dedup family implies
+    but the corpus-level views (`dedup_repeated_ngrams`: which grams;
+    `dedup_cross_substring`: which pairs) don't provide. High
+    shared_frac flags near-boilerplate documents for removal or
+    down-weighting even when no single pair crosses a MinHash threshold.
+
+    Plan: one shingle pass (distinct grams per doc), one gram-keyed
+    count with map-side combine, one partitioned equi-join back onto the
+    inverted list, one doc-keyed aggregate — two shuffles total, both on
+    uniform keys (gram, doc_id); no pairwise work anywhere, so the cost
+    is corpus-linear at any scale."""
+    from claude_code_memory_spark.functions.text import word_shingles
+
+    d = spread(spark, table(spark, sf_dir, "documents"))
+    inv = (
+        d.select("doc_id", word_shingles("text", 5).alias("grams"))
+        .filter(F.size("grams") > 0)
+        .select("doc_id", F.explode("grams").alias("gram"))
+        .persist()  # two consumers: gram counts and the scoring join
+    )
+    gs = inv.groupBy("gram").agg(F.count("*").alias("n_docs"))
+    shared = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+    return (
+        inv.join(gs, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            shared.cast("long").alias("n_shared"),
+            F.round(shared * 1.0 / F.count("*"), 6).alias("shared_frac"),
+        )
+    )
