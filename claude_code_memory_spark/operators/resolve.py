@@ -548,8 +548,11 @@ def resolve_calls(
     # into ONE method lookup through the inheritance closure, so a
     # method defined on a base class resolves wherever the subclass is
     # used. Every step is an entity-scale equi-join.
+    # TS interfaces participate like classes: an interface-typed value's
+    # method calls resolve to the interface's declared member (what TS
+    # itself resolves to), and `extends` chains ride the same closure
     classes = _pin(
-        entities.filter(F.col("entity_type") == "class")
+        entities.filter(F.col("entity_type").isin("class", "interface"))
         .select(
             "file_path",
             module_of_path("file_path").alias("k_module"),

@@ -264,6 +264,8 @@ _SIG_RET = re.compile(r"\)\s*:\s*([\w$]+(?:\.[\w$]+)*)\s*$")
 _TS_BUILTIN_TYPES = frozenset(
     "string number boolean any unknown void never object symbol bigint".split()
 )
+# interface member METHOD signature: `ignite(): number;` / `get?<T>(k)`
+_IFACE_METHOD = re.compile(r"^\s*(?:readonly\s+)?([\w$]+)\??\s*(?:<[^>]*>)?\s*\(")
 
 
 def _function_return_bind(body: str) -> tuple[str, str | None] | None:
@@ -639,6 +641,18 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
                 obs.append("Exported")
             add_entity(name, "interface", line_no, end + 1, obs)
             add_impl(name, "interface", i, end)
+            # member METHOD signatures become entities (`Engine.ignite`)
+            # so an interface-typed parameter's calls resolve to the
+            # declaration — what TS itself resolves to; property fields
+            # and call/construct signatures are skipped
+            for j in range(i + 1, end + 1):
+                mm = _IFACE_METHOD.match(masked[j])
+                if mm and mm.group(1) not in _CALL_KEYWORDS | {"new", "readonly"}:
+                    mq = f"{name}.{mm.group(1)}"
+                    add_entity(
+                        mq, "method", j + 1, j + 1,
+                        [f"Interface method {mm.group(1)}"], parent=name,
+                    )
             if extends:
                 for iface in extends.split(","):
                     iface = re.sub(r"<.*", "", iface).strip()

@@ -1149,3 +1149,52 @@ def test_star_import_respects_dunder_all(spark):
     assert ("consume", "_blessed", "resolved") in got
     # public but unlisted: not exported
     assert any(t == "unlisted" and it != "resolved" for _, t, it in got)
+
+
+def test_ts_interface_typed_resolution(spark):
+    """An interface-typed parameter's method calls resolve to the
+    interface's declared member — the static answer TS itself gives —
+    including members inherited through `extends`."""
+    from claude_code_memory_spark.sources.javascript_parser import (
+        parse_javascript_source,
+    )
+    from claude_code_memory_spark.sources.python_parser import (
+        PARSED_SCHEMA,
+        type_bindings,
+    )
+
+    fixture = {
+        "src/shapes.ts": (
+            "export interface Closeable {\n"
+            "  close(): void;\n"
+            "}\n"
+            "\n"
+            "export interface Port extends Closeable {\n"
+            "  send(data: string): number;\n"
+            "  readonly label: string;\n"
+            "}\n"
+        ),
+        "src/wire.ts": (
+            "import { Port } from './shapes';\n"
+            "\n"
+            "function flush(p: Port) {\n"
+            "  p.send('x');\n"
+            "  p.close();\n"
+            "}\n"
+        ),
+    }
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_javascript_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(
+        relations, import_bindings(parsed), entities, type_bindings(parsed)
+    )
+    got = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in out.filter(out.relation_type == "calls").collect()
+    }
+    assert ("flush", "Port.send", "resolved") in got
+    # inherited through `extends`
+    assert ("flush", "Closeable.close", "resolved") in got
