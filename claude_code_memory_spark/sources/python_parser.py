@@ -93,8 +93,21 @@ def _call_names(node: ast.AST) -> set[str]:
 def _name_and_base(f: ast.AST) -> tuple[str | None, str | None]:
     """(name, dotted_base) of a callable/annotation expression:
     ``f`` → ('f', None), ``z.f`` → ('f', 'z'), ``a.b.f`` → ('f', 'a.b').
-    A base that isn't a plain name chain (call result, subscript) yields
-    base None; a non-name expression yields (None, None)."""
+    Nullability wrappers unwrap — ``Optional[Tool]`` and ``Tool | None``
+    mean Tool whenever the value is used (the Jedi answer); other
+    subscripts (List[Tool], Dict[...]) stay opaque since the container
+    is not the element. A non-name expression yields (None, None)."""
+    if isinstance(f, ast.Subscript) and isinstance(f.value, ast.Name) and f.value.id == "Optional":
+        return _name_and_base(f.slice)
+    if isinstance(f, ast.BinOp) and isinstance(f.op, ast.BitOr):
+        sides = [f.left, f.right]
+        none_sides = [
+            s for s in sides if isinstance(s, ast.Constant) and s.value is None
+        ]
+        if len(none_sides) == 1:
+            other = sides[0] if sides[1] in none_sides else sides[1]
+            return _name_and_base(other)
+        return None, None
     if isinstance(f, ast.Name):
         return f.id, None
     if isinstance(f, ast.Attribute):

@@ -93,3 +93,39 @@ def test_decorator_and_raise_relations():
     assert ("Handler", "register", "uses") in rels
     assert ("Handler.run", "staticmethod", "uses") in rels
     assert ("Handler.run", "TimeoutError", "throws") in rels
+
+
+def test_optional_annotation_unwrapping():
+    """Optional[Tool] and Tool | None unwrap to Tool for type binds and
+    return binds (the value IS a Tool whenever it's used); containers
+    (list[Tool]) and non-None unions stay opaque."""
+    from claude_code_memory_spark.sources.python_parser import parse_python_source
+
+    src = (
+        "from pkg.core import Motor\n"
+        "from typing import Optional\n"
+        "\n"
+        "def f(a: Optional[Motor], b: Motor | None, c: None | Motor,\n"
+        "      d: list[Motor], e: Motor | str):\n"
+        "    return a.rev()\n"
+        "\n"
+        "def g() -> Optional[Motor]:\n"
+        "    return fetch()\n"
+    )
+    recs = parse_python_source("app.py", src)
+    tbinds = {
+        r["entity_name"]: r["to_entity"]
+        for r in recs
+        if r["record_kind"] == "type_binding"
+    }
+    assert tbinds.get("a") == "Motor"
+    assert tbinds.get("b") == "Motor"
+    assert tbinds.get("c") == "Motor"
+    assert "d" not in tbinds  # container, not the element
+    assert "e" not in tbinds  # non-None union: ambiguous
+    rbinds = {
+        r["from_entity"]: r["to_entity"]
+        for r in recs
+        if r["record_kind"] == "return_bind"
+    }
+    assert rbinds.get("g") == "Motor"
