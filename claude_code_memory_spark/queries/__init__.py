@@ -101,7 +101,7 @@ _DRIVER_WINDOW = [
 #     dedup_keep_best_per_cluster, mixture_domain_weights,
 #     sample_dsir_importance, ann_hard_negatives,
 #     tokenizer_bpe_encode_top_symbols, text_token_entropy,
-#     dedup_ngram_exposure — all
+#     dedup_ngram_exposure, split_group_holdout — all
 #     selfcheck-green on arrival);
 # (b) the 44-entry r4-last-green cohort (two rounds stale at end of r6 —
 # the freshness bound): sessionize_builtin_window, chunk_pack_running_budget,

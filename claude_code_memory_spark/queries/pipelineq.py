@@ -132,3 +132,64 @@ def graph_bfs2_brand_parts(spark, sf_dir):
         .crossJoin(hop1.agg(F.count("*").alias("n_suppliers")))
         .crossJoin(hop2.agg(F.count("*").alias("n_reachable_parts")))
     )
+
+
+_DD_SRC_BUCKET = "('0x' || substr(md5(CAST(source AS VARCHAR)), 1, 8))::UBIGINT::BIGINT % 10000"
+
+
+@register(
+    "split_group_holdout",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source,
+             CASE WHEN {_DD_SRC_BUCKET} < 8000 THEN 'train'
+                  WHEN {_DD_SRC_BUCKET} < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    leak AS (
+      SELECT CAST(count(*) AS BIGINT) AS leaked_groups FROM (
+        SELECT source FROM s GROUP BY source
+        HAVING count(DISTINCT split) > 1))
+    SELECT split,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_groups,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           leak.leaked_groups
+    FROM s CROSS JOIN leak
+    GROUP BY split, leak.leaked_groups
+    """,
+)
+def split_group_holdout(spark, sf_dir):
+    """Leakage-safe train/val/test split: the hash bucket is computed on
+    the GROUP key (source), so every document of a source lands in the
+    same split — the grouped-split rule that keeps near-duplicates and
+    same-origin documents from straddling the train/test boundary (the
+    leakage mode a per-row split like `split_train_val_test` permits).
+    The output carries `leaked_groups` — the count of sources appearing
+    in more than one split — computed in-query, so the oracle hash
+    itself PROVES it is 0. Same deterministic_split operator, group key
+    instead of row key; one aggregate over the labeled scan plus a
+    group-count rollup (group-cardinality-sized, broadcast back)."""
+    from claude_code_memory_spark.operators.sampling import deterministic_split
+
+    d = table(spark, sf_dir, "documents")
+    s = deterministic_split(
+        d, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="source"
+    )
+    leak = F.broadcast(
+        s.groupBy("source")
+        .agg(F.count_distinct("split").alias("ns"))
+        .agg(
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("leaked_groups")
+        )
+    )
+    return (
+        s.crossJoin(leak)
+        .groupBy("split", "leaked_groups")
+        .agg(
+            F.count_distinct("source").cast("long").alias("n_groups"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+        .select("split", "n_groups", "n_docs", "leaked_groups")
+    )
