@@ -325,7 +325,75 @@ def resolve_calls(
     b = _pin(_normalize_targets(b, known))
     fromb = b.filter(F.col("import_type") == "from")
     modb = b.filter(F.col("import_type") == "module")
+    # what a module exports to star consumers: its __all__ when declared
+    # (Python), else its public names; JS/TS has no underscore privacy
+    exp = b.filter(F.col("import_type") == "export").select(
+        F.col("module").alias("x_mod"), F.col("local_name").alias("x_name")
+    )
+    has_exp = exp.select(F.col("x_mod").alias("hx_mod")).distinct()
     chased = _pin(_chase(fromb, max_hops).dropDuplicates(["file_path", "local_name"]))
+
+    # star hop: a chased terminal (module, name) that is NOT a definition,
+    # where that module star-binds exactly one other module that DOES
+    # define the name, hops once more. This covers JS barrel files
+    # (`lib/index.js: export * from './core'` — then `import { Tool }
+    # from './lib'` lands on lib.core.Tool) AND the Python twin (a module
+    # whose namespace includes `from x import *` names). Export rules of
+    # the SOURCE apply: Python sources hide underscore names unless
+    # __all__ lists them; JS sources re-export everything.
+    bar = b.filter(F.col("import_type") == "star").select(
+        F.col("module").alias("bs_mod"),
+        F.col("target_module").alias("bs_tgt"),
+        F.col("file_path").rlike(r"\.py$").alias("bs_py"),
+    )
+    dd1 = defs.select(
+        F.col("def_module").alias("q1_mod"), F.col("def_name").alias("q1_name")
+    )
+    dd2 = defs.select(
+        F.col("def_module").alias("q2_mod"), F.col("def_name").alias("q2_name")
+    )
+    star_fix = (
+        chased.join(
+            dd1,
+            (F.col("target_module") == F.col("q1_mod"))
+            & (F.col("member") == F.col("q1_name")),
+            "left_anti",  # terminal already a def: nothing to fix
+        )
+        .join(bar, F.col("target_module") == F.col("bs_mod"))
+        .join(
+            dd2,
+            (F.col("bs_tgt") == F.col("q2_mod")) & (F.col("member") == F.col("q2_name")),
+        )
+        .join(
+            exp,
+            (F.col("bs_tgt") == F.col("x_mod")) & (F.col("member") == F.col("x_name")),
+            "left",
+        )
+        .join(has_exp, F.col("bs_tgt") == F.col("hx_mod"), "left")
+        .filter(
+            ~F.col("bs_py")
+            | F.col("x_name").isNotNull()
+            | (F.col("hx_mod").isNull() & ~F.col("member").startswith("_"))
+        )
+        .groupBy("file_path", "local_name")
+        .agg(F.count_distinct("bs_tgt").alias("__n"), F.min("bs_tgt").alias("__tgt"))
+        .filter(F.col("__n") == 1)  # two stars offering the name: ambiguous
+        .select(
+            F.col("file_path").alias("z_file"),
+            F.col("local_name").alias("z_local"),
+            F.col("__tgt").alias("z_tgt"),
+        )
+    )
+    chased = _pin(
+        chased.join(
+            star_fix,
+            (chased.file_path == star_fix.z_file)
+            & (chased.local_name == star_fix.z_local),
+            "left",
+        )
+        .withColumn("target_module", F.coalesce("z_tgt", "target_module"))
+        .drop("z_file", "z_local", "z_tgt")
+    )
 
     calls = relations.filter(F.col("relation_type") == "calls")
     # throws targets and bare decorator uses are names in the SAME
@@ -416,13 +484,6 @@ def resolve_calls(
             F.col("sd_name").alias("st_def"),
         )
     )
-    # what a starred module actually exports: its __all__ list when it
-    # declares one (which may include underscore names), else its public
-    # (non-underscore) names — the Python star-import contract
-    exp = b.filter(F.col("import_type") == "export").select(
-        F.col("module").alias("x_mod"), F.col("local_name").alias("x_name")
-    )
-    has_exp = exp.select(F.col("x_mod").alias("hx_mod")).distinct()
     own = defs.select(
         F.col("def_module").alias("o_mod"), F.col("def_name").alias("o_name")
     )

@@ -880,6 +880,26 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
                             b["record_kind"] = "import_binding"
                             b["content"] = orig
                             recs.append(b)
+                elif target:
+                    head = raw.split("from")[0]
+                    ns = re.search(r"\*\s+as\s+([\w$]+)", head)
+                    if ns:
+                        # `export * as core from './core'`: binds a
+                        # module-valued name in the barrel
+                        b = _relation_rec(
+                            ns.group(1), target, "import_binding", path, "module"
+                        )
+                        b["record_kind"] = "import_binding"
+                        recs.append(b)
+                    elif "*" in head:
+                        # `export * from './core'`: the barrel offers
+                        # every export of the target — a 'star' binding
+                        # the resolver expands when chasing lands here
+                        b = _relation_rec(
+                            "*" + target, target, "import_binding", path, "star"
+                        )
+                        b["record_kind"] = "import_binding"
+                        recs.append(b)
                 matched = True
 
         if not matched:

@@ -1198,3 +1198,78 @@ def test_ts_interface_typed_resolution(spark):
     assert ("flush", "Port.send", "resolved") in got
     # inherited through `extends`
     assert ("flush", "Closeable.close", "resolved") in got
+
+
+def test_js_export_star_barrel_resolution(spark):
+    """`lib/index.js: export * from './core'` — a named import from the
+    barrel chases through the star re-export to the real definition;
+    two stars offering the same name stay ambiguous and unresolved."""
+    from claude_code_memory_spark.sources.javascript_parser import (
+        parse_javascript_source,
+    )
+    from claude_code_memory_spark.sources.python_parser import PARSED_SCHEMA
+
+    fixture = {
+        "lib/core.js": "export function coreFn(x) {\n  return x;\n}\n",
+        "lib/extra.js": (
+            "export function extraFn(x) {\n  return x;\n}\n"
+            "\n"
+            "export function dupFn(x) {\n  return x;\n}\n"
+        ),
+        "lib/core2.js": "export function dupFn(x) {\n  return x + 1;\n}\n",
+        "lib/index.js": (
+            "export * from './core';\n"
+            "export * from './extra';\n"
+            "export * from './core2';\n"
+        ),
+        "src/app.js": (
+            "import { coreFn, extraFn, dupFn } from '../lib';\n"
+            "\n"
+            "function consume() {\n"
+            "  return coreFn(1) + extraFn(2) + dupFn(3);\n"
+            "}\n"
+        ),
+    }
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_javascript_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(relations, import_bindings(parsed), entities)
+    got = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in out.filter(out.relation_type == "calls").collect()
+    }
+    assert ("consume", "coreFn", "resolved") in got
+    assert ("consume", "extraFn", "resolved") in got
+    # dupFn is offered by two stars: ambiguous, never guessed
+    assert any(t == "dupFn" and it != "resolved" for _, t, it in got)
+
+
+def test_python_import_through_star_namespace(spark):
+    """Python twin of the barrel hop: `mid.py: from base import *` makes
+    base's public names attributes of mid, so `from mid import helper`
+    chases through the star to base.helper."""
+    fixture = {
+        "base.py": "def star_helper(x):\n    return x\n",
+        "mid.py": "from base import *\n",
+        "app10.py": (
+            "from mid import star_helper\n"
+            "\n"
+            "def consume():\n"
+            "    return star_helper(1)\n"
+        ),
+    }
+    from claude_code_memory_spark.sources.python_parser import PARSED_SCHEMA
+
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_python_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(relations, import_bindings(parsed), entities)
+    got = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in out.filter(out.relation_type == "calls").collect()
+    }
+    assert ("consume", "star_helper", "resolved") in got
