@@ -83,9 +83,30 @@ def main() -> None:
     for noisy in ("bm25_keyword_topk", "hybrid_rrf_search"):
         if noisy in run_count:
             run_count[noisy] = max(runs, 5)
+
+    # machine-state sampling (verdict r6 item 1): two consecutive driver
+    # rounds regressed 1.3-1.6x on untouched sub-second plans, each
+    # explained post-hoc by idle re-runs — the artifact itself must carry
+    # the evidence. Each timed sample records the 1-minute loadavg and
+    # the /proc process count taken right before it, so a load spike on
+    # the shared driver machine is visible IN the bench record instead of
+    # being reconstructed afterwards.
+    def machine_state() -> tuple[float, int]:
+        try:
+            load1 = os.getloadavg()[0]
+        except OSError:
+            load1 = -1.0
+        try:
+            nproc = sum(1 for d in os.listdir("/proc") if d.isdigit())
+        except OSError:
+            nproc = -1
+        return load1, nproc
+
     samples: dict[str, list[float]] = {name: [] for name in headline}
+    loads: dict[str, list[float]] = {name: [] for name in headline}
+    procs: dict[str, list[int]] = {name: [] for name in headline}
     errors: dict[str, str] = {}
-    for i in range(max(run_count.values(), default=0)):
+    for i in range(max(max(run_count.values(), default=0), 5)):
         for name, fn in headline.items():
             # per-query isolation: one broken query must cost its own
             # number, never the whole round's bench (BENCH_r02 was a DNF
@@ -94,15 +115,43 @@ def main() -> None:
                 continue
             try:
                 spark.catalog.clearCache()
+                load1, nproc = machine_state()
                 t0 = time.time()
                 fn(spark, sf_dir).collect()
                 samples[name].append(time.time() - t0)
+                loads[name].append(load1)
+                procs[name].append(nproc)
             except Exception as exc:  # noqa: BLE001
                 errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+        if i == 0:
+            # sub-second queries get 5 samples (verdict r6 item 1): their
+            # timings are the ones a scheduler blip distorts most, and the
+            # extra runs are cheap. Decided adaptively off the first
+            # interleaved pass so the rule tracks reality, not a
+            # hard-coded name list that rots as plans change.
+            for name, s in samples.items():
+                if s and s[0] < 1.0:
+                    run_count[name] = max(run_count[name], 5)
     timings: dict[str, float] = {
         name: round(sorted(s)[len(s) // 2], 3)
         for name, s in samples.items()
         if s and name not in errors
+    }
+    # min alongside median: min is robust to load spikes (a spike can only
+    # inflate a sample, never deflate it), median is the reproducible
+    # number. A big median/min gap WITH elevated loadavg = environment;
+    # the same gap at idle load = a real plan problem.
+    query_stats: dict[str, dict] = {
+        name: {
+            "min": round(min(s), 3),
+            "median": timings[name],
+            "runs": len(s),
+            "load1_min": round(min(loads[name]), 2),
+            "load1_max": round(max(loads[name]), 2),
+            "nproc_max": max(procs[name]),
+        }
+        for name, s in samples.items()
+        if s and name in timings
     }
 
     # engine-specific extra: vector index-build throughput (embed every
@@ -326,6 +375,79 @@ def main() -> None:
     finally:
         shutil.rmtree(store_dir, ignore_errors=True)
 
+    # storage-layer ANN serving (verdict r6 item 5): round 6 pinned that
+    # IVF probing's win lives in the partitionBy(ivf_cluster) LAYOUT (the
+    # in-memory cluster filter was 4x WORSE than brute — PLANS.md). Prove
+    # it end-to-end: the same replicated corpus written (a) as plain
+    # parquet and (b) partitioned by ivf_cluster, then qps of the on-disk
+    # brute scan vs the nprobe=4-of-16 probe whose isin(ivf_cluster)
+    # filter prunes whole cell DIRECTORIES at the file level. Both arms
+    # read from disk (no .cache()) because the claim under test is the
+    # storage layout, and uses ivf_seeded_build (deterministic, cheap) —
+    # centroid quality is not the variable here.
+    ann_qps: dict[str, float] = {}
+    import shutil
+    import tempfile
+
+    ann_dir = tempfile.mkdtemp(prefix="bench_ann_")
+    try:
+        from claude_code_memory_spark.operators.similarity import (
+            ivf_seeded_build,
+            ivf_topk,
+        )
+
+        emb0 = table(spark, sf_dir, "embeddings")
+        n_base = emb0.count()
+        qvecs2 = [
+            r["embedding"] for r in emb0.filter(F.col("vec_id") < 10).collect()
+        ]
+        for target in (200_000, 1_000_000):
+            rep = max(1, target // max(n_base, 1))
+            big = (
+                emb0.crossJoin(spark.range(rep).withColumnRenamed("id", "__rep"))
+                .select(
+                    (F.col("vec_id") * rep + F.col("__rep")).alias("vec_id"),
+                    F.expr(
+                        "transform(embedding, (x, i) -> x + "
+                        "pmod(hash(vec_id, __rep, i), 1000) / 1.0e6)"
+                    ).alias("embedding"),
+                )
+                .repartition(cpus)
+            )
+            plain = os.path.join(ann_dir, f"plain_{target}")
+            big.write.mode("overwrite").parquet(plain)
+            assigned, centers2 = ivf_seeded_build(
+                spark.read.parquet(plain), 16, id_col="vec_id"
+            )
+            part = os.path.join(ann_dir, f"ivf_{target}")
+            assigned.write.partitionBy("ivf_cluster").mode("overwrite").parquet(
+                part
+            )
+            scale = "1m" if target >= 1_000_000 else f"{target // 1000}k"
+            pt = spark.read.parquet(plain)
+            brute_force_topk(pt, qvecs2[0], 10).collect()  # warm listing/footers
+            nq = 5 if target >= 1_000_000 else 10
+            t0 = time.time()
+            for qv in qvecs2[:nq]:
+                brute_force_topk(pt, qv, 10).collect()
+            ann_qps[f"disk_brute_qps_{scale}"] = round(
+                nq / max(time.time() - t0, 1e-9), 2
+            )
+            it = spark.read.parquet(part)
+            ivf_topk(it, centers2, qvecs2[0], 10, nprobe=4).collect()  # warm
+            t0 = time.time()
+            for qv in qvecs2[:10]:
+                ivf_topk(it, centers2, qv, 10, nprobe=4).collect()
+            ann_qps[f"ann_topk_qps_{scale}"] = round(
+                10 / max(time.time() - t0, 1e-9), 2
+            )
+    except Exception as exc:  # noqa: BLE001
+        errors["extra:ann_serving"] = (
+            f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+        )
+    finally:
+        shutil.rmtree(ann_dir, ignore_errors=True)
+
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     dense_t, hybrid_t = timings.get("dense_topk"), timings.get("hybrid_rrf_search")
@@ -395,6 +517,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "query_stats": query_stats,
         "sf": sf,
         "extras": {
             "embed_vectors_per_sec": (
@@ -403,6 +526,7 @@ def main() -> None:
             "exact_topk_qps": round(topk_qps, 2) if topk_qps else None,
             "exact_topk_corpus_vectors": n_vecs,
             **topk_curve,
+            **ann_qps,
             "hybrid_rrf_overhead_vs_dense": (
                 round(hybrid_t / dense_t, 2) if dense_t and hybrid_t else None
             ),

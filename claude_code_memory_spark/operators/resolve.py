@@ -341,7 +341,11 @@ def resolve_calls(
     # whose namespace includes `from x import *` names). Export rules of
     # the SOURCE apply: Python sources hide underscore names unless
     # __all__ lists them; JS sources re-export everything.
-    bar = b.filter(F.col("import_type") == "star").select(
+    # both scope-binding stars (Python `from x import *`, which also
+    # re-exports) and JS export-stars (`export * from './core'`, which
+    # ONLY re-exports) participate in the barrel hop; the bare-call
+    # fallback below takes scope-binding stars alone.
+    bar = b.filter(F.col("import_type").isin("star", "star_export")).select(
         F.col("module").alias("bs_mod"),
         F.col("target_module").alias("bs_tgt"),
         F.col("file_path").rlike(r"\.py$").alias("bs_py"),
@@ -487,6 +491,20 @@ def resolve_calls(
     own = defs.select(
         F.col("def_module").alias("o_mod"), F.col("def_name").alias("o_name")
     )
+    # explicit bindings shadow star imports under Python semantics: in
+    # `from os.path import join; from utils import *`, join() is os.path's
+    # even though the chase finds no repo-local def for it (ADVICE r6).
+    # Anti-join the star candidates against every explicit from/module
+    # binding of the same (file, name) so a name with ANY explicit binding
+    # never takes the star path — unresolved beats wrongly resolved.
+    explicit = chased.select(
+        F.col("file_path").alias("xb_file"), F.col("local_name").alias("xb_name")
+    ).unionByName(
+        modb.select(
+            F.col("file_path").alias("xb_file"),
+            F.col("local_name").alias("xb_name"),
+        )
+    )
     star_hits = (
         star_direct.unionByName(star_reexp)
         .join(
@@ -502,6 +520,12 @@ def resolve_calls(
         .join(
             own,
             (F.col("sb_mod") == F.col("o_mod")) & (F.col("st_name") == F.col("o_name")),
+            "left_anti",
+        )
+        .join(
+            explicit,
+            (F.col("sb_file") == F.col("xb_file"))
+            & (F.col("st_name") == F.col("xb_name")),
             "left_anti",
         )
         .groupBy("sb_file", "st_name")
@@ -939,6 +963,120 @@ def resolve_calls(
         base_is_name = F.col("__ctor.base").isNotNull() & ~F.col(
             "__ctor.base"
         ).contains(".")
+
+        # instance-method factories (verdict r6 item 3): `db = Database();
+        # x = db.get_db(); x.query()` — the type-bind's base names an
+        # instance-typed VARIABLE (function-, class- (self.attr), or
+        # module-scoped) whose own bind pins a class; 'Class.method' then
+        # keys the same factory table the classmethod path uses, so a
+        # return-annotated method (`def get_db(self) -> DB:`) types the
+        # chained variable. The var's class resolves in ITS file context
+        # (chased from-import or same-file class) — bare ctor names only;
+        # a dotted base-of-base stays unresolved (certainty contract).
+        # Inherited factory methods are out of scope: the factory table
+        # keys by the DEFINING class (documented approximation).
+        if type_binds is not None:
+            b7f = tb.select(
+                F.col("file_path").alias("b7f_file"),
+                F.col("scope").alias("b7f_scope"),
+                F.col("var").alias("b7f_var"),
+                F.struct(
+                    F.col("ctor").alias("ctor"), F.col("ctor_base").alias("base")
+                ).alias("b7f_c"),
+            )
+            b7s = tb.select(
+                F.col("file_path").alias("b7s_file"),
+                F.col("scope").alias("b7s_scope"),
+                F.col("var").alias("b7s_var"),
+                F.struct(
+                    F.col("ctor").alias("ctor"), F.col("ctor_base").alias("base")
+                ).alias("b7s_c"),
+            )
+            b7m = tb.select(
+                F.col("file_path").alias("b7m_file"),
+                F.col("scope").alias("b7m_scope"),
+                F.col("var").alias("b7m_var"),
+                F.struct(
+                    F.col("ctor").alias("ctor"), F.col("ctor_base").alias("base")
+                ).alias("b7m_c"),
+            )
+            x7 = chased.select(
+                F.col("file_path").alias("x7_file"),
+                F.col("local_name").alias("x7_local"),
+                F.col("target_module").alias("x7_tmod"),
+                F.col("member").alias("x7_member"),
+            )
+            l7 = classes.select(
+                F.col("file_path").alias("l7_file"),
+                F.col("k_module").alias("l7_module"),
+                F.col("k_name").alias("l7_name"),
+            )
+            attr = (
+                attr.join(
+                    b7f,
+                    (F.col("file_path") == b7f.b7f_file)
+                    & (F.col("from_entity") == b7f.b7f_scope)
+                    & (F.col("__ctor.base") == b7f.b7f_var),
+                    "left",
+                )
+                .join(
+                    b7s,
+                    (F.col("file_path") == b7s.b7s_file)
+                    & (F.split(F.col("from_entity"), r"\.")[0] == b7s.b7s_scope)
+                    & (F.col("__ctor.base") == b7s.b7s_var)
+                    & (
+                        F.col("__ctor.base").startswith("self.")
+                        | F.col("__ctor.base").startswith("this.")
+                    ),
+                    "left",
+                )
+                .join(
+                    b7m,
+                    (F.col("file_path") == b7m.b7m_file)
+                    & (F.col("file_path") == b7m.b7m_scope)
+                    & (F.col("__ctor.base") == b7m.b7m_var),
+                    "left",
+                )
+                .withColumn("__bvar", F.coalesce("b7f_c", "b7s_c", "b7m_c"))
+                .join(
+                    x7,
+                    F.col("__bvar.base").isNull()
+                    & (F.col("file_path") == x7.x7_file)
+                    & (F.col("__bvar.ctor") == x7.x7_local),
+                    "left",
+                )
+                .join(
+                    l7,
+                    F.col("__bvar.base").isNull()
+                    & (F.col("file_path") == l7.l7_file)
+                    & (F.col("__bvar.ctor") == l7.l7_name),
+                    "left",
+                )
+                .withColumn(
+                    "__ivcls",
+                    F.coalesce(
+                        F.when(
+                            F.col("x7_tmod").isNotNull(),
+                            F.struct(
+                                F.col("x7_tmod").alias("mod"),
+                                F.col("x7_member").alias("name"),
+                            ),
+                        ),
+                        F.when(
+                            F.col("l7_module").isNotNull(),
+                            F.struct(
+                                F.col("l7_module").alias("mod"),
+                                F.col("__bvar.ctor").alias("name"),
+                            ),
+                        ),
+                    ),
+                )
+            )
+        else:
+            attr = attr.withColumn(
+                "__ivcls", F.lit(None).cast("struct<mod:string,name:string>")
+            )
+
         attr = (
             attr.join(
                 cb6,
@@ -971,6 +1109,10 @@ def resolve_calls(
                             F.col("__ctor.base").alias("name"),
                         ),
                     ),
+                    # instance-typed base: the var's class keys the factory
+                    # table; last in the coalesce so an explicit class name
+                    # (the classmethod idiom) keeps priority
+                    F.col("__ivcls"),
                 ),
             )
             .join(

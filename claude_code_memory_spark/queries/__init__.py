@@ -35,82 +35,80 @@ from claude_code_memory_spark.queries import (  # noqa: F401,E402
 # and 50 slots the rotation period is ~3 rounds, so the sweep must never
 # be preempted.
 #
-# Round-6 window, executing the round-5 queue exactly: (a) the eight
-# entries whose ONLY green row is round 1 — all selfcheck-reverified by
-# the r5 judge, windowed here so the catalog has no r1-only rows left;
-# (b) all 42 entries last green in round 3 (three rounds stale at the end
-# of r6 otherwise). 8 + 42 = 50: the staleness sweep consumes the entire
-# window, so the four permanent anchors (r5-green, fresh) sit this round
-# out. tests/test_registry_order.py pins this window.
+# Round-7 window, executing the round-6 queue exactly: (a) the eight
+# queries added in round 6 — never driver-checked (selfcheck-green on
+# arrival, re-verified by the r6 judge); (b) 42 of the 44 entries last
+# green in round 4 (three rounds stale at the end of r7 otherwise).
+# 8 + 42 = 50: two r4 entries (q3_shipping_priority, q5_revenue_by_nation)
+# do not fit and are deferred to the FRONT of the round-8 queue — both are
+# bench headliners whose plans execute every round, and both were
+# selfcheck-reverified at sf0.01 this round (tools/selfcheck.py, r7) so the
+# deferral carries a fresh green, just not a driver one.
+# tests/test_registry_order.py pins this window.
 _DRIVER_WINDOW = [
-    # -- (a) r1-only green rows: the oldest debt in the catalog --
-    "dedup_duplicate_clusters",
-    "dedup_embedding_neardup",
-    "filter_exclude_pattern",
-    "join_full_outer_diff",
-    "sample_stratified_by_lang",
-    "token_frequency_top50",
-    "weighted_content_assembly",
-    "window_running_user_value",
-    # -- (b) the full r3-last-green cohort (42 entries) --
-    "agg_second_moments",
-    "agg_value_percentiles",
-    "ann_ivf_probe",
-    "ann_lsh_bucket",
-    "asof_join_events",
-    "corpus_filter_funnel",
-    "debounce_last_event_wins",
-    "dense_topk_filtered",
-    "events_json_props",
-    "graph_bfs2_brand_parts",
-    "knn_join_queries",
-    "multimodal_binary_stats",
-    "pivot_priority_by_year",
-    "q11_important_stock",
-    "q12_priority_by_returnflag",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count_by_part",
-    "q18_large_volume_customers",
-    "q19_disjunctive_filter",
-    "q1_pricing_summary",
-    "q20_dominant_supplier",
-    "q21_sole_returning_supplier",
-    "q22_idle_rich_customers",
-    "q2_top_supplier_per_part",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "rrf_fusion_events",
-    "split_train_val_test",
-    "text_c4_filter",
-    "text_camel_spacing",
-    "text_complexity",
-    "text_fingerprints",
-    "text_language_id",
-    "text_pii_redaction",
-    "text_quality_scores",
-    "text_repetition_signals",
-    "text_token_counts",
-    "vector_quantization_error",
-    "window_top_customers_per_nation",
+    # -- (a) round-6 additions: never driver-checked --
+    "ann_hard_negatives",
+    "dedup_keep_best_per_cluster",
+    "dedup_ngram_exposure",
+    "mixture_domain_weights",
+    "sample_dsir_importance",
+    "split_group_holdout",
+    "text_token_entropy",
+    "tokenizer_bpe_encode_top_symbols",
+    # -- (b) the r4-last-green cohort (42 of 44 entries) --
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_user_segments_bitmap",
+    "anomaly_rolling_zscore",
+    "asof_join_salted_events",
+    "chunk_pack_running_budget",
+    "cluster_kmeans_sizes",
+    "decontaminate_vs_benchmark",
+    "dedup_clusters_star",
+    "dedup_cross_substring",
+    "dedup_minhash_delta",
+    "dedup_ngram_jaccard",
+    "dedup_repeated_ngrams",
+    "dedup_semantic_cells",
+    "dedup_simhash",
+    "feature_winsorize_clip",
+    "graph_pagerank_nations",
+    "graph_triangle_counts",
+    "ivf_knn_join_batch",
+    "knn_per_label",
+    "layout_zorder_tiles",
+    "privacy_pseudonymize",
+    "q17_small_quantity_revenue",
+    "range_join_click_to_purchase",
+    "relations_orphan_cleanup",
+    "retention_cohorts",
+    "sample_domain_mixture",
+    "scroll_pagination",
+    "sessionize_builtin_window",
+    "sketch_approx_distinct",
+    "sketch_heavy_hitters",
+    "sketch_hll_mergeable",
+    "sketch_window_distinct",
+    "sliding_window_counts",
+    "text_gopher_rules",
+    "timeseries_gapfill_locf",
+    "timeseries_interpolate_linear",
+    "tumbling_window_counts",
+    "vector_pq_adc_topk",
+    "vector_pq_error",
+    "window_lag_lead",
+    "window_time_range_frame",
 ]
-# Round-7 rotation queue (oldest-green-first after this round lands):
-# (a) the queries added in round 6 lead (never driver-checked:
-#     dedup_keep_best_per_cluster, mixture_domain_weights,
-#     sample_dsir_importance, ann_hard_negatives,
-#     tokenizer_bpe_encode_top_symbols, text_token_entropy,
-#     dedup_ngram_exposure, split_group_holdout — all
-#     selfcheck-green on arrival);
-# (b) the 44-entry r4-last-green cohort (two rounds stale at end of r6 —
-# the freshness bound): sessionize_builtin_window, chunk_pack_running_budget,
-# relations_orphan_cleanup, scroll_pagination, the dedup family
-# (minhash_lsh_delta, cross_substring, decontaminate, simhash, ngram),
-# the time-series flagships, graph_pagerank/triangles, and the rest of the
-# r4 window — 44 into 50 slots leaves ~6 for the r5 anchors
-# (dense_topk, bm25_keyword_topk, hybrid_rrf_search, dedup_minhash_lsh)
-# and the freshest r5 cohort's own rotation begins in round 8.
+# Round-8 rotation queue (oldest-green-first after this round lands):
+# (a) any queries added in round 7 lead (never driver-checked);
+# (b) q3_shipping_priority and q5_revenue_by_nation (the two r4 entries
+#     deferred out of this window — 3 driver rounds stale by then, top
+#     priority);
+# (c) the 50-entry r5-last-green cohort (dense_topk, bm25_keyword_topk,
+#     hybrid_rrf_search, dedup_minhash_lsh, sessionize_events, the
+#     relational q4/q6/q10 family, sketches, PCA, quality classifier,
+#     sequence packing, …) — whatever fits after (a)+(b); the remainder
+#     plus the r6 cohort rotates in round 9.
 
 
 def _apply_driver_window() -> None:

@@ -22,6 +22,7 @@ accumulated ulp can flip a hash.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from claude_code_memory_spark.queries.base import register, spread, table
@@ -314,3 +315,128 @@ def sample_dsir_importance(spark, sf_dir):
         )
     )
     return scored.orderBy(F.desc("dsir_weight"), F.asc("doc_id")).limit(50)
+
+
+@register(
+    "knn_classify_majority",
+    oracle="""
+    WITH scored AS (
+      SELECT q.vec_id AS q_id, q.label AS true_label,
+             a.vec_id AS n_id, a.label AS n_label,
+             round(list_dot_product(a.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS score
+      FROM embeddings a, (SELECT * FROM embeddings WHERE vec_id < 20) q
+      WHERE a.vec_id >= 20),
+    nn AS (
+      SELECT * FROM (
+        SELECT q_id, true_label, n_label, score, n_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY score DESC, n_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= 5),
+    votes AS (
+      SELECT q_id, true_label, n_label, count(*) AS v
+      FROM nn GROUP BY q_id, true_label, n_label),
+    pred AS (
+      SELECT q_id, true_label, n_label AS pred_label
+      FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                         ORDER BY v DESC, n_label ASC) AS pr
+            FROM votes)
+      WHERE pr = 1)
+    SELECT q_id, true_label, pred_label,
+           (pred_label = true_label) AS correct
+    FROM pred
+    """,
+)
+def knn_classify_majority(spark, sf_dir):
+    """k-NN probe classifier (k=5, majority vote, ties to the smaller
+    label): the standard embedding-quality evaluation — hold out the
+    first 20 vectors as queries, classify each by its 5 nearest
+    labeled neighbors in the rest of the corpus. The broadcast-query
+    kNN join is the only corpus-scale stage (parallelism scales with
+    the corpus, per-query cost with the 20-row broadcast); the vote is
+    two aggregates over 100 rows. The same shape evaluates any learned
+    embedding at 100 TB — the probe set stays broadcastable by design."""
+    from claude_code_memory_spark.operators.similarity import knn_join_sql
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("true_label"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    nn = knn_join_sql(queries, corpus, k=5).join(
+        corpus.select(F.col("vec_id"), F.col("label").alias("n_label")), "vec_id"
+    )
+    votes = nn.groupBy("q_id", "n_label").agg(F.count("*").alias("v"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("v"), F.asc("n_label"))
+    pred = (
+        votes.withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") == 1)
+        .select("q_id", F.col("n_label").alias("pred_label"))
+    )
+    return (
+        queries.select("q_id", "true_label")
+        .join(pred, "q_id")
+        .select(
+            "q_id",
+            "true_label",
+            "pred_label",
+            (F.col("pred_label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+@register(
+    "mixture_lang_source_mi",
+    oracle="""
+    WITH joint AS (
+      SELECT lang, source, count(*)::DOUBLE AS n FROM documents GROUP BY lang, source),
+    tot AS (SELECT sum(n) AS t FROM joint),
+    pl AS (SELECT lang, sum(n) AS nl FROM joint GROUP BY lang),
+    ps AS (SELECT source, sum(n) AS ns FROM joint GROUP BY source)
+    SELECT round(sum((n / t) * ln(round((n * t) / (nl * ns), 6))), 6) AS mutual_information,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM joint JOIN pl USING (lang) JOIN ps USING (source) CROSS JOIN tot
+    """,
+)
+def mixture_lang_source_mi(spark, sf_dir):
+    """Mutual information between language and source over the corpus —
+    the mixture-confound diagnostic: MI near 0 means language is
+    balanced across sources; high MI means sources are language silos,
+    so per-source sampling quotas double as (unintended) language
+    quotas. Sums p(l,s)·ln(p(l,s)/(p(l)p(s))) over the joint table,
+    which has |langs|×|sources| rows — contingency-table-sized at any
+    corpus scale, so everything after the first count aggregate is
+    broadcast-trivial. The inner ratio rounds to 6 dp before ln so the
+    DuckDB replay is bit-stable."""
+    d = table(spark, sf_dir, "documents")
+    joint = d.groupBy("lang", "source").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    tot = F.broadcast(joint.agg(F.sum("n").alias("t")))
+    pl = F.broadcast(joint.groupBy("lang").agg(F.sum("n").alias("nl")))
+    ps = F.broadcast(joint.groupBy("source").agg(F.sum("n").alias("ns")))
+    return (
+        joint.join(pl, "lang")
+        .join(ps, "source")
+        .crossJoin(tot)
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("n") / F.col("t"))
+                    * F.log(
+                        F.round(
+                            (F.col("n") * F.col("t"))
+                            / (F.col("nl") * F.col("ns")),
+                            6,
+                        )
+                    )
+                ),
+                6,
+            ).alias("mutual_information"),
+            F.count("*").alias("n_cells"),
+        )
+    )

@@ -5,6 +5,7 @@ tables (the relational twin of api.read_graph's BFS, T7).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from claude_code_memory_spark.operators.dedup import contaminated_docs
@@ -192,4 +193,81 @@ def split_group_holdout(spark, sf_dir):
             F.count("*").cast("long").alias("n_docs"),
         )
         .select("split", "n_groups", "n_docs", "leaked_groups")
+    )
+
+
+@register(
+    "cap_docs_per_source",
+    oracle="""
+    SELECT source, count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept
+    FROM (
+      SELECT source, n_chars, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rk
+      FROM documents)
+    WHERE rk <= 50
+    GROUP BY source
+    """,
+)
+def cap_docs_per_source(spark, sf_dir):
+    """Per-source document quota (domain caps): keep at most 50 docs per
+    source, preferring longer ones — the standard anti-domination step
+    in web-corpus curation (a handful of template-heavy domains would
+    otherwise dominate the mixture; Gopher §A.2 applies per-domain
+    quotas the same way). One window partitioned by source, never a
+    global sort; at 100 TB a hot domain skews its window partition, so
+    the scale path pre-reduces per input partition first (each partition
+    keeps its local top-50 per source before the shuffle — a
+    cap-per-source twin of TakeOrderedAndProject) which this plan gets
+    for free from AQE skew splitting plus the bounded cap."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 50)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+    )
+
+
+@register(
+    "sample_weighted_bottomk",
+    oracle=f"""
+    SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS chars_sampled
+    FROM (
+      SELECT lang, n_chars, doc_id,
+             round(-ln(({_DD_BUCKET} + 0.5) / 10000.0) / n_chars, 6) AS k
+      FROM documents
+      ORDER BY k ASC, doc_id ASC LIMIT 100)
+    GROUP BY lang
+    """,
+)
+def sample_weighted_bottomk(spark, sf_dir):
+    """Weighted sampling without replacement via the exponential race
+    (Efraimidis–Spirakis 2006): each doc draws key = -ln(u)/w with
+    deterministic u from its hash bucket and weight w = n_chars; the 100
+    smallest keys are the weighted sample (longer docs proportionally
+    likelier). orderBy+limit compiles to TakeOrderedAndProject — each
+    partition keeps its local 100, the driver merges partition heads —
+    so no global sort ever materializes and the same plan holds at any
+    corpus size. Keys are rounded to 6 dp before ranking so the
+    Spark/DuckDB ln() agree at the cut boundary; ties break by doc_id."""
+    from claude_code_memory_spark.operators.sampling import hash_bucket
+
+    d = table(spark, sf_dir, "documents")
+    u = (hash_bucket("doc_id").cast("double") + F.lit(0.5)) / F.lit(10000.0)
+    key = F.round(-F.log(u) / F.col("n_chars"), 6)
+    return (
+        d.withColumn("k", key)
+        .orderBy(F.asc("k"), F.asc("doc_id"))
+        .limit(100)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").alias("chars_sampled"),
+        )
     )

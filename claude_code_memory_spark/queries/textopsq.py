@@ -913,3 +913,55 @@ def text_token_entropy(spark, sf_dir):
     return terms.groupBy(
         "doc_id", F.col("n").alias("n_tokens"), "n_distinct"
     ).agg(F.round(-F.sum("h").cast("double"), 6).alias("entropy"))
+
+
+@register(
+    "text_ttr_hapax",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DD_TOKENIZE}) AS tok FROM documents),
+    cnt AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_types,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      FROM cnt GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_types,
+           round(n_types::DOUBLE / n_tokens, 6) AS ttr,
+           round(n_hapax::DOUBLE / n_tokens, 6) AS hapax_frac
+    FROM per_doc
+    ORDER BY ttr DESC, doc_id ASC LIMIT 20
+    """,
+)
+def text_ttr_hapax(spark, sf_dir):
+    """Lexical-diversity quality signals per document: type-token ratio
+    and hapax-legomenon fraction (tokens occurring exactly once) — low
+    TTR flags template/boilerplate text, very high hapax flags
+    gibberish; both are standard quality-filter features alongside the
+    Gopher/C4 rules. One tokenize pass → per-(doc, token) count with
+    map-side combine → per-doc rollup; the top-20 cut is
+    TakeOrderedAndProject, so nothing global ever sorts. At 100 TB the
+    shuffle carries one row per distinct (doc, token) — bounded by
+    corpus token count, same contract as the BM25 fit."""
+    from claude_code_memory_spark.functions.text import tokenize
+
+    d = table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+        F.round(F.col("n_hapax") / F.col("n_tokens"), 6).alias("hapax_frac"),
+    ).orderBy(F.desc("ttr"), F.asc("doc_id")).limit(20)

@@ -893,10 +893,15 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
                         recs.append(b)
                     elif "*" in head:
                         # `export * from './core'`: the barrel offers
-                        # every export of the target — a 'star' binding
-                        # the resolver expands when chasing lands here
+                        # every export of the target to IMPORTERS of the
+                        # barrel, but binds nothing in the barrel's own
+                        # scope (a bare call inside the barrel does not
+                        # see the target's names) — so this is a
+                        # 'star_export' the resolver expands only on the
+                        # chase/star_fix path, never in the bare-call
+                        # star fallback (ADVICE r6).
                         b = _relation_rec(
-                            "*" + target, target, "import_binding", path, "star"
+                            "*" + target, target, "import_binding", path, "star_export"
                         )
                         b["record_kind"] = "import_binding"
                         recs.append(b)

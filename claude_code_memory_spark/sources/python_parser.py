@@ -97,6 +97,15 @@ def _name_and_base(f: ast.AST) -> tuple[str | None, str | None]:
     mean Tool whenever the value is used (the Jedi answer); other
     subscripts (List[Tool], Dict[...]) stay opaque since the container
     is not the element. A non-name expression yields (None, None)."""
+    if isinstance(f, ast.Constant) and isinstance(f.value, str):
+        # string forward reference (`t: 'Tool | None'`): the annotation
+        # grammar lives inside the literal — parse and recurse. Call
+        # expressions never reach here (a string is not callable), so
+        # this branch only fires for annotations.
+        try:
+            return _name_and_base(ast.parse(f.value, mode="eval").body)
+        except SyntaxError:
+            return None, None
     if isinstance(f, ast.Subscript) and isinstance(f.value, ast.Name) and f.value.id == "Optional":
         return _name_and_base(f.slice)
     if isinstance(f, ast.BinOp) and isinstance(f.op, ast.BitOr):
@@ -233,10 +242,32 @@ def _collect_type_binds(
             val = call_val(n.value)
             for t in n.targets:
                 if isinstance(t, (ast.Tuple, ast.List)):
-                    for e in t.elts:  # per-element values unknown
-                        note_target(e, None)
+                    # tuple-to-tuple unpack with matching arity and no
+                    # starred element is positionally certain:
+                    # `a, b = Tool(), 3` binds a→Tool (and poisons b,
+                    # a non-call). Anything else — call/iterable RHS,
+                    # star, nesting — stays per-element unknown.
+                    if (
+                        isinstance(n.value, (ast.Tuple, ast.List))
+                        and len(n.value.elts) == len(t.elts)
+                        and not any(isinstance(e, ast.Starred) for e in t.elts)
+                    ):
+                        for e, v in zip(t.elts, n.value.elts):
+                            if isinstance(e, (ast.Tuple, ast.List)):
+                                for sub in ast.walk(e):
+                                    note_target(sub, None)
+                            else:
+                                note_target(e, call_val(v))
+                    else:
+                        for e in ast.walk(t):  # per-element values unknown
+                            note_target(e, None)
                 else:
                     note_target(t, val)
+        elif isinstance(n, ast.NamedExpr):
+            # walrus: `if (t := Tool()):` binds t in the ENCLOSING scope
+            # (PEP 572) — which is exactly the scope being collected,
+            # since comprehensions are not scope barriers here
+            note_target(n.target, call_val(n.value))
         elif isinstance(n, ast.AnnAssign):
             name, base = _name_and_base(n.annotation)
             note_target(n.target, (name, base) if name else call_val(n.value))
@@ -247,9 +278,24 @@ def _collect_type_binds(
                 note_target(e, None)
         elif isinstance(n, (ast.With, ast.AsyncWith)):
             for item in n.items:
-                if item.optional_vars is not None:
-                    for e in ast.walk(item.optional_vars):
-                        note_target(e, call_val(item.context_expr))
+                ov = item.optional_vars
+                if ov is None:
+                    continue
+                if isinstance(ov, (ast.Tuple, ast.List, ast.Starred)):
+                    # `with pool() as (conn, cur)`: the tuple elements are
+                    # whatever __enter__ unpacks to, NOT the context
+                    # manager — binding them to the ctor wrongly pins e.g.
+                    # cur.execute() to a pool method. Mirror the Assign
+                    # branch: poison every name in the unpack target.
+                    for e in ast.walk(ov):
+                        note_target(e, None)
+                else:
+                    # bare name / self-attribute: `with C() as x` binds x
+                    # to C only when __enter__ returns self — true for the
+                    # overwhelmingly common case (files, locks, sessions);
+                    # the certainty contract tolerates this documented
+                    # approximation but not the tuple one above.
+                    note_target(ov, call_val(item.context_expr))
     return local, selfa
 
 
@@ -502,12 +548,32 @@ def parse_python_source(path: str, source: str) -> list[dict]:
             # literals count; a dynamically-built __all__ contributes the
             # literals it does contain — star candidates outside the list
             # stay unresolved, never wrong (the safe direction).
+            #
+            # The "*" marker row below fires for EVERY __all__ assignment,
+            # including fully dynamic ones (`__all__ = sorted(_names)`)
+            # that yield zero literal rows: the resolver's has_exp set must
+            # know the module HAS an __all__ so the public-underscore
+            # fallback is suppressed — otherwise star resolution could pin
+            # names the dynamic __all__ deliberately excludes. "*" can
+            # never equal a real member name, so it only flips has_exp.
+            marker = _relation_rec("*", "", "import_binding", path, "export")
+            marker["record_kind"] = "import_binding"
+            recs.append(marker)
             if isinstance(node.value, (ast.List, ast.Tuple, ast.Set)):
                 for elt in node.value.elts:
                     if isinstance(elt, ast.Constant) and isinstance(elt.value, str):
                         b = _relation_rec(elt.value, "", "import_binding", path, "export")
                         b["record_kind"] = "import_binding"
                         recs.append(b)
+            # __all__ is still a module variable: keep its entity row so
+            # entity counts don't change just because the export slice
+            # also reads this assignment (ADVICE r6).
+            if isinstance(node, ast.Assign):
+                recs.append(
+                    _entity_rec("__all__", "variable", path, node.lineno,
+                                node.end_lineno, ["Variable __all__"])
+                )
+                recs.append(_relation_rec(path, "__all__", "contains", path))
         elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
             handle_function(node, None, "function")
         elif isinstance(node, ast.ClassDef):

@@ -129,3 +129,121 @@ def test_optional_annotation_unwrapping():
         if r["record_kind"] == "return_bind"
     }
     assert rbinds.get("g") == "Motor"
+
+
+def test_with_tuple_target_poisons_not_binds():
+    """`with pool() as (conn, cur)` unpacks whatever __enter__ returns —
+    binding the elements to the context-manager class would wrongly pin
+    e.g. cur.execute() to a pool method (ADVICE r6). Bare-name targets
+    keep the common-case bind; tuple/list elements are poisoned, and a
+    later rebind of a poisoned name stays poisoned."""
+    from claude_code_memory_spark.sources.python_parser import parse_python_source
+
+    src = (
+        "from pkg.db import pool, Conn\n"
+        "\n"
+        "def f():\n"
+        "    with pool() as (conn, cur):\n"
+        "        cur.execute()\n"
+        "    with pool() as p:\n"
+        "        p.ping()\n"
+        "\n"
+        "def g():\n"
+        "    with pool() as [a, b]:\n"
+        "        pass\n"
+        "    a = Conn()\n"
+    )
+    recs = parse_python_source("app.py", src)
+    tbinds = {
+        (r["from_entity"], r["entity_name"]): r["to_entity"]
+        for r in recs
+        if r["record_kind"] == "type_binding"
+    }
+    assert ("f", "conn") not in tbinds
+    assert ("f", "cur") not in tbinds
+    assert tbinds.get(("f", "p")) == "pool"
+    # poisoned by the tuple unpack: the later unambiguous-looking
+    # assignment must NOT resurrect a bind
+    assert ("g", "a") not in tbinds
+    assert ("g", "b") not in tbinds
+
+
+def test_dynamic_dunder_all_emits_marker_and_entity():
+    """A fully dynamic __all__ (zero string literals) must still tell the
+    resolver the module HAS an __all__ — the '*' marker row — so the
+    public-underscore fallback never fires for it (ADVICE r6). The
+    assignment also keeps its module-variable entity row."""
+    from claude_code_memory_spark.sources.python_parser import parse_python_source
+
+    recs = parse_python_source(
+        "mod.py",
+        "_names = ['a', 'b']\n"
+        "__all__ = sorted(_names)\n"
+        "\n"
+        "def offered(x):\n    return x\n",
+    )
+    exports = [
+        r["from_entity"]
+        for r in recs
+        if r["record_kind"] == "import_binding" and r["import_type"] == "export"
+    ]
+    assert exports == ["*"]  # marker only: no literals to extract
+    ents = {
+        r["entity_name"]
+        for r in recs
+        if r["record_kind"] == "entity" and r["entity_type"] == "variable"
+    }
+    assert "__all__" in ents
+
+    # literal __all__ still extracts names AND carries the marker
+    recs2 = parse_python_source(
+        "mod2.py", "__all__ = ['x']\n\ndef x():\n    return 1\n"
+    )
+    exports2 = sorted(
+        r["from_entity"]
+        for r in recs2
+        if r["record_kind"] == "import_binding" and r["import_type"] == "export"
+    )
+    assert exports2 == ["*", "x"]
+
+
+def test_tuple_unpack_and_walrus_type_binds():
+    """Positionally-matched tuple unpack (`a, b = Tool(), 3`) and walrus
+    targets (`(t := Tool())`) are statically certain and bind; starred,
+    arity-mismatched, or call-RHS unpacks stay poisoned."""
+    from claude_code_memory_spark.sources.python_parser import parse_python_source
+
+    src = (
+        "from pkg.core import Tool, Conn\n"
+        "\n"
+        "def f():\n"
+        "    a, b = Tool(), Conn()\n"
+        "    c, d = Tool(), 3\n"
+        "    return a.run()\n"
+        "\n"
+        "def g():\n"
+        "    e, *rest = Tool(), Conn(), Conn()\n"
+        "    x, y = make_pair()\n"
+        "    return 0\n"
+        "\n"
+        "def h():\n"
+        "    if (t := Tool()):\n"
+        "        return t.run()\n"
+        "    vals = [w for w in range(3) if (m := Conn())]\n"
+        "    return m.query()\n"
+    )
+    recs = parse_python_source("app.py", src)
+    tbinds = {
+        (r["from_entity"], r["entity_name"]): r["to_entity"]
+        for r in recs
+        if r["record_kind"] == "type_binding"
+    }
+    assert tbinds.get(("f", "a")) == "Tool"
+    assert tbinds.get(("f", "b")) == "Conn"
+    assert tbinds.get(("f", "c")) == "Tool"
+    assert ("f", "d") not in tbinds  # non-call element
+    assert ("g", "e") not in tbinds  # starred target: arity uncertain
+    assert ("g", "x") not in tbinds  # call RHS: per-element unknown
+    assert tbinds.get(("h", "t")) == "Tool"
+    # PEP 572: a walrus inside a comprehension binds the ENCLOSING scope
+    assert tbinds.get(("h", "m")) == "Conn"

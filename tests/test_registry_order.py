@@ -6,71 +6,72 @@ never silently shrink driver coverage.
 
 from claude_code_memory_spark.queries import REGISTRY, _DRIVER_WINDOW
 
-# Round-6 window: the staleness sweep consumes all 50 slots —
-# the 8 entries whose only green row is round 1, then the full
-# 42-entry round-3-last-green cohort (verdict r5 item 3).
-R1_ONLY = {
-    "dedup_duplicate_clusters",
-    "dedup_embedding_neardup",
-    "filter_exclude_pattern",
-    "join_full_outer_diff",
-    "sample_stratified_by_lang",
-    "token_frequency_top50",
-    "weighted_content_assembly",
-    "window_running_user_value",
+# Round-7 window: the 8 round-6 additions (never driver-checked) plus
+# 42 of the 44 round-4-last-green entries (verdict r6 item 2). The two
+# deferred r4 entries (q3_shipping_priority, q5_revenue_by_nation) lead
+# the round-8 queue and were selfchecked green this round.
+R6_NEW = {
+    "ann_hard_negatives",
+    "dedup_keep_best_per_cluster",
+    "dedup_ngram_exposure",
+    "mixture_domain_weights",
+    "sample_dsir_importance",
+    "split_group_holdout",
+    "text_token_entropy",
+    "tokenizer_bpe_encode_top_symbols",
 }
 
-R3_COHORT = {
-    "agg_second_moments",
-    "agg_value_percentiles",
-    "ann_ivf_probe",
-    "ann_lsh_bucket",
-    "asof_join_events",
-    "corpus_filter_funnel",
-    "debounce_last_event_wins",
-    "dense_topk_filtered",
-    "events_json_props",
-    "graph_bfs2_brand_parts",
-    "knn_join_queries",
-    "multimodal_binary_stats",
-    "pivot_priority_by_year",
-    "q11_important_stock",
-    "q12_priority_by_returnflag",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count_by_part",
-    "q18_large_volume_customers",
-    "q19_disjunctive_filter",
-    "q1_pricing_summary",
-    "q20_dominant_supplier",
-    "q21_sole_returning_supplier",
-    "q22_idle_rich_customers",
-    "q2_top_supplier_per_part",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "rrf_fusion_events",
-    "split_train_val_test",
-    "text_c4_filter",
-    "text_camel_spacing",
-    "text_complexity",
-    "text_fingerprints",
-    "text_language_id",
-    "text_pii_redaction",
-    "text_quality_scores",
-    "text_repetition_signals",
-    "text_token_counts",
-    "vector_quantization_error",
-    "window_top_customers_per_nation",
+R4_COHORT = {
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_user_segments_bitmap",
+    "anomaly_rolling_zscore",
+    "asof_join_salted_events",
+    "chunk_pack_running_budget",
+    "cluster_kmeans_sizes",
+    "decontaminate_vs_benchmark",
+    "dedup_clusters_star",
+    "dedup_cross_substring",
+    "dedup_minhash_delta",
+    "dedup_ngram_jaccard",
+    "dedup_repeated_ngrams",
+    "dedup_semantic_cells",
+    "dedup_simhash",
+    "feature_winsorize_clip",
+    "graph_pagerank_nations",
+    "graph_triangle_counts",
+    "ivf_knn_join_batch",
+    "knn_per_label",
+    "layout_zorder_tiles",
+    "privacy_pseudonymize",
+    "q17_small_quantity_revenue",
+    "range_join_click_to_purchase",
+    "relations_orphan_cleanup",
+    "retention_cohorts",
+    "sample_domain_mixture",
+    "scroll_pagination",
+    "sessionize_builtin_window",
+    "sketch_approx_distinct",
+    "sketch_heavy_hitters",
+    "sketch_hll_mergeable",
+    "sketch_window_distinct",
+    "sliding_window_counts",
+    "text_gopher_rules",
+    "timeseries_gapfill_locf",
+    "timeseries_interpolate_linear",
+    "tumbling_window_counts",
+    "vector_pq_adc_topk",
+    "vector_pq_error",
+    "window_lag_lead",
+    "window_time_range_frame",
 }
 
 
 def test_driver_window_is_the_staleness_sweep():
     window = set(list(REGISTRY)[:50])
-    assert R1_ONLY <= window, f"missing r1-only entries: {sorted(R1_ONLY - window)}"
-    assert R3_COHORT <= window, f"missing r3 cohort: {sorted(R3_COHORT - window)}"
-    assert len(R1_ONLY | R3_COHORT) == 50
+    assert R6_NEW <= window, f"missing r6 additions: {sorted(R6_NEW - window)}"
+    assert R4_COHORT <= window, f"missing r4 cohort: {sorted(R4_COHORT - window)}"
+    assert len(R6_NEW | R4_COHORT) == 50
 
 
 def test_window_is_exactly_the_declared_list():
@@ -83,7 +84,7 @@ def test_window_is_exactly_the_declared_list():
 
 def test_registry_complete():
     # every entry callable, oracles are strings when present
-    assert len(REGISTRY) >= 138
+    assert len(REGISTRY) >= 152
     for name, e in REGISTRY.items():
         assert callable(e.fn), name
         assert e.oracle is None or isinstance(e.oracle, str), name

@@ -1273,3 +1273,226 @@ def test_python_import_through_star_namespace(spark):
         for r in out.filter(out.relation_type == "calls").collect()
     }
     assert ("consume", "star_helper", "resolved") in got
+
+
+def test_star_never_overrides_explicit_import(spark):
+    """Explicit bindings shadow star imports (Python semantics): in
+    `from os.path import join; from utils import *`, join() belongs to
+    os.path even though the chase finds no repo-local def for it — the
+    star fallback must NOT rewrite it to utils.join (ADVICE r6).
+    Module imports shadow too."""
+    fixture = {
+        "utils.py": (
+            "def join(x):\n    return x\n"
+            "\n"
+            "def tools(x):\n    return x\n"
+            "\n"
+            "def free(x):\n    return x\n"
+        ),
+        "app12.py": (
+            "from os.path import join\n"
+            "import tools\n"
+            "from utils import *\n"
+            "\n"
+            "def consume():\n"
+            "    return join('a') + tools(1) + free(2)\n"
+        ),
+    }
+    from claude_code_memory_spark.sources.python_parser import PARSED_SCHEMA
+
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_python_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(relations, import_bindings(parsed), entities)
+    got = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in out.filter(out.relation_type == "calls").collect()
+    }
+    # explicitly from-imported (external): stays unresolved, never utils.join
+    assert any(t == "join" and it != "resolved" for _, t, it in got)
+    # module-imported name: the star must not claim it either
+    assert any(t == "tools" and it != "resolved" for _, t, it in got)
+    # no explicit binding: the star resolves it as before
+    assert ("consume", "free", "resolved") in got
+
+
+def test_js_export_star_binds_nothing_in_barrel_scope(spark):
+    """`export * from './core'` re-exports to IMPORTERS of the barrel but
+    binds nothing in the barrel's own scope — a bare call inside the
+    barrel must stay unresolved (ADVICE r6), while named imports FROM the
+    barrel still chase through the star re-export."""
+    from claude_code_memory_spark.sources.javascript_parser import (
+        parse_javascript_source,
+    )
+    from claude_code_memory_spark.sources.python_parser import PARSED_SCHEMA
+
+    fixture = {
+        "lib/core.js": "export function coreFn(x) {\n  return x;\n}\n",
+        "lib/index.js": (
+            "export * from './core';\n"
+            "\n"
+            "export function boot() {\n"
+            "  return coreFn(1);\n"
+            "}\n"
+        ),
+        "src/app.js": (
+            "import { coreFn } from '../lib';\n"
+            "\n"
+            "function consume() {\n"
+            "  return coreFn(1);\n"
+            "}\n"
+        ),
+    }
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_javascript_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(relations, import_bindings(parsed), entities)
+    got = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in out.filter(out.relation_type == "calls").collect()
+    }
+    # the barrel hop still works for importers
+    assert ("consume", "coreFn", "resolved") in got
+    # but inside the barrel, export-star binds nothing: bare call unresolved
+    assert any(
+        f == "boot" and t == "coreFn" and it != "resolved" for f, t, it in got
+    )
+
+
+def test_dynamic_dunder_all_suppresses_star_fallback(spark):
+    """A module with a fully dynamic __all__ (`__all__ = sorted(_n)`)
+    declares an export contract we cannot enumerate — star consumers must
+    resolve NOTHING from it (the marker row suppresses the
+    public-underscore fallback; ADVICE r6)."""
+    fixture = {
+        "dyn.py": (
+            "_n = ['offered']\n"
+            "__all__ = sorted(_n)\n"
+            "\n"
+            "def offered(x):\n    return x\n"
+            "\n"
+            "def hidden(x):\n    return x\n"
+        ),
+        "app13.py": (
+            "from dyn import *\n"
+            "\n"
+            "def consume():\n"
+            "    return offered(1) + hidden(2)\n"
+        ),
+    }
+    from claude_code_memory_spark.sources.python_parser import PARSED_SCHEMA
+
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_python_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(relations, import_bindings(parsed), entities)
+    got = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in out.filter(out.relation_type == "calls").collect()
+    }
+    # unresolved beats wrongly resolved: the dynamic __all__ may exclude
+    # either name, so neither resolves
+    assert any(t == "offered" and it != "resolved" for _, t, it in got)
+    assert any(t == "hidden" and it != "resolved" for _, t, it in got)
+
+
+def test_instance_method_factory_resolution(spark):
+    """`x = obj.get_db(); x.query()` — the most common real-world factory
+    shape (verdict r6 item 3): the base names an instance-typed VARIABLE
+    whose class has a return-annotated (or body-inferred) method.
+    Function-scope, self-attribute, and module-scope bases all resolve;
+    an untyped base resolves nothing."""
+    fixture = {
+        "pkg/__init__.py": "",
+        "pkg/db.py": (
+            "class Conn:\n"
+            "    def query(self):\n"
+            "        return 1\n"
+            "\n"
+            "class Database:\n"
+            "    def get_db(self) -> Conn:\n"
+            "        return self._open()\n"
+            "\n"
+            "    def mk(self):\n"
+            "        return Conn()\n"
+            "\n"
+            "    def maybe(self, flag):\n"
+            "        if flag:\n"
+            "            return Conn()\n"
+            "        return None\n"
+        ),
+        "app14.py": (
+            "from pkg.db import Database\n"
+            "\n"
+            "d2 = Database()\n"
+            "\n"
+            "def use_annotated():\n"
+            "    d = Database()\n"
+            "    x = d.get_db()\n"
+            "    return x.query()\n"
+            "\n"
+            "class Holder:\n"
+            "    def __init__(self):\n"
+            "        self.db = Database()\n"
+            "    def go(self):\n"
+            "        c = self.db.get_db()\n"
+            "        return c.query()\n"
+            "\n"
+            "def use_module_scope():\n"
+            "    y = d2.mk()\n"
+            "    return y.query()\n"
+            "\n"
+            "def use_divergent():\n"
+            "    d = Database()\n"
+            "    z = d.maybe(True)\n"
+            "    return z.query()\n"
+            "\n"
+            "def use_untyped(q):\n"
+            "    w = q.get_db()\n"
+            "    return w.query()\n"
+        ),
+    }
+    from claude_code_memory_spark.sources.python_parser import (
+        PARSED_SCHEMA,
+        return_bindings,
+    )
+
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_python_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(
+        relations,
+        import_bindings(parsed),
+        entities,
+        type_bindings(parsed),
+        return_binds=return_bindings(parsed),
+    )
+    assert out.count() == relations.count()  # refinement, never loss
+    got = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in out.filter(out.relation_type == "calls").collect()
+    }
+    # annotated instance-method factory, function-scope base
+    assert ("use_annotated", "Conn.query", "resolved") in got
+    # self-attribute base (`self.db.get_db()` typing c)
+    assert ("Holder.go", "Conn.query", "resolved") in got
+    # body-inferred method factory, module-scope base
+    assert ("use_module_scope", "Conn.query", "resolved") in got
+    # divergent returns, no annotation: never resolved
+    assert any(
+        f == "use_divergent" and t == "query" and it != "resolved"
+        for f, t, it in got
+    )
+    # untyped base: never resolved
+    assert any(
+        f == "use_untyped" and t == "query" and it != "resolved"
+        for f, t, it in got
+    )

@@ -1,0 +1,384 @@
+"""Resolver fidelity against a ground-truth fixture (verdict r6 item 4).
+
+The own-repo "resolved relations" count (615 → 643 in r6) is volume
+without a denominator. This fixture fixes that: every cross-file call
+site below has a KNOWN static answer, partitioned into
+
+- POSITIVES: sites the engine is expected to resolve, with the exact
+  defining name (`rate` counts these);
+- ASPIRATIONAL: sites a full Jedi-style analysis resolves but our
+  certainty contract deliberately leaves unresolved today (tuple
+  unpacks, walrus targets, chained call results) — they sit in the
+  DENOMINATOR so the published rate is honest about what static
+  resolution could reach, and flipping one green later shows up as a
+  rate increase;
+- NEGATIVES: sites that MUST stay unresolved (ambiguity, divergent
+  factories, external modules, dynamic __all__) — any resolution here
+  is a FALSE RESOLUTION and the poisoning guarantee is broken.
+
+Asserted invariants: false_resolutions == 0 (hard), every individual
+positive stays green (regression pinpointing), and the aggregate rate
+is published for README. Reference parity anchor: the reference
+delegates exactly this to Jedi in-process (analysis/parser.py:15,
+:120); this is the distributed equivalent's precision/recall harness.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from claude_code_memory_spark.operators.resolve import resolve_calls
+from claude_code_memory_spark.sources.python_parser import (
+    import_bindings,
+    parse_python_source,
+    return_bindings,
+    split_parsed,
+    type_bindings,
+)
+
+# ---- the ground-truth corpus: 22 files, every call site accounted ----
+FIXTURE = {
+    # -- library under test --
+    "lib/__init__.py": "from lib.core import helper, Tool\n",
+    "lib/core.py": (
+        "class Base:\n"
+        "    def close(self):\n"
+        "        return 0\n"
+        "\n"
+        "class Tool(Base):\n"
+        "    def run(self):\n"
+        "        return 1\n"
+        "\n"
+        "    @classmethod\n"
+        "    def create(cls):\n"
+        "        return cls()\n"
+        "\n"
+        "def helper(x):\n"
+        "    return x + 1\n"
+    ),
+    "lib/db.py": (
+        "class Conn:\n"
+        "    def query(self):\n"
+        "        return 1\n"
+        "\n"
+        "class Database:\n"
+        "    def get_conn(self) -> Conn:\n"
+        "        return self._open()\n"
+        "\n"
+        "    def maybe(self, flag):\n"
+        "        if flag:\n"
+        "            return Conn()\n"
+        "        return None\n"
+    ),
+    "lib/factories.py": (
+        "from lib.core import Tool\n"
+        "\n"
+        "def make_tool():\n"
+        "    return Tool()\n"
+        "\n"
+        "def annotated_tool() -> Tool:\n"
+        "    return _whatever()\n"
+    ),
+    "lib/errors.py": (
+        "class CustomError(Exception):\n"
+        "    pass\n"
+        "\n"
+        "def cached(fn):\n"
+        "    return fn\n"
+    ),
+    "lib/stars.py": (
+        "__all__ = ['offered', '_blessed']\n"
+        "\n"
+        "def offered(x):\n    return x\n"
+        "\n"
+        "def _blessed(x):\n    return x\n"
+        "\n"
+        "def unlisted(x):\n    return x\n"
+    ),
+    "lib/dyn.py": (
+        "_n = ['dyn_offered']\n"
+        "__all__ = sorted(_n)\n"
+        "\n"
+        "def dyn_offered(x):\n    return x\n"
+    ),
+    "lib/mid.py": "from lib.stars import *\n",
+    "lib/dup_a.py": "def dup_fn(x):\n    return x\n",
+    "lib/dup_b.py": "def dup_fn(x):\n    return x + 1\n",
+    # -- consumers: one ground-truth site per cNN_/aNN_/nNN_ function --
+    "use/alias.py": (
+        "from lib.core import helper as h\n"
+        "\n"
+        "def c01_alias():\n"
+        "    return h(1)\n"
+    ),
+    "use/modattr.py": (
+        "import lib.core as c\n"
+        "from lib import core\n"
+        "\n"
+        "def c02_module_alias():\n"
+        "    return c.helper(2)\n"
+        "\n"
+        "def c03_from_module():\n"
+        "    return core.helper(3)\n"
+    ),
+    "use/reexport.py": (
+        "from lib import helper\n"
+        "\n"
+        "def c04_reexport():\n"
+        "    return helper(4)\n"
+    ),
+    "use/instances.py": (
+        "from lib.core import Tool\n"
+        "\n"
+        "def c05_instance():\n"
+        "    t = Tool()\n"
+        "    return t.run()\n"
+        "\n"
+        "def c06_inherited():\n"
+        "    t = Tool()\n"
+        "    return t.close()\n"
+        "\n"
+        "class Holder:\n"
+        "    def __init__(self):\n"
+        "        self.t = Tool()\n"
+        "    def c07_self_attr(self):\n"
+        "        return self.t.run()\n"
+        "\n"
+        "def c08_param(t: Tool):\n"
+        "    return t.run()\n"
+        "\n"
+        "def c09_optional(t: 'Tool | None' = None):\n"
+        "    return t.run()\n"
+    ),
+    "use/factories.py": (
+        "from lib.factories import make_tool, annotated_tool\n"
+        "from lib.core import Tool\n"
+        "from lib.db import Database\n"
+        "\n"
+        "def c10_factory():\n"
+        "    t = make_tool()\n"
+        "    return t.run()\n"
+        "\n"
+        "def c11_annotated_factory():\n"
+        "    t = annotated_tool()\n"
+        "    return t.run()\n"
+        "\n"
+        "def c12_classmethod_factory():\n"
+        "    t = Tool.create()\n"
+        "    return t.run()\n"
+        "\n"
+        "def c13_instance_method_factory():\n"
+        "    d = Database()\n"
+        "    x = d.get_conn()\n"
+        "    return x.query()\n"
+    ),
+    "use/stars.py": (
+        "from lib.stars import *\n"
+        "\n"
+        "def c14_star_public():\n"
+        "    return offered(1)\n"
+        "\n"
+        "def c15_star_blessed_private():\n"
+        "    return _blessed(2)\n"
+    ),
+    "use/starhop.py": (
+        "from lib.mid import offered\n"
+        "\n"
+        "def c16_star_hop():\n"
+        "    return offered(1)\n"
+    ),
+    "use/exceptional.py": (
+        "from lib.errors import CustomError as CE, cached as memo\n"
+        "\n"
+        "def c17_throws():\n"
+        "    raise CE('x')\n"
+        "\n"
+        "@memo\n"
+        "def c18_decorated():\n"
+        "    return 0\n"
+    ),
+    "use/modscope.py": (
+        "from lib.core import Tool\n"
+        "\n"
+        "shared = Tool()\n"
+        "\n"
+        "def c19_module_scope_bind():\n"
+        "    return shared.run()\n"
+    ),
+    "use/withctx.py": (
+        "from lib.core import Tool\n"
+        "\n"
+        "def c20_with_bind():\n"
+        "    with Tool() as t:\n"
+        "        return t.run()\n"
+    ),
+    "use/aspirational.py": (
+        "from lib.core import Tool\n"
+        "from lib.db import Database\n"
+        "\n"
+        "def a01_tuple_unpack():\n"
+        "    t, n = Tool(), 3\n"
+        "    return t.run()\n"
+        "\n"
+        "def a02_walrus():\n"
+        "    if (t := Tool()):\n"
+        "        return t.run()\n"
+        "    return 0\n"
+        "\n"
+        "def a03_chained_call():\n"
+        "    d = Database()\n"
+        "    return d.get_conn().query()\n"
+    ),
+    "use/negatives.py": (
+        "from os.path import join\n"
+        "from lib.core import Tool, helper\n"
+        "from lib.db import Database\n"
+        "from lib.dyn import *\n"
+        "\n"
+        "def n01_ambiguous():\n"
+        "    t = Tool()\n"
+        "    t = helper(1)\n"
+        "    return t.run()\n"
+        "\n"
+        "def n02_divergent_factory():\n"
+        "    d = Database()\n"
+        "    z = d.maybe(True)\n"
+        "    return z.query()\n"
+        "\n"
+        "def n03_external():\n"
+        "    return join('a', 'b')\n"
+        "\n"
+        "def n04_dynamic_all_star():\n"
+        "    return dyn_offered(1)\n"
+        "\n"
+        "def n05_untyped_base(q):\n"
+        "    w = q.get_conn()\n"
+        "    return w.query()\n"
+    ),
+    "use/twostars.py": (
+        "from lib.dup_a import *\n"
+        "from lib.dup_b import *\n"
+        "\n"
+        "def n06_two_stars():\n"
+        "    return dup_fn(1)\n"
+    ),
+}
+
+# (site, expected defining name) — the engine must resolve these
+POSITIVES = [
+    ("c01_alias", "helper"),
+    ("c02_module_alias", "helper"),
+    ("c03_from_module", "helper"),
+    ("c04_reexport", "helper"),
+    ("c05_instance", "Tool.run"),
+    ("c06_inherited", "Base.close"),
+    ("Holder.c07_self_attr", "Tool.run"),
+    ("c08_param", "Tool.run"),
+    ("c09_optional", "Tool.run"),
+    ("c10_factory", "Tool.run"),
+    ("c11_annotated_factory", "Tool.run"),
+    ("c12_classmethod_factory", "Tool.run"),
+    ("c13_instance_method_factory", "Conn.query"),
+    ("c14_star_public", "offered"),
+    ("c15_star_blessed_private", "_blessed"),
+    ("c16_star_hop", "offered"),
+    ("c17_throws", "CustomError"),
+    ("c18_decorated", "cached"),
+    ("c19_module_scope_bind", "Tool.run"),
+    ("c20_with_bind", "Tool.run"),
+    # flipped from ASPIRATIONAL in round 7: tuple-to-tuple unpack and
+    # walrus targets are positionally certain, so the collector binds them
+    ("a01_tuple_unpack", "Tool.run"),
+    ("a02_walrus", "Tool.run"),
+]
+
+# (site, target a full static analysis reaches, raw method name) —
+# denominator entries; resolving one correctly raises the rate,
+# resolving one WRONGLY is a false resolution
+ASPIRATIONAL = [
+    ("a03_chained_call", "Conn.query", "query"),
+]
+
+# (site, raw callee) — resolution here breaks the poisoning guarantee
+NEGATIVES = [
+    ("n01_ambiguous", "run"),
+    ("n02_divergent_factory", "query"),
+    ("n03_external", "join"),
+    ("n04_dynamic_all_star", "dyn_offered"),
+    ("n05_untyped_base", "query"),
+    ("n06_two_stars", "dup_fn"),
+]
+
+
+@pytest.fixture(scope="module")
+def fidelity(spark):
+    from claude_code_memory_spark.sources.python_parser import PARSED_SCHEMA
+
+    recs = []
+    for path, src in FIXTURE.items():
+        recs.extend(parse_python_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA).cache()
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(
+        relations,
+        import_bindings(parsed),
+        entities,
+        type_bindings(parsed),
+        return_binds=return_bindings(parsed),
+    )
+    rows = out.filter(
+        out.relation_type.isin("calls", "throws", "uses")
+    ).collect()
+    return {
+        (r["from_entity"], r["to_entity"], r["import_type"]) for r in rows
+    }
+
+
+def test_every_positive_resolves(fidelity):
+    missed = [
+        (site, target)
+        for site, target in POSITIVES
+        if (site, target, "resolved") not in fidelity
+    ]
+    assert not missed, f"positives regressed: {missed}"
+
+
+def test_zero_false_resolutions(fidelity):
+    """The poisoning guarantee: no negative site carries ANY resolved
+    edge for its method/callee name, and no aspirational site resolved
+    to the WRONG target."""
+    false_hits = []
+    for site, raw in NEGATIVES:
+        for f, t, it in fidelity:
+            if f != site or it != "resolved":
+                continue
+            if t == raw or t.endswith("." + raw):
+                false_hits.append((site, t))
+    for site, want, raw in ASPIRATIONAL:
+        for f, t, it in fidelity:
+            if f != site or it != "resolved":
+                continue
+            if (t == raw or t.endswith("." + raw)) and t != want:
+                false_hits.append((site, t))
+    assert false_hits == [], f"false resolutions: {false_hits}"
+
+
+def test_fidelity_rate(fidelity):
+    """resolved/resolvable over the full denominator (positives +
+    aspirational). The floor pins today's measured capability so a
+    capability regression fails; raise the floor when an aspirational
+    site goes green."""
+    resolved = sum(
+        1
+        for site, target in POSITIVES
+        if (site, target, "resolved") in fidelity
+    )
+    for site, want, _raw in ASPIRATIONAL:
+        if (site, want, "resolved") in fidelity:
+            resolved += 1
+    denom = len(POSITIVES) + len(ASPIRATIONAL)
+    rate = resolved / denom
+    print(f"resolver fidelity: {resolved}/{denom} = {rate:.3f}")
+    # round 7: 22 positives green (tuple unpack + walrus flipped), the
+    # chained-call result is the remaining aspirational site → 22/23
+    assert rate >= 22 / 23 - 1e-9
