@@ -403,10 +403,15 @@ def main() -> None:
         ]
         for target in (200_000, 1_000_000):
             rep = max(1, target // max(n_base, 1))
+            # id = orig + copy*n_base keeps the ORIGINAL vectors at ids
+            # 0..n_base-1 so the seeded build's first-16-by-id centroids
+            # are 16 DISTINCT vectors; the (orig*rep + copy) scheme made
+            # ids 0..15 jittered copies of one vector → 16 near-identical
+            # centroids and a 79%-of-corpus cell (measured)
             big = (
                 emb0.crossJoin(spark.range(rep).withColumnRenamed("id", "__rep"))
                 .select(
-                    (F.col("vec_id") * rep + F.col("__rep")).alias("vec_id"),
+                    (F.col("vec_id") + F.col("__rep") * n_base).alias("vec_id"),
                     F.expr(
                         "transform(embedding, (x, i) -> x + "
                         "pmod(hash(vec_id, __rep, i), 1000) / 1.0e6)"
@@ -420,9 +425,16 @@ def main() -> None:
                 spark.read.parquet(plain), 16, id_col="vec_id"
             )
             part = os.path.join(ann_dir, f"ivf_{target}")
-            assigned.write.partitionBy("ivf_cluster").mode("overwrite").parquet(
-                part
-            )
+            # ~2 files per cell: the naive partitionBy write leaves
+            # upstream-partition-count files per cell DIR (16x32 = 512
+            # tiny files — a probe then schedules MORE tasks than the
+            # plain scan and loses; measured 1.82 vs 1.97 qps), while one
+            # file per cell serializes each cell scan into a single task.
+            assigned.withColumn(
+                "__b", F.pmod(F.hash("vec_id"), F.lit(2))
+            ).repartition("ivf_cluster", "__b").drop("__b").write.partitionBy(
+                "ivf_cluster"
+            ).mode("overwrite").parquet(part)
             scale = "1m" if target >= 1_000_000 else f"{target // 1000}k"
             pt = spark.read.parquet(plain)
             brute_force_topk(pt, qvecs2[0], 10).collect()  # warm listing/footers

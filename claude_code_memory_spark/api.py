@@ -548,9 +548,17 @@ class CodeMemoryEngine:
             if n_vec < n_centroids:
                 return None  # corpus smaller than the cell count: brute wins
             assigned, centers = ivf_build(v, n_centroids, vec_col="dense")
-            assigned.write.partitionBy("ivf_cluster").mode("overwrite").parquet(
-                path
-            )
+            # ~2 files per cell dir: a bare partitionBy write leaves one
+            # file per (upstream partition x cell) — hundreds of tiny
+            # files whose task-scheduling cost exceeds the pruning win
+            # (bench.py ann_serving measured the naive layout LOSING to
+            # the brute scan); one file per cell serializes each probed
+            # cell into a single task. Two balances both.
+            assigned.withColumn(
+                "__b", F.pmod(F.hash("point_id"), F.lit(2))
+            ).repartition("ivf_cluster", "__b").drop("__b").write.partitionBy(
+                "ivf_cluster"
+            ).mode("overwrite").parquet(path)
             tmp = cpath + ".tmp"
             with open(tmp, "w") as fh:
                 _json.dump([[float(x) for x in c] for c in centers], fh)

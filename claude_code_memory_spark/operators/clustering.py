@@ -69,18 +69,26 @@ def assign_clusters(
             acc = acc + x * x
         return acc
 
-    cand = F.array(
-        *[
-            F.struct(
-                (
-                    F.col("__dv")
-                    - 2 * dot(v, F.array(*[F.lit(x) for x in cv]))
-                    + F.lit(_self_dot(cv))
-                ).alias("d2"),
-                F.lit(cid).cast("int").alias("cid"),
-            )
-            for cid, cv in cents
-        ]
+    # THREE array literals + one transform, NOT k x dim literal nodes:
+    # the per-centroid F.lit construction made the expression tree (and
+    # its Janino compile, and the py4j round-trips building it) linear
+    # in k*dim — ~1 s of pure driver/compile overhead per assignment at
+    # k=8, dim=64, and a broken plan outright at the k=N/256 SemDeDup
+    # sizes a real corpus reaches. The arithmetic inside the lambda is
+    # node-for-node the old expression (same zip_with+aggregate dot,
+    # same d2 = dv - 2<v,c> + <c,c> order, same struct/array_min
+    # tie-break), so every oracle replays unchanged.
+    cand_mat = F.lit([cv for _, cv in cents])
+    cand_ids = F.lit([cid for cid, _ in cents])
+    cand_self = F.lit([_self_dot(cv) for _, cv in cents])
+    cand = F.transform(
+        cand_mat,
+        lambda c, i: F.struct(
+            (
+                F.col("__dv") - 2 * dot(v, c) + F.element_at(cand_self, i + 1)
+            ).alias("d2"),
+            F.element_at(cand_ids, i + 1).cast("int").alias("cid"),
+        ),
     )
     return (
         vectors.withColumn("__dv", dv)
@@ -144,16 +152,30 @@ def kmeans_lloyd(
     )
     # seeding uses ids 0..k-1 — a non-dense / non-zero-based id space
     # (e.g. hashed point ids) would yield zero centroids and a silently
-    # empty assignment; fail loudly instead
-    if not cent.take(1):
-        raise ValueError(
-            f"kmeans_lloyd seeding found no rows with {id_col} < {k}; "
-            "ids must be dense from 0 (re-key hashed ids first)"
-        )
+    # empty assignment; fail loudly instead. The check rides the FIRST
+    # assignment's own centroid collect (assign_clusters raises on an
+    # empty table) rather than a separate take(1) job — one fewer Spark
+    # job per Lloyd run, same guarantee.
+    seeded = False
+
+    def _assign(cent_df):
+        nonlocal seeded
+        try:
+            a = assign_clusters(
+                vectors, cent_df, id_col=id_col, vec_col=vec_col, cluster_col=cluster_col
+            )
+        except ValueError:
+            if not seeded:
+                raise ValueError(
+                    f"kmeans_lloyd seeding found no rows with {id_col} < {k}; "
+                    "ids must be dense from 0 (re-key hashed ids first)"
+                ) from None
+            raise
+        seeded = True
+        return a
+
     for _ in range(iters):
-        assigned = assign_clusters(
-            vectors, cent, id_col=id_col, vec_col=vec_col, cluster_col=cluster_col
-        )
+        assigned = _assign(cent)
         # persist each centroid table (k rows): every later reference —
         # the next iteration's broadcast, the final assignment, and any
         # consumer branch (sizes/norms joins) — would otherwise replay
@@ -161,9 +183,7 @@ def kmeans_lloyd(
         cent = _update_centroids(
             assigned, vec_col=vec_col, cluster_col=cluster_col
         ).persist()
-    final = assign_clusters(
-        vectors, cent, id_col=id_col, vec_col=vec_col, cluster_col=cluster_col
-    )
+    final = _assign(cent)
     return final, cent
 
 
