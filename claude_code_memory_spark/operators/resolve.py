@@ -659,6 +659,26 @@ def resolve_calls(
         "left",
     )
 
+    # call-result bases: a context ending in '()' (parser marker for a
+    # single-level chained call, `d.get_conn().query()`) means the base
+    # value is the RESULT of that call — i.e. a type bind whose
+    # (ctor, base) is known WITHOUT a variable. Parsing it here feeds
+    # the identical factory machinery a named bind uses downstream:
+    # 'make_tool()' → function factory, 'Tool.create()' → classmethod
+    # factory, 'd.get_conn()' / 'self.db.get_conn()' → instance-method
+    # factory. No other join matches a '()' context (vars, classes,
+    # module aliases and def names never contain parens), so the marker
+    # is inert everywhere else.
+    _ctx_stripped = F.regexp_replace(F.col("context"), r"\(\)$", "")
+    _cc_base = F.regexp_replace(_ctx_stripped, r"\.[^.]+$", "")
+    call_ctor = F.when(
+        F.col("context").rlike(r"\(\)$"),
+        F.struct(
+            F.element_at(F.split(_ctx_stripped, r"\."), -1).alias("ctor"),
+            F.when(_cc_base != _ctx_stripped, _cc_base).alias("base"),
+        ),
+    )
+
     # instance-typed: (file, scope, var) → the var's unambiguous
     # constructor. Scope priority mirrors Python name lookup: the
     # calling function's locals, then the class scope (self.attrs),
@@ -709,13 +729,10 @@ def resolve_calls(
                 & (F.col("context") == tbm.tm_var),
                 "left",
             )
-            .withColumn("__ctor", F.coalesce("tf_c", "ts_c", "tm_c"))
+            .withColumn("__ctor", F.coalesce("tf_c", "ts_c", "tm_c", call_ctor))
         )
     else:
-        attr = attr.withColumn(
-            "__ctor",
-            F.lit(None).cast("struct<ctor:string,base:string>"),
-        )
+        attr = attr.withColumn("__ctor", call_ctor)
 
     # the ctor name itself resolves like a bare name (chased from-import
     # or same-file class) or, with a dotted base, through a module alias

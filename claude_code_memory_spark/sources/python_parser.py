@@ -137,15 +137,30 @@ def _call_sites(node: ast.AST) -> set[tuple[str, str | None]]:
     imported module alias, the call pins to that module's entity instead
     of any same-named entity anywhere (the Jedi-resolution analogue the
     reference gets from analysis/parser.py:15's tree-sitter+Jedi pair).
-    A base that isn't a plain name chain (call result, subscript) is
-    None — unresolvable statically, same as today."""
+
+    A base that is itself a CALL over a plain name chain —
+    ``d.get_conn().query()`` — emits the synthetic base
+    ``'d.get_conn()'``: the trailing ``()`` tells the resolver the base
+    value is the RESULT of that call, which it types through the same
+    factory machinery a named bind (``x = d.get_conn(); x.query()``)
+    uses. Any other non-name-chain base (subscript, deeper chaining,
+    lambda) is None — unresolvable statically, same as today."""
     out: set[tuple[str, str | None]] = set()
     for n in ast.walk(node):
         if not isinstance(n, ast.Call):
             continue
         name, base = _name_and_base(n.func)
-        if name is not None:
-            out.add((name, base))
+        if name is None:
+            continue
+        if (
+            base is None
+            and isinstance(n.func, ast.Attribute)
+            and isinstance(n.func.value, ast.Call)
+        ):
+            iname, ibase = _name_and_base(n.func.value.func)
+            if iname is not None:
+                base = (f"{ibase}." if ibase else "") + iname + "()"
+        out.add((name, base))
     return out
 
 

@@ -1496,3 +1496,85 @@ def test_instance_method_factory_resolution(spark):
         f == "use_untyped" and t == "query" and it != "resolved"
         for f, t, it in got
     )
+
+
+def test_chained_call_result_resolution(spark):
+    """`d.get_conn().query()` — the call-result base (parser marker
+    'd.get_conn()') types through the same factory machinery as a named
+    bind: function factories (`make_tool().run()`), classmethod
+    factories (`Tool.create().run()`), instance-method factories.
+    Divergent factories and deeper chains stay unresolved."""
+    fixture = {
+        "pkg/__init__.py": "",
+        "pkg/db.py": (
+            "class Conn:\n"
+            "    def query(self):\n"
+            "        return 1\n"
+            "\n"
+            "class Database:\n"
+            "    def get_conn(self) -> Conn:\n"
+            "        return self._open()\n"
+            "\n"
+            "    def maybe(self, flag):\n"
+            "        if flag:\n"
+            "            return Conn()\n"
+            "        return None\n"
+            "\n"
+            "def make_db():\n"
+            "    return Database()\n"
+        ),
+        "app15.py": (
+            "from pkg.db import Database, make_db\n"
+            "\n"
+            "def use_chain():\n"
+            "    d = Database()\n"
+            "    return d.get_conn().query()\n"
+            "\n"
+            "def use_fn_chain():\n"
+            "    return make_db().get_conn()\n"
+            "\n"
+            "def use_divergent_chain():\n"
+            "    d = Database()\n"
+            "    return d.maybe(True).query()\n"
+            "\n"
+            "def use_deep_chain():\n"
+            "    d = Database()\n"
+            "    return d.get_conn().query().explain()\n"
+        ),
+    }
+    from claude_code_memory_spark.sources.python_parser import (
+        PARSED_SCHEMA,
+        return_bindings,
+    )
+
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_python_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(
+        relations,
+        import_bindings(parsed),
+        entities,
+        type_bindings(parsed),
+        return_binds=return_bindings(parsed),
+    )
+    assert out.count() == relations.count()
+    got = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in out.filter(out.relation_type == "calls").collect()
+    }
+    # instance-method factory through the call result
+    assert ("use_chain", "Conn.query", "resolved") in got
+    # function factory through the call result
+    assert ("use_fn_chain", "Database.get_conn", "resolved") in got
+    # divergent factory: never resolved
+    assert any(
+        f == "use_divergent_chain" and t == "query" and it != "resolved"
+        for f, t, it in got
+    )
+    # two chained hops: beyond the single-level marker, stays unresolved
+    assert any(
+        f == "use_deep_chain" and t == "explain" and it != "resolved"
+        for f, t, it in got
+    )

@@ -57,9 +57,13 @@ FIXTURE = {
         "    return x + 1\n"
     ),
     "lib/db.py": (
-        "class Conn:\n"
-        "    def query(self):\n"
+        "class Result:\n"
+        "    def unwrap(self):\n"
         "        return 1\n"
+        "\n"
+        "class Conn:\n"
+        "    def query(self) -> 'Result':\n"
+        "        return Result()\n"
         "\n"
         "class Database:\n"
         "    def get_conn(self) -> Conn:\n"
@@ -228,6 +232,10 @@ FIXTURE = {
         "def a03_chained_call():\n"
         "    d = Database()\n"
         "    return d.get_conn().query()\n"
+        "\n"
+        "def a04_deep_chain():\n"
+        "    d = Database()\n"
+        "    return d.get_conn().query().unwrap()\n"
     ),
     "use/negatives.py": (
         "from os.path import join\n"
@@ -290,13 +298,22 @@ POSITIVES = [
     # walrus targets are positionally certain, so the collector binds them
     ("a01_tuple_unpack", "Tool.run"),
     ("a02_walrus", "Tool.run"),
+    ("a03_chained_call", "Conn.query"),
 ]
 
 # (site, target a full static analysis reaches, raw method name) —
 # denominator entries; resolving one correctly raises the rate,
 # resolving one WRONGLY is a false resolution
+# (site, target a full static analysis reaches, raw method name) —
+# denominator entries; resolving one correctly raises the rate,
+# resolving one WRONGLY is a false resolution. Empty since round 7
+# closed the chained-call slice; new aspirational sites join here as
+# they are identified (multi-hop chains, call results through
+# subscripts, ...).
 ASPIRATIONAL = [
-    ("a03_chained_call", "Conn.query", "query"),
+    # two chained hops: Jedi reaches Result.unwrap through query()'s
+    # return annotation; the single-level '()' marker does not
+    ("a04_deep_chain", "Result.unwrap", "unwrap"),
 ]
 
 # (site, raw callee) — resolution here breaks the poisoning guarantee
@@ -379,6 +396,7 @@ def test_fidelity_rate(fidelity):
     denom = len(POSITIVES) + len(ASPIRATIONAL)
     rate = resolved / denom
     print(f"resolver fidelity: {resolved}/{denom} = {rate:.3f}")
-    # round 7: 22 positives green (tuple unpack + walrus flipped), the
-    # chained-call result is the remaining aspirational site → 22/23
-    assert rate >= 22 / 23 - 1e-9
+    # round 7: all 23 former positives+aspirationals green (tuple
+    # unpack, walrus, chained call all flipped); a04 (two chained hops)
+    # is the new honest-denominator entry → 23/24
+    assert rate >= 23 / 24 - 1e-9
