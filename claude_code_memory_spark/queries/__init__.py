@@ -100,7 +100,11 @@ _DRIVER_WINDOW = [
     "window_time_range_frame",
 ]
 # Round-8 rotation queue (oldest-green-first after this round lands):
-# (a) any queries added in round 7 lead (never driver-checked);
+# (a) the 7 queries added in round 7 lead (never driver-checked; all
+#     selfcheck-green at sf0.01 on arrival): cap_docs_per_source,
+#     sample_weighted_bottomk, text_ttr_hapax, knn_classify_majority,
+#     mixture_lang_source_mi, timeseries_ewma_window,
+#     text_sliding_chunks;
 # (b) q3_shipping_priority and q5_revenue_by_nation (the two r4 entries
 #     deferred out of this window — 3 driver rounds stale by then, top
 #     priority);

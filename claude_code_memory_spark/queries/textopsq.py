@@ -965,3 +965,66 @@ def text_ttr_hapax(spark, sf_dir):
         F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
         F.round(F.col("n_hapax") / F.col("n_tokens"), 6).alias("hapax_frac"),
     ).orderBy(F.desc("ttr"), F.asc("doc_id")).limit(20)
+
+
+@register(
+    "text_sliding_chunks",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len({_DD_TOKENIZE}) AS n_tokens FROM documents),
+    sized AS (
+      SELECT doc_id, n_tokens,
+             1 + (greatest(n_tokens - 128, 0) + 63) // 64 AS n_chunks
+      FROM d WHERE n_tokens > 0),
+    chunks AS (
+      SELECT doc_id, n_tokens, n_chunks,
+             least(128, n_tokens - 64 * i) AS chunk_len
+      FROM sized, LATERAL unnest(range(0, n_chunks)) AS t(i))
+    SELECT doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(max(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(min(chunk_len) AS BIGINT) AS tail_len,
+           round(sum(chunk_len)::DOUBLE / max(n_tokens), 6) AS dup_factor
+    FROM chunks GROUP BY doc_id
+    ORDER BY n_chunks DESC, doc_id ASC LIMIT 20
+    """,
+)
+def text_sliding_chunks(spark, sf_dir):
+    """Sliding-window training chunks: window 128 tokens, stride 64 —
+    the overlap-chunking every context-window pipeline applies to long
+    documents. Emits per-doc chunk geometry plus `dup_factor`, the
+    token-duplication overhead the overlap costs (the number that sizes
+    the storage/compute bill of a stride choice at 100 TB). All
+    columnar: tokenize once, chunk ids via explode(sequence(...)) —
+    rows ∝ total chunks, the same cardinality the downstream tokenizer
+    job pays anyway; no UDF, no per-doc loop."""
+    from claude_code_memory_spark.functions.text import tokenize
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(tokenize("text")).alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    sized = d.withColumn(
+        "n_chunks",
+        1
+        + F.floor(
+            (F.greatest(F.col("n_tokens") - 128, F.lit(0)) + 63) / 64
+        ).cast("int"),
+    )
+    chunks = sized.select(
+        "doc_id",
+        "n_tokens",
+        "n_chunks",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("i"),
+    ).withColumn("chunk_len", F.least(F.lit(128), F.col("n_tokens") - 64 * F.col("i")))
+    return (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").cast("long").alias("n_tokens"),
+            F.max("n_chunks").cast("long").alias("n_chunks"),
+            F.min("chunk_len").cast("long").alias("tail_len"),
+            F.round(F.sum("chunk_len") / F.max("n_tokens"), 6).alias("dup_factor"),
+        )
+        .orderBy(F.desc("n_chunks"), F.asc("doc_id"))
+        .limit(20)
+    )

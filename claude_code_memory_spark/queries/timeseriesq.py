@@ -307,3 +307,79 @@ def asof_join_salted_events(spark, sf_dir):
         "matched_ts_us",
         "matched_value",
     )
+
+
+@register(
+    "timeseries_ewma_window",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, value, epoch_us(ts) AS ts_us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events WHERE event_type = 'purchase'),
+    w AS (
+      SELECT a.user_id, a.rn,
+             CAST(sum(CAST(b.value * pow(0.5, a.rn - b.rn) AS DECIMAL(38,12))) AS DOUBLE) AS num,
+             sum(pow(0.5, a.rn - b.rn)) AS den
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 19 AND a.rn
+      GROUP BY a.user_id, a.rn)
+    SELECT user_id, CAST(max(rn) AS BIGINT) AS n_events,
+           round(max_by(num / den, rn), 6) AS last_ewma
+    FROM w GROUP BY user_id
+    ORDER BY user_id LIMIT 50
+    """,
+)
+def timeseries_ewma_window(spark, sf_dir):
+    """Exponentially weighted moving average over a bounded trailing
+    window (20 events, alpha = 0.5), normalized over the weights present
+    — the warm-up-correct EWMA a metrics pipeline smooths with. The
+    unbounded recursive form is not expressible as a window; the bounded
+    form is: weight = 0.5^lag inside a 19-preceding frame, so the whole
+    smoothing is two window sums, no UDF, no recursion. alpha = 0.5 is
+    numerically deliberate: 0.5^lag is EXACTLY representable, so Spark's
+    and DuckDB's pow agree bit-for-bit and the oracle replays (an
+    arbitrary alpha could differ in the last ulp). The per-user window
+    partitions by user_id — corpus-parallel, never global. Reported per
+    user: event count + final smoothed value."""
+    e = _events_us(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    e = e.withColumn("rn", F.row_number().over(wo))
+    # self-join on the bounded lag range replays the oracle's exact sum
+    # order-insensitively: both sides sum the identical 20 products
+    a = e.select("user_id", F.col("rn").alias("a_rn"))
+    b = e.select(
+        F.col("user_id").alias("b_uid"),
+        F.col("rn").alias("b_rn"),
+        F.col("value").alias("b_val"),
+    )
+    w = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("b_uid"))
+            & (F.col("b_rn") >= F.col("a_rn") - 19)
+            & (F.col("b_rn") <= F.col("a_rn")),
+        )
+        .groupBy("user_id", "a_rn")
+        .agg(
+            # decimal per-term rounding before the sum: 20 exact decimals
+            # add associatively, so partition order can never move the
+            # 6-dp boundary (the round-4 determinism recipe)
+            F.sum(
+                (F.col("b_val") * F.pow(F.lit(0.5), F.col("a_rn") - F.col("b_rn")))
+                .cast("decimal(38,12)")
+            ).cast("double").alias("num"),
+            F.sum(F.pow(F.lit(0.5), F.col("a_rn") - F.col("b_rn"))).alias("den"),
+        )
+    )
+    return (
+        w.groupBy("user_id")
+        .agg(
+            F.max("a_rn").cast("long").alias("n_events"),
+            F.round(
+                F.max_by(F.col("num") / F.col("den"), F.col("a_rn")), 6
+            ).alias("last_ewma"),
+        )
+        .orderBy("user_id")
+        .limit(50)
+    )

@@ -157,8 +157,19 @@ def _call_sites(node: ast.AST) -> set[tuple[str, str | None]]:
             and isinstance(n.func, ast.Attribute)
             and isinstance(n.func.value, ast.Call)
         ):
-            iname, ibase = _name_and_base(n.func.value.func)
-            if iname is not None:
+            inner = n.func.value.func
+            iname, ibase = _name_and_base(inner)
+            # the inner callee must ITSELF be a plain name chain: for a
+            # two-hop chain (`d.get_conn().query().unwrap()`) the middle
+            # call's base collapses to None, which is indistinguishable
+            # from a bare function `query()` — emitting 'query()' there
+            # would let an unrelated module-level factory named `query`
+            # falsely type the outer call. Name → always fine;
+            # Attribute → only with a resolved dotted base.
+            if iname is not None and (
+                isinstance(inner, ast.Name)
+                or (isinstance(inner, ast.Attribute) and ibase is not None)
+            ):
                 base = (f"{ibase}." if ibase else "") + iname + "()"
         out.add((name, base))
     return out

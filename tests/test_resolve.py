@@ -1525,6 +1525,7 @@ def test_chained_call_result_resolution(spark):
         ),
         "app15.py": (
             "from pkg.db import Database, make_db\n"
+            "from pkg.trap import query\n"
             "\n"
             "def use_chain():\n"
             "    d = Database()\n"
@@ -1540,6 +1541,21 @@ def test_chained_call_result_resolution(spark):
             "def use_deep_chain():\n"
             "    d = Database()\n"
             "    return d.get_conn().query().explain()\n"
+            "\n"
+            "def use_shadowed_deep_chain():\n"
+            "    d = Database()\n"
+            "    return d.get_conn().query().run()\n"
+        ),
+        # a module-level factory named like the MIDDLE method of a deep
+        # chain: the marker must not collapse 'd.get_conn().query()' to
+        # 'query()' and falsely type run() through this
+        "pkg/trap.py": (
+            "class Runner:\n"
+            "    def run(self):\n"
+            "        return 9\n"
+            "\n"
+            "def query():\n"
+            "    return Runner()\n"
         ),
     }
     from claude_code_memory_spark.sources.python_parser import (
@@ -1576,5 +1592,12 @@ def test_chained_call_result_resolution(spark):
     # two chained hops: beyond the single-level marker, stays unresolved
     assert any(
         f == "use_deep_chain" and t == "explain" and it != "resolved"
+        for f, t, it in got
+    )
+    # the false-resolution trap: a bare factory `query()` exists, but the
+    # deep chain's middle hop must NOT collapse to it
+    assert ("use_shadowed_deep_chain", "Runner.run", "resolved") not in got
+    assert any(
+        f == "use_shadowed_deep_chain" and t == "run" and it != "resolved"
         for f, t, it in got
     )
