@@ -170,6 +170,15 @@ _JSON_LOAD = re.compile(
 # optional dotted base before the callee: `ns.util.f(` → base 'ns.util',
 # callee 'f' — the base feeds cross-file resolution (operators/resolve.py)
 _CALL = re.compile(r"(?:\b([\w$]+(?:\.[\w$]+)*)\s*\.\s*)?\b([\w$]+)\s*\(")
+# single-level chained base: `makeTool().run()` / `new Tool().run()` /
+# `this.db.getConn(cfg).query()` — the inner callee must be a plain name
+# chain and its argument list paren-free (nested parens fall back to the
+# bare-call row: unresolved beats guessed). The emitted base is the
+# inner chain + '()', the same marker the Python parser produces, so the
+# resolver's call-result typing applies to both languages.
+_CHAIN_CALL = re.compile(
+    r"\b(?:new\s+)?([\w$]+(?:\.[\w$]+)*)\s*\([^()]*\)\s*\.\s*([\w$]+)\s*\("
+)
 # instance-typed resolution raw material (the regex twin of
 # python_parser._collect_type_binds): `const x = new C()` binds x→C,
 # `this.db = new C()` binds at class scope; any reassignment poisons
@@ -493,8 +502,26 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
         # recursion with it, matching the Python parser's
         # `callee != fn.name` rule exactly
         own = owner.rpartition(".")[2]
+        # chained markers first: a method call on a call RESULT would
+        # otherwise emit as a bare call; record the method-token offsets
+        # so the _CALL pass below skips exactly those occurrences
+        # (one row per site, marker wins)
+        chain_pos: set[int] = set()
+        chained: list[tuple[str, str]] = []
+        for m in _CHAIN_CALL.finditer(masked_body):
+            inner, callee = m.group(1), m.group(2)
+            if (
+                inner.split(".")[0] in _CALL_KEYWORDS
+                or callee in _CALL_KEYWORDS
+                or callee in (owner, own)
+            ):
+                continue
+            chain_pos.add(m.start(2))
+            chained.append((callee, inner + "()"))
         for m in _CALL.finditer(masked_body):
             base, callee = m.group(1), m.group(2)
+            if m.start(2) in chain_pos:
+                continue  # superseded by the chained-marker row
             if (
                 callee not in _CALL_KEYWORDS
                 and callee != owner
@@ -504,6 +531,12 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
                 seen.add((callee, base))
                 rec = _relation_rec(owner, callee, "calls", path)
                 rec["content"] = base  # dotted call base for resolution
+                recs.append(rec)
+        for callee, marker in chained:
+            if (callee, marker) not in seen:
+                seen.add((callee, marker))
+                rec = _relation_rec(owner, callee, "calls", path)
+                rec["content"] = marker
                 recs.append(rec)
 
     this_binds: dict[str, dict[str, str | None]] = {}  # class → attr binds

@@ -1601,3 +1601,97 @@ def test_chained_call_result_resolution(spark):
         f == "use_shadowed_deep_chain" and t == "run" and it != "resolved"
         for f, t, it in got
     )
+
+
+def test_js_chained_call_result_resolution(spark):
+    """JS chained calls: `makeTool().run()`, `new Tool().run()`, and
+    `this.db.getConn().query()` all type through the call-result marker;
+    an inner call with nested parens falls back to a bare (unresolved)
+    row rather than guessing."""
+    from claude_code_memory_spark.sources.javascript_parser import (
+        parse_javascript_source,
+    )
+    from claude_code_memory_spark.sources.python_parser import (
+        PARSED_SCHEMA,
+        return_bindings,
+    )
+
+    fixture = {
+        "lib/tool.js": (
+            "export class Tool {\n"
+            "  run() {\n"
+            "    return 1;\n"
+            "  }\n"
+            "}\n"
+            "\n"
+            "export function makeTool(cfg) {\n"
+            "  return new Tool();\n"
+            "}\n"
+        ),
+        "lib/db.js": (
+            "import { Tool } from './tool';\n"
+            "\n"
+            "export class Db {\n"
+            "  getTool(cfg): Tool {\n"
+            "    return this._open();\n"
+            "  }\n"
+            "}\n"
+        ),
+        "src/app.js": (
+            "import { Tool, makeTool } from '../lib/tool';\n"
+            "import { Db } from '../lib/db';\n"
+            "\n"
+            "function useFactoryChain() {\n"
+            "  return makeTool({ a: 1 }).run();\n"
+            "}\n"
+            "\n"
+            "function useNewChain() {\n"
+            "  return new Tool().run();\n"
+            "}\n"
+            "\n"
+            "class Holder {\n"
+            "  constructor() {\n"
+            "    this.db = new Db();\n"
+            "  }\n"
+            "  go() {\n"
+            "    return this.db.getTool(1).run();\n"
+            "  }\n"
+            "}\n"
+            "\n"
+            "function useNested() {\n"
+            "  return makeTool(cfg(1)).run();\n"
+            "}\n"
+        ),
+    }
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_javascript_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    from claude_code_memory_spark.sources.python_parser import (
+        import_bindings,
+        split_parsed,
+        type_bindings,
+    )
+
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(
+        relations,
+        import_bindings(parsed),
+        entities,
+        type_bindings(parsed),
+        return_binds=return_bindings(parsed),
+    )
+    assert out.count() == relations.count()
+    got = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in out.filter(out.relation_type == "calls").collect()
+    }
+    assert ("useFactoryChain", "Tool.run", "resolved") in got
+    assert ("useNewChain", "Tool.run", "resolved") in got
+    # TS return annotation on the instance method types the chain
+    assert ("Holder.go", "Tool.run", "resolved") in got
+    # nested parens in the inner args: bare fallback, never resolved
+    assert any(
+        f == "useNested" and t == "run" and it != "resolved"
+        for f, t, it in got
+    )
