@@ -506,73 +506,162 @@ class CodeMemoryEngine:
         self._postings_cache = (key, df)
         return df
 
+    # delta-dir cap: at this many append dirs the next refresh does a
+    # full retrain+rewrite instead (the OPTIMIZE/compaction move — fixed
+    # centroids drift as the corpus grows, and small dirs accumulate)
+    ANN_MAX_DELTA_DIRS = 8
+
     def _ann_index(self, n_centroids: int = 16):
         """Materialized IVF serving index for the dense path — the
         engine's analogue of the reference's HNSW-backed search
         (storage/qdrant.py:827-886), built from the public IVF pieces:
-        vectors written `partitionBy(ivf_cluster)` under
-        `<store>/annindex/<fingerprint>` so a probe reads only the
-        nprobe cell directories (file-level pruning), with the centroid
-        matrix in a sidecar JSON. Cache-keyed on the vectors manifest
-        (the `_sparse_postings` pattern): any write/append invalidates
-        exactly; superseded dirs are GC'd on rebuild; a dir without
-        `_SUCCESS` is a torn build and is discarded."""
+        vectors written `partitionBy(ivf_cluster)` (~2 files per cell)
+        under `<store>/annindex/` so a probe reads only the nprobe cell
+        directories (file-level pruning).
+
+        INCREMENTAL MAINTENANCE (the reference's incremental HNSW-upsert
+        analogue): the index state file records which vectors-manifest
+        snapshots it covers. A pure APPEND to the vectors table (the
+        manifest grew by suffix — add_memory, index_chat, streaming
+        batches) assigns ONLY the new snapshots' vectors against the
+        SAVED centroids and lands them as an additional partitioned
+        delta dir — O(new rows), centroids fixed (standard IVF
+        maintenance). Any non-append change (merge rewrite, compaction)
+        or ANN_MAX_DELTA_DIRS accumulated deltas triggers a full
+        retrain+rewrite. Crash-safe: every dir is Spark-written
+        (_SUCCESS-marked) BEFORE the state file is atomically replaced;
+        a torn refresh leaves the old state serving the old dirs, and
+        unreferenced dirs are GC'd on the next successful refresh."""
         key = self.store.manifest_key("vectors")
         if key is None:
             return None
         cached = getattr(self, "_ann_cache", None)
         if cached is not None and cached[0] == (key, n_centroids):
             return cached[1], cached[2]
-        import hashlib
         import json as _json
         import os
         import shutil
+        import time as _time
 
         import numpy as np
 
         from claude_code_memory_spark.operators.similarity import ivf_build
 
-        fp = hashlib.sha256(
-            ("|".join(key) + f"|ivf{n_centroids}").encode()
-        ).hexdigest()[:16]
         adir = os.path.join(self.store.root, "annindex")
-        path = os.path.join(adir, fp)
-        cpath = os.path.join(adir, fp + ".centers.json")
-        if os.path.exists(path) and not os.path.exists(
-            os.path.join(path, "_SUCCESS")
-        ):
-            shutil.rmtree(path, ignore_errors=True)
-        if not (os.path.exists(path) and os.path.exists(cpath)):
-            v = self.store.read("vectors").select("point_id", "dense")
-            n_vec = v.count()
-            if n_vec < n_centroids:
-                return None  # corpus smaller than the cell count: brute wins
-            assigned, centers = ivf_build(v, n_centroids, vec_col="dense")
+        os.makedirs(adir, exist_ok=True)
+        spath = os.path.join(adir, f"state-ivf{n_centroids}.json")
+        state = None
+        if os.path.exists(spath):
+            with open(spath) as fh:
+                state = _json.load(fh)
+            # a referenced dir without _SUCCESS (or missing) is torn:
+            # fall back to a full rebuild rather than serving holes
+            for d in state["dirs"]:
+                if not os.path.exists(os.path.join(adir, d, "_SUCCESS")):
+                    state = None
+                    break
+
+        def _new_dir(tag: str) -> str:
+            self._ann_counter = getattr(self, "_ann_counter", 0) + 1
+            return f"ivf{n_centroids}-{tag}-{int(_time.time() * 1000)}-{self._ann_counter}"
+
+        def _write_partitioned(df, dirname: str) -> None:
             # ~2 files per cell dir: a bare partitionBy write leaves one
             # file per (upstream partition x cell) — hundreds of tiny
             # files whose task-scheduling cost exceeds the pruning win
             # (bench.py ann_serving measured the naive layout LOSING to
             # the brute scan); one file per cell serializes each probed
             # cell into a single task. Two balances both.
-            assigned.withColumn(
+            df.withColumn(
                 "__b", F.pmod(F.hash("point_id"), F.lit(2))
             ).repartition("ivf_cluster", "__b").drop("__b").write.partitionBy(
                 "ivf_cluster"
-            ).mode("overwrite").parquet(path)
-            tmp = cpath + ".tmp"
+            ).mode("overwrite").parquet(os.path.join(adir, dirname))
+
+        def _commit_state(new_state: dict) -> None:
+            tmp = spath + ".tmp"
             with open(tmp, "w") as fh:
-                _json.dump([[float(x) for x in c] for c in centers], fh)
-            os.replace(tmp, cpath)
-            for d in os.listdir(adir):  # GC superseded materializations
-                if d not in (fp, fp + ".centers.json"):
+                _json.dump(new_state, fh)
+            os.replace(tmp, spath)
+            keep = set(new_state["dirs"]) | {os.path.basename(spath)}
+            for d in os.listdir(adir):  # GC superseded/stray artifacts
+                if d not in keep and not d.endswith(".tmp"):
                     p2 = os.path.join(adir, d)
                     if os.path.isdir(p2):
                         shutil.rmtree(p2, ignore_errors=True)
                     else:
                         os.remove(p2)
-        with open(cpath) as fh:
-            centers = np.array(_json.load(fh))
-        df = self.spark.read.parquet(path)
+
+        covered = tuple(state["covered"]) if state else None
+        if state is not None and covered != key:
+            is_append = (
+                len(key) > len(covered)
+                and key[: len(covered)] == covered
+                and len(state["dirs"]) < self.ANN_MAX_DELTA_DIRS
+            )
+            if is_append:
+                new_snaps = [
+                    os.path.join(self.store.root, "vectors", s)
+                    for s in key[len(covered):]
+                ]
+                delta = self.spark.read.parquet(*new_snaps).select(
+                    "point_id", "dense"
+                )
+                centers_df = self.spark.createDataFrame(
+                    [
+                        (int(i), [float(x) for x in c])
+                        for i, c in enumerate(state["centers"])
+                    ],
+                    "ivf_cluster int, __cvec array<double>",
+                )
+                from claude_code_memory_spark.operators.clustering import (
+                    assign_clusters,
+                )
+
+                assigned = assign_clusters(
+                    delta,
+                    centers_df,
+                    id_col="point_id",
+                    vec_col="dense",
+                    cluster_col="ivf_cluster",
+                )
+                dname = _new_dir("delta")
+                _write_partitioned(assigned, dname)
+                state = {
+                    "covered": list(key),
+                    "dirs": state["dirs"] + [dname],
+                    "centers": state["centers"],
+                }
+                _commit_state(state)
+            else:
+                state = None  # non-append change or delta cap: rebuild
+
+        if state is None:
+            v = self.store.read("vectors").select("point_id", "dense")
+            n_vec = v.count()
+            if n_vec < n_centroids:
+                return None  # corpus smaller than the cell count: brute wins
+            assigned, centers = ivf_build(v, n_centroids, vec_col="dense")
+            dname = _new_dir("full")
+            _write_partitioned(assigned, dname)
+            state = {
+                "covered": list(key),
+                "dirs": [dname],
+                "centers": [[float(x) for x in c] for c in centers],
+            }
+            _commit_state(state)
+
+        centers = np.array(state["centers"])
+        # one read per dir + union (multi-root partition discovery rejects
+        # sibling roots): the ivf_cluster probe filter distributes over the
+        # union, so every member scan still prunes its cell directories
+        dfs = [
+            self.spark.read.parquet(os.path.join(adir, d))
+            for d in state["dirs"]
+        ]
+        df = dfs[0]
+        for d2 in dfs[1:]:
+            df = df.unionByName(d2)
         self._ann_cache = ((key, n_centroids), df, centers)
         return df, centers
 

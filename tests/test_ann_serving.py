@@ -63,18 +63,60 @@ def test_index_is_materialized_partitioned_and_cached(eng):
     assert df1 is df2
 
 
-def test_write_invalidates_and_gc_runs(eng):
+def test_append_maintains_index_incrementally(eng):
+    """A pure append refreshes the index with a DELTA dir — new vectors
+    assigned against the SAVED centroids, O(new rows) — instead of a
+    full retrain, and the refreshed index still satisfies the
+    full-probe-equals-brute exactness guarantee."""
+    import json
+
     adir = os.path.join(eng.store.root, "annindex")
-    before = {d for d in os.listdir(adir)}
+    eng._ann_index()  # ensure built
+    before_centers = json.load(open(os.path.join(adir, "state-ivf16.json")))[
+        "centers"
+    ]
     eng.add_memory("fresh_memory", "a brand new note about gc")
     eng.search("gc note", mode="semantic", k=3, ann=True)
-    after = {d for d in os.listdir(adir)}
-    assert after != before  # new fingerprint
-    assert len([d for d in after if not d.endswith(".json")]) == 1  # old GC'd
-    # and the fresh row is findable through the rebuilt index
-    full = eng.search("brand new note about gc", mode="semantic", k=40, ann=True, nprobe=16)
+    state = json.load(open(os.path.join(adir, "state-ivf16.json")))
+    assert len(state["dirs"]) == 2
+    assert any("-delta-" in d for d in state["dirs"])
+    # centroids fixed on append (standard IVF maintenance)
+    assert state["centers"] == before_centers
+    # superseded artifacts GC'd: only referenced dirs + the state file
+    on_disk = {d for d in os.listdir(adir) if not d.endswith(".json")}
+    assert on_disk == set(state["dirs"])
+    # the fresh row is findable, and exactness holds through the delta
+    full = eng.search(
+        "brand new note about gc", mode="semantic", k=41, ann=True, nprobe=16
+    )
     names = {r["entity_name"] for r in full.collect()}
     assert "fresh_memory" in names
+    brute = eng.search("gc note", mode="semantic", k=5)
+    annful = eng.search("gc note", mode="semantic", k=5, ann=True, nprobe=16)
+    assert [(r["point_id"], r["score"]) for r in brute.collect()] == [
+        (r["point_id"], r["score"]) for r in annful.collect()
+    ]
+
+
+def test_delta_cap_triggers_full_rebuild(eng):
+    """Accumulated delta dirs at ANN_MAX_DELTA_DIRS → the next refresh
+    retrains and rewrites (the OPTIMIZE move), collapsing to one dir
+    that covers everything."""
+    import json
+
+    adir = os.path.join(eng.store.root, "annindex")
+    # previous test left dirs = [full, delta]; cap 2 means no more deltas
+    eng.ANN_MAX_DELTA_DIRS = 2  # instance override
+    eng.add_memory("cap_memory_a", "a capped delta note")
+    eng._ann_index()
+    state = json.load(open(os.path.join(adir, "state-ivf16.json")))
+    assert len(state["dirs"]) == 1
+    assert "-full-" in state["dirs"][0]
+    del eng.ANN_MAX_DELTA_DIRS  # restore class default for later tests
+    full = eng.search(
+        "capped delta note", mode="semantic", k=42, ann=True, nprobe=16
+    )
+    assert "cap_memory_a" in {r["entity_name"] for r in full.collect()}
 
 
 def test_filtered_search_falls_back(eng):
