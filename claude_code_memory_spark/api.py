@@ -467,42 +467,102 @@ class CodeMemoryEngine:
         touched postings lists — Qdrant keeps a sparse index structure for
         the same reason (storage/qdrant.py:228-239).
 
-        Cache-keyed on the store's vectors manifest: any write/append makes
-        a new snapshot set, which lazily triggers a re-materialization on
-        the next unfiltered keyword search. Stale postings dirs are removed
-        opportunistically (they are derived data — always rebuildable)."""
+        INCREMENTAL MAINTENANCE (same state-file discipline as
+        `_ann_index`): postings rows are a pure per-row function of the
+        vectors table, so a pure APPEND explodes only the new snapshots'
+        sparse vectors into an additional range-clustered delta dir —
+        O(new rows) — while any non-append change or the delta cap
+        triggers a full rebuild. Crash-safe: dirs are _SUCCESS-marked
+        before the state file is atomically replaced; unreferenced
+        `post-` dirs are GC'd on the next successful refresh."""
         key = self.store.manifest_key("vectors")
         if key is None:
             return None
         cached = getattr(self, "_postings_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
-        import hashlib
+        import json as _json
         import os
         import shutil
+        import time as _time
 
         from claude_code_memory_spark.io import write_clustered
         from claude_code_memory_spark.operators.topk import build_postings
 
-        fp = hashlib.sha256("|".join(key).encode()).hexdigest()[:16]
         pdir = os.path.join(self.store.root, "postings")
-        path = os.path.join(pdir, fp)
-        # A dir without Spark's _SUCCESS marker is a torn write from an
-        # interrupted build — serving it would silently drop postings, so
-        # discard and rebuild (derived data, always rebuildable).
-        if os.path.exists(path) and not os.path.exists(
-            os.path.join(path, "_SUCCESS")
-        ):
-            shutil.rmtree(path, ignore_errors=True)
-        if not os.path.exists(path):
-            v = self.store.read("vectors").filter(F.col("sparse_indices").isNotNull())
-            write_clustered(
-                build_postings(v, id_col="point_id"), path, "term_index", num_files=8
-            )
-            for d in os.listdir(pdir):  # GC superseded materializations
-                if d != fp:
+        os.makedirs(pdir, exist_ok=True)
+        spath = os.path.join(pdir, "state-postings.json")
+        state = None
+        if os.path.exists(spath):
+            with open(spath) as fh:
+                state = _json.load(fh)
+            for d in state["dirs"]:  # torn dir → serve nothing stale: rebuild
+                if not os.path.exists(os.path.join(pdir, d, "_SUCCESS")):
+                    state = None
+                    break
+
+        def _new_dir(tag: str) -> str:
+            self._post_counter = getattr(self, "_post_counter", 0) + 1
+            return f"post-{tag}-{int(_time.time() * 1000)}-{self._post_counter}"
+
+        def _commit_state(new_state: dict) -> None:
+            tmp = spath + ".tmp"
+            with open(tmp, "w") as fh:
+                _json.dump(new_state, fh)
+            os.replace(tmp, spath)
+            keep = set(new_state["dirs"])
+            for d in os.listdir(pdir):  # GC superseded post- dirs
+                if d.startswith("post-") and d not in keep:
                     shutil.rmtree(os.path.join(pdir, d), ignore_errors=True)
-        df = self.spark.read.parquet(path)
+
+        covered = tuple(state["covered"]) if state else None
+        if state is not None and covered != key:
+            if (
+                len(key) > len(covered)
+                and key[: len(covered)] == covered
+                and len(state["dirs"]) < self.ANN_MAX_DELTA_DIRS
+            ):
+                delta = self.spark.read.parquet(
+                    *[
+                        os.path.join(self.store.root, "vectors", s)
+                        for s in key[len(covered):]
+                    ]
+                ).filter(F.col("sparse_indices").isNotNull())
+                dname = _new_dir("delta")
+                write_clustered(
+                    build_postings(delta, id_col="point_id"),
+                    os.path.join(pdir, dname),
+                    "term_index",
+                    num_files=2,  # delta-sized: a few lists, not the corpus
+                )
+                state = {"covered": list(key), "dirs": state["dirs"] + [dname]}
+                _commit_state(state)
+            else:
+                state = None  # non-append change or delta cap: rebuild
+
+        if state is None:
+            v = self.store.read("vectors").filter(
+                F.col("sparse_indices").isNotNull()
+            )
+            dname = _new_dir("full")
+            write_clustered(
+                build_postings(v, id_col="point_id"),
+                os.path.join(pdir, dname),
+                "term_index",
+                num_files=8,
+            )
+            state = {"covered": list(key), "dirs": [dname]}
+            _commit_state(state)
+
+        # one read per dir + union: the term IN-list filter distributes
+        # over the union, so each member scan still row-group-prunes
+        dfs = [
+            self.spark.read.parquet(os.path.join(pdir, d))
+            for d in state["dirs"]
+        ]
+        df = dfs[0]
+        for d2 in dfs[1:]:
+            df = df.unionByName(d2)
         self._postings_cache = (key, df)
         return df
 

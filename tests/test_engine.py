@@ -374,10 +374,25 @@ def test_keyword_search_uses_postings_and_matches_explode_path(spark, tmp_path, 
     kw_meta = [(r["point_id"], r["score"]) for r in hits if r["chunk_type"] == "metadata"]
     assert [(r["point_id"], r["score"]) for r in filtered][: len(kw_meta)] == kw_meta
 
-    # appending vectors invalidates the cache key and re-materializes
+    # appending vectors invalidates the cache key and refreshes the index
+    # INCREMENTALLY: the state gains a delta dir (new rows exploded
+    # against the saved layout), no full rebuild
+    import json
+
     eng.add_memory("new-note", "a brand new memory about compute")
-    eng.search("compute helper", mode="keyword", k=5).collect()
+    after = eng.search("compute helper", mode="keyword", k=5).collect()
     assert eng._postings_cache[0] != key1
+    state = json.loads((postings_dir / "state-postings.json").read_text())
+    assert len(state["dirs"]) == 2
+    assert any(d.startswith("post-delta-") for d in state["dirs"])
+    # the appended memory is findable through the delta — query with an
+    # in-vocabulary term ("compute" was in the fitted corpus; the cached
+    # BM25 model cannot weight words it has never seen)
+    assert "new-note" in {
+        r["entity_name"]
+        for r in eng.search("compute", mode="keyword", k=20).collect()
+    }
+    assert after  # and the original terms still hit
 
 
 def test_postings_torn_write_self_heals(spark, tmp_path, temp_repo):
@@ -390,7 +405,7 @@ def test_postings_torn_write_self_heals(spark, tmp_path, temp_repo):
     assert good
 
     postings_dir = tmp_path / "tstore" / "postings"
-    built = list(postings_dir.iterdir())
+    built = [p for p in postings_dir.iterdir() if p.is_dir()]
     assert built
     # simulate the interruption: remove the success marker AND a data file
     for sub in built:
@@ -405,7 +420,11 @@ def test_postings_torn_write_self_heals(spark, tmp_path, temp_repo):
         (r["point_id"], round(r["score"], 6)) for r in good
     ]
     # and the rebuilt dir is complete again
-    assert any((sub / "_SUCCESS").exists() for sub in postings_dir.iterdir())
+    assert any(
+        (sub / "_SUCCESS").exists()
+        for sub in postings_dir.iterdir()
+        if sub.is_dir()
+    )
 
 
 def test_bloat_report(spark, tmp_path, temp_repo):
