@@ -1190,14 +1190,81 @@ def resolve_calls(
         "left",
     )
 
+    # super dispatch: Python `super().close()` (the call-result marker
+    # 'super()') and JS `super.close()` (bare base 'super') inside a
+    # method 'Class.m' resolve through the ancestor closure EXCLUDING
+    # the class itself (depth >= 1 — super skips the own override, which
+    # the plain method lookup above would wrongly match). The enclosing
+    # class is the from_entity's head, confirmed as a class in the SAME
+    # file; a super() call outside a known class, or a method no
+    # ancestor defines, stays unresolved (Python raises there too).
+    is_super = F.col("context").isin("super()", "super")
+    sup_cls = classes.select(
+        F.col("file_path").alias("sp_file"),
+        F.col("k_module").alias("sp_mod"),
+        F.col("k_name").alias("sp_name"),
+    )
+    attr = attr.join(
+        sup_cls,
+        is_super
+        & (F.col("file_path") == sup_cls.sp_file)
+        & (F.split(F.col("from_entity"), r"\.")[0] == sup_cls.sp_name),
+        "left",
+    )
+    need_sup = (
+        attr.filter(F.col("sp_mod").isNotNull())
+        .select(
+            F.col("sp_mod").alias("u_mod"),
+            F.col("sp_name").alias("u_name"),
+            F.col("to_entity").alias("u_method"),
+        )
+        .distinct()
+    )
+    dm2 = defs.select(
+        F.col("def_module").alias("d2_module"), F.col("def_name").alias("d2_name")
+    )
+    hits_sup = (
+        need_sup.join(
+            anc,
+            (F.col("u_mod") == anc.c_module)
+            & (F.col("u_name") == anc.c_name)
+            & (anc.depth >= 1),
+        )
+        .join(
+            dm2,
+            (F.col("a_module") == F.col("d2_module"))
+            & (
+                F.concat_ws(".", F.col("a_name"), F.col("u_method"))
+                == F.col("d2_name")
+            ),
+        )
+        .groupBy("u_mod", "u_name", "u_method")
+        .agg(F.min(F.struct("depth", "d2_name")).alias("__sbest"))
+        .select(
+            F.col("u_mod").alias("hs_mod"),
+            F.col("u_name").alias("hs_name"),
+            F.col("u_method").alias("hs_method"),
+            F.col("__sbest.d2_name").alias("hs_def"),
+        )
+    )
+    attr = attr.join(
+        hits_sup,
+        (F.col("sp_mod") == hits_sup.hs_mod)
+        & (F.col("sp_name") == hits_sup.hs_name)
+        & (F.col("to_entity") == hits_sup.hs_method),
+        "left",
+    )
+
     attr = attr.select(
         "from_entity",
-        F.coalesce("d1_name", "h_def", "to_entity").alias("to_entity"),
+        F.coalesce("d1_name", "hs_def", "h_def", "to_entity").alias("to_entity"),
         "relation_type",
         "context",
         "confidence",
         F.when(
-            F.col("d1_name").isNotNull() | F.col("h_def").isNotNull(),
+            F.col("d1_name").isNotNull()
+            | F.col("h_def").isNotNull()
+            | F.col("hs_def").isNotNull(),
             F.lit("resolved"),
         )
         .otherwise(F.col("import_type"))

@@ -510,11 +510,10 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
         chained: list[tuple[str, str]] = []
         for m in _CHAIN_CALL.finditer(masked_body):
             inner, callee = m.group(1), m.group(2)
-            if (
-                inner.split(".")[0] in _CALL_KEYWORDS
-                or callee in _CALL_KEYWORDS
-                or callee in (owner, own)
-            ):
+            # a based call named like the owner is NOT self-recursion —
+            # `super.render()` / chained `make().render()` inside
+            # render() are real edges (same rule as the Python parser)
+            if inner.split(".")[0] in _CALL_KEYWORDS or callee in _CALL_KEYWORDS:
                 continue
             chain_pos.add(m.start(2))
             chained.append((callee, inner + "()"))
@@ -524,8 +523,7 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
                 continue  # superseded by the chained-marker row
             if (
                 callee not in _CALL_KEYWORDS
-                and callee != owner
-                and callee != own
+                and (base is not None or (callee != owner and callee != own))
                 and (callee, base) not in seen
             ):
                 seen.add((callee, base))

@@ -458,7 +458,11 @@ def parse_python_source(path: str, source: str) -> list[dict]:
             _impl_rec(qual, etype, path, fn.lineno, fn.end_lineno, seg, _complexity(fn))
         )
         for callee, base in sorted(_call_sites(fn), key=lambda t: (t[0], t[1] or "")):
-            if callee != fn.name:
+            # the self-recursion exclusion applies to BARE calls only:
+            # `super().close()` inside close() — the canonical super
+            # pattern — and `self.close()` / `other.close()` are real
+            # edges to a (possibly different) definition, not noise
+            if callee != fn.name or base is not None:
                 rec = _relation_rec(qual, callee, "calls", path)
                 rec["content"] = base  # dotted call base, for cross-file resolution
                 recs.append(rec)

@@ -1695,3 +1695,90 @@ def test_js_chained_call_result_resolution(spark):
         f == "useNested" and t == "run" and it != "resolved"
         for f, t, it in got
     )
+
+
+def test_super_dispatch_resolution(spark):
+    """`super().close()` (Python) and `super.close()` (JS) resolve
+    through the ancestor closure EXCLUDING the own class — the override
+    the plain method lookup would match is exactly what super skips.
+    A method no ancestor defines stays unresolved."""
+    fixture = {
+        "pkg/__init__.py": "",
+        "pkg/base.py": (
+            "class Base:\n"
+            "    def close(self):\n"
+            "        return 0\n"
+            "\n"
+            "    def only_base(self):\n"
+            "        return 1\n"
+        ),
+        "pkg/tool.py": (
+            "from pkg.base import Base\n"
+            "\n"
+            "class Tool(Base):\n"
+            "    def close(self):\n"
+            "        return super().close() + 1\n"
+            "\n"
+            "    def finish(self):\n"
+            "        return super().only_base() + super().missing()\n"
+        ),
+    }
+    from claude_code_memory_spark.sources.python_parser import PARSED_SCHEMA
+
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_python_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(relations, import_bindings(parsed), entities)
+    assert out.count() == relations.count()
+    got = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in out.filter(out.relation_type == "calls").collect()
+    }
+    # super().close() inside Tool.close → Base.close, NOT Tool.close
+    assert ("Tool.close", "Base.close", "resolved") in got
+    assert ("Tool.close", "Tool.close", "resolved") not in got
+    assert ("Tool.finish", "Base.only_base", "resolved") in got
+    # no ancestor defines missing(): unresolved
+    assert any(
+        f == "Tool.finish" and t == "missing" and it != "resolved"
+        for f, t, it in got
+    )
+
+
+def test_js_super_dispatch_resolution(spark):
+    from claude_code_memory_spark.sources.javascript_parser import (
+        parse_javascript_source,
+    )
+    from claude_code_memory_spark.sources.python_parser import PARSED_SCHEMA
+
+    fixture = {
+        "lib/base.js": (
+            "export class Widget {\n"
+            "  render() {\n"
+            "    return 0;\n"
+            "  }\n"
+            "}\n"
+        ),
+        "lib/button.js": (
+            "import { Widget } from './base';\n"
+            "\n"
+            "export class Button extends Widget {\n"
+            "  render() {\n"
+            "    return super.render() + 1;\n"
+            "  }\n"
+            "}\n"
+        ),
+    }
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_javascript_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(relations, import_bindings(parsed), entities)
+    got = {
+        (r["from_entity"], r["to_entity"], r["import_type"])
+        for r in out.filter(out.relation_type == "calls").collect()
+    }
+    assert ("Button.render", "Widget.render", "resolved") in got
