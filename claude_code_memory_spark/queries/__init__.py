@@ -35,84 +35,78 @@ from claude_code_memory_spark.queries import (  # noqa: F401,E402
 # and 50 slots the rotation period is ~3 rounds, so the sweep must never
 # be preempted.
 #
-# Round-7 window, executing the round-6 queue exactly: (a) the eight
-# queries added in round 6 — never driver-checked (selfcheck-green on
-# arrival, re-verified by the r6 judge); (b) 42 of the 44 entries last
-# green in round 4 (three rounds stale at the end of r7 otherwise).
-# 8 + 42 = 50: two r4 entries (q3_shipping_priority, q5_revenue_by_nation)
-# do not fit and are deferred to the FRONT of the round-8 queue — both are
-# bench headliners whose plans execute every round, and both were
-# selfcheck-reverified at sf0.01 this round (tools/selfcheck.py, r7) so the
-# deferral carries a fresh green, just not a driver one.
+# Round-8 window, executing the round-7 queue exactly: (a) the seven
+# queries added in round 7 — never driver-checked (selfcheck-green at
+# sf0.01 on arrival, re-verified by the r7 judge); (b) the two r4 entries
+# deferred out of the round-7 window (q3_shipping_priority,
+# q5_revenue_by_nation — 3 driver rounds stale, top priority); (c) the
+# first 41 of the 50-entry r5-last-green cohort, in catalog order.
+# 7 + 2 + 41 = 50; the remaining 9 r5 entries (diag_key_skew,
+# sketch_countmin_freq, sketch_kmv_jaccard, sketch_approx_quantiles,
+# agg_token_histogram, text_pmi_cooccurrence, tokenizer_bpe_pair_counts,
+# lm_bigram_doc_scores, pack_training_sequences) lead the round-9 queue,
+# followed by any round-8 additions, then the r6 cohort.
 # tests/test_registry_order.py pins this window.
 _DRIVER_WINDOW = [
-    # -- (a) round-6 additions: never driver-checked --
-    "ann_hard_negatives",
-    "dedup_keep_best_per_cluster",
-    "dedup_ngram_exposure",
-    "mixture_domain_weights",
-    "sample_dsir_importance",
-    "split_group_holdout",
-    "text_token_entropy",
-    "tokenizer_bpe_encode_top_symbols",
-    # -- (b) the r4-last-green cohort (42 of 44 entries) --
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "agg_user_segments_bitmap",
-    "anomaly_rolling_zscore",
-    "asof_join_salted_events",
-    "chunk_pack_running_budget",
-    "cluster_kmeans_sizes",
-    "decontaminate_vs_benchmark",
-    "dedup_clusters_star",
-    "dedup_cross_substring",
-    "dedup_minhash_delta",
-    "dedup_ngram_jaccard",
-    "dedup_repeated_ngrams",
-    "dedup_semantic_cells",
-    "dedup_simhash",
-    "feature_winsorize_clip",
-    "graph_pagerank_nations",
-    "graph_triangle_counts",
-    "ivf_knn_join_batch",
-    "knn_per_label",
-    "layout_zorder_tiles",
-    "privacy_pseudonymize",
-    "q17_small_quantity_revenue",
-    "range_join_click_to_purchase",
-    "relations_orphan_cleanup",
-    "retention_cohorts",
-    "sample_domain_mixture",
-    "scroll_pagination",
-    "sessionize_builtin_window",
-    "sketch_approx_distinct",
-    "sketch_heavy_hitters",
-    "sketch_hll_mergeable",
-    "sketch_window_distinct",
-    "sliding_window_counts",
-    "text_gopher_rules",
-    "timeseries_gapfill_locf",
-    "timeseries_interpolate_linear",
-    "tumbling_window_counts",
-    "vector_pq_adc_topk",
-    "vector_pq_error",
-    "window_lag_lead",
-    "window_time_range_frame",
+    # -- (a) round-7 additions: never driver-checked --
+    "cap_docs_per_source",
+    "knn_classify_majority",
+    "mixture_lang_source_mi",
+    "sample_weighted_bottomk",
+    "text_sliding_chunks",
+    "text_ttr_hapax",
+    "timeseries_ewma_window",
+    # -- (b) the two r4-last-green deferrals --
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    # -- (c) r5-last-green cohort, first 41 in catalog order --
+    "dedup_exact_kept",
+    "dedup_minhash_lsh",
+    "dedup_edit_distance",
+    "ml_logreg_quality",
+    "agg_cube_orders",
+    "agg_event_stats",
+    "filter_payload_equality",
+    "filter_must_should_not",
+    "filter_score_threshold",
+    "join_anti_customers_without_urgent",
+    "join_semi_customers_with_urgent",
+    "join_hash_dedup_probe",
+    "set_union_distinct_nations",
+    "set_except_intersect",
+    "hash_ids_documents",
+    "scalar_regex_extract",
+    "window_rank_ntile",
+    "pivot_status_by_priority",
+    "scalar_datetime_parts",
+    "q6_revenue_delta",
+    "q10_returned_items",
+    "agg_rollup_orders",
+    "join_salted_status_revenue",
+    "q4_order_priority",
+    "quality_constraint_report",
+    "dense_topk",
+    "bm25_keyword_topk",
+    "hybrid_rrf_search",
+    "vector_pq_trained_error",
+    "vector_ivfpq_adc_topk",
+    "sessionize_events",
+    "funnel_view_click_purchase",
+    "transition_matrix_events",
+    "scd2_user_state_intervals",
+    "stickiness_dau_wau",
+    "vector_pca_covariance",
+    "sketch_kmv_mergeable",
+    "sample_bottomk_per_type",
+    "corr_matrix_lineitem",
+    "anomaly_mad_outliers",
+    "pareto_nation_revenue",
 ]
-# Round-8 rotation queue (oldest-green-first after this round lands):
-# (a) the 7 queries added in round 7 lead (never driver-checked; all
-#     selfcheck-green at sf0.01 on arrival): cap_docs_per_source,
-#     sample_weighted_bottomk, text_ttr_hapax, knn_classify_majority,
-#     mixture_lang_source_mi, timeseries_ewma_window,
-#     text_sliding_chunks;
-# (b) q3_shipping_priority and q5_revenue_by_nation (the two r4 entries
-#     deferred out of this window — 3 driver rounds stale by then, top
-#     priority);
-# (c) the 50-entry r5-last-green cohort (dense_topk, bm25_keyword_topk,
-#     hybrid_rrf_search, dedup_minhash_lsh, sessionize_events, the
-#     relational q4/q6/q10 family, sketches, PCA, quality classifier,
-#     sequence packing, …) — whatever fits after (a)+(b); the remainder
-#     plus the r6 cohort rotates in round 9.
+# Round-9 rotation queue (oldest-green-first after this round lands):
+# (a) the 9 r5-cohort entries deferred above; (b) any round-8 additions
+#     (never driver-checked; selfchecked on arrival); (c) the 50-entry
+#     r6-last-green cohort — whatever fits after (a)+(b); remainder
+#     rotates in round 10 with the r7 cohort.
 
 
 def _apply_driver_window() -> None:

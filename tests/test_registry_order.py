@@ -6,72 +6,76 @@ never silently shrink driver coverage.
 
 from claude_code_memory_spark.queries import REGISTRY, _DRIVER_WINDOW
 
-# Round-7 window: the 8 round-6 additions (never driver-checked) plus
-# 42 of the 44 round-4-last-green entries (verdict r6 item 2). The two
-# deferred r4 entries (q3_shipping_priority, q5_revenue_by_nation) lead
-# the round-8 queue and were selfchecked green this round.
-R6_NEW = {
-    "ann_hard_negatives",
-    "dedup_keep_best_per_cluster",
-    "dedup_ngram_exposure",
-    "mixture_domain_weights",
-    "sample_dsir_importance",
-    "split_group_holdout",
-    "text_token_entropy",
-    "tokenizer_bpe_encode_top_symbols",
+# Round-8 window: the 7 round-7 additions (never driver-checked), the two
+# r4-last-green deferrals from round 7 (q3/q5), and the first 41 of the
+# r5-last-green cohort (verdict r7 item 2). The 9 deferred r5 entries
+# lead the round-9 queue.
+R7_NEW = {
+    "cap_docs_per_source",
+    "knn_classify_majority",
+    "mixture_lang_source_mi",
+    "sample_weighted_bottomk",
+    "text_sliding_chunks",
+    "text_ttr_hapax",
+    "timeseries_ewma_window",
 }
 
-R4_COHORT = {
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "agg_user_segments_bitmap",
-    "anomaly_rolling_zscore",
-    "asof_join_salted_events",
-    "chunk_pack_running_budget",
-    "cluster_kmeans_sizes",
-    "decontaminate_vs_benchmark",
-    "dedup_clusters_star",
-    "dedup_cross_substring",
-    "dedup_minhash_delta",
-    "dedup_ngram_jaccard",
-    "dedup_repeated_ngrams",
-    "dedup_semantic_cells",
-    "dedup_simhash",
-    "feature_winsorize_clip",
-    "graph_pagerank_nations",
-    "graph_triangle_counts",
-    "ivf_knn_join_batch",
-    "knn_per_label",
-    "layout_zorder_tiles",
-    "privacy_pseudonymize",
-    "q17_small_quantity_revenue",
-    "range_join_click_to_purchase",
-    "relations_orphan_cleanup",
-    "retention_cohorts",
-    "sample_domain_mixture",
-    "scroll_pagination",
-    "sessionize_builtin_window",
-    "sketch_approx_distinct",
-    "sketch_heavy_hitters",
-    "sketch_hll_mergeable",
-    "sketch_window_distinct",
-    "sliding_window_counts",
-    "text_gopher_rules",
-    "timeseries_gapfill_locf",
-    "timeseries_interpolate_linear",
-    "tumbling_window_counts",
-    "vector_pq_adc_topk",
-    "vector_pq_error",
-    "window_lag_lead",
-    "window_time_range_frame",
+R4_DEFERRED = {
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+}
+
+R5_COHORT_41 = {
+    "dedup_exact_kept",
+    "dedup_minhash_lsh",
+    "dedup_edit_distance",
+    "ml_logreg_quality",
+    "agg_cube_orders",
+    "agg_event_stats",
+    "filter_payload_equality",
+    "filter_must_should_not",
+    "filter_score_threshold",
+    "join_anti_customers_without_urgent",
+    "join_semi_customers_with_urgent",
+    "join_hash_dedup_probe",
+    "set_union_distinct_nations",
+    "set_except_intersect",
+    "hash_ids_documents",
+    "scalar_regex_extract",
+    "window_rank_ntile",
+    "pivot_status_by_priority",
+    "scalar_datetime_parts",
+    "q6_revenue_delta",
+    "q10_returned_items",
+    "agg_rollup_orders",
+    "join_salted_status_revenue",
+    "q4_order_priority",
+    "quality_constraint_report",
+    "dense_topk",
+    "bm25_keyword_topk",
+    "hybrid_rrf_search",
+    "vector_pq_trained_error",
+    "vector_ivfpq_adc_topk",
+    "sessionize_events",
+    "funnel_view_click_purchase",
+    "transition_matrix_events",
+    "scd2_user_state_intervals",
+    "stickiness_dau_wau",
+    "vector_pca_covariance",
+    "sketch_kmv_mergeable",
+    "sample_bottomk_per_type",
+    "corr_matrix_lineitem",
+    "anomaly_mad_outliers",
+    "pareto_nation_revenue",
 }
 
 
 def test_driver_window_is_the_staleness_sweep():
     window = set(list(REGISTRY)[:50])
-    assert R6_NEW <= window, f"missing r6 additions: {sorted(R6_NEW - window)}"
-    assert R4_COHORT <= window, f"missing r4 cohort: {sorted(R4_COHORT - window)}"
-    assert len(R6_NEW | R4_COHORT) == 50
+    assert R7_NEW <= window, f"missing r7 additions: {sorted(R7_NEW - window)}"
+    assert R4_DEFERRED <= window, f"missing r4 deferrals: {sorted(R4_DEFERRED - window)}"
+    assert R5_COHORT_41 <= window, f"missing r5 cohort: {sorted(R5_COHORT_41 - window)}"
+    assert len(R7_NEW | R4_DEFERRED | R5_COHORT_41) == 50
 
 
 def test_window_is_exactly_the_declared_list():
