@@ -324,6 +324,7 @@ def main() -> None:
     from claude_code_memory_spark.api import CodeMemoryEngine
 
     t_full = t_noop = None
+    reindex_stages = None
     store = tempfile.mkdtemp(prefix="bench_store_")
     try:
         pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -335,6 +336,15 @@ def main() -> None:
         t0 = time.time()
         eng.index(pkg_dir)
         t_noop = time.time() - t0
+        # per-stage attribution (verdict r7 item 4): a SECOND full index
+        # with profile=True — stage boundaries forced at the pipeline's
+        # persist points — so the growing full-index numerator (r5 ~32 s
+        # → r7 51.5 s driver) is attributable to parse / resolve /
+        # chunks / bm25 / embed / write instead of hiding in the total.
+        # Run separately so reindex_full_sec stays series-comparable.
+        shutil.rmtree(store, ignore_errors=True)
+        eng2 = CodeMemoryEngine(spark, store)
+        reindex_stages = eng2.index(pkg_dir, profile=True).get("stage_sec")
     except Exception as exc:  # noqa: BLE001
         errors["extra:reindex"] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
     finally:
@@ -453,6 +463,114 @@ def main() -> None:
             ann_qps[f"ann_topk_qps_{scale}"] = round(
                 10 / max(time.time() - t0, 1e-9), 2
             )
+
+            # scan-fraction accounting (verdict r7 item 5): local qps on
+            # page-cached parquet under-sells the probe (4x fewer bytes
+            # barely shows when reads are RAM-speed) — the number that
+            # extrapolates past the page cache is the fraction of bytes/
+            # files a probe actually touches, which the partitioned
+            # layout makes exactly computable: nprobe nearest cell DIRS
+            # per query, everything else pruned at file listing.
+            import numpy as _np
+
+            def _layout_stats(root: str, cells: set | None = None):
+                nf = nb = 0
+                for dp, _dn, fns in os.walk(root):
+                    base = os.path.basename(dp)
+                    if cells is not None and base.startswith("ivf_cluster="):
+                        if int(base.split("=")[1]) not in cells:
+                            continue
+                    elif cells is not None:
+                        continue
+                    for fn in fns:
+                        if fn.endswith(".parquet"):
+                            nf += 1
+                            nb += os.path.getsize(os.path.join(dp, fn))
+                return nf, nb
+            tot_f, tot_b = _layout_stats(part)
+            fr_f, fr_b = [], []
+            for qv in qvecs2[:10]:
+                d = _np.linalg.norm(
+                    centers2 - _np.asarray(qv, dtype=_np.float64), axis=1
+                )
+                probe_cells = {int(c) for c in _np.argsort(d)[:4]}
+                pf, pb = _layout_stats(part, probe_cells)
+                fr_f.append(pf / max(tot_f, 1))
+                fr_b.append(pb / max(tot_b, 1))
+            ann_qps[f"ann_probe_files_fraction_{scale}"] = round(
+                sum(fr_f) / len(fr_f), 3
+            )
+            ann_qps[f"ann_probe_bytes_fraction_{scale}"] = round(
+                sum(fr_b) / len(fr_b), 3
+            )
+
+            if target == 200_000:
+                # delta read-amplification at the cap (verdict r7 item
+                # 5): the incremental serving index trades O(new rows)
+                # appends for probes that read nprobe cell dirs in EVERY
+                # delta dir until compaction — measure qps and files-
+                # per-probe with 1 base + 8 delta dirs (the
+                # ANN_MAX_DELTA_DIRS state) vs the freshly compacted
+                # single dir measured above.
+                n_big2 = spark.read.parquet(part).count()
+                slice_sz = max(n_big2 // 64, 1)  # 8 deltas x ~1.6% each
+                base_cut = n_big2 - 8 * slice_sz
+                ddirs = []
+                src = spark.read.parquet(part)
+                bdir = os.path.join(ann_dir, "amp_base")
+                src.filter(F.col("vec_id") < base_cut).repartition(
+                    "ivf_cluster"
+                ).write.partitionBy("ivf_cluster").mode("overwrite").parquet(bdir)
+                ddirs.append(bdir)
+                for di in range(8):
+                    lo = base_cut + di * slice_sz
+                    hi = lo + slice_sz
+                    dd = os.path.join(ann_dir, f"amp_delta{di}")
+                    src.filter(
+                        (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+                    ).repartition("ivf_cluster").write.partitionBy(
+                        "ivf_cluster"
+                    ).mode("overwrite").parquet(dd)
+                    ddirs.append(dd)
+                parts = [spark.read.parquet(d) for d in ddirs]
+                amp = parts[0]
+                for p2 in parts[1:]:
+                    amp = amp.unionByName(p2)
+                ivf_topk(amp, centers2, qvecs2[0], 10, nprobe=4).collect()
+                t0 = time.time()
+                for qv in qvecs2[:10]:
+                    ivf_topk(amp, centers2, qv, 10, nprobe=4).collect()
+                ann_qps["ann_topk_qps_200k_8deltas"] = round(
+                    10 / max(time.time() - t0, 1e-9), 2
+                )
+                amp_files = 0
+                for qv in qvecs2[:10]:
+                    d = _np.linalg.norm(
+                        centers2 - _np.asarray(qv, dtype=_np.float64), axis=1
+                    )
+                    probe_cells = {int(c) for c in _np.argsort(d)[:4]}
+                    amp_files += sum(
+                        _layout_stats(dd, probe_cells)[0] for dd in ddirs
+                    )
+                compact_files = sum(
+                    _layout_stats(
+                        part,
+                        {
+                            int(c)
+                            for c in _np.argsort(
+                                _np.linalg.norm(
+                                    centers2
+                                    - _np.asarray(qv, dtype=_np.float64),
+                                    axis=1,
+                                )
+                            )[:4]
+                        },
+                    )[0]
+                    for qv in qvecs2[:10]
+                )
+                ann_qps["ann_probe_file_read_amp_8deltas"] = round(
+                    amp_files / max(compact_files, 1), 2
+                )
     except Exception as exc:  # noqa: BLE001
         errors["extra:ann_serving"] = (
             f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
@@ -529,7 +647,6 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "query_stats": query_stats,
         "sf": sf,
         "extras": {
             "embed_vectors_per_sec": (
@@ -547,6 +664,7 @@ def main() -> None:
             # round-over-round swing attributable to the right side
             "reindex_full_sec": round(t_full, 2) if t_full else None,
             "reindex_noop_sec": round(t_noop, 2) if t_noop else None,
+            "reindex_stage_sec": reindex_stages,
             "incremental_reindex_speedup": (
                 round(t_full / max(t_noop, 1e-9), 1) if t_full is not None else None
             ),
@@ -565,6 +683,19 @@ def main() -> None:
         out["errors"] = errors
     if trend:
         out["trend"] = trend
+    # r7 lesson (verdict r7 item 1): the per-sample attribution fields
+    # (min/median/runs/load1/nproc per query) made the single printed JSON
+    # line longer than the driver's tail-capture window — the line arrived
+    # decapitated and BENCH_r07 recorded "parsed": null. The printed line
+    # is now the COMPACT record (totals, medians, extras, trend — the r6
+    # shape, which parsed), and the full per-sample detail goes to a
+    # durable side file the judge can open.
+    detail = {**out, "query_stats": query_stats}
+    try:
+        with open(os.path.join(here, "bench_detail.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError as exc:
+        out.setdefault("errors", {})["detail_file"] = str(exc)[:200]
     print(json.dumps(out))
 
 

@@ -62,16 +62,42 @@ class CodeMemoryEngine:
 
     # -- indexing ----------------------------------------------------------
 
-    def index(self, project_dir: str, *, incremental: bool = True) -> dict:
+    def index(
+        self, project_dir: str, *, incremental: bool = True, profile: bool = False
+    ) -> dict:
         """Scan → diff → parse → chunk → dedup-embed → merge → cleanup.
 
-        Returns counters (files, entities, relations, chunks, skipped)."""
+        Returns counters (files, entities, relations, chunks, skipped).
+
+        ``profile=True`` adds a ``stage_sec`` map (scan_diff / parse /
+        resolve / chunks / bm25 / embed / write) by forcing
+        materialization at the pipeline's persist boundaries — the
+        lineage is otherwise lazy and every stage's cost lands inside
+        the first merge write, so a growing total (r5 32 s → r7 51 s)
+        could not be attributed per stage (verdict r7 item 4). The
+        forced actions reuse the caches the pipeline already keeps
+        (parsed/relations/chunks are persisted regardless; vectors is
+        persisted only under profile), so profiled totals stay within
+        noise of unprofiled runs."""
+        import time as _time
+
+        stage_sec: dict[str, float] = {}
+        _t0 = _time.time()
+
+        def _mark(stage: str) -> None:
+            nonlocal _t0
+            now = _time.time()
+            stage_sec[stage] = round(now - _t0, 2)
+            _t0 = now
+
         self.store.vacuum()  # safe point: no pipeline in flight
         files = scan_project(self.spark, project_dir)
         state = self.store.read("file_state") if incremental else None
         changed, deleted, _unchanged = diff_against_state(files, state)
         changed = changed.cache()
         n_changed = changed.count()
+        if profile:
+            _mark("scan_diff")
 
         # early exit (reference indexer.py:303): a no-op re-index must not
         # rewrite any table — at 100 TB the common scheduled run touches
@@ -93,6 +119,9 @@ class CodeMemoryEngine:
         from pyspark.sql import Observation
 
         parsed = parse_files(changed).cache()
+        if profile:
+            parsed.count()  # force the mapInPandas parse into this stage
+            _mark("parse")
         entities_raw, relations, impl = split_parsed(parsed)
         # Counter plumbing: observe() piggybacks the counts onto actions the
         # pipeline already runs (the bm25 corpus count and the merge writes)
@@ -184,6 +213,9 @@ class CodeMemoryEngine:
         # scoping); persist the entity-scale result so each consumer
         # reuses one computation instead of replaying the join tree
         relations = relations.persist()
+        if profile:
+            relations.count()  # force the resolve+validate join tree
+            _mark("resolve")
 
         meta = entity_metadata_chunks(entities, impl)
         impl_ch = implementation_chunks(impl)
@@ -195,6 +227,9 @@ class CodeMemoryEngine:
         # vectors, the BM25 corpus slice) — persist so each reuses one
         # computation instead of replaying chunk building per consumer
         chunks = chunks.persist()
+        if profile:
+            chunks.count()  # force metadata/impl/relation chunk building
+            _mark("chunks")
 
         # J6: dedup vs stored content hashes — skip re-embedding unchanged
         stored_chunks = self.store.read("chunks")
@@ -226,6 +261,8 @@ class CodeMemoryEngine:
             model = bm25_mod.fit(corpus_meta)
             model.save(self._bm25_path())
         self._bm25 = model
+        if profile:
+            _mark("bm25")
 
         # embed once per distinct content hash, join back (cluster-wide memo)
         distinct_content = to_embed.select("content_hash", "content").dropDuplicates(
@@ -260,6 +297,12 @@ class CodeMemoryEngine:
             )
             reused = skipped.join(stored_by_hash, "content_hash").select(*vector_cols)
             vectors = vectors.unionByName(reused)
+        if profile:
+            # persist-then-count so the embed UDF pass is charged here
+            # and the merge writes below read the cached vectors
+            vectors = vectors.persist()
+            vectors.count()
+            _mark("embed")
 
         # fixed merge order: delete-replaced → insert (processors.py:155-179);
         # chunks/vectors partition on chunk_type (metadata-first pruning).
@@ -302,6 +345,8 @@ class CodeMemoryEngine:
 
         # K4: state update
         self.store.write("file_state", to_file_state(files))
+        if profile:
+            _mark("write")
 
         # all four observations were filled by actions above (the bm25
         # corpus count and the merge writes) — no extra jobs here
@@ -318,6 +363,9 @@ class CodeMemoryEngine:
         parsed.unpersist()
         relations.unpersist()
         chunks.unpersist()
+        if profile:
+            vectors.unpersist()
+            counters["stage_sec"] = stage_sec
         return counters
 
     @staticmethod
@@ -644,13 +692,20 @@ class CodeMemoryEngine:
                 _json.dump(new_state, fh)
             os.replace(tmp, spath)
             keep = set(new_state["dirs"]) | {os.path.basename(spath)}
-            for d in os.listdir(adir):  # GC superseded/stray artifacts
-                if d not in keep and not d.endswith(".tmp"):
-                    p2 = os.path.join(adir, d)
-                    if os.path.isdir(p2):
-                        shutil.rmtree(p2, ignore_errors=True)
-                    else:
-                        os.remove(p2)
+            # GC is scoped to THIS index's artifacts (the ivf<N>- dir
+            # prefix and its own state file): two indexes with different
+            # n_centroids share `annindex/`, and an unscoped sweep would
+            # delete the sibling's state + dirs on every commit (advice
+            # r7 — rebuild thrash)
+            mine = f"ivf{n_centroids}-"
+            for d in os.listdir(adir):  # GC superseded artifacts of this N
+                if d in keep or d.endswith(".tmp") or not d.startswith(mine):
+                    continue
+                p2 = os.path.join(adir, d)
+                if os.path.isdir(p2):
+                    shutil.rmtree(p2, ignore_errors=True)
+                else:
+                    os.remove(p2)
 
         covered = tuple(state["covered"]) if state else None
         if state is not None and covered != key:

@@ -119,6 +119,31 @@ def test_delta_cap_triggers_full_rebuild(eng):
     assert "cap_memory_a" in {r["entity_name"] for r in full.collect()}
 
 
+def test_sibling_centroid_indexes_coexist(eng):
+    """GC is scoped per n_centroids (advice r7): committing one index's
+    state must not delete a sibling index's state file or partitioned
+    dirs — otherwise serving two cell counts against one store rebuilds
+    both on every refresh."""
+    import json
+
+    adir = os.path.join(eng.store.root, "annindex")
+    eng._ann_index(16)
+    eng._ann_index(8)  # sibling build commits → must not GC ivf16 dirs
+    s16 = json.load(open(os.path.join(adir, "state-ivf16.json")))
+    s8 = json.load(open(os.path.join(adir, "state-ivf8.json")))
+    on_disk = {d for d in os.listdir(adir) if not d.endswith(".json")}
+    assert set(s16["dirs"]) <= on_disk and set(s8["dirs"]) <= on_disk
+    # an append refreshing BOTH indexes leaves both states serving
+    eng.add_memory("sibling_memory", "a note for sibling index isolation")
+    eng._ann_index(16)
+    eng._ann_index(8)
+    s16 = json.load(open(os.path.join(adir, "state-ivf16.json")))
+    s8 = json.load(open(os.path.join(adir, "state-ivf8.json")))
+    on_disk = {d for d in os.listdir(adir) if not d.endswith(".json")}
+    assert set(s16["dirs"]) <= on_disk and set(s8["dirs"]) <= on_disk
+    assert on_disk == set(s16["dirs"]) | set(s8["dirs"])  # GC still runs per-N
+
+
 def test_filtered_search_falls_back(eng):
     """Payload filters bypass the ANN layout (it carries no payload
     columns) — results equal the brute filtered path."""
