@@ -182,12 +182,18 @@ class CodeMemoryEngine:
                 )
             )
         # the batch's relation slice lacks untouched files' `inherits`
-        # edges; hand the resolver the stored ones (minus replaced) so
-        # inherited-method resolution survives incremental reindex
+        # edges and @property decorator rows; hand the resolver the
+        # stored ones (minus replaced) so inherited-method and
+        # property-attribute resolution survive incremental reindex
         stored_rels = self.store.read("relations")
         if stored_rels is not None:
             stored_rels = stored_rels.filter(
-                F.col("relation_type") == "inherits"
+                (F.col("relation_type") == "inherits")
+                | (
+                    (F.col("relation_type") == "uses")
+                    & F.col("import_type").eqNullSafe("decorator")
+                    & (F.col("to_entity") == "property")
+                )
             ).join(F.broadcast(replaced), "file_path", "left_anti")
         relations = resolve_calls(
             relations,

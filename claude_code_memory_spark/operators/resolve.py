@@ -1145,6 +1145,295 @@ def resolve_calls(
             .withColumn("__cn", F.coalesce("f2_c.name", "__cn"))
         )
 
+        # --- attribute-of-attribute bases (verdict r7 item 3): context
+        # '<v>.<p>' with NO call marker — the base value is an attribute
+        # of an instance-typed variable. Two certainty sources type it:
+        #   (1) the head class's own attr bind for p (`self.p = C()` in
+        #       any method, or `p: C` in the class body — both land in
+        #       the class-scope type-bind table), resolved in the CLASS's
+        #       file context;
+        #   (2) an @property getter `p` on the head class whose return
+        #       bind is certain (the fx factory table), gated on the
+        #       getter actually being decorated @property — a plain
+        #       method accessed without calling must NOT resolve.
+        # When both sources fire they must AGREE; a disagreement poisons
+        # the row (unresolved beats wrongly resolved). `self.p`/`this.p`
+        # heads participate when the class-scope attr bind did NOT
+        # already type the whole context (then the head class is the
+        # enclosing class, as in super dispatch). Attribute lookup is on
+        # the DEFINING class only — inherited attrs/properties are a
+        # documented approximation gap, like inherited factory methods.
+        if type_binds is not None:
+            pv = F.col("__pv")
+            pp = F.col("__pp")
+            ctx_parts = F.split(F.col("context"), r"\.")
+            is_selfish = F.col("context").startswith("self.") | F.col(
+                "context"
+            ).startswith("this.")
+            two_plain = (
+                ~F.col("context").contains("(")
+                & (F.size(ctx_parts) == 2)
+                & ~is_selfish
+            )
+            two_self = (
+                ~F.col("context").contains("(")
+                & (F.size(ctx_parts) == 2)
+                & is_selfish
+                & F.col("ts_c").isNull()  # class attr bind didn't type it
+            )
+            attr = attr.withColumn(
+                "__pv", F.when(two_plain, ctx_parts[0])
+            ).withColumn("__pp", F.when(two_plain | two_self, ctx_parts[1]))
+            # head var type: function- then module-scope bind (class
+            # scope holds only self./this. keys, not bare names)
+            v8f = tb.select(
+                F.col("file_path").alias("v8f_file"),
+                F.col("scope").alias("v8f_scope"),
+                F.col("var").alias("v8f_var"),
+                F.struct(
+                    F.col("ctor").alias("ctor"), F.col("ctor_base").alias("base")
+                ).alias("v8f_c"),
+            )
+            v8m = tb.select(
+                F.col("file_path").alias("v8m_file"),
+                F.col("scope").alias("v8m_scope"),
+                F.col("var").alias("v8m_var"),
+                F.struct(
+                    F.col("ctor").alias("ctor"), F.col("ctor_base").alias("base")
+                ).alias("v8m_c"),
+            )
+            v9 = chased.select(
+                F.col("file_path").alias("v9_file"),
+                F.col("local_name").alias("v9_local"),
+                F.col("target_module").alias("v9_tmod"),
+                F.col("member").alias("v9_member"),
+            )
+            v10 = classes.select(
+                F.col("file_path").alias("v10_file"),
+                F.col("k_module").alias("v10_module"),
+                F.col("k_name").alias("v10_name"),
+            )
+            lp = classes.select(
+                F.col("file_path").alias("lp_file"),
+                F.col("k_module").alias("lp_module"),
+                F.col("k_name").alias("lp_name"),
+            )
+            attr = (
+                attr.join(
+                    v8f,
+                    (F.col("file_path") == v8f.v8f_file)
+                    & (F.col("from_entity") == v8f.v8f_scope)
+                    & (pv == v8f.v8f_var),
+                    "left",
+                )
+                .join(
+                    v8m,
+                    (F.col("file_path") == v8m.v8m_file)
+                    & (F.col("file_path") == v8m.v8m_scope)
+                    & (pv == v8m.v8m_var),
+                    "left",
+                )
+                .withColumn("__pvb", F.coalesce("v8f_c", "v8m_c"))
+                .join(
+                    v9,
+                    F.col("__pvb.base").isNull()
+                    & (F.col("file_path") == v9.v9_file)
+                    & (F.col("__pvb.ctor") == v9.v9_local),
+                    "left",
+                )
+                .join(
+                    v10,
+                    F.col("__pvb.base").isNull()
+                    & (F.col("file_path") == v10.v10_file)
+                    & (F.col("__pvb.ctor") == v10.v10_name),
+                    "left",
+                )
+                .join(
+                    lp,
+                    two_self
+                    & (F.col("file_path") == lp.lp_file)
+                    & (F.split(F.col("from_entity"), r"\.")[0] == lp.lp_name),
+                    "left",
+                )
+                .withColumn(
+                    "__hcls",
+                    F.coalesce(
+                        F.when(
+                            F.col("v9_tmod").isNotNull(),
+                            F.struct(
+                                F.col("v9_tmod").alias("mod"),
+                                F.col("v9_member").alias("name"),
+                            ),
+                        ),
+                        F.when(
+                            F.col("v10_module").isNotNull(),
+                            F.struct(
+                                F.col("v10_module").alias("mod"),
+                                F.col("__pvb.ctor").alias("name"),
+                            ),
+                        ),
+                        F.when(
+                            F.col("lp_module").isNotNull(),
+                            F.struct(
+                                F.col("lp_module").alias("mod"),
+                                F.col("lp_name").alias("name"),
+                            ),
+                        ),
+                    ),
+                )
+            )
+            # source (1): the head class's attr bind for p, resolved in
+            # the class's own file
+            pc = classes.select(
+                F.col("k_module").alias("pc_mod"),
+                F.col("k_name").alias("pc_name"),
+                F.col("file_path").alias("pc_file"),
+            )
+            atb = (
+                tb.filter(F.col("var").rlike(r"^(self|this)\."))
+                .select(
+                    F.col("file_path").alias("at_file"),
+                    F.col("scope").alias("at_scope"),
+                    F.regexp_replace(F.col("var"), r"^(self|this)\.", "").alias(
+                        "at_attr"
+                    ),
+                    F.struct(
+                        F.col("ctor").alias("ctor"),
+                        F.col("ctor_base").alias("base"),
+                    ).alias("at_c"),
+                )
+            )
+            v11 = chased.select(
+                F.col("file_path").alias("v11_file"),
+                F.col("local_name").alias("v11_local"),
+                F.col("target_module").alias("v11_tmod"),
+                F.col("member").alias("v11_member"),
+            )
+            v12 = classes.select(
+                F.col("file_path").alias("v12_file"),
+                F.col("k_module").alias("v12_module"),
+                F.col("k_name").alias("v12_name"),
+            )
+            attr = (
+                attr.join(
+                    pc,
+                    (F.col("__hcls.mod") == pc.pc_mod)
+                    & (F.col("__hcls.name") == pc.pc_name),
+                    "left",
+                )
+                .join(
+                    atb,
+                    (F.col("pc_file") == atb.at_file)
+                    & (F.col("__hcls.name") == atb.at_scope)
+                    & (pp == atb.at_attr),
+                    "left",
+                )
+                .join(
+                    v11,
+                    F.col("at_c.base").isNull()
+                    & (F.col("pc_file") == v11.v11_file)
+                    & (F.col("at_c.ctor") == v11.v11_local),
+                    "left",
+                )
+                .join(
+                    v12,
+                    F.col("at_c.base").isNull()
+                    & (F.col("pc_file") == v12.v12_file)
+                    & (F.col("at_c.ctor") == v12.v12_name),
+                    "left",
+                )
+                .withColumn(
+                    "__abcls",
+                    F.coalesce(
+                        F.when(
+                            F.col("v11_tmod").isNotNull(),
+                            F.struct(
+                                F.col("v11_tmod").alias("mod"),
+                                F.col("v11_member").alias("name"),
+                            ),
+                        ),
+                        F.when(
+                            F.col("v12_module").isNotNull(),
+                            F.struct(
+                                F.col("v12_module").alias("mod"),
+                                F.col("at_c.ctor").alias("name"),
+                            ),
+                        ),
+                    ),
+                )
+            )
+            # source (2): @property getter with a certain return bind —
+            # the fx row supplies the class, the decorator row gates it
+            rel_all = relations
+            if stored_relations is not None:
+                rel_all = relations.unionByName(
+                    stored_relations.select(*relations.columns)
+                )
+            props = (
+                rel_all.filter(
+                    (F.col("relation_type") == "uses")
+                    & F.col("import_type").eqNullSafe("decorator")
+                    & (F.col("to_entity") == "property")
+                )
+                .select(
+                    module_of_path("file_path").alias("prp_mod"),
+                    F.col("from_entity").alias("prp_func"),
+                )
+                .distinct()
+            )
+            fx3 = fx.select(
+                F.col("fx_module").alias("f3_module"),
+                F.col("fx_func").alias("f3_func"),
+                F.col("fx_c").alias("f3_c"),
+            )
+            attr = (
+                attr.join(
+                    fx3,
+                    (F.col("__hcls.mod") == fx3.f3_module)
+                    & (
+                        F.concat_ws(".", F.col("__hcls.name"), pp)
+                        == fx3.f3_func
+                    ),
+                    "left",
+                )
+                .join(
+                    props,
+                    (F.col("__hcls.mod") == props.prp_mod)
+                    & (
+                        F.concat_ws(".", F.col("__hcls.name"), pp)
+                        == props.prp_func
+                    ),
+                    "left",
+                )
+                .withColumn(
+                    "__prcls",
+                    F.when(F.col("prp_func").isNotNull(), F.col("f3_c")),
+                )
+                .withColumn(
+                    "__aacls",
+                    F.when(
+                        F.col("__abcls").isNotNull()
+                        & F.col("__prcls").isNotNull()
+                        & (F.col("__abcls") != F.col("__prcls")),
+                        F.lit(None).cast("struct<mod:string,name:string>"),
+                    ).otherwise(F.coalesce("__abcls", "__prcls")),
+                )
+                .withColumn(
+                    "__cm",
+                    F.when(
+                        F.col("__cm").isNull() & F.col("__aacls").isNotNull(),
+                        F.col("__aacls.mod"),
+                    ).otherwise(F.col("__cm")),
+                )
+                .withColumn(
+                    "__cn",
+                    F.when(
+                        F.col("__cn").isNull() & F.col("__aacls").isNotNull(),
+                        F.col("__aacls.name"),
+                    ).otherwise(F.col("__cn")),
+                )
+            )
+
     # method lookup with inheritance: the DISTINCT (class, method) pairs
     # walk the ancestor closure to the nearest definition, then join
     # back — class-count-scale work regardless of call-site count
@@ -1166,6 +1455,15 @@ def resolve_calls(
         )
         .distinct()
     )
+    # nearest-ancestor lookup with an AMBIGUITY GUARD (advice r7): taking
+    # min(struct(depth, def_name)) alone breaks equal-depth ties
+    # alphabetically — in a diamond where two depth-d bases both define
+    # the method, Python's MRO picks by base-list order, which the
+    # relation rows don't carry. Per the 'unresolved beats wrongly
+    # resolved' contract, a (class, method) whose NEAREST defining depth
+    # has more than one distinct def stays unresolved: group per depth,
+    # count distinct defs, resolve only when the min-depth row has
+    # exactly one.
     hits = (
         need.join(anc, (need.n_mod == anc.c_module) & (need.n_name == anc.c_name))
         .join(
@@ -1173,13 +1471,19 @@ def resolve_calls(
             (F.col("a_module") == dm.dm_module)
             & (F.concat_ws(".", F.col("a_name"), F.col("n_method")) == dm.dm_name),
         )
+        .groupBy("n_mod", "n_name", "n_method", "depth")
+        .agg(
+            F.count_distinct(F.struct("dm_module", "dm_name")).alias("__ndefs"),
+            F.min("dm_name").alias("__def"),
+        )
         .groupBy("n_mod", "n_name", "n_method")
-        .agg(F.min(F.struct("depth", "dm_name")).alias("__best"))
+        .agg(F.min(F.struct("depth", "__ndefs", "__def")).alias("__best"))
+        .filter(F.col("__best.__ndefs") == 1)
         .select(
             F.col("n_mod").alias("h_mod"),
             F.col("n_name").alias("h_name"),
             F.col("n_method").alias("h_method"),
-            F.col("__best.dm_name").alias("h_def"),
+            F.col("__best.__def").alias("h_def"),
         )
     )
     attr = attr.join(
@@ -1238,13 +1542,23 @@ def resolve_calls(
                 == F.col("d2_name")
             ),
         )
+        .groupBy("u_mod", "u_name", "u_method", "depth")
+        # same ambiguity guard as the plain lookup above: an equal-depth
+        # diamond (two depth-1 bases both defining the method) is an MRO
+        # question the relation rows can't answer — leave it unresolved
+        # rather than resolving to the alphabetically-first base's def
+        .agg(
+            F.count_distinct(F.struct("d2_module", "d2_name")).alias("__ndefs"),
+            F.min("d2_name").alias("__def"),
+        )
         .groupBy("u_mod", "u_name", "u_method")
-        .agg(F.min(F.struct("depth", "d2_name")).alias("__sbest"))
+        .agg(F.min(F.struct("depth", "__ndefs", "__def")).alias("__sbest"))
+        .filter(F.col("__sbest.__ndefs") == 1)
         .select(
             F.col("u_mod").alias("hs_mod"),
             F.col("u_name").alias("hs_name"),
             F.col("u_method").alias("hs_method"),
-            F.col("__sbest.d2_name").alias("hs_def"),
+            F.col("__sbest.__def").alias("hs_def"),
         )
     )
     attr = attr.join(

@@ -397,7 +397,7 @@ def knn_classify_majority(spark, sf_dir):
     tot AS (SELECT sum(n) AS t FROM joint),
     pl AS (SELECT lang, sum(n) AS nl FROM joint GROUP BY lang),
     ps AS (SELECT source, sum(n) AS ns FROM joint GROUP BY source)
-    SELECT round(sum((n / t) * ln(round((n * t) / (nl * ns), 6))), 6) AS mutual_information,
+    SELECT round(sum((n / t) * ln(greatest(round((n * t) / (nl * ns), 6), 1e-6))), 6) AS mutual_information,
            CAST(count(*) AS BIGINT) AS n_cells
     FROM joint JOIN pl USING (lang) JOIN ps USING (source) CROSS JOIN tot
     """,
@@ -411,7 +411,10 @@ def mixture_lang_source_mi(spark, sf_dir):
     which has |langs|×|sources| rows — contingency-table-sized at any
     corpus scale, so everything after the first count aggregate is
     broadcast-trivial. The inner ratio rounds to 6 dp before ln so the
-    DuckDB replay is bit-stable."""
+    DuckDB replay is bit-stable, and is clamped to >= 1e-6 (the smallest
+    positive 6-dp value) because a skewed cell whose ratio rounds to 0
+    would otherwise diverge: Spark's log(0) is NULL (term silently
+    dropped from the sum) while DuckDB's ln(0) is -inf."""
     d = table(spark, sf_dir, "documents")
     joint = d.groupBy("lang", "source").agg(
         F.count("*").cast("double").alias("n")
@@ -428,10 +431,13 @@ def mixture_lang_source_mi(spark, sf_dir):
                 F.sum(
                     (F.col("n") / F.col("t"))
                     * F.log(
-                        F.round(
-                            (F.col("n") * F.col("t"))
-                            / (F.col("nl") * F.col("ns")),
-                            6,
+                        F.greatest(
+                            F.round(
+                                (F.col("n") * F.col("t"))
+                                / (F.col("nl") * F.col("ns")),
+                                6,
+                            ),
+                            F.lit(1e-6),
                         )
                     )
                 ),

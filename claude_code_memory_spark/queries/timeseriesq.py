@@ -362,9 +362,10 @@ def timeseries_ewma_window(spark, sf_dir):
         )
         .groupBy("user_id", "a_rn")
         .agg(
-            # decimal per-term rounding before the sum: 20 exact decimals
-            # add associatively, so partition order can never move the
-            # 6-dp boundary (the round-4 determinism recipe)
+            # cast each term to decimal(38,12) — the cast IS the 12-dp
+            # rounding; exact decimals add associatively, so partition
+            # order can never move the 6-dp output boundary (the round-4
+            # determinism recipe)
             F.sum(
                 (F.col("b_val") * F.pow(F.lit(0.5), F.col("a_rn") - F.col("b_rn")))
                 .cast("decimal(38,12)")

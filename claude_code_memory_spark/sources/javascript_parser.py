@@ -127,6 +127,28 @@ _FIELD = re.compile(
     r"^\s*(?:public\s+|private\s+|protected\s+|static\s+|readonly\s+"
     r"|declare\s+|override\s+)*(#?\w+)\s*(?:\?|!)?\s*(?::[^=;]+)?(?:=|;)"
 )
+# a TS field declaration's simple-name type annotation (`db: Database;`
+# possibly dotted) — the class-body twin of Python's `db: Database`
+# dataclass-style annotation; generics/unions/parens fail the match and
+# bind nothing (declared-intent certainty only)
+_FIELD_ANN = re.compile(
+    r":\s*([\w$]+(?:\.[\w$]+)*)\s*(?:;|=|$)"
+)
+_FIELD_NEW = re.compile(r"=\s*new\s+([\w$]+(?:\.[\w$]+)*)\s*\(")
+# instance members only: a static field/getter lives on the class, not
+# on instances — binding it would wrongly type `s.x` reads
+_STATIC_MEMBER = re.compile(
+    r"^\s*(?:public\s+|private\s+|protected\s+|readonly\s+|declare\s+"
+    r"|abstract\s+|override\s+)*static\s"
+)
+# non-static getter: `get conn(): Conn {` — a TS getter IS a property;
+# marking it with the same (uses, 'property', decorator) row Python's
+# @property emits lets the resolver's property-return path apply to
+# both languages through one gate
+_GETTER = re.compile(
+    r"^\s*(?:public\s+|private\s+|protected\s+|abstract\s+|override\s+)*"
+    r"get\s+[\w$#]"
+)
 _IMPORT = re.compile(
     r"^\s*import\s+(?:type\s+)?(?:(\w+)|\{([^}]*)\}|\*\s+as\s+(\w+))?"
     r"\s*(?:,\s*(?:\{([^}]*)\}|\*\s+as\s+(\w+)))?\s*from\s+['\"]([^'\"]+)['\"]"
@@ -179,6 +201,31 @@ _CALL = re.compile(r"(?:\b([\w$]+(?:\.[\w$]+)*)\s*\.\s*)?\b([\w$]+)\s*\(")
 _CHAIN_CALL = re.compile(
     r"\b(?:new\s+)?([\w$]+(?:\.[\w$]+)*)\s*\([^()]*\)\s*\.\s*([\w$]+)\s*\("
 )
+# every ")<dot>name(" link, regardless of whether _CHAIN_CALL can name the
+# inner callee — the denominator for the chained-coverage counter below
+_CHAIN_LINK = re.compile(r"\)\s*\.\s*([\w$]+)\s*\(")
+# Chained-coverage accounting (advice r7): _CHAIN_CALL deliberately
+# matches only a paren-free inner argument list with a simple dotted
+# base, so `a(f(x)).b()` and the later links of `a().b().c()` fall back
+# to bare-call rows — the documented conservative approximation. Python's
+# AST-exact parser has no such gap, so without a counter the JS/Python
+# resolution-coverage delta is invisible in fidelity metrics. The parser
+# tallies (links seen, links captured) per process; `chain_coverage()`
+# reads it, `reset_chain_coverage()` zeroes it. Pure observability — no
+# emitted-row change.
+_CHAIN_STATS = {"links": 0, "captured": 0}
+
+
+def chain_coverage() -> dict[str, int]:
+    """(links, captured) chained-call tallies since the last reset; the
+    gap is the count of chain links conservatively demoted to bare-call
+    rows (kept unresolved rather than wrongly resolved)."""
+    return dict(_CHAIN_STATS)
+
+
+def reset_chain_coverage() -> None:
+    _CHAIN_STATS["links"] = 0
+    _CHAIN_STATS["captured"] = 0
 # instance-typed resolution raw material (the regex twin of
 # python_parser._collect_type_binds): `const x = new C()` binds x→C,
 # `this.db = new C()` binds at class scope; any reassignment poisons
@@ -508,6 +555,7 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
         # (one row per site, marker wins)
         chain_pos: set[int] = set()
         chained: list[tuple[str, str]] = []
+        _CHAIN_STATS["links"] += sum(1 for _ in _CHAIN_LINK.finditer(masked_body))
         for m in _CHAIN_CALL.finditer(masked_body):
             inner, callee = m.group(1), m.group(2)
             # a based call named like the owner is NOT self-recursion —
@@ -517,6 +565,7 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
                 continue
             chain_pos.add(m.start(2))
             chained.append((callee, inner + "()"))
+            _CHAIN_STATS["captured"] += 1
         for m in _CALL.finditer(masked_body):
             base, callee = m.group(1), m.group(2)
             if m.start(2) in chain_pos:
@@ -811,6 +860,11 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
                 add_param_binds(qual, sig, mbody)
                 add_return_bind(qual, mbody, sig)  # static factory: Tool.create()
                 consume_decorators(qual)
+                if _GETTER.match(dmsk) and not _STATIC_MEMBER.match(dmsk):
+                    # TS getter = property: same marker row as @property
+                    recs.append(
+                        _relation_rec(qual, "property", "uses", path, "decorator")
+                    )
                 for t in set(_THROW.findall("\n".join(masked[i : end + 1]))):
                     recs.append(_relation_rec(qual, t, "throws", path))
                 depth += sum(r.count("{") - r.count("}") for r in masked[i : end + 1])
@@ -839,6 +893,28 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
                     [f"Class field {m.group(1)}"], parent=in_class,
                 )
                 consume_decorators(qual)
+                # field declarations type the instance attr like Python's
+                # class-body annotations: `db: Database;` (declared
+                # intent, wins) or `db = new Database()` (initializer);
+                # conflicts with constructor/method binds poison through
+                # the same this_binds merge. Static fields are skipped —
+                # they live on the class, not instances.
+                if not _STATIC_MEMBER.match(dmsk):
+                    fa = _FIELD_ANN.search(dmsk)
+                    ctor = None
+                    if fa and fa.group(1).split(".")[0] not in _TS_BUILTIN_TYPES:
+                        ctor = fa.group(1)
+                    elif fa is None:
+                        fn2 = _FIELD_NEW.search(dmsk)
+                        if fn2:
+                            ctor = fn2.group(1)
+                    if ctor is not None:
+                        d = this_binds.setdefault(in_class, {})
+                        key = f"this.{m.group(1)}"
+                        if key in d and d[key] != ctor:
+                            d[key] = None
+                        elif key not in d:
+                            d[key] = ctor
                 depth += msk.count("{") - msk.count("}")
                 i += 1
                 continue

@@ -632,6 +632,24 @@ def parse_python_source(path: str, source: str) -> list[dict]:
             # self.x = C() binds at CLASS scope: any two methods pinning
             # the same attribute to different constructors poison it
             cls_binds: dict[str, tuple[str, str | None] | None] = {}
+            # class-BODY annotations (`db: Database` — the dataclass /
+            # __slots__ / attrs style, no assignment required) bind the
+            # instance attribute exactly like `self.db: Database` in a
+            # method: declared intent. A body annotation and a method
+            # assignment to a DIFFERENT class poison each other through
+            # the same merge below (verdict r7 item 3).
+            for item in node.body:
+                if isinstance(item, ast.AnnAssign) and isinstance(
+                    item.target, ast.Name
+                ):
+                    ann_name, ann_base = _name_and_base(item.annotation)
+                    if ann_name is not None:
+                        key = f"self.{item.target.id}"
+                        val = (ann_name, ann_base)
+                        if key in cls_binds and cls_binds[key] != val:
+                            cls_binds[key] = None
+                        elif key not in cls_binds:
+                            cls_binds[key] = val
             for item in node.body:
                 if isinstance(item, (ast.FunctionDef, ast.AsyncFunctionDef)):
                     for var, val in handle_function(item, node.name, "method").items():

@@ -320,3 +320,34 @@ const after = 1;
     # decorator with an argument object on a class
     assert "Decorated" in ents and "Decorated.run" in ents
     assert ("Decorated", "Component", "uses") in rels
+
+
+def test_chain_coverage_counter():
+    """Advice r7: the conservative _CHAIN_CALL regex demotes hard chains
+    (nested-paren inner args, later links of a().b().c()) to bare-call
+    rows; the per-process counter makes that JS/Python coverage gap a
+    number instead of an invisible approximation."""
+    from claude_code_memory_spark.sources.javascript_parser import (
+        chain_coverage,
+        parse_javascript_source,
+        reset_chain_coverage,
+    )
+
+    reset_chain_coverage()
+    src = """
+function use(db, x) {
+  const a = db.connect().query();     // captured chained link
+  const b = make(f(x)).run();         // inner args have parens: skipped
+  const c = g().h().i();              // 2 links, only the first captured
+  return a + b + c;
+}
+"""
+    parse_javascript_source("lib/chains.js", src)
+    cov = chain_coverage()
+    # 4 ")<dot>name(" links total; the paren-arg inner call and the
+    # second link of the 3-chain fall back to bare rows
+    assert cov["links"] == 4
+    assert cov["captured"] == 2
+    assert cov["links"] - cov["captured"] == 2
+    reset_chain_coverage()
+    assert chain_coverage() == {"links": 0, "captured": 0}

@@ -277,6 +277,73 @@ FIXTURE = {
         "def n06_two_stars():\n"
         "    return dup_fn(1)\n"
     ),
+    # -- round 8: attribute annotations + property returns --
+    "lib/svc.py": (
+        "from lib.db import Conn, Database\n"
+        "\n"
+        "class Service:\n"
+        "    db: Database\n"  # class-body annotation, no assignment
+        "\n"
+        "    def __init__(self):\n"
+        "        self._c = Conn()\n"
+        "\n"
+        "    @property\n"
+        "    def conn(self) -> Conn:\n"
+        "        return self._c\n"
+        "\n"
+        "    @property\n"
+        "    def badprop(self):\n"  # divergent returns: uncertain
+        "        if self.db:\n"
+        "            return Conn()\n"
+        "        return Database()\n"
+        "\n"
+        "    def c21_body_ann_self(self):\n"
+        "        return self.db.maybe(True)\n"
+        "\n"
+        "    def c24_self_property(self):\n"
+        "        return self.conn.query()\n"
+        "\n"
+        "class Extended(Service):\n"
+        "    pass\n"
+        "\n"
+        "class Conflicted:\n"
+        "    x: Conn\n"
+        "\n"
+        "    def __init__(self):\n"
+        "        self.x = Database()\n"  # conflicts with the annotation
+        "\n"
+        "    def n09_conflicted_ann(self):\n"
+        "        return self.x.get_conn()\n"
+    ),
+    "use/attrprops.py": (
+        "from lib.svc import Extended, Service\n"
+        "from lib.db import Database\n"
+        "\n"
+        "def c22_attr_of_attr():\n"
+        "    s = Service()\n"
+        "    return s.db.maybe(False)\n"
+        "\n"
+        "def c23_property_external():\n"
+        "    s = Service()\n"
+        "    return s.conn.query()\n"
+        "\n"
+        "def n07_divergent_property():\n"
+        "    s = Service()\n"
+        "    return s.badprop.query()\n"
+        "\n"
+        "def n08_method_not_property():\n"
+        "    d = Database()\n"
+        "    return d.get_conn.query()\n"
+        "\n"
+        "def n10_poisoned_head():\n"
+        "    s = Service()\n"
+        "    s = Database()\n"
+        "    return s.db.maybe(True)\n"
+        "\n"
+        "def a05_inherited_property():\n"
+        "    e = Extended()\n"
+        "    return e.conn.query()\n"
+    ),
 }
 
 # (site, expected defining name) — the engine must resolve these
@@ -309,6 +376,11 @@ POSITIVES = [
     # round-7 late addition: super() dispatch through the ancestor
     # closure, skipping the own override
     ("Loud.run", "Tool.run"),
+    # round 8: attribute annotations + property returns
+    ("Service.c21_body_ann_self", "Database.maybe"),  # class-body annotation
+    ("c22_attr_of_attr", "Database.maybe"),  # typed var → annotated attr
+    ("c23_property_external", "Conn.query"),  # @property return bind
+    ("Service.c24_self_property", "Conn.query"),  # self.<property>
 ]
 
 # (site, target a full static analysis reaches, raw method name) —
@@ -324,6 +396,10 @@ ASPIRATIONAL = [
     # two chained hops: Jedi reaches Result.unwrap through query()'s
     # return annotation; the single-level '()' marker does not
     ("a04_deep_chain", "Result.unwrap", "unwrap"),
+    # property defined on an ANCESTOR class: the attribute-of-attribute
+    # lookup keys by the defining class only (documented approximation,
+    # same as inherited factory methods)
+    ("a05_inherited_property", "Conn.query", "query"),
 ]
 
 # (site, raw callee) — resolution here breaks the poisoning guarantee
@@ -334,6 +410,11 @@ NEGATIVES = [
     ("n04_dynamic_all_star", "dyn_offered"),
     ("n05_untyped_base", "query"),
     ("n06_two_stars", "dup_fn"),
+    # round 8: attribute/property certainty contract
+    ("n07_divergent_property", "query"),  # divergent property returns
+    ("n08_method_not_property", "query"),  # method object, not property
+    ("Conflicted.n09_conflicted_ann", "get_conn"),  # ann vs assign conflict
+    ("n10_poisoned_head", "maybe"),  # head var reassigned
 ]
 
 
@@ -406,7 +487,7 @@ def test_fidelity_rate(fidelity):
     denom = len(POSITIVES) + len(ASPIRATIONAL)
     rate = resolved / denom
     print(f"resolver fidelity: {resolved}/{denom} = {rate:.3f}")
-    # round 7: all former positives+aspirationals green (tuple unpack,
-    # walrus, chained call, super dispatch); a04 (two chained hops) is
-    # the remaining honest-denominator entry → 24/25
-    assert rate >= 24 / 25 - 1e-9
+    # round 8: class-body annotations, attribute-of-attribute, and
+    # property returns all green; a04 (two chained hops) and a05
+    # (inherited property) are the honest-denominator entries → 28/30
+    assert rate >= 28 / 30 - 1e-9

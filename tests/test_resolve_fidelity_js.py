@@ -1,0 +1,326 @@
+"""Resolver fidelity against a JS/TS ground-truth fixture (verdict r7
+item 3: the 25-site corpus was Python-only, so the JS arm's precision
+had no denominator). Same contract as test_resolve_fidelity.py:
+
+- POSITIVES must resolve to the exact defining name;
+- NEGATIVES must stay unresolved (any hit is a FALSE RESOLUTION);
+- ASPIRATIONAL sites sit in the denominator for honesty.
+
+Reference parity anchor: the reference's tree-sitter JS/TS parser +
+in-process resolution (analysis/javascript_parser.py:19-30); this is
+the distributed equivalent's precision/recall harness for the JS arm.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from claude_code_memory_spark.operators.resolve import resolve_calls
+from claude_code_memory_spark.sources.javascript_parser import (
+    parse_javascript_source,
+)
+from claude_code_memory_spark.sources.python_parser import (
+    import_bindings,
+    return_bindings,
+    split_parsed,
+    type_bindings,
+)
+
+FIXTURE = {
+    # -- library under test --
+    "src/lib/core.ts": (
+        "export class Base {\n"
+        "  close() { return 0; }\n"
+        "}\n"
+        "\n"
+        "export class Tool extends Base {\n"
+        "  run() { return 1; }\n"
+        "  static create(): Tool { return new Tool(); }\n"
+        "}\n"
+        "\n"
+        "export function helper(x: number) { return x + 1; }\n"
+    ),
+    "src/lib/db.ts": (
+        "export class Result {\n"
+        "  unwrap() { return 1; }\n"
+        "}\n"
+        "\n"
+        "export class Conn {\n"
+        "  query(): Result { return new Result(); }\n"
+        "}\n"
+        "\n"
+        "export class Database {\n"
+        "  getConn(): Conn { return new Conn(); }\n"
+        "  ping() { return 'pong'; }\n"
+        "  maybe(flag: boolean) {\n"
+        "    if (flag) { return new Conn(); }\n"
+        "    return null;\n"
+        "  }\n"
+        "}\n"
+        "\n"
+        "export class Service {\n"
+        "  db: Database;\n"  # field declaration types the instance attr
+        "\n"
+        "  get conn(): Conn { return new Conn(); }\n"
+        "\n"
+        "  get badprop() {\n"  # divergent returns: uncertain
+        "    if (this.db) { return new Conn(); }\n"
+        "    return new Database();\n"
+        "  }\n"
+        "\n"
+        "  j17_field_self() { return this.db.ping(); }\n"
+        "\n"
+        "  j18_getter_self() { return this.conn.query(); }\n"
+        "}\n"
+        "\n"
+        "export class Cfg {\n"
+        "  static get inst(): Database { return new Database(); }\n"
+        "}\n"
+    ),
+    "src/lib/index.ts": "export * from './core';\n",
+    "src/lib/factories.ts": (
+        "import { Tool } from './core';\n"
+        "\n"
+        "export function makeTool() { return new Tool(); }\n"
+        "\n"
+        "export const makeArrow = () => new Tool();\n"
+        "\n"
+        "export function makeAnn(): Tool { return whatever(); }\n"
+    ),
+    "src/lib/dup_a.ts": "export function dupFn(x: number) { return x; }\n",
+    "src/lib/dup_b.ts": "export function dupFn(x: number) { return x + 1; }\n",
+    "src/lib/twobarrel.ts": (
+        "export * from './dup_a';\n"
+        "export * from './dup_b';\n"
+    ),
+    # -- consumers: one ground-truth site per jNN_/anNN_ function --
+    "src/use/imports.ts": (
+        "import { helper } from '../lib/core';\n"
+        "import { helper as h } from '../lib/core';\n"
+        "import * as c from '../lib/core';\n"
+        "\n"
+        "export function j01_named() { return helper(1); }\n"
+        "\n"
+        "export function j02_aliased() { return h(2); }\n"
+        "\n"
+        "export function j03_namespace() { return c.helper(3); }\n"
+    ),
+    "src/use/barrel.ts": (
+        "import { helper } from '../lib';\n"
+        "\n"
+        "export function j04_barrel() { return helper(4); }\n"
+    ),
+    "src/use/instances.ts": (
+        "import { Tool } from '../lib/core';\n"
+        "\n"
+        "export function j05_instance() {\n"
+        "  const t = new Tool();\n"
+        "  return t.run();\n"
+        "}\n"
+        "\n"
+        "export function j06_inherited() {\n"
+        "  const t = new Tool();\n"
+        "  return t.close();\n"
+        "}\n"
+        "\n"
+        "export class Holder {\n"
+        "  constructor() { this.t = new Tool(); }\n"
+        "  j07_this_attr() { return this.t.run(); }\n"
+        "}\n"
+        "\n"
+        "export function j08_param(t: Tool) { return t.run(); }\n"
+    ),
+    "src/use/factories.ts": (
+        "import { makeTool, makeAnn } from '../lib/factories';\n"
+        "import { Tool } from '../lib/core';\n"
+        "import { Database } from '../lib/db';\n"
+        "\n"
+        "export function j09_annotated() {\n"
+        "  const t = makeAnn();\n"
+        "  return t.run();\n"
+        "}\n"
+        "\n"
+        "export function j10_inferred() {\n"
+        "  const t = makeTool();\n"
+        "  return t.run();\n"
+        "}\n"
+        "\n"
+        "export function j11_static_factory() {\n"
+        "  const t = Tool.create();\n"
+        "  return t.run();\n"
+        "}\n"
+        "\n"
+        "export function j12_chained() {\n"
+        "  const d = new Database();\n"
+        "  return d.getConn().query();\n"
+        "}\n"
+    ),
+    "src/use/superd.ts": (
+        "import { Tool } from '../lib/core';\n"
+        "\n"
+        "export class Loud extends Tool {\n"
+        "  run() { return super.run(); }\n"
+        "}\n"
+    ),
+    "src/use/iface.ts": (
+        "export interface Shape {\n"
+        "  area(): number;\n"
+        "}\n"
+        "\n"
+        "export function j14_interface(s: Shape) { return s.area(); }\n"
+    ),
+    "src/use/attrprops.ts": (
+        "import { Service, Cfg, Database } from '../lib/db';\n"
+        "\n"
+        "export function j15_field_attr() {\n"
+        "  const s = new Service();\n"
+        "  return s.db.ping();\n"
+        "}\n"
+        "\n"
+        "export function j16_getter() {\n"
+        "  const s = new Service();\n"
+        "  return s.conn.query();\n"
+        "}\n"
+        "\n"
+        "export function jn04_divergent_getter() {\n"
+        "  const s = new Service();\n"
+        "  return s.badprop.query();\n"
+        "}\n"
+        "\n"
+        "export function jn05_method_not_called() {\n"
+        "  const d = new Database();\n"
+        "  return d.getConn.query();\n"
+        "}\n"
+        "\n"
+        "export function jn07_static_getter() {\n"
+        "  const c = new Cfg();\n"
+        "  return c.inst.ping();\n"
+        "}\n"
+    ),
+    "src/use/negatives.ts": (
+        "import { join } from 'path';\n"
+        "import { Tool } from '../lib/core';\n"
+        "import { Database } from '../lib/db';\n"
+        "import { wrap } from './nowhere-real';\n"
+        "\n"
+        "export function jn01_reassigned() {\n"
+        "  let t = new Tool();\n"
+        "  t = new Database();\n"
+        "  return t.run();\n"
+        "}\n"
+        "\n"
+        "export function jn02_external() { return join('a', 'b'); }\n"
+        "\n"
+        "export function jn03_untyped(q) { return q.run(); }\n"
+        "\n"
+        "export function jn08_paren_chain(x) {\n"
+        "  return wrap(helperize(x)).run();\n"
+        "}\n"
+    ),
+    "src/use/twobarrel.ts": (
+        "import { dupFn } from '../lib/twobarrel';\n"
+        "\n"
+        "export function jn06_two_stars() { return dupFn(1); }\n"
+    ),
+}
+
+POSITIVES = [
+    ("j01_named", "helper"),
+    ("j02_aliased", "helper"),
+    ("j03_namespace", "helper"),
+    ("j04_barrel", "helper"),
+    ("j05_instance", "Tool.run"),
+    ("j06_inherited", "Base.close"),
+    ("Holder.j07_this_attr", "Tool.run"),
+    ("j08_param", "Tool.run"),
+    ("j09_annotated", "Tool.run"),
+    ("j10_inferred", "Tool.run"),
+    ("j11_static_factory", "Tool.run"),
+    ("j12_chained", "Conn.query"),
+    ("Loud.run", "Tool.run"),
+    ("j14_interface", "Shape.area"),
+    # round-8 additions: field-declaration binds + TS getters-as-properties
+    ("j15_field_attr", "Database.ping"),
+    ("j16_getter", "Conn.query"),
+    ("Service.j17_field_self", "Database.ping"),
+    ("Service.j18_getter_self", "Conn.query"),
+]
+
+ASPIRATIONAL: list[tuple[str, str, str]] = []
+
+NEGATIVES = [
+    ("jn01_reassigned", "run"),
+    ("jn02_external", "join"),
+    ("jn03_untyped", "run"),
+    ("jn04_divergent_getter", "query"),
+    ("jn05_method_not_called", "query"),
+    ("jn06_two_stars", "dupFn"),
+    ("jn07_static_getter", "ping"),
+    ("jn08_paren_chain", "run"),
+]
+
+
+@pytest.fixture(scope="module")
+def fidelity_js(spark):
+    from claude_code_memory_spark.sources.python_parser import PARSED_SCHEMA
+
+    recs = []
+    for path, src in FIXTURE.items():
+        recs.extend(parse_javascript_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA).cache()
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(
+        relations,
+        import_bindings(parsed),
+        entities,
+        type_bindings(parsed),
+        return_binds=return_bindings(parsed),
+    )
+    rows = out.filter(
+        out.relation_type.isin("calls", "throws", "uses")
+    ).collect()
+    return {
+        (r["from_entity"], r["to_entity"], r["import_type"]) for r in rows
+    }
+
+
+def test_every_js_positive_resolves(fidelity_js):
+    missed = [
+        (site, target)
+        for site, target in POSITIVES
+        if (site, target, "resolved") not in fidelity_js
+    ]
+    assert not missed, f"JS positives regressed: {missed}"
+
+
+def test_zero_js_false_resolutions(fidelity_js):
+    false_hits = []
+    for site, raw in NEGATIVES:
+        for f, t, it in fidelity_js:
+            if f != site or it != "resolved":
+                continue
+            if t == raw or t.endswith("." + raw):
+                false_hits.append((site, t))
+    for site, want, raw in ASPIRATIONAL:
+        for f, t, it in fidelity_js:
+            if f != site or it != "resolved":
+                continue
+            if (t == raw or t.endswith("." + raw)) and t != want:
+                false_hits.append((site, t))
+    assert false_hits == [], f"JS false resolutions: {false_hits}"
+
+
+def test_js_fidelity_rate(fidelity_js):
+    resolved = sum(
+        1
+        for site, target in POSITIVES
+        if (site, target, "resolved") in fidelity_js
+    )
+    for site, want, _raw in ASPIRATIONAL:
+        if (site, want, "resolved") in fidelity_js:
+            resolved += 1
+    denom = len(POSITIVES) + len(ASPIRATIONAL)
+    rate = resolved / denom
+    print(f"JS resolver fidelity: {resolved}/{denom} = {rate:.3f}")
+    # round 8: every JS positive green, 18/18
+    assert rate >= 18 / 18 - 1e-9
