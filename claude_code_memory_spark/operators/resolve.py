@@ -331,7 +331,34 @@ def resolve_calls(
         F.col("module").alias("x_mod"), F.col("local_name").alias("x_name")
     )
     has_exp = exp.select(F.col("x_mod").alias("hx_mod")).distinct()
-    chased = _pin(_chase(fromb, max_hops).dropDuplicates(["file_path", "local_name"]))
+    chased = _chase(fromb, max_hops).dropDuplicates(["file_path", "local_name"])
+
+    # default exports (JS): `import W from './m'` binds W with the
+    # '__default__' member sentinel — rewrite it to the exporting
+    # module's named default (the parser's default_export marker). A
+    # module with no / an anonymous / more than one default marker
+    # (duplicate module paths) leaves the sentinel in place, which
+    # matches no definition downstream: unresolved beats guessed.
+    dexp = (
+        b.filter(F.col("import_type") == "default_export")
+        .groupBy(F.col("module").alias("dx_mod"))
+        .agg(
+            F.count_distinct("local_name").alias("__dn"),
+            F.min("local_name").alias("dx_name"),
+        )
+        .filter(F.col("__dn") == 1)
+        .select("dx_mod", "dx_name")
+    )
+    chased = _pin(
+        chased.join(
+            dexp,
+            (chased.target_module == dexp.dx_mod)
+            & (chased.member == "__default__"),
+            "left",
+        )
+        .withColumn("member", F.coalesce("dx_name", "member"))
+        .drop("dx_mod", "dx_name")
+    )
 
     # star hop: a chased terminal (module, name) that is NOT a definition,
     # where that module star-binds exactly one other module that DOES
@@ -1431,6 +1458,125 @@ def resolve_calls(
                         F.col("__cn").isNull() & F.col("__aacls").isNotNull(),
                         F.col("__aacls.name"),
                     ).otherwise(F.col("__cn")),
+                )
+            )
+
+            # --- imported module-scope singletons: `shared = Tool()` at
+            # the top of lib/state.py, then `from lib.state import
+            # shared; shared.run()` elsewhere. The whole-context
+            # from-import hit (e_tmod, e_member) names a module-level
+            # VARIABLE whose own file's module-scope type bind pins a
+            # class; resolve that ctor in the DEFINING file's context
+            # (its chased imports / same-file classes), the same
+            # one-extra-file hop the attr-bind source above makes. A
+            # module name mapping to two files (index + sibling) with
+            # conflicting binds drops out via the distinct-bind guard.
+            # Mutually exclusive with __aacls (this path needs a dotless
+            # context, that one needs two segments), so the
+            # null-guarded __cm/__cn update below cannot race it.
+            vtb = (
+                tb.filter(F.col("scope") == F.col("file_path"))
+                .select(
+                    module_of_path("file_path").alias("sg_mod"),
+                    F.col("var").alias("sg_var"),
+                    F.col("file_path").alias("__sf"),
+                    F.col("ctor").alias("__sc"),
+                    F.col("ctor_base").alias("__sb"),
+                )
+                .groupBy("sg_mod", "sg_var")
+                .agg(
+                    F.count_distinct(F.struct("__sc", "__sb")).alias("__sn"),
+                    F.min(F.struct("__sf", "__sc", "__sb")).alias("__s"),
+                )
+                .filter(F.col("__sn") == 1)
+                .select(
+                    "sg_mod",
+                    "sg_var",
+                    F.col("__s.__sf").alias("sg_file"),
+                    F.struct(
+                        F.col("__s.__sc").alias("ctor"),
+                        F.col("__s.__sb").alias("base"),
+                    ).alias("sg_c"),
+                )
+            )
+            sg9 = chased.select(
+                F.col("file_path").alias("sg9_file"),
+                F.col("local_name").alias("sg9_local"),
+                F.col("target_module").alias("sg9_tmod"),
+                F.col("member").alias("sg9_member"),
+            )
+            sg10 = classes.select(
+                F.col("file_path").alias("sg10_file"),
+                F.col("k_module").alias("sg10_module"),
+                F.col("k_name").alias("sg10_name"),
+            )
+            attr = (
+                attr.join(
+                    vtb,
+                    (F.col("e_tmod") == vtb.sg_mod)
+                    & (F.col("e_member") == vtb.sg_var),
+                    "left",
+                )
+                .join(
+                    sg9,
+                    F.col("sg_c.base").isNull()
+                    & (F.col("sg_file") == sg9.sg9_file)
+                    & (F.col("sg_c.ctor") == sg9.sg9_local),
+                    "left",
+                )
+                .join(
+                    sg10,
+                    F.col("sg_c.base").isNull()
+                    & (F.col("sg_file") == sg10.sg10_file)
+                    & (F.col("sg_c.ctor") == sg10.sg10_name),
+                    "left",
+                )
+                .withColumn(
+                    "__sgcls",
+                    F.coalesce(
+                        F.when(
+                            F.col("sg9_tmod").isNotNull(),
+                            F.struct(
+                                F.col("sg9_tmod").alias("mod"),
+                                F.col("sg9_member").alias("name"),
+                            ),
+                        ),
+                        F.when(
+                            F.col("sg10_module").isNotNull(),
+                            F.struct(
+                                F.col("sg10_module").alias("mod"),
+                                F.col("sg_c.ctor").alias("name"),
+                            ),
+                        ),
+                    ),
+                )
+                # the e-hit already wrote the VARIABLE's (module, name)
+                # into __cm/__cn (it looks like a class candidate there),
+                # so the override fires when the pair still IS that
+                # variable — i.e. no factory/re-export stage rewrote it —
+                # and swaps in the class its module-scope bind pins
+                .withColumn(
+                    "__sg_fire",
+                    F.col("__sgcls").isNotNull()
+                    & (
+                        F.col("__cm").isNull()
+                        | (
+                            (F.col("__cm") == F.col("e_tmod"))
+                            & (F.col("__cn") == F.col("e_member"))
+                        )
+                    ),
+                )
+                .withColumn(
+                    "__cm",
+                    F.when(F.col("__sg_fire"), F.col("__sgcls.mod")).otherwise(
+                        F.col("__cm")
+                    ),
+                )
+                .withColumn(
+                    "__cn",
+                    F.when(F.col("__sg_fire"), F.col("__sgcls.name")).otherwise(
+                        F.col("__cn")
+                    ),
                 )
             )
 

@@ -103,10 +103,12 @@ _DRIVER_WINDOW = [
     "pareto_nation_revenue",
 ]
 # Round-9 rotation queue (oldest-green-first after this round lands):
-# (a) the 9 r5-cohort entries deferred above; (b) any round-8 additions
-#     (never driver-checked; selfchecked on arrival); (c) the 50-entry
-#     r6-last-green cohort — whatever fits after (a)+(b); remainder
-#     rotates in round 10 with the r7 cohort.
+# (a) the 9 r5-cohort entries deferred above; (b) the round-8 additions
+#     (never driver-checked; selfchecked green at sf0.01 AND sf0.1 on
+#     arrival): split_time_embargo, dedup_prefix_boilerplate,
+#     corpus_epoch_allocation; (c) the 50-entry r6-last-green cohort —
+#     whatever fits after (a)+(b); remainder rotates in round 10 with
+#     the r7 cohort.
 
 
 def _apply_driver_window() -> None:

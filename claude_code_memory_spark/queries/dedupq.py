@@ -490,3 +490,39 @@ def dedup_ngram_exposure(spark, sf_dir):
             F.round(shared * 1.0 / F.count("*"), 6).alias("shared_frac"),
         )
     )
+
+
+@register(
+    "dedup_prefix_boilerplate",
+    oracle="""
+    SELECT md5(lower(substr(text, 1, 64))) AS prefix_hash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS keeper_doc_id,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped
+    FROM documents
+    GROUP BY prefix_hash
+    HAVING count(*) > 1
+    """,
+)
+def dedup_prefix_boilerplate(spark, sf_dir):
+    """Leading-span (boilerplate-prefix) dedup: documents sharing the
+    same case-folded 64-char prefix are template/boilerplate duplicates
+    even when their tails diverge — the header/license/nav-chrome class
+    exact-hash dedup misses (the fixture has 0 exact duplicates but 23
+    shared-prefix docs, exactly this situation). Canonical key =
+    md5(lower(first 64 chars)); one map-side-combined groupBy at any
+    corpus size, min-doc_id keeper, only n>1 clusters emitted. The
+    production variant widens the span or adds a suffix key — same
+    single-aggregate shape."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            F.md5(F.lower(F.substring("text", 1, 64))).alias("prefix_hash")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            (F.count("*") - 1).cast("long").alias("n_dropped"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

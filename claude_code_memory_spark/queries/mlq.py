@@ -446,3 +446,62 @@ def mixture_lang_source_mi(spark, sf_dir):
             F.count("*").alias("n_cells"),
         )
     )
+
+
+@register(
+    "corpus_epoch_allocation",
+    oracle="""
+    WITH tok AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> length(x) > 0)) AS toks
+      FROM documents),
+    dom AS (SELECT lang, CAST(sum(toks) AS BIGINT) AS tokens
+            FROM tok GROUP BY lang),
+    tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS all_toks FROM dom),
+    raw AS (SELECT lang, tokens,
+                   round(pow(tokens / (1.0 * all_toks), 0.5), 6) AS w_raw
+            FROM dom, tot),
+    norm AS (SELECT round(sum(w_raw), 6) AS z FROM raw),
+    w AS (SELECT lang, tokens, round(w_raw / z, 6) AS weight FROM raw, norm)
+    SELECT lang, tokens, weight,
+           CAST(round(1000000 * weight, 0) AS BIGINT) AS alloc_tokens,
+           round(CAST(round(1000000 * weight, 0) AS BIGINT) / (1.0 * tokens), 4)
+             AS epochs
+    FROM w ORDER BY lang
+    """,
+)
+def corpus_epoch_allocation(spark, sf_dir):
+    """Token-budget allocation from temperature weights: given the
+    tau=0.5 mixture weights (`mixture_domain_weights`' recipe) and a
+    fixed training budget (1M tokens here), each language's allocation
+    is budget*weight and `epochs` = allocation / available tokens — the
+    number that tells you which tail language the mixture will repeat
+    (epochs > 1 → upsampled past one pass, the memorization-risk
+    signal data-mixture planning watches). Domain-cardinality-sized
+    after the first rollup; every intermediate rounds to 6 dp (weights)
+    / 4 dp (epochs) so the DuckDB replay hashes identically."""
+    from claude_code_memory_spark.functions.text import whitespace_token_count
+
+    d = table(spark, sf_dir, "documents")
+    dom = d.groupBy("lang").agg(
+        F.sum(whitespace_token_count(F.col("text"))).cast("long").alias("tokens")
+    )
+    tot = F.broadcast(dom.agg(F.sum("tokens").alias("all_toks")))
+    raw = dom.crossJoin(tot).select(
+        "lang",
+        "tokens",
+        F.round(F.pow(F.col("tokens") / F.col("all_toks"), 0.5), 6).alias("w_raw"),
+    )
+    norm = F.broadcast(raw.agg(F.round(F.sum("w_raw"), 6).alias("z")))
+    w = raw.crossJoin(norm).select(
+        "lang", "tokens", F.round(F.col("w_raw") / F.col("z"), 6).alias("weight")
+    )
+    alloc = F.round(F.lit(1_000_000) * F.col("weight"), 0).cast("long")
+    return w.select(
+        "lang",
+        "tokens",
+        "weight",
+        alloc.alias("alloc_tokens"),
+        F.round(alloc / F.col("tokens"), 4).alias("epochs"),
+    )

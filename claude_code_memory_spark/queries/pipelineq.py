@@ -271,3 +271,85 @@ def sample_weighted_bottomk(spark, sf_dir):
             F.sum("n_chars").alias("chars_sampled"),
         )
     )
+
+
+# t0 / embargo for the temporal split below: the fixture's events span
+# 2024-01-01..2024-01-30; the boundary sits at day 20 with a 24 h gap
+_T0_US = 1_705_708_800_000_000  # 2024-01-20T00:00:00Z
+_EMBARGO_US = 86_400_000_000  # 24 h
+
+
+@register(
+    "split_time_embargo",
+    oracle=f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+    lab AS (
+      SELECT user_id, ts_us,
+             CASE WHEN ts_us < {_T0_US} THEN 'train'
+                  WHEN ts_us >= {_T0_US + _EMBARGO_US} THEN 'test'
+                  ELSE 'embargo' END AS split
+      FROM e),
+    tu AS (SELECT DISTINCT user_id FROM lab WHERE split = 'train'),
+    su AS (SELECT DISTINCT split, user_id FROM lab),
+    ov AS (SELECT split, CAST(count(*) AS BIGINT) AS n
+           FROM su JOIN tu USING (user_id) GROUP BY split)
+    SELECT l.split, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT l.user_id) AS BIGINT) AS n_users,
+           CAST(coalesce(any_value(ov.n), 0) AS BIGINT) AS n_overlap_train_users,
+           min(l.ts_us) AS min_ts_us, max(l.ts_us) AS max_ts_us
+    FROM lab l LEFT JOIN ov ON l.split = ov.split
+    GROUP BY l.split
+    """,
+)
+def split_time_embargo(spark, sf_dir):
+    """Leakage-safe TEMPORAL split with an embargo gap: train = events
+    before t0, test = events after t0 + 24 h, the embargo bucket absorbs
+    the boundary so near-boundary leakage (a label computed from a
+    window that straddles t0) cannot cross — the standard time-series
+    ML evaluation split (purged/embargoed walk-forward). The output
+    carries `n_overlap_train_users` per split: an embargo does NOT
+    de-overlap entities (that is what `split_group_holdout` does), and
+    carrying the overlap count in-query makes the trade measurable
+    instead of implicit. One labeled scan + a distinct-pairs rollup
+    semi-joined to train users (user-cardinality-sized, broadcast);
+    event-time arithmetic in epoch-µs via ts_us_col so both physical
+    timestamp encodings replay bit-identically in DuckDB."""
+    from claude_code_memory_spark.queries.base import ts_us_col
+
+    e = table(spark, sf_dir, "events")
+    lab = e.select(
+        F.col("user_id"), ts_us_col(e).alias("ts_us")
+    ).withColumn(
+        "split",
+        F.when(F.col("ts_us") < F.lit(_T0_US), "train")
+        .when(F.col("ts_us") >= F.lit(_T0_US + _EMBARGO_US), "test")
+        .otherwise("embargo"),
+    )
+    train_users = lab.filter(F.col("split") == "train").select("user_id").distinct()
+    overlap = (
+        lab.select("split", "user_id")
+        .distinct()
+        .join(F.broadcast(train_users), "user_id", "left_semi")
+        .groupBy("split")
+        .agg(F.count("*").cast("long").alias("__ov"))
+    )
+    return (
+        lab.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            F.min("ts_us").alias("min_ts_us"),
+            F.max("ts_us").alias("max_ts_us"),
+        )
+        .join(F.broadcast(overlap), "split", "left")
+        .select(
+            "split",
+            "n_events",
+            "n_users",
+            F.coalesce(F.col("__ov"), F.lit(0)).cast("long").alias(
+                "n_overlap_train_users"
+            ),
+            "min_ts_us",
+            "max_ts_us",
+        )
+    )

@@ -181,6 +181,7 @@ def _spec_to_module(path: str, spec: str) -> str | None:
     p = re.sub(r"(^|/)index$", r"", p).rstrip("/")
     return p.replace("/", ".")
 _DYNAMIC_IMPORT = re.compile(r"\bimport\s*\(\s*['\"]([^'\"]+)['\"]")
+_DEFAULT_EXPORT = re.compile(r"^\s*export\s+default\s")
 _DECORATOR = re.compile(r"^\s*@(\w+)")
 # leading decorator incl. a single-line argument list, for stripping
 # inline decorators off the member they annotate
@@ -697,6 +698,13 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
             add_entity(name, "class", line_no, end + 1, obs)
             add_impl(name, "class", i, end)
             consume_decorators(name)
+            if _DEFAULT_EXPORT.match(msk):
+                # named default export: the module's '__default__' is this
+                # class (anonymous defaults emit nothing — unresolved
+                # beats guessed)
+                b = _relation_rec(name, "", "import_binding", path, "default_export")
+                b["record_kind"] = "import_binding"
+                recs.append(b)
             if base:
                 recs.append(
                     _relation_rec(name, base.split(".")[-1], "inherits", path)
@@ -769,6 +777,10 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
                 obs.append("Generator function")
             if "export" in msk.split("function")[0]:
                 obs.append("Exported")
+            if _DEFAULT_EXPORT.match(msk):
+                b = _relation_rec(name, "", "import_binding", path, "default_export")
+                b["record_kind"] = "import_binding"
+                recs.append(b)
             body = "\n".join(masked[i : end + 1])
             if name[0].isupper() and re.search(r"<\w", body):
                 obs.append("React component")
@@ -938,6 +950,17 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
                         # alias: ns.f() resolves against the module's defs
                         b = _relation_rec(g, target, "import_binding", path, "module")
                         b["record_kind"] = "import_binding"
+                        recs.append(b)
+                    elif target and itype == "default":
+                        # `import W from './m'` binds W to the module's
+                        # DEFAULT export, whose name this file can't see —
+                        # the '__default__' member is rewritten by the
+                        # resolver against the exporting module's
+                        # default_export marker (and stays unresolved if
+                        # that module has none / an anonymous one)
+                        b = _relation_rec(g, target, "import_binding", path, "from")
+                        b["record_kind"] = "import_binding"
+                        b["content"] = "__default__"
                         recs.append(b)
             for names in (m.group(2), m.group(4)):
                 if names:

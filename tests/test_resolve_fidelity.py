@@ -76,12 +76,17 @@ FIXTURE = {
     ),
     "lib/factories.py": (
         "from lib.core import Tool\n"
+        "from lib.errors import cached\n"
         "\n"
         "def make_tool():\n"
         "    return Tool()\n"
         "\n"
         "def annotated_tool() -> Tool:\n"
         "    return _whatever()\n"
+        "\n"
+        "@cached\n"
+        "def make_cached():\n"
+        "    return Tool()\n"
     ),
     "lib/errors.py": (
         "class CustomError(Exception):\n"
@@ -277,6 +282,46 @@ FIXTURE = {
         "def n06_two_stars():\n"
         "    return dup_fn(1)\n"
     ),
+    # -- round 8: breadth sites over existing capabilities --
+    "lib/consumer.py": (
+        "from .core import helper\n"
+        "\n"
+        "def c25_relative_import():\n"
+        "    return helper(5)\n"
+    ),
+    "use/more.py": (
+        "from lib import core as core2\n"
+        "from lib.core import Tool as T\n"
+        "from lib.errors import CustomError\n"
+        "from lib.factories import make_cached, make_tool\n"
+        "\n"
+        "def c26_module_member_alias():\n"
+        "    return core2.helper(6)\n"
+        "\n"
+        "def c27_aliased_classmethod_factory():\n"
+        "    t = T.create()\n"
+        "    return t.run()\n"
+        "\n"
+        "def c28_decorated_factory():\n"
+        "    t = make_cached()\n"
+        "    return t.run()\n"
+        "\n"
+        "def c29_plain_throw():\n"
+        "    raise CustomError('y')\n"
+        "\n"
+        "def c30_with_factory():\n"
+        "    with make_tool() as t:\n"
+        "        return t.run()\n"
+        "\n"
+        "def c31_kwonly_annotated(*, t: T):\n"
+        "    return t.run()\n"
+    ),
+    "use/singleton_user.py": (
+        "from use.modscope import shared\n"
+        "\n"
+        "def c32_imported_singleton():\n"
+        "    return shared.run()\n"
+    ),
     # -- round 8: attribute annotations + property returns --
     "lib/svc.py": (
         "from lib.db import Conn, Database\n"
@@ -381,6 +426,15 @@ POSITIVES = [
     ("c22_attr_of_attr", "Database.maybe"),  # typed var → annotated attr
     ("c23_property_external", "Conn.query"),  # @property return bind
     ("Service.c24_self_property", "Conn.query"),  # self.<property>
+    # round 8: breadth over existing capabilities + imported singletons
+    ("c25_relative_import", "helper"),
+    ("c26_module_member_alias", "helper"),
+    ("c27_aliased_classmethod_factory", "Tool.run"),
+    ("c28_decorated_factory", "Tool.run"),
+    ("c29_plain_throw", "CustomError"),
+    ("c30_with_factory", "Tool.run"),
+    ("c31_kwonly_annotated", "Tool.run"),
+    ("c32_imported_singleton", "Tool.run"),  # new: cross-file singleton
 ]
 
 # (site, target a full static analysis reaches, raw method name) —
@@ -487,7 +541,8 @@ def test_fidelity_rate(fidelity):
     denom = len(POSITIVES) + len(ASPIRATIONAL)
     rate = resolved / denom
     print(f"resolver fidelity: {resolved}/{denom} = {rate:.3f}")
-    # round 8: class-body annotations, attribute-of-attribute, and
-    # property returns all green; a04 (two chained hops) and a05
-    # (inherited property) are the honest-denominator entries → 28/30
-    assert rate >= 28 / 30 - 1e-9
+    # round 8: class-body annotations, attribute-of-attribute, property
+    # returns, imported singletons, and 7 breadth sites all green; a04
+    # (two chained hops) and a05 (inherited property) are the honest-
+    # denominator entries → 36/38
+    assert rate >= 36 / 38 - 1e-9

@@ -93,6 +93,22 @@ FIXTURE = {
         "export * from './dup_a';\n"
         "export * from './dup_b';\n"
     ),
+    "src/lib/widget.ts": (
+        "export default class Widget {\n"
+        "  spin() { return 7; }\n"
+        "}\n"
+    ),
+    "src/lib/maker.ts": (
+        "import { Tool } from './core';\n"
+        "\n"
+        "export default function makeIt() { return new Tool(); }\n"
+    ),
+    "src/lib/anon.ts": "export default function () { return 1; }\n",
+    "src/lib/state.ts": (
+        "import { Tool } from './core';\n"
+        "\n"
+        "export const client = new Tool();\n"
+    ),
     # -- consumers: one ground-truth site per jNN_/anNN_ function --
     "src/use/imports.ts": (
         "import { helper } from '../lib/core';\n"
@@ -222,6 +238,37 @@ FIXTURE = {
         "\n"
         "export function jn06_two_stars() { return dupFn(1); }\n"
     ),
+    "src/use/defaults.ts": (
+        "import Widget from '../lib/widget';\n"
+        "import mk from '../lib/maker';\n"
+        "import anon from '../lib/anon';\n"
+        "\n"
+        "export function j19_default_class() {\n"
+        "  const w = new Widget();\n"
+        "  return w.spin();\n"
+        "}\n"
+        "\n"
+        "export function j20_default_fn_alias() { return mk(1); }\n"
+        "\n"
+        "export function jn09_anonymous_default() { return anon(2); }\n"
+    ),
+    "src/use/req.js": (
+        "const { helper } = require('../lib/core');\n"
+        "\n"
+        "function j21_require(x) { return helper(x); }\n"
+        "\n"
+        "module.exports = { j21_require };\n"
+    ),
+    "src/use/modbind.ts": (
+        "import { Tool } from '../lib/core';\n"
+        "import { client } from '../lib/state';\n"
+        "\n"
+        "const sharedTool = new Tool();\n"
+        "\n"
+        "export function j22_module_bind() { return sharedTool.run(); }\n"
+        "\n"
+        "export function j23_imported_singleton() { return client.run(); }\n"
+    ),
 }
 
 POSITIVES = [
@@ -244,6 +291,12 @@ POSITIVES = [
     ("j16_getter", "Conn.query"),
     ("Service.j17_field_self", "Database.ping"),
     ("Service.j18_getter_self", "Conn.query"),
+    # round-8 additions: default exports, require(), module-scope binds
+    ("j19_default_class", "Widget.spin"),
+    ("j20_default_fn_alias", "makeIt"),
+    ("j21_require", "helper"),
+    ("j22_module_bind", "Tool.run"),
+    ("j23_imported_singleton", "Tool.run"),
 ]
 
 ASPIRATIONAL: list[tuple[str, str, str]] = []
@@ -257,6 +310,7 @@ NEGATIVES = [
     ("jn06_two_stars", "dupFn"),
     ("jn07_static_getter", "ping"),
     ("jn08_paren_chain", "run"),
+    ("jn09_anonymous_default", "anon"),
 ]
 
 
@@ -322,5 +376,5 @@ def test_js_fidelity_rate(fidelity_js):
     denom = len(POSITIVES) + len(ASPIRATIONAL)
     rate = resolved / denom
     print(f"JS resolver fidelity: {resolved}/{denom} = {rate:.3f}")
-    # round 8: every JS positive green, 18/18
-    assert rate >= 18 / 18 - 1e-9
+    # round 8: every JS positive green, 23/23
+    assert rate >= 23 / 23 - 1e-9
