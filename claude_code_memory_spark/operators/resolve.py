@@ -1121,6 +1121,277 @@ def resolve_calls(
                 "__ivcls", F.lit(None).cast("struct<mod:string,name:string>")
             )
 
+        # --- two-hop chained markers: __ctor.base is ITSELF a marker
+        # ('d.get_conn()' inside context 'd.get_conn().query()'). Peel
+        # one more level on a DISTINCT-markers frame (marker-count-
+        # scale, pinned so the extra join tree doesn't inflate the attr
+        # plan): type the inner link exactly as a single-level marker —
+        # var/self-attr/class-name bases through the bind tables, a
+        # bare inner name as a same/imported-module constructor or
+        # factory — then the outer link rides the normal fx2 lookup via
+        # __bcls. A depth-3 marker's inner base is again a marker and
+        # matches nothing: unresolved beats guessed (fidelity a06 pins
+        # the bound).
+        if type_binds is not None:
+            mkv = F.col("mk_marker")
+            mk_stripped = F.regexp_replace(mkv, r"\(\)$", "")
+            mk_base_raw = F.regexp_replace(mk_stripped, r"\.[^.]+$", "")
+            mk_base = F.when(mk_base_raw != mk_stripped, mk_base_raw)
+            mk_ctor = F.element_at(F.split(mk_stripped, r"\."), -1)
+            mkf = (
+                attr.filter(
+                    F.col("__ctor.base").isNotNull()
+                    & F.col("__ctor.base").rlike(r"\(\)$")
+                )
+                .select(
+                    F.col("file_path").alias("mk_file"),
+                    F.col("from_entity").alias("mk_scope"),
+                    F.col("__ctor.base").alias("mk_marker"),
+                )
+                .distinct()
+                .withColumn("mk_base", mk_base)
+                .withColumn("mk_ctor", mk_ctor)
+            )
+            m1f = tb.select(
+                F.col("file_path").alias("m1f_file"),
+                F.col("scope").alias("m1f_scope"),
+                F.col("var").alias("m1f_var"),
+                F.struct(
+                    F.col("ctor").alias("ctor"), F.col("ctor_base").alias("base")
+                ).alias("m1f_c"),
+            )
+            m1s = tb.select(
+                F.col("file_path").alias("m1s_file"),
+                F.col("scope").alias("m1s_scope"),
+                F.col("var").alias("m1s_var"),
+                F.struct(
+                    F.col("ctor").alias("ctor"), F.col("ctor_base").alias("base")
+                ).alias("m1s_c"),
+            )
+            m1m = tb.select(
+                F.col("file_path").alias("m1m_file"),
+                F.col("scope").alias("m1m_scope"),
+                F.col("var").alias("m1m_var"),
+                F.struct(
+                    F.col("ctor").alias("ctor"), F.col("ctor_base").alias("base")
+                ).alias("m1m_c"),
+            )
+            m2c = chased.select(
+                F.col("file_path").alias("m2c_file"),
+                F.col("local_name").alias("m2c_local"),
+                F.col("target_module").alias("m2c_tmod"),
+                F.col("member").alias("m2c_member"),
+            )
+            m2l = classes.select(
+                F.col("file_path").alias("m2l_file"),
+                F.col("k_module").alias("m2l_module"),
+                F.col("k_name").alias("m2l_name"),
+            )
+            m3c = chased.select(
+                F.col("file_path").alias("m3c_file"),
+                F.col("local_name").alias("m3c_local"),
+                F.col("target_module").alias("m3c_tmod"),
+                F.col("member").alias("m3c_member"),
+            )
+            m3l = classes.select(
+                F.col("file_path").alias("m3l_file"),
+                F.col("k_module").alias("m3l_module"),
+                F.col("k_name").alias("m3l_name"),
+            )
+            cls_by_mod = classes.select(
+                F.col("k_module").alias("m4_cmod"), F.col("k_name").alias("m4_cname")
+            ).distinct()
+            fxm = fx.select(
+                F.col("fx_module").alias("m4f_module"),
+                F.col("fx_func").alias("m4f_func"),
+                F.col("fx_c").alias("m4f_c"),
+            )
+            fxh = fx.select(
+                F.col("fx_module").alias("m5f_module"),
+                F.col("fx_func").alias("m5f_func"),
+                F.col("fx_c").alias("m5f_c"),
+            )
+            base_is_plain = (
+                F.col("mk_base").isNotNull()
+                & ~F.col("mk_base").contains(".")
+                & ~F.col("mk_base").contains("(")
+            )
+            base_is_selfish = F.col("mk_base").isNotNull() & (
+                F.col("mk_base").startswith("self.")
+                | F.col("mk_base").startswith("this.")
+            ) & ~F.col("mk_base").contains("(")
+            mkf = (
+                mkf.join(
+                    m1f,
+                    base_is_plain
+                    & (F.col("mk_file") == m1f.m1f_file)
+                    & (F.col("mk_scope") == m1f.m1f_scope)
+                    & (F.col("mk_base") == m1f.m1f_var),
+                    "left",
+                )
+                .join(
+                    m1s,
+                    base_is_selfish
+                    & (F.col("mk_file") == m1s.m1s_file)
+                    & (
+                        F.split(F.col("mk_scope"), r"\.")[0] == m1s.m1s_scope
+                    )
+                    & (F.col("mk_base") == m1s.m1s_var),
+                    "left",
+                )
+                .join(
+                    m1m,
+                    base_is_plain
+                    & (F.col("mk_file") == m1m.m1m_file)
+                    & (F.col("mk_file") == m1m.m1m_scope)
+                    & (F.col("mk_base") == m1m.m1m_var),
+                    "left",
+                )
+                .withColumn("__mvb", F.coalesce("m1f_c", "m1s_c", "m1m_c"))
+                .join(
+                    m2c,
+                    F.col("__mvb.base").isNull()
+                    & (F.col("mk_file") == m2c.m2c_file)
+                    & (F.col("__mvb.ctor") == m2c.m2c_local),
+                    "left",
+                )
+                .join(
+                    m2l,
+                    F.col("__mvb.base").isNull()
+                    & (F.col("mk_file") == m2l.m2l_file)
+                    & (F.col("__mvb.ctor") == m2l.m2l_name),
+                    "left",
+                )
+                .join(
+                    m3c,
+                    base_is_plain
+                    & (F.col("mk_file") == m3c.m3c_file)
+                    & (F.col("mk_base") == m3c.m3c_local),
+                    "left",
+                )
+                .join(
+                    m3l,
+                    base_is_plain
+                    & (F.col("mk_file") == m3l.m3l_file)
+                    & (F.col("mk_base") == m3l.m3l_name),
+                    "left",
+                )
+                # head class of the inner link's base: explicit class
+                # name first (classmethod idiom), then the var's bind —
+                # same precedence as the single-level path
+                .withColumn(
+                    "__mh",
+                    F.coalesce(
+                        F.when(
+                            F.col("m3c_tmod").isNotNull(),
+                            F.struct(
+                                F.col("m3c_tmod").alias("mod"),
+                                F.col("m3c_member").alias("name"),
+                            ),
+                        ),
+                        F.when(
+                            F.col("m3l_module").isNotNull(),
+                            F.struct(
+                                F.col("m3l_module").alias("mod"),
+                                F.col("mk_base").alias("name"),
+                            ),
+                        ),
+                        F.when(
+                            F.col("m2c_tmod").isNotNull(),
+                            F.struct(
+                                F.col("m2c_tmod").alias("mod"),
+                                F.col("m2c_member").alias("name"),
+                            ),
+                        ),
+                        F.when(
+                            F.col("m2l_module").isNotNull(),
+                            F.struct(
+                                F.col("m2l_module").alias("mod"),
+                                F.col("__mvb.ctor").alias("name"),
+                            ),
+                        ),
+                    ),
+                )
+                # base-null inner link: a bare name is a constructor
+                # (class in own/imported module) or a module-level
+                # factory function
+                .join(
+                    m4c := chased.select(
+                        F.col("file_path").alias("m4c_file"),
+                        F.col("local_name").alias("m4c_local"),
+                        F.col("target_module").alias("m4c_tmod"),
+                        F.col("member").alias("m4c_member"),
+                    ),
+                    F.col("mk_base").isNull()
+                    & (F.col("mk_file") == F.col("m4c_file"))
+                    & (F.col("mk_ctor") == F.col("m4c_local")),
+                    "left",
+                )
+                .withColumn(
+                    "__m4",
+                    F.when(
+                        F.col("mk_base").isNull(),
+                        F.struct(
+                            F.coalesce(
+                                F.col("m4c_tmod"), module_of_path("mk_file")
+                            ).alias("mod"),
+                            F.coalesce(F.col("m4c_member"), F.col("mk_ctor")).alias(
+                                "name"
+                            ),
+                        ),
+                    ),
+                )
+                .join(
+                    cls_by_mod,
+                    (F.col("__m4.mod") == F.col("m4_cmod"))
+                    & (F.col("__m4.name") == F.col("m4_cname")),
+                    "left",
+                )
+                .join(
+                    fxm,
+                    (F.col("__m4.mod") == fxm.m4f_module)
+                    & (F.col("__m4.name") == fxm.m4f_func),
+                    "left",
+                )
+                .join(
+                    fxh,
+                    (F.col("__mh.mod") == fxh.m5f_module)
+                    & (
+                        F.concat_ws(".", F.col("__mh.name"), F.col("mk_ctor"))
+                        == fxh.m5f_func
+                    ),
+                    "left",
+                )
+                .select(
+                    "mk_file",
+                    "mk_scope",
+                    "mk_marker",
+                    F.coalesce(
+                        # inner link typed through its base's class
+                        F.col("m5f_c"),
+                        # bare inner name: a constructor wins over a
+                        # same-named factory (Python shadows likewise)
+                        F.when(
+                            F.col("m4_cname").isNotNull(), F.col("__m4")
+                        ),
+                        F.col("m4f_c"),
+                    ).alias("mk_cls"),
+                )
+                .filter(F.col("mk_cls").isNotNull())
+            )
+            mkf = _pin(mkf)
+            attr = attr.join(
+                mkf,
+                (F.col("file_path") == mkf.mk_file)
+                & (F.col("from_entity") == mkf.mk_scope)
+                & (F.col("__ctor.base") == mkf.mk_marker),
+                "left",
+            )
+        else:
+            attr = attr.withColumn(
+                "mk_cls", F.lit(None).cast("struct<mod:string,name:string>")
+            )
+
         attr = (
             attr.join(
                 cb6,
@@ -1154,9 +1425,12 @@ def resolve_calls(
                         ),
                     ),
                     # instance-typed base: the var's class keys the factory
-                    # table; last in the coalesce so an explicit class name
-                    # (the classmethod idiom) keeps priority
+                    # table; after the explicit class name (the
+                    # classmethod idiom keeps priority)
                     F.col("__ivcls"),
+                    # two-hop marker base: the inner chain link's typed
+                    # result (mk_cls) keys the outer factory lookup
+                    F.col("mk_cls"),
                 ),
             )
             .join(

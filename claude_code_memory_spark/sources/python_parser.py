@@ -130,6 +130,31 @@ def _name_and_base(f: ast.AST) -> tuple[str | None, str | None]:
     return None, None
 
 
+def _marker_of_call(call: ast.Call, depth: int = 3) -> str | None:
+    """Synthetic marker string for a call whose result is used as a
+    base value: ``d.get_conn()`` → 'd.get_conn()',
+    ``d.get_conn().query()`` → 'd.get_conn().query()'. Each link must
+    be a plain name chain or an attribute on another markable call;
+    anything else (subscripts, lambdas, starred args in the FUNC
+    position) yields None — unresolvable statically. Depth-capped:
+    markers beyond ``depth`` call links collapse to None rather than
+    growing unboundedly (the resolver types at most two links today;
+    deeper markers simply match nothing — unresolved beats guessed)."""
+    if depth <= 0:
+        return None
+    f = call.func
+    name, base = _name_and_base(f)
+    if name is None:
+        return None
+    if base is not None or isinstance(f, ast.Name):
+        return (f"{base}." if base else "") + name + "()"
+    if isinstance(f, ast.Attribute) and isinstance(f.value, ast.Call):
+        inner = _marker_of_call(f.value, depth - 1)
+        if inner is not None:
+            return f"{inner}.{name}()"
+    return None
+
+
 def _call_sites(node: ast.AST) -> set[tuple[str, str | None]]:
     """(callee_name, dotted_base) call sites: ``f()`` → ('f', None),
     ``z.f()`` → ('f', 'z'), ``a.b.f()`` → ('f', 'a.b'). The base feeds
@@ -138,13 +163,18 @@ def _call_sites(node: ast.AST) -> set[tuple[str, str | None]]:
     of any same-named entity anywhere (the Jedi-resolution analogue the
     reference gets from analysis/parser.py:15's tree-sitter+Jedi pair).
 
-    A base that is itself a CALL over a plain name chain —
-    ``d.get_conn().query()`` — emits the synthetic base
-    ``'d.get_conn()'``: the trailing ``()`` tells the resolver the base
-    value is the RESULT of that call, which it types through the same
-    factory machinery a named bind (``x = d.get_conn(); x.query()``)
-    uses. Any other non-name-chain base (subscript, deeper chaining,
-    lambda) is None — unresolvable statically, same as today."""
+    A base that is itself a CALL chain over plain name links —
+    ``d.get_conn()`` or ``d.get_conn().query()`` — emits the synthetic
+    marker base (`_marker_of_call`): the trailing ``()`` tells the
+    resolver the base value is the RESULT of that chain, which it types
+    through the same factory machinery a named bind (``x =
+    d.get_conn(); x.query()``) uses, one link per resolver pass. A
+    bare-name middle link is NEVER emitted as 'query()' alone — that
+    would be indistinguishable from a bare function call and could let
+    an unrelated module-level factory falsely type the outer call; the
+    full chain string keeps every link attributable. Any other
+    non-name-chain base (subscript, deeper than the marker cap, lambda)
+    is None — unresolvable statically, same as today."""
     out: set[tuple[str, str | None]] = set()
     for n in ast.walk(node):
         if not isinstance(n, ast.Call):
@@ -157,20 +187,7 @@ def _call_sites(node: ast.AST) -> set[tuple[str, str | None]]:
             and isinstance(n.func, ast.Attribute)
             and isinstance(n.func.value, ast.Call)
         ):
-            inner = n.func.value.func
-            iname, ibase = _name_and_base(inner)
-            # the inner callee must ITSELF be a plain name chain: for a
-            # two-hop chain (`d.get_conn().query().unwrap()`) the middle
-            # call's base collapses to None, which is indistinguishable
-            # from a bare function `query()` — emitting 'query()' there
-            # would let an unrelated module-level factory named `query`
-            # falsely type the outer call. Name → always fine;
-            # Attribute → only with a resolved dotted base.
-            if iname is not None and (
-                isinstance(inner, ast.Name)
-                or (isinstance(inner, ast.Attribute) and ibase is not None)
-            ):
-                base = (f"{ibase}." if ibase else "") + iname + "()"
+            base = _marker_of_call(n.func.value)
         out.add((name, base))
     return out
 
@@ -259,8 +276,22 @@ def _collect_type_binds(
     def call_val(v):
         if isinstance(v, ast.Call):
             name, base = _name_and_base(v.func)
-            if name is not None:
-                return (name, base)
+            if name is None:
+                return None
+            if (
+                base is None
+                and isinstance(v.func, ast.Attribute)
+                and isinstance(v.func.value, ast.Call)
+            ):
+                # chained value (`x = d.get_conn().query()`): the bind's
+                # base is the marker chain, NOT a bare ('query', None) —
+                # a bare name there would let an unrelated module-level
+                # factory named `query` falsely type x. Unmarkable
+                # chains poison the bind.
+                base = _marker_of_call(v.func.value)
+                if base is None:
+                    return None
+            return (name, base)
         return None
 
     for n in _scope_nodes(root):

@@ -61,6 +61,9 @@ FIXTURE = {
         "    def unwrap(self):\n"
         "        return 1\n"
         "\n"
+        "    def again(self) -> 'Conn':\n"
+        "        return Conn()\n"
+        "\n"
         "class Conn:\n"
         "    def query(self) -> 'Result':\n"
         "        return Result()\n"
@@ -248,6 +251,15 @@ FIXTURE = {
         "def a04_deep_chain():\n"
         "    d = Database()\n"
         "    return d.get_conn().query().unwrap()\n"
+        "\n"
+        "def c33_bound_chain_result():\n"
+        "    d = Database()\n"
+        "    x = d.get_conn().query()\n"
+        "    return x.unwrap()\n"
+        "\n"
+        "def a06_three_hop():\n"
+        "    d = Database()\n"
+        "    return d.get_conn().query().again().query()\n"
     ),
     "use/negatives.py": (
         "from os.path import join\n"
@@ -435,6 +447,9 @@ POSITIVES = [
     ("c30_with_factory", "Tool.run"),
     ("c31_kwonly_annotated", "Tool.run"),
     ("c32_imported_singleton", "Tool.run"),  # new: cross-file singleton
+    # round 8 (late): two-hop chained call results
+    ("a04_deep_chain", "Result.unwrap"),  # d.get_conn().query().unwrap()
+    ("c33_bound_chain_result", "Result.unwrap"),  # x = <2-chain>; x.unwrap()
 ]
 
 # (site, target a full static analysis reaches, raw method name) —
@@ -447,13 +462,14 @@ POSITIVES = [
 # they are identified (multi-hop chains, call results through
 # subscripts, ...).
 ASPIRATIONAL = [
-    # two chained hops: Jedi reaches Result.unwrap through query()'s
-    # return annotation; the single-level '()' marker does not
-    ("a04_deep_chain", "Result.unwrap", "unwrap"),
     # property defined on an ANCESTOR class: the attribute-of-attribute
     # lookup keys by the defining class only (documented approximation,
     # same as inherited factory methods)
     ("a05_inherited_property", "Conn.query", "query"),
+    # THREE chained hops: the resolver peels exactly one marker level
+    # (two hops); a depth-3 marker's inner base is itself a marker and
+    # stays untyped — honest bound, next slice if real code needs it
+    ("a06_three_hop", "Conn.query", "query"),
 ]
 
 # (site, raw callee) — resolution here breaks the poisoning guarantee
@@ -542,7 +558,7 @@ def test_fidelity_rate(fidelity):
     rate = resolved / denom
     print(f"resolver fidelity: {resolved}/{denom} = {rate:.3f}")
     # round 8: class-body annotations, attribute-of-attribute, property
-    # returns, imported singletons, and 7 breadth sites all green; a04
-    # (two chained hops) and a05 (inherited property) are the honest-
-    # denominator entries → 36/38
-    assert rate >= 36 / 38 - 1e-9
+    # returns, imported singletons, two-hop chains, and 7 breadth sites
+    # all green; a05 (inherited property) and a06 (three-hop chain) are
+    # the honest-denominator entries → 38/40
+    assert rate >= 38 / 40 - 1e-9
