@@ -672,6 +672,16 @@ def resolve_calls(
         )
         .distinct()
     )
+    # ancestor closure, built once here (the attribute/property lookup
+    # below and the method/super lookups at the end all consume it):
+    # stored inherits edges included so incremental batches keep
+    # cross-file base classes
+    rel_for_anc = relations
+    if stored_relations is not None:
+        rel_for_anc = relations.unionByName(
+            stored_relations.select(*relations.columns)
+        )
+    anc = _pin(_class_ancestors(rel_for_anc, chased, classes, max_inherit=max_inherit))
 
     # direct: the whole base names a chased from-import (e_* columns,
     # joined above) or a same-file class
@@ -1583,8 +1593,37 @@ def resolve_calls(
                     ),
                 )
             )
-            # source (1): the head class's attr bind for p, resolved in
-            # the class's own file
+            # sources (1)+(2) as ONE ancestor-aware lookup table keyed
+            # (head class, attr): the attribute may be bound or
+            # property-defined on the head class OR any ancestor
+            # (dataclass mixins, base-class properties — fidelity a05).
+            # Candidates from both sources at every ancestor depth are
+            # grouped per depth; the NEAREST depth with candidates must
+            # have exactly ONE distinct class or the attr stays
+            # unresolved — the same nearest-unique contract the method
+            # lookup uses, which also subsumes the old
+            # two-sources-must-agree rule at depth 0.
+            need_ap = (
+                attr.filter(F.col("__hcls").isNotNull() & pp.isNotNull())
+                .select(
+                    F.col("__hcls.mod").alias("ap_mod"),
+                    F.col("__hcls.name").alias("ap_name"),
+                    pp.alias("ap_attr"),
+                )
+                .distinct()
+            )
+            exp_ap = need_ap.join(
+                anc,
+                (F.col("ap_mod") == anc.c_module)
+                & (F.col("ap_name") == anc.c_name),
+            ).select(
+                "ap_mod", "ap_name", "ap_attr", "depth",
+                F.col("a_module").alias("ap_amod"),
+                F.col("a_name").alias("ap_aname"),
+            )
+            # source (1): the ancestor's own attr bind (self.p = C() in
+            # a method / p: C in the class body), ctor resolved in the
+            # ANCESTOR's file context
             pc = classes.select(
                 F.col("k_module").alias("pc_mod"),
                 F.col("k_name").alias("pc_name"),
@@ -1615,19 +1654,17 @@ def resolve_calls(
                 F.col("k_module").alias("v12_module"),
                 F.col("k_name").alias("v12_name"),
             )
-            attr = (
-                attr.join(
+            cand1 = (
+                exp_ap.join(
                     pc,
-                    (F.col("__hcls.mod") == pc.pc_mod)
-                    & (F.col("__hcls.name") == pc.pc_name),
-                    "left",
+                    (F.col("ap_amod") == pc.pc_mod)
+                    & (F.col("ap_aname") == pc.pc_name),
                 )
                 .join(
                     atb,
                     (F.col("pc_file") == atb.at_file)
-                    & (F.col("__hcls.name") == atb.at_scope)
-                    & (pp == atb.at_attr),
-                    "left",
+                    & (F.col("ap_aname") == atb.at_scope)
+                    & (F.col("ap_attr") == atb.at_attr),
                 )
                 .join(
                     v11,
@@ -1643,9 +1680,23 @@ def resolve_calls(
                     & (F.col("at_c.ctor") == v12.v12_name),
                     "left",
                 )
-                .withColumn(
-                    "__abcls",
+                .select(
+                    "ap_mod", "ap_name", "ap_attr", "depth",
                     F.coalesce(
+                        # a parser poison marker becomes a BLOCKING
+                        # candidate: it wins (or ties → ambiguity) at
+                        # its depth and names no real class, so the
+                        # attr resolves to nothing — a subclass's
+                        # conflicted bind must shadow an ancestor's
+                        # clean one, exactly as the runtime assignment
+                        # shadows the inherited value
+                        F.when(
+                            F.col("at_c.ctor") == "__poisoned__",
+                            F.struct(
+                                F.lit("__poisoned__").alias("mod"),
+                                F.lit("__poisoned__").alias("name"),
+                            ),
+                        ),
                         F.when(
                             F.col("v11_tmod").isNotNull(),
                             F.struct(
@@ -1660,18 +1711,14 @@ def resolve_calls(
                                 F.col("at_c.ctor").alias("name"),
                             ),
                         ),
-                    ),
+                    ).alias("ap_c"),
                 )
             )
-            # source (2): @property getter with a certain return bind —
-            # the fx row supplies the class, the decorator row gates it
-            rel_all = relations
-            if stored_relations is not None:
-                rel_all = relations.unionByName(
-                    stored_relations.select(*relations.columns)
-                )
+            # source (2): @property / TS getter on the ancestor with a
+            # certain return bind — the fx row supplies the class, the
+            # decorator-marker row gates it
             props = (
-                rel_all.filter(
+                rel_for_anc.filter(
                     (F.col("relation_type") == "uses")
                     & F.col("import_type").eqNullSafe("decorator")
                     & (F.col("to_entity") == "property")
@@ -1687,38 +1734,55 @@ def resolve_calls(
                 F.col("fx_func").alias("f3_func"),
                 F.col("fx_c").alias("f3_c"),
             )
-            attr = (
-                attr.join(
+            cand2 = (
+                exp_ap.join(
                     fx3,
-                    (F.col("__hcls.mod") == fx3.f3_module)
+                    (F.col("ap_amod") == fx3.f3_module)
                     & (
-                        F.concat_ws(".", F.col("__hcls.name"), pp)
+                        F.concat_ws(".", F.col("ap_aname"), F.col("ap_attr"))
                         == fx3.f3_func
                     ),
-                    "left",
                 )
                 .join(
                     props,
-                    (F.col("__hcls.mod") == props.prp_mod)
+                    (F.col("ap_amod") == props.prp_mod)
                     & (
-                        F.concat_ws(".", F.col("__hcls.name"), pp)
+                        F.concat_ws(".", F.col("ap_aname"), F.col("ap_attr"))
                         == props.prp_func
                     ),
+                )
+                .select(
+                    "ap_mod", "ap_name", "ap_attr", "depth",
+                    F.col("f3_c").alias("ap_c"),
+                )
+            )
+            ap_tbl = (
+                cand1.unionByName(cand2)
+                .filter(F.col("ap_c").isNotNull())
+                .groupBy("ap_mod", "ap_name", "ap_attr", "depth")
+                .agg(
+                    F.count_distinct("ap_c").alias("__apn"),
+                    F.min("ap_c").alias("__apc"),
+                )
+                .groupBy("ap_mod", "ap_name", "ap_attr")
+                .agg(F.min(F.struct("depth", "__apn", "__apc")).alias("__apb"))
+                .filter(F.col("__apb.__apn") == 1)
+                .select(
+                    F.col("ap_mod").alias("apt_mod"),
+                    F.col("ap_name").alias("apt_name"),
+                    F.col("ap_attr").alias("apt_attr"),
+                    F.col("__apb.__apc").alias("apt_c"),
+                )
+            )
+            attr = (
+                attr.join(
+                    ap_tbl,
+                    (F.col("__hcls.mod") == ap_tbl.apt_mod)
+                    & (F.col("__hcls.name") == ap_tbl.apt_name)
+                    & (pp == ap_tbl.apt_attr),
                     "left",
                 )
-                .withColumn(
-                    "__prcls",
-                    F.when(F.col("prp_func").isNotNull(), F.col("f3_c")),
-                )
-                .withColumn(
-                    "__aacls",
-                    F.when(
-                        F.col("__abcls").isNotNull()
-                        & F.col("__prcls").isNotNull()
-                        & (F.col("__abcls") != F.col("__prcls")),
-                        F.lit(None).cast("struct<mod:string,name:string>"),
-                    ).otherwise(F.coalesce("__abcls", "__prcls")),
-                )
+                .withColumn("__aacls", F.col("apt_c"))
                 .withColumn(
                     "__cm",
                     F.when(
@@ -1855,14 +1919,9 @@ def resolve_calls(
             )
 
     # method lookup with inheritance: the DISTINCT (class, method) pairs
-    # walk the ancestor closure to the nearest definition, then join
-    # back — class-count-scale work regardless of call-site count
-    rel_for_anc = relations
-    if stored_relations is not None:
-        rel_for_anc = relations.unionByName(
-            stored_relations.select(*relations.columns)
-        )
-    anc = _pin(_class_ancestors(rel_for_anc, chased, classes, max_inherit=max_inherit))
+    # walk the ancestor closure (built above, beside `classes`) to the
+    # nearest definition, then join back — class-count-scale work
+    # regardless of call-site count
     dm = defs.select(
         F.col("def_module").alias("dm_module"), F.col("def_name").alias("dm_name")
     )

@@ -1126,6 +1126,11 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
             if ctor is not None:
                 base, _, name = ctor.rpartition(".")
                 recs.append(_type_bind_rec(cls, var, name, base or None, path))
+            else:
+                # poison marker, same contract as the Python parser: a
+                # conflicted attr bind must BLOCK ancestor-level
+                # resolution of the same attr, not silently vanish
+                recs.append(_type_bind_rec(cls, var, "__poisoned__", None, path))
     # module-scope binds (const client = new Client() at top level)
     add_type_binds(path, "\n".join(toplevel_masked))
     return recs

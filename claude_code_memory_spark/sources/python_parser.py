@@ -691,6 +691,18 @@ def parse_python_source(path: str, source: str) -> list[dict]:
             for var, val in sorted(cls_binds.items()):
                 if val is not None:
                     recs.append(_type_bind_rec(node.name, var, val[0], val[1], path))
+                else:
+                    # POISON MARKER (class-scope attrs only): with the
+                    # round-8 ancestor-aware attribute lookup, a silently
+                    # dropped conflicted bind would let an ANCESTOR's
+                    # bind for the same attr resolve — but the subclass's
+                    # conflicting assignments override it at runtime. The
+                    # sentinel ctor matches no definition anywhere, so it
+                    # blocks resolution at this depth and everything
+                    # deeper (resolve.py maps it to a blocking candidate).
+                    recs.append(
+                        _type_bind_rec(node.name, var, "__poisoned__", None, path)
+                    )
         elif isinstance(node, ast.Assign):
             # module-level variables incl. tuple unpacking (parser.py:521-641)
             targets = []
