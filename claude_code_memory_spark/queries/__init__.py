@@ -35,80 +35,79 @@ from claude_code_memory_spark.queries import (  # noqa: F401,E402
 # and 50 slots the rotation period is ~3 rounds, so the sweep must never
 # be preempted.
 #
-# Round-8 window, executing the round-7 queue exactly: (a) the seven
-# queries added in round 7 — never driver-checked (selfcheck-green at
-# sf0.01 on arrival, re-verified by the r7 judge); (b) the two r4 entries
-# deferred out of the round-7 window (q3_shipping_priority,
-# q5_revenue_by_nation — 3 driver rounds stale, top priority); (c) the
-# first 41 of the 50-entry r5-last-green cohort, in catalog order.
-# 7 + 2 + 41 = 50; the remaining 9 r5 entries (diag_key_skew,
-# sketch_countmin_freq, sketch_kmv_jaccard, sketch_approx_quantiles,
-# agg_token_histogram, text_pmi_cooccurrence, tokenizer_bpe_pair_counts,
-# lm_bigram_doc_scores, pack_training_sequences) lead the round-9 queue,
-# followed by any round-8 additions, then the r6 cohort.
+# Round-9 window, executing the round-8 queue exactly (r8 verdict item 1,
+# "rotate all 12 unwitnessed entries"): (a) the three round-8 additions —
+# never driver-checked (judge-selfchecked green at sf0.01 in the r8
+# verdict); (b) the nine r5-last-green entries deferred out of the
+# round-8 window — 3 driver rounds stale, top staleness priority;
+# (c) the first 38 of the 50-entry r6-last-green cohort, in catalog
+# order. 3 + 9 + 38 = 50; the remaining 12 r6 entries (agg_second_moments,
+# pivot_priority_by_year, text_language_id, text_quality_scores,
+# text_token_counts, text_fingerprints, text_complexity,
+# text_camel_spacing, corpus_filter_funnel, text_repetition_signals,
+# text_pii_redaction, text_c4_filter) lead the round-10 queue, followed
+# by any round-9 additions, then the r7 cohort.
 # tests/test_registry_order.py pins this window.
 _DRIVER_WINDOW = [
-    # -- (a) round-7 additions: never driver-checked --
-    "cap_docs_per_source",
-    "knn_classify_majority",
-    "mixture_lang_source_mi",
-    "sample_weighted_bottomk",
-    "text_sliding_chunks",
-    "text_ttr_hapax",
-    "timeseries_ewma_window",
-    # -- (b) the two r4-last-green deferrals --
-    "q3_shipping_priority",
-    "q5_revenue_by_nation",
-    # -- (c) r5-last-green cohort, first 41 in catalog order --
-    "dedup_exact_kept",
-    "dedup_minhash_lsh",
-    "dedup_edit_distance",
-    "ml_logreg_quality",
-    "agg_cube_orders",
-    "agg_event_stats",
-    "filter_payload_equality",
-    "filter_must_should_not",
-    "filter_score_threshold",
-    "join_anti_customers_without_urgent",
-    "join_semi_customers_with_urgent",
-    "join_hash_dedup_probe",
-    "set_union_distinct_nations",
-    "set_except_intersect",
-    "hash_ids_documents",
-    "scalar_regex_extract",
-    "window_rank_ntile",
-    "pivot_status_by_priority",
-    "scalar_datetime_parts",
-    "q6_revenue_delta",
-    "q10_returned_items",
-    "agg_rollup_orders",
-    "join_salted_status_revenue",
-    "q4_order_priority",
-    "quality_constraint_report",
-    "dense_topk",
-    "bm25_keyword_topk",
-    "hybrid_rrf_search",
-    "vector_pq_trained_error",
-    "vector_ivfpq_adc_topk",
-    "sessionize_events",
-    "funnel_view_click_purchase",
-    "transition_matrix_events",
-    "scd2_user_state_intervals",
-    "stickiness_dau_wau",
-    "vector_pca_covariance",
-    "sketch_kmv_mergeable",
-    "sample_bottomk_per_type",
-    "corr_matrix_lineitem",
-    "anomaly_mad_outliers",
-    "pareto_nation_revenue",
+    # -- (a) round-8 additions: never driver-checked --
+    "corpus_epoch_allocation",
+    "dedup_prefix_boilerplate",
+    "split_time_embargo",
+    # -- (b) the nine r5-last-green deferrals --
+    "diag_key_skew",
+    "sketch_countmin_freq",
+    "sketch_kmv_jaccard",
+    "sketch_approx_quantiles",
+    "agg_token_histogram",
+    "text_pmi_cooccurrence",
+    "tokenizer_bpe_pair_counts",
+    "lm_bigram_doc_scores",
+    "pack_training_sequences",
+    # -- (c) r6-last-green cohort, first 38 in catalog order --
+    "dedup_embedding_neardup",
+    "dedup_duplicate_clusters",
+    "split_train_val_test",
+    "sample_stratified_by_lang",
+    "graph_bfs2_brand_parts",
+    "q1_pricing_summary",
+    "filter_exclude_pattern",
+    "join_full_outer_diff",
+    "window_top_customers_per_nation",
+    "window_running_user_value",
+    "rrf_fusion_events",
+    "token_frequency_top50",
+    "weighted_content_assembly",
+    "ann_lsh_bucket",
+    "asof_join_events",
+    "multimodal_binary_stats",
+    "q19_disjunctive_filter",
+    "q2_top_supplier_per_part",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_by_returnflag",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q18_large_volume_customers",
+    "q21_sole_returning_supplier",
+    "q22_idle_rich_customers",
+    "q11_important_stock",
+    "q20_dominant_supplier",
+    "dense_topk_filtered",
+    "knn_join_queries",
+    "vector_quantization_error",
+    "ann_ivf_probe",
+    "debounce_last_event_wins",
+    "events_json_props",
+    "agg_value_percentiles",
 ]
-# Round-9 rotation queue (oldest-green-first after this round lands):
-# (a) the 9 r5-cohort entries deferred above; (b) the round-8 additions
-#     (never driver-checked; selfchecked green at sf0.01 AND sf0.1 on
-#     arrival): split_time_embargo, dedup_prefix_boilerplate,
-#     corpus_epoch_allocation; (c) the 50-entry r6-last-green cohort —
-#     whatever fits after (a)+(b); remainder rotates in round 10 with
-#     the r7 cohort.
+# Round-10 rotation queue (oldest-green-first after this round lands):
+# (a) the 12 r6-cohort entries deferred above (listed in the window
+#     comment); (b) any round-9 additions (never driver-checked);
+# (c) the 50-entry r7-last-green cohort — whatever fits after (a)+(b);
+#     remainder rotates in round 11 with the r8 cohort.
 
 
 def _apply_driver_window() -> None:

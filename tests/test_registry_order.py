@@ -6,76 +6,77 @@ never silently shrink driver coverage.
 
 from claude_code_memory_spark.queries import REGISTRY, _DRIVER_WINDOW
 
-# Round-8 window: the 7 round-7 additions (never driver-checked), the two
-# r4-last-green deferrals from round 7 (q3/q5), and the first 41 of the
-# r5-last-green cohort (verdict r7 item 2). The 9 deferred r5 entries
-# lead the round-9 queue.
-R7_NEW = {
-    "cap_docs_per_source",
-    "knn_classify_majority",
-    "mixture_lang_source_mi",
-    "sample_weighted_bottomk",
-    "text_sliding_chunks",
-    "text_ttr_hapax",
-    "timeseries_ewma_window",
+# Round-9 window: the 3 round-8 additions (never driver-checked), the
+# 9 r5-last-green entries deferred out of the round-8 window, and the
+# first 38 of the r6-last-green cohort (verdict r8 item 1 — "rotate all
+# 12 unwitnessed entries"). The 12 deferred r6 entries lead the
+# round-10 queue.
+R8_NEW = {
+    "corpus_epoch_allocation",
+    "dedup_prefix_boilerplate",
+    "split_time_embargo",
 }
 
-R4_DEFERRED = {
-    "q3_shipping_priority",
-    "q5_revenue_by_nation",
+R5_DEFERRED = {
+    "diag_key_skew",
+    "sketch_countmin_freq",
+    "sketch_kmv_jaccard",
+    "sketch_approx_quantiles",
+    "agg_token_histogram",
+    "text_pmi_cooccurrence",
+    "tokenizer_bpe_pair_counts",
+    "lm_bigram_doc_scores",
+    "pack_training_sequences",
 }
 
-R5_COHORT_41 = {
-    "dedup_exact_kept",
-    "dedup_minhash_lsh",
-    "dedup_edit_distance",
-    "ml_logreg_quality",
-    "agg_cube_orders",
-    "agg_event_stats",
-    "filter_payload_equality",
-    "filter_must_should_not",
-    "filter_score_threshold",
-    "join_anti_customers_without_urgent",
-    "join_semi_customers_with_urgent",
-    "join_hash_dedup_probe",
-    "set_union_distinct_nations",
-    "set_except_intersect",
-    "hash_ids_documents",
-    "scalar_regex_extract",
-    "window_rank_ntile",
-    "pivot_status_by_priority",
-    "scalar_datetime_parts",
-    "q6_revenue_delta",
-    "q10_returned_items",
-    "agg_rollup_orders",
-    "join_salted_status_revenue",
-    "q4_order_priority",
-    "quality_constraint_report",
-    "dense_topk",
-    "bm25_keyword_topk",
-    "hybrid_rrf_search",
-    "vector_pq_trained_error",
-    "vector_ivfpq_adc_topk",
-    "sessionize_events",
-    "funnel_view_click_purchase",
-    "transition_matrix_events",
-    "scd2_user_state_intervals",
-    "stickiness_dau_wau",
-    "vector_pca_covariance",
-    "sketch_kmv_mergeable",
-    "sample_bottomk_per_type",
-    "corr_matrix_lineitem",
-    "anomaly_mad_outliers",
-    "pareto_nation_revenue",
+R6_COHORT_38 = {
+    "dedup_embedding_neardup",
+    "dedup_duplicate_clusters",
+    "split_train_val_test",
+    "sample_stratified_by_lang",
+    "graph_bfs2_brand_parts",
+    "q1_pricing_summary",
+    "filter_exclude_pattern",
+    "join_full_outer_diff",
+    "window_top_customers_per_nation",
+    "window_running_user_value",
+    "rrf_fusion_events",
+    "token_frequency_top50",
+    "weighted_content_assembly",
+    "ann_lsh_bucket",
+    "asof_join_events",
+    "multimodal_binary_stats",
+    "q19_disjunctive_filter",
+    "q2_top_supplier_per_part",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_by_returnflag",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q18_large_volume_customers",
+    "q21_sole_returning_supplier",
+    "q22_idle_rich_customers",
+    "q11_important_stock",
+    "q20_dominant_supplier",
+    "dense_topk_filtered",
+    "knn_join_queries",
+    "vector_quantization_error",
+    "ann_ivf_probe",
+    "debounce_last_event_wins",
+    "events_json_props",
+    "agg_value_percentiles",
 }
 
 
 def test_driver_window_is_the_staleness_sweep():
     window = set(list(REGISTRY)[:50])
-    assert R7_NEW <= window, f"missing r7 additions: {sorted(R7_NEW - window)}"
-    assert R4_DEFERRED <= window, f"missing r4 deferrals: {sorted(R4_DEFERRED - window)}"
-    assert R5_COHORT_41 <= window, f"missing r5 cohort: {sorted(R5_COHORT_41 - window)}"
-    assert len(R7_NEW | R4_DEFERRED | R5_COHORT_41) == 50
+    assert R8_NEW <= window, f"missing r8 additions: {sorted(R8_NEW - window)}"
+    assert R5_DEFERRED <= window, f"missing r5 deferrals: {sorted(R5_DEFERRED - window)}"
+    assert R6_COHORT_38 <= window, f"missing r6 cohort: {sorted(R6_COHORT_38 - window)}"
+    assert len(R8_NEW | R5_DEFERRED | R6_COHORT_38) == 50
 
 
 def test_window_is_exactly_the_declared_list():
