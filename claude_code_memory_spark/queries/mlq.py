@@ -462,7 +462,8 @@ def mixture_lang_source_mi(spark, sf_dir):
     raw AS (SELECT lang, tokens,
                    round(pow(tokens / (1.0 * all_toks), 0.5), 6) AS w_raw
             FROM dom, tot),
-    norm AS (SELECT round(sum(w_raw), 6) AS z FROM raw),
+    norm AS (SELECT round(CAST(sum(CAST(w_raw AS DECIMAL(38,12))) AS DOUBLE), 6)
+               AS z FROM raw),
     w AS (SELECT lang, tokens, round(w_raw / z, 6) AS weight FROM raw, norm)
     SELECT lang, tokens, weight,
            CAST(round(1000000 * weight, 0) AS BIGINT) AS alloc_tokens,
@@ -493,7 +494,14 @@ def corpus_epoch_allocation(spark, sf_dir):
         "tokens",
         F.round(F.pow(F.col("tokens") / F.col("all_toks"), 0.5), 6).alias("w_raw"),
     )
-    norm = F.broadcast(raw.agg(F.round(F.sum("w_raw"), 6).alias("z")))
+    # w_raw terms are 6-dp doubles but double addition is order-dependent;
+    # sum exactly in decimal(38,12) (round-4 determinism recipe, PLANS.md)
+    # so the normalizer is partition-order-invariant and matches DuckDB.
+    norm = F.broadcast(
+        raw.agg(
+            F.round(F.sum(F.col("w_raw").cast("decimal(38,12)")).cast("double"), 6).alias("z")
+        )
+    )
     w = raw.crossJoin(norm).select(
         "lang", "tokens", F.round(F.col("w_raw") / F.col("z"), 6).alias("weight")
     )
