@@ -24,6 +24,19 @@ def main() -> None:
     from claude_code_memory_spark.queries import REGISTRY
     from claude_code_memory_spark.session import get_spark
 
+    # loaded-machine self-flagging (verdict r8 item 7): three rounds of
+    # phantom "regressions" came from driver benches on a busy machine
+    # (timings inflate 1.1-1.4x under concurrent load). If the 1-minute
+    # loadavg at start exceeds nproc/4, the run is marked LOADED in the
+    # artifact itself and the trend line carries the qualifier — a
+    # loaded run can no longer print an unqualified regression list.
+    try:
+        load1_at_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1_at_start = -1.0
+    ncpu = os.cpu_count() or 32
+    loaded_run = load1_at_start > ncpu / 4
+
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -505,33 +518,32 @@ def main() -> None:
             )
 
             if target == 200_000:
-                # delta read-amplification at the cap (verdict r7 item
-                # 5): the incremental serving index trades O(new rows)
-                # appends for probes that read nprobe cell dirs in EVERY
-                # delta dir until compaction — measure qps and files-
-                # per-probe with 1 base + 8 delta dirs (the
-                # ANN_MAX_DELTA_DIRS state) vs the freshly compacted
-                # single dir measured above.
+                # delta read-amplification after 8 appends (verdict r8
+                # item 4): the r9 ROLLING delta folds every append into
+                # ONE cumulative delta dir (1 file/cell), so the serving
+                # state after 8 appends is exactly base + one delta
+                # holding the 8 appends' rows — measure qps and files-
+                # per-probe of that shape vs the freshly compacted
+                # single dir measured above. (The metric name keeps the
+                # 8deltas suffix for round-over-round comparability; the
+                # r8 engine really had 9 dirs here and measured 4.68x.)
                 n_big2 = spark.read.parquet(part).count()
-                slice_sz = max(n_big2 // 64, 1)  # 8 deltas x ~1.6% each
+                slice_sz = max(n_big2 // 64, 1)  # 8 appends x ~1.6% each
                 base_cut = n_big2 - 8 * slice_sz
                 ddirs = []
                 src = spark.read.parquet(part)
                 bdir = os.path.join(ann_dir, "amp_base")
-                src.filter(F.col("vec_id") < base_cut).repartition(
+                src.filter(F.col("vec_id") < base_cut).withColumn(
+                    "__b", F.pmod(F.hash("vec_id"), F.lit(2))
+                ).repartition("ivf_cluster", "__b").drop("__b").write.partitionBy(
                     "ivf_cluster"
-                ).write.partitionBy("ivf_cluster").mode("overwrite").parquet(bdir)
+                ).mode("overwrite").parquet(bdir)
                 ddirs.append(bdir)
-                for di in range(8):
-                    lo = base_cut + di * slice_sz
-                    hi = lo + slice_sz
-                    dd = os.path.join(ann_dir, f"amp_delta{di}")
-                    src.filter(
-                        (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
-                    ).repartition("ivf_cluster").write.partitionBy(
-                        "ivf_cluster"
-                    ).mode("overwrite").parquet(dd)
-                    ddirs.append(dd)
+                dd = os.path.join(ann_dir, "amp_delta_rolling")
+                src.filter(F.col("vec_id") >= base_cut).repartition(
+                    "ivf_cluster"
+                ).write.partitionBy("ivf_cluster").mode("overwrite").parquet(dd)
+                ddirs.append(dd)
                 parts = [spark.read.parquet(d) for d in ddirs]
                 amp = parts[0]
                 for p2 in parts[1:]:
@@ -631,6 +643,14 @@ def main() -> None:
                     q for q, r in ratios.items() if r > 1.25
                 ),
             }
+            if loaded_run:
+                trend["loaded_run"] = True
+                trend["qualifier"] = (
+                    f"load1 {load1_at_start} > nproc/4 ({ncpu}/4) at start: "
+                    "timings inflate 1.1-1.4x under concurrent load — "
+                    "treat regressions as suspect; bench_detail.json "
+                    "carries per-sample load columns"
+                )
             # the RRF overhead ratio drifted 3.76 -> 4.26 across r3->r4:
             # watch it as a NAMED regression (threshold 5x, the bound the
             # 3x-over-fetch design should never exceed), not a buried extra
@@ -648,6 +668,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "env": {
+            "load1_at_start": load1_at_start,
+            "nproc": ncpu,
+            "loaded_run": loaded_run,
+        },
         "extras": {
             "embed_vectors_per_sec": (
                 round(n_docs / max(embed_sec, 1e-9), 1) if embed_sec else None
@@ -679,6 +704,16 @@ def main() -> None:
             "point_lookup_skip_speedup": skip_speedup,
         },
     }
+    # sf1 scale evidence (verdict r8 item 6): tools/gen_sf1.py builds a
+    # 10x dataset, tools/sf1run.py measures the headline + heaviest
+    # oracle queries there and records sf1_evidence.json — folded into
+    # the artifact so the measurement rides BENCH_r* without the driver
+    # needing the 10x dataset present.
+    try:
+        with open(os.path.join(here, "sf1_evidence.json")) as fh:
+            out["extras"]["sf1_evidence"] = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        pass
     if errors:
         out["errors"] = errors
     if trend:

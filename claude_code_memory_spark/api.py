@@ -624,6 +624,17 @@ class CodeMemoryEngine:
     # full retrain+rewrite instead (the OPTIMIZE/compaction move — fixed
     # centroids drift as the corpus grows, and small dirs accumulate)
     ANN_MAX_DELTA_DIRS = 8
+    # retired-N retention (advice r8): an ivf<N> whose state file hasn't
+    # been touched (written OR served — reads utime it) for this long is
+    # swept by the next sibling commit. Config changes stop leaking dirs
+    # while live multi-N serving stays protected.
+    ANN_STATE_RETENTION_SEC = 7 * 86400
+    # rolling-delta rebuild trigger (verdict r8 item 4): the single
+    # cumulative delta dir may grow to this fraction of the base before
+    # the next refresh re-trains and rewrites everything — past it the
+    # fixed centroids have drifted and the merged-delta write approaches
+    # rebuild cost anyway
+    ANN_DELTA_REBUILD_FRACTION = 0.25
 
     def _ann_index(self, n_centroids: int = 16):
         """Materialized IVF serving index for the dense path — the
@@ -638,11 +649,15 @@ class CodeMemoryEngine:
         snapshots it covers. A pure APPEND to the vectors table (the
         manifest grew by suffix — add_memory, index_chat, streaming
         batches) assigns ONLY the new snapshots' vectors against the
-        SAVED centroids and lands them as an additional partitioned
-        delta dir — O(new rows), centroids fixed (standard IVF
-        maintenance). Any non-append change (merge rewrite, compaction)
-        or ANN_MAX_DELTA_DIRS accumulated deltas triggers a full
-        retrain+rewrite. Crash-safe: every dir is Spark-written
+        SAVED centroids and folds them, together with the previous
+        delta, into ONE rolling delta dir — the serving index is always
+        at most TWO dirs (base + delta), so probe file read-amp stays
+        ~1.5x vs freshly compacted instead of growing per append
+        (verdict r8 item 4: the 8-dir accumulation measured 4.68x).
+        Append cost is O(cumulative delta + new), bounded by
+        ANN_DELTA_REBUILD_FRACTION of the base; past that — or on any
+        non-append change (merge rewrite, compaction) — the refresh
+        re-trains and rewrites. Crash-safe: every dir is Spark-written
         (_SUCCESS-marked) BEFORE the state file is atomically replaced;
         a torn refresh leaves the old state serving the old dirs, and
         unreferenced dirs are GC'd on the next successful refresh."""
@@ -674,20 +689,29 @@ class CodeMemoryEngine:
                 if not os.path.exists(os.path.join(adir, d, "_SUCCESS")):
                     state = None
                     break
+            if state is not None:
+                try:
+                    # liveness signal for the retired-N sweep: serving
+                    # reads keep a hot-but-unchanged index's state fresh
+                    os.utime(spath)
+                except OSError:
+                    pass
 
         def _new_dir(tag: str) -> str:
             self._ann_counter = getattr(self, "_ann_counter", 0) + 1
             return f"ivf{n_centroids}-{tag}-{int(_time.time() * 1000)}-{self._ann_counter}"
 
-        def _write_partitioned(df, dirname: str) -> None:
-            # ~2 files per cell dir: a bare partitionBy write leaves one
-            # file per (upstream partition x cell) — hundreds of tiny
-            # files whose task-scheduling cost exceeds the pruning win
-            # (bench.py ann_serving measured the naive layout LOSING to
-            # the brute scan); one file per cell serializes each probed
-            # cell into a single task. Two balances both.
+        def _write_partitioned(df, dirname: str, files_per_cell: int = 2) -> None:
+            # ~2 files per cell dir for the BASE: a bare partitionBy
+            # write leaves one file per (upstream partition x cell) —
+            # hundreds of tiny files whose task-scheduling cost exceeds
+            # the pruning win (bench.py ann_serving measured the naive
+            # layout LOSING to the brute scan); one file per cell
+            # serializes each probed cell into a single task. Two
+            # balances both. The rolling DELTA writes 1 file per cell
+            # (it is a fraction of the base by construction).
             df.withColumn(
-                "__b", F.pmod(F.hash("point_id"), F.lit(2))
+                "__b", F.pmod(F.hash("point_id"), F.lit(files_per_cell))
             ).repartition("ivf_cluster", "__b").drop("__b").write.partitionBy(
                 "ivf_cluster"
             ).mode("overwrite").parquet(os.path.join(adir, dirname))
@@ -704,8 +728,36 @@ class CodeMemoryEngine:
             # delete the sibling's state + dirs on every commit (advice
             # r7 — rebuild thrash)
             mine = f"ivf{n_centroids}-"
-            for d in os.listdir(adir):  # GC superseded artifacts of this N
-                if d in keep or d.endswith(".tmp") or not d.startswith(mine):
+            # RETIRED-N sweep (advice r8): a config change (say 32 -> 16
+            # centroids) would otherwise strand the old N's dirs + state
+            # forever. An N is live while its state file exists and was
+            # touched within the retention window (serving reads utime
+            # it); stale or stateless prefixes are swept wholesale. The
+            # per-N scoping above still protects live siblings.
+            import re as _re
+
+            now = _time.time()
+            live_ns = {str(n_centroids)}
+            for f2 in os.listdir(adir):
+                m2 = _re.fullmatch(r"state-ivf(\d+)\.json", f2)
+                if not m2:
+                    continue
+                try:
+                    fresh = now - os.path.getmtime(os.path.join(adir, f2)) < (
+                        self.ANN_STATE_RETENTION_SEC
+                    )
+                except OSError:
+                    fresh = False
+                if fresh:
+                    live_ns.add(m2.group(1))
+            for d in os.listdir(adir):
+                if d in keep or d.endswith(".tmp"):
+                    continue
+                m2 = _re.match(r"(?:state-)?ivf(\d+)[-.]", d)
+                owner = m2.group(1) if m2 else None
+                superseded_mine = d.startswith(mine)
+                retired = owner is not None and owner not in live_ns
+                if not (superseded_mine or retired):
                     continue
                 p2 = os.path.join(adir, d)
                 if os.path.isdir(p2):
@@ -718,7 +770,7 @@ class CodeMemoryEngine:
             is_append = (
                 len(key) > len(covered)
                 and key[: len(covered)] == covered
-                and len(state["dirs"]) < self.ANN_MAX_DELTA_DIRS
+                and "base_rows" in state  # legacy pre-r9 states rebuild
             )
             if is_append:
                 new_snaps = [
@@ -728,6 +780,15 @@ class CodeMemoryEngine:
                 delta = self.spark.read.parquet(*new_snaps).select(
                     "point_id", "dense"
                 )
+                n_new = delta.count()
+                delta_rows = state.get("delta_rows", 0) + n_new
+                if delta_rows > self.ANN_DELTA_REBUILD_FRACTION * max(
+                    state["base_rows"], 1
+                ):
+                    state = None  # delta outgrew the base: retrain+rewrite
+            else:
+                state = None  # non-append change (merge/compaction): rebuild
+            if state is not None:
                 centers_df = self.spark.createDataFrame(
                     [
                         (int(i), [float(x) for x in c])
@@ -746,16 +807,30 @@ class CodeMemoryEngine:
                     vec_col="dense",
                     cluster_col="ivf_cluster",
                 )
+                # ROLLING delta (verdict r8 item 4): fold the existing
+                # delta dir into the new one so the serving index is at
+                # most TWO dirs (base + one delta) — a probe's file
+                # read-amplification stays <= ~1.5x vs freshly compacted
+                # (base 2 files/cell + delta 1 file/cell) instead of the
+                # 4.68x the 8-dir accumulation measured in BENCH_r08.
+                # Append cost is O(cumulative delta + new), bounded by
+                # ANN_DELTA_REBUILD_FRACTION of the base; past that the
+                # rebuild re-trains anyway (centroid drift).
+                if len(state["dirs"]) > 1:
+                    prior = self.spark.read.parquet(
+                        os.path.join(adir, state["dirs"][1])
+                    ).select(*assigned.columns)
+                    assigned = assigned.unionByName(prior)
                 dname = _new_dir("delta")
-                _write_partitioned(assigned, dname)
+                _write_partitioned(assigned, dname, files_per_cell=1)
                 state = {
                     "covered": list(key),
-                    "dirs": state["dirs"] + [dname],
+                    "dirs": [state["dirs"][0], dname],
                     "centers": state["centers"],
+                    "base_rows": state["base_rows"],
+                    "delta_rows": delta_rows,
                 }
                 _commit_state(state)
-            else:
-                state = None  # non-append change or delta cap: rebuild
 
         if state is None:
             v = self.store.read("vectors").select("point_id", "dense")
@@ -769,6 +844,8 @@ class CodeMemoryEngine:
                 "covered": list(key),
                 "dirs": [dname],
                 "centers": [[float(x) for x in c] for c in centers],
+                "base_rows": n_vec,
+                "delta_rows": 0,
             }
             _commit_state(state)
 

@@ -216,11 +216,17 @@ def _class_ancestors(
     ``max_inherit`` self-joins of an entity-scale edge table, the
     PageRank-iteration shape at class-count scale. Diamond inheritance
     dedupes to min depth (closest ancestor wins — the C3-linearization
-    approximation; ties broken lexicographically at the lookup site)."""
+    approximation). ``bpos`` is the base-list position of the FIRST hop
+    on the ancestor's min-depth path (the parser stores it in the
+    inherits relation's context; C3 keeps direct bases in base-list
+    order, so equal-depth-1 ties at the lookup sites resolve to the
+    lowest bpos — verdict r8 item 5). NULL bpos (legacy stored
+    relations) never wins a tie."""
     inh = relations.filter(F.col("relation_type") == "inherits").select(
         "file_path",
         F.col("from_entity").alias("child"),
         F.col("to_entity").alias("parent"),
+        F.col("context").cast("int").alias("bp"),
     )
     ch = chased.select(
         F.col("file_path").alias("i_file"),
@@ -241,9 +247,13 @@ def _class_ancestors(
             F.col("child").alias("e_cn"),
             F.coalesce("i_tmod", "p_module").alias("e_pm"),
             F.coalesce("i_member", "p_name").alias("e_pn"),
+            F.col("bp").alias("e_bp"),
         )
         .filter(F.col("e_pm").isNotNull())
-        .distinct()
+        .groupBy("e_cm", "e_cn", "e_pm", "e_pn")
+        # one edge can surface twice (chased import + same-file class);
+        # NULL positions sort last so a positioned duplicate wins
+        .agg(F.min("e_bp").alias("e_bp"))
     )
     edges = _pin(edges)  # reused max_inherit times by the closure loop
     self0 = classes.select(
@@ -252,6 +262,7 @@ def _class_ancestors(
         F.col("k_module").alias("a_module"),
         F.col("k_name").alias("a_name"),
         F.lit(0).alias("depth"),
+        F.lit(0).alias("bpos"),
     ).distinct()
     anc = self0
     frontier = self0
@@ -265,11 +276,136 @@ def _class_ancestors(
             F.col("e_pm").alias("a_module"),
             F.col("e_pn").alias("a_name"),
             F.lit(d).alias("depth"),
+            # first-hop base position; deeper hops keep the head's
+            (F.col("e_bp") if d == 1 else F.col("bpos")).alias("bpos"),
         )
         anc = anc.unionByName(frontier)
-    return anc.groupBy("c_module", "c_name", "a_module", "a_name").agg(
-        F.min("depth").alias("depth")
+    return (
+        anc.groupBy("c_module", "c_name", "a_module", "a_name")
+        # min depth first; among equal-depth paths the lowest non-null
+        # first-hop position (nulls last via the coalesce sentinel)
+        .agg(F.min(F.struct("depth", F.coalesce("bpos", F.lit(2**31 - 1)).alias("bpos"))).alias("__b"))
+        .select(
+            "c_module",
+            "c_name",
+            "a_module",
+            "a_name",
+            F.col("__b.depth").alias("depth"),
+            F.when(F.col("__b.bpos") < 2**31 - 1, F.col("__b.bpos")).alias("bpos"),
+        )
     )
+
+
+def _mro_nearest_def(
+    need: DataFrame, anc: DataFrame, dm: DataFrame, *, min_depth: int = 0
+) -> DataFrame:
+    """Nearest-ancestor method lookup with the diamond contract.
+
+    Candidates = need × ancestor closure × defs, grouped per depth; the
+    nearest depth with definitions resolves iff it has exactly ONE
+    distinct def (the r7 ambiguity guard) — OR the tie sits at depth 1,
+    where C3 settles it: a class's direct bases appear in its MRO in
+    base-list order, so the lowest-``bpos`` definer wins (verdict r8
+    item 5). Two escapes keep the zero-false contract: a tie with any
+    NULL position (legacy stored rows) stays unresolved, and so does a
+    winner that is itself a strict ancestor of another tied definer —
+    that base list (``class D(B, C)`` with ``C(B)``) is C3-inconsistent
+    and Python refuses to build the class at all.
+
+    ``need``: (n_mod, n_name, n_method) distinct; ``dm``: (dm_module,
+    dm_name) definitions. Returns (n_mod, n_name, n_method, h_def), at
+    most one row per key. ``min_depth=1`` = super() dispatch (skip the
+    own override). All joins are class-count-scale equi-joins.
+    """
+    cond = (need.n_mod == anc.c_module) & (need.n_name == anc.c_name)
+    if min_depth:
+        cond = cond & (anc.depth >= min_depth)
+    cand = (
+        need.join(anc, cond)
+        .join(
+            dm,
+            (F.col("a_module") == dm.dm_module)
+            & (F.concat_ws(".", F.col("a_name"), F.col("n_method")) == dm.dm_name),
+        )
+        .select(
+            "n_mod", "n_name", "n_method", "depth", "bpos",
+            "a_module", "a_name", "dm_module", "dm_name",
+        )
+    )
+    # candidates fan into FOUR consumers (per_depth→best→unique,
+    # tie_keys, tied, and bad = first×tied); unpinned, each consumer
+    # replays `need`'s full upstream join tree and the plan grows
+    # multiplicatively — measured as a driver heap OOM on a 3-file
+    # index batch. Class-count-scale rows: pinning is noise.
+    cand = _pin(cand)
+    per_depth = cand.groupBy("n_mod", "n_name", "n_method", "depth").agg(
+        F.count_distinct(F.struct("dm_module", "dm_name")).alias("__ndefs"),
+        F.min("dm_name").alias("__def"),
+    )
+    best = per_depth.groupBy("n_mod", "n_name", "n_method").agg(
+        F.min(F.struct("depth", "__ndefs", "__def")).alias("__best")
+    )
+    unique = best.filter(F.col("__best.__ndefs") == 1).select(
+        "n_mod", "n_name", "n_method", F.col("__best.__def").alias("h_def")
+    )
+    # equal-depth-1 diamonds: order the tied direct-base definers by
+    # base-list position
+    tie_keys = best.filter(
+        (F.col("__best.__ndefs") > 1) & (F.col("__best.depth") == 1)
+    ).select("n_mod", "n_name", "n_method")
+    tied = cand.filter(F.col("depth") == 1).join(
+        tie_keys, ["n_mod", "n_name", "n_method"], "left_semi"
+    )
+    first = (
+        tied.groupBy("n_mod", "n_name", "n_method")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("bpos").isNotNull(),
+                    F.struct(
+                        "bpos",
+                        F.col("a_module").alias("w_mod"),
+                        F.col("a_name").alias("w_name"),
+                        F.col("dm_name").alias("w_def"),
+                    ),
+                )
+            ).alias("__w"),
+            F.sum(F.when(F.col("bpos").isNull(), 1).otherwise(0)).alias("__nulls"),
+        )
+        .filter((F.col("__nulls") == 0) & F.col("__w").isNotNull())
+    )
+    # C3-inconsistency guard: the positional winner must not be a strict
+    # ancestor of another tied definer
+    anc2 = anc.select(
+        F.col("c_module").alias("x_cm"),
+        F.col("c_name").alias("x_cn"),
+        F.col("a_module").alias("x_am"),
+        F.col("a_name").alias("x_an"),
+        F.col("depth").alias("x_d"),
+    )
+    bad = (
+        first.join(tied, ["n_mod", "n_name", "n_method"])
+        .filter(
+            ~(
+                (F.col("a_module") == F.col("__w.w_mod"))
+                & (F.col("a_name") == F.col("__w.w_name"))
+            )
+        )
+        .join(
+            anc2,
+            (F.col("a_module") == F.col("x_cm"))
+            & (F.col("a_name") == F.col("x_cn"))
+            & (F.col("__w.w_mod") == F.col("x_am"))
+            & (F.col("__w.w_name") == F.col("x_an"))
+            & (F.col("x_d") >= 1),
+        )
+        .select("n_mod", "n_name", "n_method")
+        .distinct()
+    )
+    tie_resolved = first.join(
+        bad, ["n_mod", "n_name", "n_method"], "left_anti"
+    ).select("n_mod", "n_name", "n_method", F.col("__w.w_def").alias("h_def"))
+    return unique.unionByName(tie_resolved)
 
 
 def resolve_calls(
@@ -383,6 +519,24 @@ def resolve_calls(
     dd2 = defs.select(
         F.col("def_module").alias("q2_mod"), F.col("def_name").alias("q2_name")
     )
+    # JS barrel-of-barrels (round 9): `barrel2: export * from './index'`
+    # where index itself star-re-exports core — the hop must land on the
+    # DEFINING module, so close the star edges transitively (one extra
+    # level) before the fix. JS-only: `export *` re-exports everything,
+    # so composition is exact; Python star-of-star visibility depends on
+    # each intermediate's __all__/underscore rules, which the final
+    # target's gates below can't represent — left un-composed
+    # (unresolved beats guessed).
+    b2 = bar.select(
+        F.col("bs_mod").alias("c2_mod"),
+        F.col("bs_tgt").alias("c2_tgt"),
+        F.col("bs_py").alias("c2_py"),
+    )
+    bar = bar.unionByName(
+        bar.join(b2, F.col("bs_tgt") == F.col("c2_mod"))
+        .filter(~F.col("bs_py") & ~F.col("c2_py"))
+        .select("bs_mod", F.col("c2_tgt").alias("bs_tgt"), "bs_py")
+    ).distinct()
     star_fix = (
         chased.join(
             dd1,
@@ -1711,6 +1865,18 @@ def resolve_calls(
                                 F.col("at_c.ctor").alias("name"),
                             ),
                         ),
+                        # ADVICE r8 (medium): a bind that EXISTS at this
+                        # depth but resolves to nothing (dotted ctor base
+                        # `self.db = m.Database()`, unchased local ctor)
+                        # must still BLOCK — filtering it out would let a
+                        # deeper ancestor's resolvable bind win even
+                        # though the nearer assignment shadows it at
+                        # runtime. Unconditional fallback: every cand1
+                        # row is a real bind (inner join on atb).
+                        F.struct(
+                            F.lit("__poisoned__").alias("mod"),
+                            F.lit("__poisoned__").alias("name"),
+                        ),
                     ).alias("ap_c"),
                 )
             )
@@ -1734,26 +1900,56 @@ def resolve_calls(
                 F.col("fx_func").alias("f3_func"),
                 F.col("fx_c").alias("f3_c"),
             )
+            # ANY function/method named `Ancestor.attr` is a candidate —
+            # resolvable only when it is a @property/getter whose return
+            # bind is certain and resolved; otherwise it BLOCKS (ADVICE
+            # r8 medium): a subclass's non-property override shadows an
+            # ancestor's property at runtime (the attribute access gives
+            # the bound method, not the property value), and a property
+            # whose return type is uncertain must not let a deeper
+            # ancestor's certain one win.
+            mdefs = (
+                entities.filter(F.col("entity_type").isin("function", "method"))
+                .select(
+                    module_of_path("file_path").alias("md_mod"),
+                    F.col("entity_name").alias("md_name"),
+                )
+                .distinct()
+            )
             cand2 = (
                 exp_ap.join(
-                    fx3,
-                    (F.col("ap_amod") == fx3.f3_module)
+                    mdefs,
+                    (F.col("ap_amod") == mdefs.md_mod)
                     & (
                         F.concat_ws(".", F.col("ap_aname"), F.col("ap_attr"))
-                        == fx3.f3_func
+                        == mdefs.md_name
                     ),
+                )
+                .join(
+                    fx3,
+                    (F.col("ap_amod") == fx3.f3_module)
+                    & (F.col("md_name") == fx3.f3_func),
+                    "left",
                 )
                 .join(
                     props,
                     (F.col("ap_amod") == props.prp_mod)
-                    & (
-                        F.concat_ws(".", F.col("ap_aname"), F.col("ap_attr"))
-                        == props.prp_func
-                    ),
+                    & (F.col("md_name") == props.prp_func),
+                    "left",
                 )
                 .select(
                     "ap_mod", "ap_name", "ap_attr", "depth",
-                    F.col("f3_c").alias("ap_c"),
+                    F.when(
+                        F.col("prp_mod").isNotNull() & F.col("f3_c").isNotNull(),
+                        F.col("f3_c"),
+                    )
+                    .otherwise(
+                        F.struct(
+                            F.lit("__poisoned__").alias("mod"),
+                            F.lit("__poisoned__").alias("name"),
+                        )
+                    )
+                    .alias("ap_c"),
                 )
             )
             ap_tbl = (
@@ -1934,36 +2130,14 @@ def resolve_calls(
         )
         .distinct()
     )
-    # nearest-ancestor lookup with an AMBIGUITY GUARD (advice r7): taking
-    # min(struct(depth, def_name)) alone breaks equal-depth ties
-    # alphabetically — in a diamond where two depth-d bases both define
-    # the method, Python's MRO picks by base-list order, which the
-    # relation rows don't carry. Per the 'unresolved beats wrongly
-    # resolved' contract, a (class, method) whose NEAREST defining depth
-    # has more than one distinct def stays unresolved: group per depth,
-    # count distinct defs, resolve only when the min-depth row has
-    # exactly one.
-    hits = (
-        need.join(anc, (need.n_mod == anc.c_module) & (need.n_name == anc.c_name))
-        .join(
-            dm,
-            (F.col("a_module") == dm.dm_module)
-            & (F.concat_ws(".", F.col("a_name"), F.col("n_method")) == dm.dm_name),
-        )
-        .groupBy("n_mod", "n_name", "n_method", "depth")
-        .agg(
-            F.count_distinct(F.struct("dm_module", "dm_name")).alias("__ndefs"),
-            F.min("dm_name").alias("__def"),
-        )
-        .groupBy("n_mod", "n_name", "n_method")
-        .agg(F.min(F.struct("depth", "__ndefs", "__def")).alias("__best"))
-        .filter(F.col("__best.__ndefs") == 1)
-        .select(
-            F.col("n_mod").alias("h_mod"),
-            F.col("n_name").alias("h_name"),
-            F.col("n_method").alias("h_method"),
-            F.col("__best.__def").alias("h_def"),
-        )
+    # nearest-ancestor lookup with the ambiguity guard (advice r7) plus
+    # the depth-1 MRO base-order tie-break (verdict r8 item 5) — shared
+    # with super dispatch below via _mro_nearest_def
+    hits = _mro_nearest_def(need, anc, dm).select(
+        F.col("n_mod").alias("h_mod"),
+        F.col("n_name").alias("h_name"),
+        F.col("n_method").alias("h_method"),
+        "h_def",
     )
     attr = attr.join(
         hits,
@@ -1997,48 +2171,24 @@ def resolve_calls(
     need_sup = (
         attr.filter(F.col("sp_mod").isNotNull())
         .select(
-            F.col("sp_mod").alias("u_mod"),
-            F.col("sp_name").alias("u_name"),
-            F.col("to_entity").alias("u_method"),
+            F.col("sp_mod").alias("n_mod"),
+            F.col("sp_name").alias("n_name"),
+            F.col("to_entity").alias("n_method"),
         )
         .distinct()
     )
     dm2 = defs.select(
-        F.col("def_module").alias("d2_module"), F.col("def_name").alias("d2_name")
+        F.col("def_module").alias("dm_module"), F.col("def_name").alias("dm_name")
     )
-    hits_sup = (
-        need_sup.join(
-            anc,
-            (F.col("u_mod") == anc.c_module)
-            & (F.col("u_name") == anc.c_name)
-            & (anc.depth >= 1),
-        )
-        .join(
-            dm2,
-            (F.col("a_module") == F.col("d2_module"))
-            & (
-                F.concat_ws(".", F.col("a_name"), F.col("u_method"))
-                == F.col("d2_name")
-            ),
-        )
-        .groupBy("u_mod", "u_name", "u_method", "depth")
-        # same ambiguity guard as the plain lookup above: an equal-depth
-        # diamond (two depth-1 bases both defining the method) is an MRO
-        # question the relation rows can't answer — leave it unresolved
-        # rather than resolving to the alphabetically-first base's def
-        .agg(
-            F.count_distinct(F.struct("d2_module", "d2_name")).alias("__ndefs"),
-            F.min("d2_name").alias("__def"),
-        )
-        .groupBy("u_mod", "u_name", "u_method")
-        .agg(F.min(F.struct("depth", "__ndefs", "__def")).alias("__sbest"))
-        .filter(F.col("__sbest.__ndefs") == 1)
-        .select(
-            F.col("u_mod").alias("hs_mod"),
-            F.col("u_name").alias("hs_name"),
-            F.col("u_method").alias("hs_method"),
-            F.col("__sbest.__def").alias("hs_def"),
-        )
+    # same lookup as the plain path, restricted to depth >= 1 (super
+    # skips the own override); equal-depth-1 diamonds break by base-list
+    # position — super() in D(B, C) dispatches to B's def, the next class
+    # in D's MRO
+    hits_sup = _mro_nearest_def(need_sup, anc, dm2, min_depth=1).select(
+        F.col("n_mod").alias("hs_mod"),
+        F.col("n_name").alias("hs_name"),
+        F.col("n_method").alias("hs_method"),
+        F.col("h_def").alias("hs_def"),
     )
     attr = attr.join(
         hits_sup,

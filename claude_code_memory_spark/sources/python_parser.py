@@ -651,13 +651,20 @@ def parse_python_source(path: str, source: str) -> list[dict]:
                 _impl_rec(node.name, "class", path, node.lineno, node.end_lineno, seg,
                           _complexity(node))
             )
-            for base in node.bases:
+            for bpos, base in enumerate(node.bases):
                 base_name = (
                     base.id if isinstance(base, ast.Name)
                     else base.attr if isinstance(base, ast.Attribute) else None
                 )
                 if base_name:
-                    recs.append(_relation_rec(node.name, base_name, "inherits", path))
+                    # content carries the base-list POSITION: C3 puts
+                    # direct bases in base-list order, so the resolver
+                    # breaks equal-depth diamond ties by it (verdict r8
+                    # item 5; reference anchor analysis/parser.py:15 —
+                    # Jedi linearizes the MRO itself)
+                    r = _relation_rec(node.name, base_name, "inherits", path)
+                    r["content"] = str(bpos)
+                    recs.append(r)
             for deco in _decorator_names(node):
                 recs.append(_relation_rec(node.name, deco, "uses", path, "decorator"))
             # self.x = C() binds at CLASS scope: any two methods pinning

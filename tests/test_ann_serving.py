@@ -64,10 +64,11 @@ def test_index_is_materialized_partitioned_and_cached(eng):
 
 
 def test_append_maintains_index_incrementally(eng):
-    """A pure append refreshes the index with a DELTA dir — new vectors
-    assigned against the SAVED centroids, O(new rows) — instead of a
-    full retrain, and the refreshed index still satisfies the
-    full-probe-equals-brute exactness guarantee."""
+    """A pure append refreshes the index with a ROLLING delta dir — new
+    vectors assigned against the SAVED centroids and folded together
+    with the previous delta, so the index is always at most base+delta
+    (verdict r8 item 4: probe read-amp stays bounded) — and the
+    refreshed index still satisfies full-probe-equals-brute."""
     import json
 
     adir = os.path.join(eng.store.root, "annindex")
@@ -85,12 +86,24 @@ def test_append_maintains_index_incrementally(eng):
     # superseded artifacts GC'd: only referenced dirs + the state file
     on_disk = {d for d in os.listdir(adir) if not d.endswith(".json")}
     assert on_disk == set(state["dirs"])
-    # the fresh row is findable, and exactness holds through the delta
+    # a SECOND append folds into the same single delta slot: still 2
+    # dirs, a NEW delta dir name, both appended rows inside it
+    old_delta = next(d for d in state["dirs"] if "-delta-" in d)
+    eng.add_memory("fresh_memory_2", "another incremental note about gc")
+    eng.search("gc note", mode="semantic", k=3, ann=True)
+    state = json.load(open(os.path.join(adir, "state-ivf16.json")))
+    assert len(state["dirs"]) == 2
+    new_delta = next(d for d in state["dirs"] if "-delta-" in d)
+    assert new_delta != old_delta
+    assert state["delta_rows"] >= 2
+    on_disk = {d for d in os.listdir(adir) if not d.endswith(".json")}
+    assert on_disk == set(state["dirs"])  # the old delta dir was GC'd
+    # the fresh rows are findable, and exactness holds through the delta
     full = eng.search(
-        "brand new note about gc", mode="semantic", k=41, ann=True, nprobe=16
+        "brand new note about gc", mode="semantic", k=42, ann=True, nprobe=16
     )
     names = {r["entity_name"] for r in full.collect()}
-    assert "fresh_memory" in names
+    assert "fresh_memory" in names and "fresh_memory_2" in names
     brute = eng.search("gc note", mode="semantic", k=5)
     annful = eng.search("gc note", mode="semantic", k=5, ann=True, nprobe=16)
     assert [(r["point_id"], r["score"]) for r in brute.collect()] == [
@@ -98,23 +111,24 @@ def test_append_maintains_index_incrementally(eng):
     ]
 
 
-def test_delta_cap_triggers_full_rebuild(eng):
-    """Accumulated delta dirs at ANN_MAX_DELTA_DIRS → the next refresh
-    retrains and rewrites (the OPTIMIZE move), collapsing to one dir
-    that covers everything."""
+def test_delta_fraction_triggers_full_rebuild(eng):
+    """A cumulative delta past ANN_DELTA_REBUILD_FRACTION of the base →
+    the next refresh retrains and rewrites (the OPTIMIZE move),
+    collapsing to one dir that covers everything."""
     import json
 
     adir = os.path.join(eng.store.root, "annindex")
-    # previous test left dirs = [full, delta]; cap 2 means no more deltas
-    eng.ANN_MAX_DELTA_DIRS = 2  # instance override
+    # previous test left base+delta; a tiny fraction forces the rebuild
+    eng.ANN_DELTA_REBUILD_FRACTION = 0.0  # instance override
     eng.add_memory("cap_memory_a", "a capped delta note")
     eng._ann_index()
     state = json.load(open(os.path.join(adir, "state-ivf16.json")))
     assert len(state["dirs"]) == 1
     assert "-full-" in state["dirs"][0]
-    del eng.ANN_MAX_DELTA_DIRS  # restore class default for later tests
+    assert state["delta_rows"] == 0
+    del eng.ANN_DELTA_REBUILD_FRACTION  # restore class default
     full = eng.search(
-        "capped delta note", mode="semantic", k=42, ann=True, nprobe=16
+        "capped delta note", mode="semantic", k=43, ann=True, nprobe=16
     )
     assert "cap_memory_a" in {r["entity_name"] for r in full.collect()}
 
@@ -142,6 +156,36 @@ def test_sibling_centroid_indexes_coexist(eng):
     on_disk = {d for d in os.listdir(adir) if not d.endswith(".json")}
     assert set(s16["dirs"]) <= on_disk and set(s8["dirs"]) <= on_disk
     assert on_disk == set(s16["dirs"]) | set(s8["dirs"])  # GC still runs per-N
+
+
+def test_retired_centroid_prefix_swept(eng):
+    """Advice r8: a retired n_centroids (config change) must not strand
+    artifacts forever. A sibling whose state file is older than the
+    retention window is swept wholesale by the next commit; a fresh
+    sibling survives (the r7 per-N protection)."""
+    import json
+
+    adir = os.path.join(eng.store.root, "annindex")
+    eng._ann_index(16)
+    eng._ann_index(8)
+    old_state = os.path.join(adir, "state-ivf8.json")
+    assert os.path.exists(old_state)
+    # age the ivf8 state past the retention window (mtime-based liveness)
+    stale = os.path.getmtime(old_state) - eng.ANN_STATE_RETENTION_SEC - 60
+    os.utime(old_state, (stale, stale))
+    # force a fresh ivf16 commit: append + refresh
+    eng.add_memory("retire_trigger", "a note that forces an index refresh")
+    eng._ann_index(16)
+    left = set(os.listdir(adir))
+    assert not any(d.startswith("ivf8-") or d == "state-ivf8.json" for d in left), (
+        f"retired ivf8 artifacts not swept: {sorted(left)}"
+    )
+    s16 = json.load(open(os.path.join(adir, "state-ivf16.json")))
+    on_disk = {d for d in left if not d.endswith(".json")}
+    assert set(s16["dirs"]) <= on_disk  # live index untouched
+    # a subsequent ivf8 request simply rebuilds from scratch
+    eng._ann_index(8)
+    assert os.path.exists(old_state)
 
 
 def test_filtered_search_falls_back(eng):

@@ -323,10 +323,12 @@ const after = 1;
 
 
 def test_chain_coverage_counter():
-    """Advice r7: the conservative _CHAIN_CALL regex demotes hard chains
-    (nested-paren inner args, later links of a().b().c()) to bare-call
-    rows; the per-process counter makes that JS/Python coverage gap a
-    number instead of an invisible approximation."""
+    """Advice r7 introduced the per-process (links, captured) counter to
+    measure the chains the old paren-free regex demoted to bare rows.
+    Round 9's balanced-paren scan (verdict r8 item 2) closes that gap:
+    nested-paren inner args and every later link of a().b().c() are
+    captured now; only genuinely unmarkable shapes (subscripted bases,
+    parenthesized expressions, curried calls) remain uncaptured."""
     from claude_code_memory_spark.sources.javascript_parser import (
         chain_coverage,
         parse_javascript_source,
@@ -335,19 +337,20 @@ def test_chain_coverage_counter():
 
     reset_chain_coverage()
     src = """
-function use(db, x) {
+function use(db, x, arr) {
   const a = db.connect().query();     // captured chained link
-  const b = make(f(x)).run();         // inner args have parens: skipped
-  const c = g().h().i();              // 2 links, only the first captured
-  return a + b + c;
+  const b = make(f(x)).run();         // nested parens: captured (r9)
+  const c = g().h().i();              // both links captured (r9)
+  const d = arr[0]().spin();          // subscripted base: unmarkable
+  return a + b + c + d;
 }
 """
     parse_javascript_source("lib/chains.js", src)
     cov = chain_coverage()
-    # 4 ")<dot>name(" links total; the paren-arg inner call and the
-    # second link of the 3-chain fall back to bare rows
-    assert cov["links"] == 4
-    assert cov["captured"] == 2
-    assert cov["links"] - cov["captured"] == 2
+    # 5 ")<dot>name(" links total; only the subscripted-base link falls
+    # back to a bare row — the rest all carry markers now
+    assert cov["links"] == 5
+    assert cov["captured"] == 4
+    assert cov["links"] - cov["captured"] == 1
     reset_chain_coverage()
     assert chain_coverage() == {"links": 0, "captured": 0}

@@ -1690,11 +1690,10 @@ def test_js_chained_call_result_resolution(spark):
     assert ("useNewChain", "Tool.run", "resolved") in got
     # TS return annotation on the instance method types the chain
     assert ("Holder.go", "Tool.run", "resolved") in got
-    # nested parens in the inner args: bare fallback, never resolved
-    assert any(
-        f == "useNested" and t == "run" and it != "resolved"
-        for f, t, it in got
-    )
+    # nested parens in the inner args (round 9, verdict r8 item 2): the
+    # balanced-paren scan marks `makeTool(cfg(1)).run()` like any other
+    # chain — the argument list is irrelevant to the result type
+    assert ("useNested", "Tool.run", "resolved") in got
 
 
 def test_super_dispatch_resolution(spark):

@@ -269,6 +269,127 @@ FIXTURE = {
         "\n"
         "export function j23_imported_singleton() { return client.run(); }\n"
     ),
+    # -- round 9: balanced-paren chained calls (verdict r8 item 2) --
+    "src/lib/engine.ts": (
+        "export function compute(x: number) { return x * 2; }\n"
+    ),
+    "src/use/chains.ts": (
+        "import { makeTool, makeArrow } from '../lib/factories';\n"
+        "import { Tool } from '../lib/core';\n"
+        "import { Database } from '../lib/db';\n"
+        "import { compute } from '../lib/engine';\n"
+        "\n"
+        "export function j24_nested_arg_chain() {\n"
+        "  return makeTool(compute(1)).run();\n"
+        "}\n"
+        "\n"
+        "export function j25_two_hop() {\n"
+        "  return new Database().getConn().query();\n"
+        "}\n"
+        "\n"
+        "export function j26_bound_chain() {\n"
+        "  const d = new Database();\n"
+        "  const r = d.getConn().query();\n"
+        "  return r.unwrap();\n"
+        "}\n"
+        "\n"
+        "export function j27_chained_base_args() {\n"
+        "  const d = new Database();\n"
+        "  return d.getConn(compute(2)).query();\n"
+        "}\n"
+        "\n"
+        "export function j29_multiline_chain() {\n"
+        "  return makeTool()\n"
+        "    .run();\n"
+        "}\n"
+        "\n"
+        "export function j30_new_with_args() {\n"
+        "  return new Tool(compute(3)).run();\n"
+        "}\n"
+        "\n"
+        "export function j35_direct_new() {\n"
+        "  return new Tool().run();\n"
+        "}\n"
+        "\n"
+        "export function j39_arrow_factory() {\n"
+        "  const t = makeArrow();\n"
+        "  return t.run();\n"
+        "}\n"
+        "\n"
+        "export function an01_three_hop() {\n"
+        "  return new Database().getConn().query().unwrap();\n"
+        "}\n"
+        "\n"
+        "export function jn10_poisoned_head_chain() {\n"
+        "  let d = new Database();\n"
+        "  d = new Tool();\n"
+        "  return d.getConn().query();\n"
+        "}\n"
+        "\n"
+        "export function jn11_curried(f) {\n"
+        "  return f()(1).run();\n"
+        "}\n"
+    ),
+    "src/use/thischain.ts": (
+        "import { Database } from '../lib/db';\n"
+        "\n"
+        "export class Wrap {\n"
+        "  db: Database;\n"
+        "\n"
+        "  j28_this_chain() { return this.db.getConn().query(); }\n"
+        "}\n"
+    ),
+    # -- round 9: interface extends-list diamond (MRO base order) --
+    "src/use/idiamond.ts": (
+        "export interface IA {\n"
+        "  pick(): number;\n"
+        "}\n"
+        "\n"
+        "export interface IB {\n"
+        "  pick(): number;\n"
+        "}\n"
+        "\n"
+        "export interface IC extends IA, IB {\n"
+        "  own(): number;\n"
+        "}\n"
+        "\n"
+        "export function j31_iface_diamond(c: IC) { return c.pick(); }\n"
+    ),
+    # -- round 9: breadth (throws, decorators, deep barrels, require) --
+    "src/lib/errors.ts": (
+        "export class CustomError extends Error {\n"
+        "}\n"
+    ),
+    "src/lib/deco.ts": (
+        "export function cached(fn) { return fn; }\n"
+    ),
+    "src/lib/barrel2.ts": "export * from './index';\n",
+    "src/use/throwing.ts": (
+        "import { CustomError } from '../lib/errors';\n"
+        "import { cached } from '../lib/deco';\n"
+        "\n"
+        "export function j32_throws(x: number) {\n"
+        "  if (x < 0) { throw new CustomError('neg'); }\n"
+        "  return x;\n"
+        "}\n"
+        "\n"
+        "export class Svc {\n"
+        "  @cached\n"
+        "  j33_decorated() { return 1; }\n"
+        "}\n"
+    ),
+    "src/use/deepbarrel.ts": (
+        "import { helper } from '../lib/barrel2';\n"
+        "\n"
+        "export function j37_two_level_barrel() { return helper(7); }\n"
+    ),
+    "src/use/reqns.js": (
+        "const core = require('../lib/core');\n"
+        "\n"
+        "function j38_require_namespace(x) { return core.helper(x); }\n"
+        "\n"
+        "module.exports = { j38_require_namespace };\n"
+    ),
 }
 
 POSITIVES = [
@@ -297,9 +418,31 @@ POSITIVES = [
     ("j21_require", "helper"),
     ("j22_module_bind", "Tool.run"),
     ("j23_imported_singleton", "Tool.run"),
+    # round 9: balanced-paren chained calls (verdict r8 item 2)
+    ("j24_nested_arg_chain", "Tool.run"),  # nested parens in args
+    ("j25_two_hop", "Conn.query"),  # later link of new D().getConn().query()
+    ("j26_bound_chain", "Result.unwrap"),  # bound two-hop chain result
+    ("j27_chained_base_args", "Conn.query"),  # args in the chained base
+    ("j29_multiline_chain", "Tool.run"),  # chain across lines
+    ("j30_new_with_args", "Tool.run"),  # new with call args
+    ("j35_direct_new", "Tool.run"),  # direct new-chain, no var
+    ("j39_arrow_factory", "Tool.run"),  # arrow-function factory
+    ("Wrap.j28_this_chain", "Conn.query"),  # chain off a typed this-field
+    # round 9: interface extends-list diamond (MRO base order)
+    ("j31_iface_diamond", "IA.pick"),
+    # round 9: breadth
+    ("j32_throws", "CustomError"),
+    ("Svc.j33_decorated", "cached"),
+    ("j37_two_level_barrel", "helper"),
+    ("j38_require_namespace", "helper"),
 ]
 
-ASPIRATIONAL: list[tuple[str, str, str]] = []
+# (site, target a full static analysis reaches, raw method name)
+ASPIRATIONAL: list[tuple[str, str, str]] = [
+    # THREE chained hops (the Python corpus's a06 twin): the resolver
+    # peels exactly one marker level — honest bound
+    ("an01_three_hop", "Result.unwrap", "unwrap"),
+]
 
 NEGATIVES = [
     ("jn01_reassigned", "run"),
@@ -311,6 +454,9 @@ NEGATIVES = [
     ("jn07_static_getter", "ping"),
     ("jn08_paren_chain", "run"),
     ("jn09_anonymous_default", "anon"),
+    # round 9: chains that must stay unresolved
+    ("jn10_poisoned_head_chain", "query"),  # reassigned head var
+    ("jn11_curried", "run"),  # curried call result — unmarkable
 ]
 
 
@@ -376,5 +522,8 @@ def test_js_fidelity_rate(fidelity_js):
     denom = len(POSITIVES) + len(ASPIRATIONAL)
     rate = resolved / denom
     print(f"JS resolver fidelity: {resolved}/{denom} = {rate:.3f}")
-    # round 8: every JS positive green, 23/23
-    assert rate >= 23 / 23 - 1e-9
+    # round 9: 16 new sites (balanced-paren chains, interface diamond,
+    # throws/decorator/deep-barrel/require breadth); an01 (three-hop
+    # chain) is the honest-denominator entry → floor 37/38 ≈ 0.974,
+    # above the verdict's 38/40 (0.95) bar
+    assert rate >= 37 / 38 - 1e-9
