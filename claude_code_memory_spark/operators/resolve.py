@@ -312,14 +312,21 @@ def _mro_nearest_def(
     that base list (``class D(B, C)`` with ``C(B)``) is C3-inconsistent
     and Python refuses to build the class at all.
 
-    ``need``: (n_mod, n_name, n_method) distinct; ``dm``: (dm_module,
-    dm_name) definitions. Returns (n_mod, n_name, n_method, h_def), at
-    most one row per key. ``min_depth=1`` = super() dispatch (skip the
-    own override). All joins are class-count-scale equi-joins.
+    ``need``: (n_mod, n_name, n_method) distinct, optionally with a
+    per-row ``n_mind`` minimum depth (0 = plain lookup, 1 = super()
+    dispatch skipping the own override) so BOTH lookup flavors batch
+    into one pass — the pipeline runs this table once per index batch,
+    not once per flavor. ``dm``: (dm_module, dm_name) definitions.
+    Returns (n_mod, n_name, n_method, n_mind, h_def), at most one row
+    per key. All joins are class-count-scale equi-joins.
     """
-    cond = (need.n_mod == anc.c_module) & (need.n_name == anc.c_name)
-    if min_depth:
-        cond = cond & (anc.depth >= min_depth)
+    if "n_mind" not in need.columns:
+        need = need.withColumn("n_mind", F.lit(int(min_depth)))
+    cond = (
+        (need.n_mod == anc.c_module)
+        & (need.n_name == anc.c_name)
+        & (anc.depth >= need.n_mind)
+    )
     cand = (
         need.join(anc, cond)
         .join(
@@ -328,7 +335,7 @@ def _mro_nearest_def(
             & (F.concat_ws(".", F.col("a_name"), F.col("n_method")) == dm.dm_name),
         )
         .select(
-            "n_mod", "n_name", "n_method", "depth", "bpos",
+            "n_mod", "n_name", "n_method", "n_mind", "depth", "bpos",
             "a_module", "a_name", "dm_module", "dm_name",
         )
     )
@@ -338,26 +345,26 @@ def _mro_nearest_def(
     # multiplicatively — measured as a driver heap OOM on a 3-file
     # index batch. Class-count-scale rows: pinning is noise.
     cand = _pin(cand)
-    per_depth = cand.groupBy("n_mod", "n_name", "n_method", "depth").agg(
+    per_depth = cand.groupBy("n_mod", "n_name", "n_method", "n_mind", "depth").agg(
         F.count_distinct(F.struct("dm_module", "dm_name")).alias("__ndefs"),
         F.min("dm_name").alias("__def"),
     )
-    best = per_depth.groupBy("n_mod", "n_name", "n_method").agg(
+    best = per_depth.groupBy("n_mod", "n_name", "n_method", "n_mind").agg(
         F.min(F.struct("depth", "__ndefs", "__def")).alias("__best")
     )
     unique = best.filter(F.col("__best.__ndefs") == 1).select(
-        "n_mod", "n_name", "n_method", F.col("__best.__def").alias("h_def")
+        "n_mod", "n_name", "n_method", "n_mind", F.col("__best.__def").alias("h_def")
     )
     # equal-depth-1 diamonds: order the tied direct-base definers by
     # base-list position
     tie_keys = best.filter(
         (F.col("__best.__ndefs") > 1) & (F.col("__best.depth") == 1)
-    ).select("n_mod", "n_name", "n_method")
+    ).select("n_mod", "n_name", "n_method", "n_mind")
     tied = cand.filter(F.col("depth") == 1).join(
-        tie_keys, ["n_mod", "n_name", "n_method"], "left_semi"
+        tie_keys, ["n_mod", "n_name", "n_method", "n_mind"], "left_semi"
     )
     first = (
-        tied.groupBy("n_mod", "n_name", "n_method")
+        tied.groupBy("n_mod", "n_name", "n_method", "n_mind")
         .agg(
             F.min(
                 F.when(
@@ -384,7 +391,7 @@ def _mro_nearest_def(
         F.col("depth").alias("x_d"),
     )
     bad = (
-        first.join(tied, ["n_mod", "n_name", "n_method"])
+        first.join(tied, ["n_mod", "n_name", "n_method", "n_mind"])
         .filter(
             ~(
                 (F.col("a_module") == F.col("__w.w_mod"))
@@ -399,12 +406,14 @@ def _mro_nearest_def(
             & (F.col("__w.w_name") == F.col("x_an"))
             & (F.col("x_d") >= 1),
         )
-        .select("n_mod", "n_name", "n_method")
+        .select("n_mod", "n_name", "n_method", "n_mind")
         .distinct()
     )
     tie_resolved = first.join(
-        bad, ["n_mod", "n_name", "n_method"], "left_anti"
-    ).select("n_mod", "n_name", "n_method", F.col("__w.w_def").alias("h_def"))
+        bad, ["n_mod", "n_name", "n_method", "n_mind"], "left_anti"
+    ).select(
+        "n_mod", "n_name", "n_method", "n_mind", F.col("__w.w_def").alias("h_def")
+    )
     return unique.unionByName(tie_resolved)
 
 
@@ -2121,40 +2130,25 @@ def resolve_calls(
     dm = defs.select(
         F.col("def_module").alias("dm_module"), F.col("def_name").alias("dm_name")
     )
-    need = (
-        attr.filter(F.col("__cm").isNotNull())
-        .select(
-            F.col("__cm").alias("n_mod"),
-            F.col("__cn").alias("n_name"),
-            F.col("to_entity").alias("n_method"),
-        )
-        .distinct()
-    )
-    # nearest-ancestor lookup with the ambiguity guard (advice r7) plus
-    # the depth-1 MRO base-order tie-break (verdict r8 item 5) — shared
-    # with super dispatch below via _mro_nearest_def
-    hits = _mro_nearest_def(need, anc, dm).select(
-        F.col("n_mod").alias("h_mod"),
-        F.col("n_name").alias("h_name"),
-        F.col("n_method").alias("h_method"),
-        "h_def",
-    )
-    attr = attr.join(
-        hits,
-        (F.col("__cm") == hits.h_mod)
-        & (F.col("__cn") == hits.h_name)
-        & (F.col("to_entity") == hits.h_method),
-        "left",
-    )
+    # `attr` is ~40 joins deep here and fans into FOUR consumers below
+    # (plain-lookup need, super-dispatch need, the hit joins, and the
+    # terminal union): unpinned, every consumer replays the entire
+    # attribute pipeline and the resolve stage ballooned to 46.8 s on
+    # the engine's own repo (r9 head). Pinning collapses those replays
+    # to one materialization — the round-9 resolve budget (PLANS.md).
+    attr = _pin(attr)
 
     # super dispatch: Python `super().close()` (the call-result marker
     # 'super()') and JS `super.close()` (bare base 'super') inside a
     # method 'Class.m' resolve through the ancestor closure EXCLUDING
     # the class itself (depth >= 1 — super skips the own override, which
-    # the plain method lookup above would wrongly match). The enclosing
+    # the plain method lookup would wrongly match). The enclosing
     # class is the from_entity's head, confirmed as a class in the SAME
     # file; a super() call outside a known class, or a method no
     # ancestor defines, stays unresolved (Python raises there too).
+    # Joined BEFORE the lookups so the plain and super needs batch into
+    # ONE _mro_nearest_def pass (per-row n_mind carries the depth
+    # floor) — one candidate pin per index batch instead of two.
     is_super = F.col("context").isin("super()", "super")
     sup_cls = classes.select(
         F.col("file_path").alias("sp_file"),
@@ -2168,23 +2162,44 @@ def resolve_calls(
         & (F.split(F.col("from_entity"), r"\.")[0] == sup_cls.sp_name),
         "left",
     )
-    need_sup = (
-        attr.filter(F.col("sp_mod").isNotNull())
+    need = (
+        attr.filter(F.col("__cm").isNotNull())
         .select(
-            F.col("sp_mod").alias("n_mod"),
-            F.col("sp_name").alias("n_name"),
+            F.col("__cm").alias("n_mod"),
+            F.col("__cn").alias("n_name"),
             F.col("to_entity").alias("n_method"),
+            F.lit(0).alias("n_mind"),
+        )
+        .unionByName(
+            attr.filter(F.col("sp_mod").isNotNull()).select(
+                F.col("sp_mod").alias("n_mod"),
+                F.col("sp_name").alias("n_name"),
+                F.col("to_entity").alias("n_method"),
+                F.lit(1).alias("n_mind"),
+            )
         )
         .distinct()
     )
-    dm2 = defs.select(
-        F.col("def_module").alias("dm_module"), F.col("def_name").alias("dm_name")
+    # nearest-ancestor lookup with the ambiguity guard (advice r7) plus
+    # the depth-1 MRO base-order tie-break (verdict r8 item 5); n_mind=1
+    # rows are super dispatch — equal-depth-1 diamonds break by
+    # base-list position, so super() in D(B, C) dispatches to B's def,
+    # the next class in D's MRO
+    hits_all = _mro_nearest_def(need, anc, dm)
+    hits = hits_all.filter(F.col("n_mind") == 0).select(
+        F.col("n_mod").alias("h_mod"),
+        F.col("n_name").alias("h_name"),
+        F.col("n_method").alias("h_method"),
+        "h_def",
     )
-    # same lookup as the plain path, restricted to depth >= 1 (super
-    # skips the own override); equal-depth-1 diamonds break by base-list
-    # position — super() in D(B, C) dispatches to B's def, the next class
-    # in D's MRO
-    hits_sup = _mro_nearest_def(need_sup, anc, dm2, min_depth=1).select(
+    attr = attr.join(
+        hits,
+        (F.col("__cm") == hits.h_mod)
+        & (F.col("__cn") == hits.h_name)
+        & (F.col("to_entity") == hits.h_method),
+        "left",
+    )
+    hits_sup = hits_all.filter(F.col("n_mind") == 1).select(
         F.col("n_mod").alias("hs_mod"),
         F.col("n_name").alias("hs_name"),
         F.col("n_method").alias("hs_method"),

@@ -1781,3 +1781,78 @@ def test_js_super_dispatch_resolution(spark):
         for r in out.filter(out.relation_type == "calls").collect()
     }
     assert ("Button.render", "Widget.render", "resolved") in got
+
+
+def test_resolve_pin_budget(spark, monkeypatch):
+    """The round-9 resolve budget (verdict r8 item 3), pinned as a plan
+    shape: every `_pin` is an eager materialization job that runs
+    SERIALLY on the driver, so the pin count — not row volume — is what
+    the resolve stage's wall clock scales with on entity-scale data.
+    r9 head measured 14 pins / 46.8 s on the engine's own repo; pinning
+    `attr` once before the MRO lookups and batching the plain + super
+    lookups into one `_mro_nearest_def` pass (per-row `n_mind` depth
+    floor) cut that to 12 pins / ~15 s. A new fan-out that adds a pin
+    must justify itself here."""
+    import claude_code_memory_spark.operators.resolve as R
+    from claude_code_memory_spark.sources.python_parser import (
+        PARSED_SCHEMA,
+        return_bindings,
+    )
+
+    fixture = {
+        "pkg/__init__.py": "from .core import helper\n",
+        "pkg/core.py": (
+            "class Base:\n"
+            "    def close(self):\n"
+            "        return 0\n"
+            "\n"
+            "def helper(x):\n"
+            "    return x + 1\n"
+            "\n"
+            "class Tool(Base):\n"
+            "    attr: Base\n"
+            "    def run(self):\n"
+            "        return super().close()\n"
+        ),
+        "app.py": (
+            "from pkg import helper as h\n"
+            "from pkg.core import Tool\n"
+            "\n"
+            "def use():\n"
+            "    t = Tool()\n"
+            "    return h(1) + t.run() + t.attr.close()\n"
+        ),
+    }
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_python_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+
+    calls = {"n": 0}
+    orig = R._pin
+
+    def counting_pin(df):
+        calls["n"] += 1
+        return orig(df)
+
+    monkeypatch.setattr(R, "_pin", counting_pin)
+    out = resolve_calls(
+        relations,
+        import_bindings(parsed),
+        entities,
+        type_bindings(parsed),
+        return_binds=return_bindings(parsed),
+    )
+    got = {
+        (r["from_entity"], r["to_entity"])
+        for r in out.filter(
+            out.import_type == "resolved"
+        ).collect()
+    }
+    # the budget exercises every lookup family: bare import, instance
+    # method, inherited attribute, super dispatch
+    assert ("use", "helper") in got
+    assert ("use", "Tool.run") in got
+    assert ("Tool.run", "Base.close") in got
+    assert calls["n"] <= 12, f"resolve pin budget exceeded: {calls['n']} > 12"
