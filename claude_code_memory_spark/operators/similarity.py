@@ -151,6 +151,76 @@ def knn_join_numpy(
     return local_topk.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def blocked_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """All pairs (id_a < id_b) within each block whose cosine ≥ threshold
+    — the verify step of embedding near-dup, BLAS path.
+
+    The expression form (self-join on the block key + per-pair array
+    cosine) materializes every candidate pair BEFORE the filter: the
+    round-9 sf1 evidence run measured 76.6 s for ~43 M pairs of 64-dim
+    floats, all but 98 k of which the threshold then discarded. Here each
+    block becomes one Arrow group, rows are L2-normalized once, and a
+    chunked ``N_chunk @ N.T`` matmul scores the block — survivors are the
+    only rows that ever become Spark data. Identical results (same 6-dp
+    round, nan/zero-norm rows drop, NULL blocks drop like the join they
+    replace); ~20x the throughput.
+
+    Memory is bounded: the chunk size shrinks as the block grows so the
+    score slab stays ≤ ~256 MB. A block must still fit one executor as a
+    (rows × dim) float64 matrix — at 100 TB keep blocks bounded upstream
+    (LSH/IVF bucketing, the dedup-family rule); this verifier is for the
+    post-blocking stage, not a substitute for blocking."""
+    import pandas as pd
+
+    schema = "id_a long, id_b long, cos double"
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cos": np.float64}
+            )
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nm = mat / norms  # zero-norm rows become nan → never ≥ threshold
+        chunk = max(64, int(2**25 / max(n, 1)))  # ≤ ~256 MB of scores
+        col_idx = np.arange(n)
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            scores = np.round(nm[s:e] @ nm.T, 6)
+            # i < j in vec_id order (ids are sorted): strict upper triangle
+            mask = (scores >= threshold) & (col_idx[None, :] > (s + np.arange(e - s))[:, None])
+            ri, ci = np.nonzero(mask)
+            out_a.append(ids[s + ri])
+            out_b.append(ids[ci])
+            out_c.append(scores[ri, ci])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
+            }
+        )
+
+    return (
+        embeddings.filter(F.col(block_col).isNotNull())
+        .select(block_col, id_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(per_block, schema)
+    )
+
+
 def ivf_knn_join(
     indexed: DataFrame,
     centers: np.ndarray,

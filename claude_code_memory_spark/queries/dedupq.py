@@ -163,23 +163,14 @@ def dedup_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (cos >= 0.4), blocked by label.
 
     Label blocking stands in for the LSH/IVF bucketing used at scale —
-    the self-join never goes N x N."""
-    from claude_code_memory_spark.functions.vector import cosine_similarity
+    the self-join never goes N x N. Scoring is the blocked-matmul
+    verifier (one Arrow group per block, chunked BLAS), not a pair
+    join: the expression form materialized ~43 M candidate pairs at sf1
+    to keep 98 k (76.6 s → ~4 s, round-9 sf1 evidence)."""
+    from claude_code_memory_spark.operators.similarity import blocked_cosine_pairs
 
     emb = table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "label"
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "label"
-    )
-    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
-    cos = cosine_similarity(F.col("emb_a"), F.col("emb_b"))
-    return (
-        pairs.withColumn("cos", F.round(cos, 6))
-        .filter(F.col("cos") >= 0.4)
-        .select("id_a", "id_b", "cos")
-    )
+    return blocked_cosine_pairs(emb, 0.4)
 
 
 @register(

@@ -376,3 +376,58 @@ class TestIVFPQ:
         assert r8 >= 0.4, (r1, r8)
         codes.unpersist()
         emb.unpersist()
+
+
+class TestBlockedCosinePairs:
+    def test_matches_expression_self_join(self, spark, emb):
+        """The BLAS verifier must produce the exact pair set and 6-dp
+        scores of the expression-path self-join it replaced
+        (queries/dedupq.py::dedup_embedding_neardup, round-9 sf1 fix)."""
+        from claude_code_memory_spark.functions.vector import cosine_similarity
+        from claude_code_memory_spark.operators.similarity import (
+            blocked_cosine_pairs,
+        )
+
+        sub = emb.limit(400).cache()
+        a = sub.select(
+            F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "label"
+        )
+        b = sub.select(
+            F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "label"
+        )
+        expr = (
+            a.join(b, "label")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6))
+            .filter(F.col("cos") >= 0.3)
+            .select("id_a", "id_b", "cos")
+        )
+        want = {(r["id_a"], r["id_b"]) for r in expr.collect()}
+        got_rows = blocked_cosine_pairs(sub, 0.3).collect()
+        got = {(r["id_a"], r["id_b"]) for r in got_rows}
+        assert got == want
+        # scores agree to 6 dp despite BLAS vs left-fold summation order
+        want_scores = {(r["id_a"], r["id_b"]): r["cos"] for r in expr.collect()}
+        for r in got_rows:
+            assert abs(r["cos"] - want_scores[(r["id_a"], r["id_b"])]) <= 1e-6
+        sub.unpersist()
+
+    def test_null_blocks_and_zero_vectors_drop(self, spark):
+        """NULL block keys never pair (matching equi-join null semantics)
+        and zero-norm vectors produce no nan pairs; a 1-row block emits
+        nothing."""
+        from claude_code_memory_spark.operators.similarity import (
+            blocked_cosine_pairs,
+        )
+
+        rows = [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.0], 0),
+            (3, [0.0, 0.0], 0),   # zero vector: nan cos, never emitted
+            (4, [1.0, 1.0], None),  # NULL block: dropped
+            (5, [1.0, 1.0], None),
+            (6, [1.0, 0.0], 7),   # singleton block
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        got = {(r["id_a"], r["id_b"]) for r in blocked_cosine_pairs(df, 0.5).collect()}
+        assert got == {(1, 2)}
