@@ -1302,16 +1302,20 @@ def resolve_calls(
         # var/self-attr/class-name bases through the bind tables, a
         # bare inner name as a same/imported-module constructor or
         # factory — then the outer link rides the normal fx2 lookup via
-        # __bcls. A depth-3 marker's inner base is again a marker and
-        # matches nothing: unresolved beats guessed (fidelity a06 pins
-        # the bound).
+        # __bcls. Deeper markers (inner base itself a marker) type in
+        # the peel loop below (fidelity a06).
         if type_binds is not None:
             mkv = F.col("mk_marker")
             mk_stripped = F.regexp_replace(mkv, r"\(\)$", "")
             mk_base_raw = F.regexp_replace(mk_stripped, r"\.[^.]+$", "")
             mk_base = F.when(mk_base_raw != mk_stripped, mk_base_raw)
             mk_ctor = F.element_at(F.split(mk_stripped, r"\."), -1)
-            mkf = (
+            # distinct markers are pinned: the frame derives from the
+            # ~30-join attr tree and is referenced by the single-level
+            # typing below AND the two deeper peel passes — unpinned,
+            # each reference replays the whole attr subtree inside the
+            # mkf materialization (the round-9 pin-budget rule)
+            mk_all = _pin(
                 attr.filter(
                     F.col("__ctor.base").isNotNull()
                     & F.col("__ctor.base").rlike(r"\(\)$")
@@ -1325,6 +1329,7 @@ def resolve_calls(
                 .withColumn("mk_base", mk_base)
                 .withColumn("mk_ctor", mk_ctor)
             )
+            mkf = mk_all
             m1f = tb.select(
                 F.col("file_path").alias("m1f_file"),
                 F.col("scope").alias("m1f_scope"),
@@ -1552,6 +1557,51 @@ def resolve_calls(
                 )
                 .filter(F.col("mk_cls").isNotNull())
             )
+            # --- deeper chained markers (fidelity a06): a marker whose
+            # base is ITSELF a marker ('d.get_conn().query()' inside
+            # 'd.get_conn().query().again()') types by peeling through
+            # the just-typed inner link and the method-return table,
+            # once per extra link. Two passes close the parser's marker
+            # grammar (longest emitted chain = 3 links + the call row);
+            # anything deeper matches no typed inner and stays
+            # unresolved — unresolved beats guessed, as everywhere.
+            fx6 = fx.select(
+                F.col("fx_module").alias("m6f_module"),
+                F.col("fx_func").alias("m6f_func"),
+                F.col("fx_c").alias("m6f_c"),
+            )
+            mk_deep = mk_all.filter(F.col("mk_base").rlike(r"\(\)$"))
+            typed = mkf
+            for _ in range(2):
+                inner = typed.select(
+                    F.col("mk_file").alias("i_file"),
+                    F.col("mk_scope").alias("i_scope"),
+                    F.col("mk_marker").alias("i_marker"),
+                    F.col("mk_cls").alias("i_cls"),
+                )
+                typed = (
+                    mk_deep.join(
+                        inner,
+                        (F.col("mk_file") == F.col("i_file"))
+                        & (F.col("mk_scope") == F.col("i_scope"))
+                        & (F.col("mk_base") == F.col("i_marker")),
+                    )
+                    .join(
+                        fx6,
+                        (F.col("i_cls.mod") == F.col("m6f_module"))
+                        & (
+                            F.concat_ws(".", F.col("i_cls.name"), F.col("mk_ctor"))
+                            == F.col("m6f_func")
+                        ),
+                    )
+                    .select(
+                        "mk_file",
+                        "mk_scope",
+                        "mk_marker",
+                        F.col("m6f_c").alias("mk_cls"),
+                    )
+                )
+                mkf = mkf.unionByName(typed)
             mkf = _pin(mkf)
             attr = attr.join(
                 mkf,

@@ -569,6 +569,9 @@ POSITIVES = [
     ("c35_diamond_leftmost", "DLeft.ping"),  # D(B, C) → B.ping
     ("c36_subclass_first", "LeftChild.ping"),  # subclass-first base list
     ("Diamond.pang", "DLeft.pang"),  # super() through a depth-1 diamond
+    # round 9: three-hop chains — the deep-marker peel types
+    # d.get_conn().query().again() through two extra fx lookups
+    ("a06_three_hop", "Conn.query"),
 ]
 
 # (site, target a full static analysis reaches, raw method name) —
@@ -581,10 +584,9 @@ POSITIVES = [
 # they are identified (multi-hop chains, call results through
 # subscripts, ...).
 ASPIRATIONAL = [
-    # THREE chained hops: the resolver peels exactly one marker level
-    # (two hops); a depth-3 marker's inner base is itself a marker and
-    # stays untyped — honest bound, next slice if real code needs it
-    ("a06_three_hop", "Conn.query", "query"),
+    # empty since round 9 closed the three-hop chain slice (the deep-
+    # marker peel); new aspirational sites join here as identified
+    # (call results through subscripts, comprehension targets, ...)
 ]
 
 # (site, raw callee) — resolution here breaks the poisoning guarantee
@@ -684,6 +686,6 @@ def test_fidelity_rate(fidelity):
     rate = resolved / denom
     print(f"resolver fidelity: {resolved}/{denom} = {rate:.3f}")
     # round 9: three diamond MRO positives green (equal-depth ties by
-    # base-list order); a06 (three-hop chain) is still the
-    # honest-denominator entry → 43/44
-    assert rate >= 43 / 44 - 1e-9
+    # base-list order) AND a06 three-hop chain closed by the deep-
+    # marker peel → full denominator
+    assert rate >= 44 / 44 - 1e-9
