@@ -129,8 +129,13 @@ def collect_file_stats(spark: SparkSession, snapshot_dir: str) -> dict:
                 paths.append(os.path.join(root, f))
     if not paths:
         manifest = {"files": {}}
-    elif len(paths) <= 16:
-        # driver-side fast path: a Spark job costs more than 16 footers
+    elif len(paths) <= 128:
+        # driver-side fast path: a local footer read is ~1-3 ms, a Spark
+        # job ~0.7 s of scheduling — measured 6.4 s of a 15.5 s write
+        # stage going to 9 stats jobs over ≤ 96 files each (r9 write
+        # profile). 128 footers ≈ 0.3 s driver-side; the distributed
+        # path stays for snapshots that are genuinely many-file (object
+        # storage at 100 TB, where listing alone argues for executors).
         manifest = {
             "files": {
                 os.path.relpath(r["file"], snapshot_dir): r
