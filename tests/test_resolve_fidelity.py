@@ -76,6 +76,11 @@ FIXTURE = {
         "        if flag:\n"
         "            return Conn()\n"
         "        return None\n"
+        "\n"
+        "    def flaky(self):\n"
+        "        if self.x:\n"
+        "            return Conn()\n"
+        "        return Result()\n"
     ),
     "lib/factories.py": (
         "from lib.core import Tool\n"
@@ -286,6 +291,14 @@ FIXTURE = {
         "def n05_untyped_base(q):\n"
         "    w = q.get_conn()\n"
         "    return w.query()\n"
+        "\n"
+        "def n17_divergent_mid_chain():\n"
+        "    d = Database()\n"
+        "    return d.flaky().query()\n"
+        "\n"
+        "def n18_chain_past_marker_depth():\n"
+        "    d = Database()\n"
+        "    return d.get_conn().query().again().query().unwrap()\n"
     ),
     "use/twostars.py": (
         "from lib.dup_a import *\n"
@@ -608,6 +621,12 @@ NEGATIVES = [
     # round 9: C3-inconsistent base list (a base preceding its own
     # subclass) — Python refuses to build the class; stay unresolved
     ("n12_c3_unreachable", "ping"),
+    # round 9: deep-peel soundness — a divergent-return method mid-chain
+    # has no return_bind, so the marker stays untyped; and a link past
+    # the marker depth cap gets NO marker (the parser refuses rather
+    # than truncates) so its call stays a bare unresolved row
+    ("n17_divergent_mid_chain", "query"),
+    ("n18_chain_past_marker_depth", "unwrap"),
     # round 9 (ADVICE r8 medium): present-but-unresolvable shadows block
     ("n13_dotted_shadow", "maybe"),  # dotted ctor bind shadows base ann
     ("n14_method_shadows_property", "query"),  # method over base property
