@@ -43,6 +43,7 @@ FIXTURE = {
     "src/lib/db.ts": (
         "export class Result {\n"
         "  unwrap() { return 1; }\n"
+        "  again(): Conn { return new Conn(); }\n"
         "}\n"
         "\n"
         "export class Conn {\n"
@@ -329,6 +330,14 @@ FIXTURE = {
         "export function jn11_curried(f) {\n"
         "  return f()(1).run();\n"
         "}\n"
+        "\n"
+        "export function jn12_divergent_mid_chain() {\n"
+        "  return new Database().maybe(true).unwrap();\n"
+        "}\n"
+        "\n"
+        "export function jn13_chain_past_marker_depth() {\n"
+        "  return new Database().getConn().query().again().unwrap();\n"
+        "}\n"
     ),
     "src/use/thischain.ts": (
         "import { Database } from '../lib/db';\n"
@@ -458,6 +467,11 @@ NEGATIVES = [
     # round 9: chains that must stay unresolved
     ("jn10_poisoned_head_chain", "query"),  # reassigned head var
     ("jn11_curried", "run"),  # curried call result — unmarkable
+    # round 9: deep-peel soundness twins of Python n17/n18 — a
+    # divergent-return method mid-chain poisons the marker; a link past
+    # the marker depth cap gets no marker at all
+    ("jn12_divergent_mid_chain", "unwrap"),
+    ("jn13_chain_past_marker_depth", "unwrap"),
 ]
 
 
