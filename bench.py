@@ -714,6 +714,15 @@ def main() -> None:
             out["extras"]["sf1_evidence"] = json.load(fh)
     except (OSError, json.JSONDecodeError):
         pass
+    # big-repo indexing evidence (round 9): tools/bigrepo_run.py indexes
+    # a real 500+-file codebase (installed pyspark; site-packages for
+    # the 12k-file stress run) and records the stage split — folded in
+    # for the same reason as sf1_evidence.
+    try:
+        with open(os.path.join(here, "bigrepo_evidence.json")) as fh:
+            out["extras"]["bigrepo_evidence"] = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        pass
     if errors:
         out["errors"] = errors
     if trend:

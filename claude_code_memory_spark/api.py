@@ -266,6 +266,17 @@ class CodeMemoryEngine:
         if refit:
             model = bm25_mod.fit(corpus_meta)
             model.save(self._bm25_path())
+            # RELOAD from the just-written parquet: fit's vocabulary is a
+            # LAZY frame over this batch's chunk pipeline — holding it as
+            # the in-session model means every later consumer (the
+            # transform below, and worse, every post-index search's
+            # query_terms join after chunks.unpersist()) re-executes the
+            # whole parse+chunk lineage. Measured on the 865-file pyspark
+            # corpus: 572 s for ONE hybrid search served from the lazy
+            # model vs ~2 s from the parquet-backed one (bigrepo run,
+            # round 9). A fresh session loading the saved model was never
+            # affected — only the indexing session itself.
+            model = self._load_bm25()
         self._bm25 = model
         if profile:
             _mark("bm25")

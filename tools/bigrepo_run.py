@@ -1,0 +1,85 @@
+"""Big-repo indexing evidence: run the full CodeMemoryEngine pipeline
+over a LARGE real codebase (default: the installed pyspark package,
+~500 Python files; pass any directory — site-packages itself is the
+12k-file stress variant) and record wall time, per-stage split, row
+counts, and the no-op incremental pass.
+
+The per-round reindex benchmarks index this engine's own ~80-file repo;
+this run is the scale evidence that the parse (mapInPandas), resolve
+(entity-scale join pipeline), and merge-write stages hold on a corpus
+one to two orders of magnitude bigger — real code, not synthetic.
+
+Writes `bigrepo_evidence.json` at the repo root; bench.py folds it into
+its extras (like sf1_evidence.json) so the measurement rides the driver
+artifact.
+
+Usage: python tools/bigrepo_run.py [target_dir]
+Run on an IDLE machine (memory: bench-needs-idle-machine).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from claude_code_memory_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    if len(sys.argv) > 1:
+        target = sys.argv[1]
+    else:
+        import pyspark
+
+        target = os.path.dirname(os.path.abspath(pyspark.__file__))
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = -1.0
+
+    from claude_code_memory_spark.api import CodeMemoryEngine
+
+    spark = get_spark("bigrepo_run")
+    spark.sparkContext.setLogLevel("ERROR")
+    store = tempfile.mkdtemp(prefix="bigrepo_store_")
+    out: dict = {
+        "target": target,
+        "load1_at_start": load1,
+    }
+    try:
+        eng = CodeMemoryEngine(spark, store)
+        t0 = time.time()
+        counters = eng.index(target, profile=True)
+        out["full_index_sec"] = round(time.time() - t0, 2)
+        out["stage_sec"] = counters.get("stage_sec")
+        out["files_changed"] = counters.get("files_changed")
+        out["entities"] = counters.get("entities")
+        out["relations"] = counters.get("relations")
+        out["chunks"] = counters.get("chunks")
+        t0 = time.time()
+        noop = eng.index(target)
+        out["noop_reindex_sec"] = round(time.time() - t0, 2)
+        out["noop_files_changed"] = noop.get("files_changed")
+        # a search against the big index — the serving path at this scale
+        t0 = time.time()
+        hits = eng.search("read parquet schema", mode="hybrid", k=10).collect()
+        out["hybrid_search_sec"] = round(time.time() - t0, 3)
+        out["hybrid_search_rows"] = len(hits)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "bigrepo_evidence.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out, indent=1))
+    print("wrote bigrepo_evidence.json")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
