@@ -718,11 +718,12 @@ def main() -> None:
     # a real 500+-file codebase (installed pyspark; site-packages for
     # the 12k-file stress run) and records the stage split — folded in
     # for the same reason as sf1_evidence.
-    try:
-        with open(os.path.join(here, "bigrepo_evidence.json")) as fh:
-            out["extras"]["bigrepo_evidence"] = json.load(fh)
-    except (OSError, json.JSONDecodeError):
-        pass
+    for bname in ("bigrepo_evidence.json", "bigrepo_stress_evidence.json"):
+        try:
+            with open(os.path.join(here, bname)) as fh:
+                out["extras"][bname[:-5]] = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            pass
     if errors:
         out["errors"] = errors
     if trend:

@@ -13,8 +13,10 @@ Writes `bigrepo_evidence.json` at the repo root; bench.py folds it into
 its extras (like sf1_evidence.json) so the measurement rides the driver
 artifact.
 
-Usage: python tools/bigrepo_run.py [target_dir]
-Run on an IDLE machine (memory: bench-needs-idle-machine).
+Usage: python tools/bigrepo_run.py [target_dir] [out_name]
+(out_name defaults to bigrepo_evidence.json; the 12k-file site-packages
+stress run writes bigrepo_stress_evidence.json so both ride the bench
+artifact.) Run on an IDLE machine (memory: bench-needs-idle-machine).
 """
 
 from __future__ import annotations
@@ -74,10 +76,11 @@ def main() -> None:
     finally:
         shutil.rmtree(store, ignore_errors=True)
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "bigrepo_evidence.json"), "w") as fh:
+    out_name = sys.argv[2] if len(sys.argv) > 2 else "bigrepo_evidence.json"
+    with open(os.path.join(here, out_name), "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out, indent=1))
-    print("wrote bigrepo_evidence.json")
+    print(f"wrote {out_name}")
     spark.stop()
 
 
