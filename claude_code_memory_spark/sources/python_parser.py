@@ -18,6 +18,7 @@ iterator (the reference's per-run parser reuse, SURVEY.md §7).
 from __future__ import annotations
 
 import ast
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -451,6 +452,33 @@ def _impl_rec(name, etype, path, lineno, end_lineno, content, complexity):
     )
 
 
+# ast.get_source_segment re-splits the WHOLE source on every call — its
+# per-call `_splitlines_no_ff` made implementation extraction
+# O(defs x file_bytes): 228 s of a 229 s parse of pyspark's 961 KB
+# functions/builtin.py (553 defs) went to re-splitting the same source
+# 553 times (round-9 big-repo profile). Split ONCE per file with the
+# same line-boundary rule — \n, \r, \r\n only; NOT \f, which
+# str.splitlines would also split on, shifting every lineno in legacy
+# form-feed-paginated files — then slice per node. Column offsets are
+# UTF-8 byte offsets, exactly as get_source_segment treats them.
+_AST_LINE = re.compile(r"[^\r\n]*(?:\r\n|[\r\n])|[^\r\n]+\Z")
+
+
+def _segment_of(lines: list[str], node: ast.AST) -> str:
+    try:
+        if node.end_lineno is None or node.end_col_offset is None:
+            return ""
+        lineno, end_lineno = node.lineno - 1, node.end_lineno - 1
+        col, end_col = node.col_offset, node.end_col_offset
+        if end_lineno == lineno:
+            return lines[lineno].encode()[col:end_col].decode()
+        first = lines[lineno].encode()[col:].decode()
+        last = lines[end_lineno].encode()[:end_col].decode()
+        return "".join([first, *lines[lineno + 1 : end_lineno], last])
+    except (AttributeError, IndexError):
+        return ""
+
+
 def parse_python_source(path: str, source: str) -> list[dict]:
     """Parse one Python file into typed records. Syntax errors yield just
     the file entity (reference: parser degrades gracefully,
@@ -464,6 +492,7 @@ def parse_python_source(path: str, source: str) -> list[dict]:
             _entity_rec(path, "file", path, 1, n_lines, [f"Python file {path} (syntax error)"])
         )
         return recs
+    seg_lines = _AST_LINE.findall(source)
 
     mod_doc = ast.get_docstring(tree)
     recs.append(
@@ -484,7 +513,7 @@ def parse_python_source(path: str, source: str) -> list[dict]:
             _entity_rec(qual, etype, path, fn.lineno, fn.end_lineno, obs, _signature(fn), doc)
         )
         recs.append(_relation_rec(parent_name or path, qual, "contains", path))
-        seg = ast.get_source_segment(source, fn) or ""
+        seg = _segment_of(seg_lines, fn)
         recs.append(
             _impl_rec(qual, etype, path, fn.lineno, fn.end_lineno, seg, _complexity(fn))
         )
@@ -646,7 +675,7 @@ def parse_python_source(path: str, source: str) -> list[dict]:
                 _entity_rec(node.name, "class", path, node.lineno, node.end_lineno, obs, None, doc)
             )
             recs.append(_relation_rec(path, node.name, "contains", path))
-            seg = ast.get_source_segment(source, node) or ""
+            seg = _segment_of(seg_lines, node)
             recs.append(
                 _impl_rec(node.name, "class", path, node.lineno, node.end_lineno, seg,
                           _complexity(node))
