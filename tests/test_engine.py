@@ -486,3 +486,21 @@ def test_sql_surface(spark, tmp_path):
         "WHERE c.entity_name LIKE '%alpha%'"
     )
     assert joined.count() > 0
+
+
+def test_bm25_model_is_storage_backed_after_index(spark, temp_repo, tmp_path):
+    """Round-9 regression pin: engine state that outlives a batch must be
+    STORAGE-backed. index() once kept fit's lazy vocabulary frame as the
+    in-session model, so after chunks.unpersist() every same-session
+    search re-executed the whole parse+chunk lineage through the
+    query_terms join — 572 s for one hybrid search on an 865-file corpus
+    (fixed: 2.9 s). The vocabulary plan must therefore be a plain
+    parquet scan, with no Python-eval (parse) stage in its lineage."""
+    eng = CodeMemoryEngine(spark, str(tmp_path / "store"))
+    eng.index(temp_repo)
+    vocab = eng.bm25_model().vocabulary
+    plan = vocab._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "FileScan parquet" in plan
+    assert "Python" not in plan and "mapInPandas" not in plan
