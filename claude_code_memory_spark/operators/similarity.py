@@ -169,8 +169,13 @@ def blocked_cosine_pairs(
     block becomes one Arrow group, rows are L2-normalized once, and a
     chunked ``N_chunk @ N.T`` matmul scores the block — survivors are the
     only rows that ever become Spark data. Identical results (same 6-dp
-    round, nan/zero-norm rows drop, NULL blocks drop like the join they
-    replace); ~20x the throughput.
+    round, nan/zero-norm rows drop, NULL blocks AND NULL vectors drop,
+    duplicate ids never self-pair — all matching the join's
+    ``id_a < id_b`` + null-propagation semantics); ~20x the throughput.
+    Rows whose vector length differs from the rest of the block score
+    only against same-length rows (the array-cosine of mismatched
+    lengths is NULL in the join form, so those cross-length pairs never
+    passed the threshold there either).
 
     Memory is bounded: the chunk size shrinks as the block grows so the
     score slab stays ≤ ~256 MB. A block must still fit one executor as a
@@ -181,40 +186,58 @@ def blocked_cosine_pairs(
 
     schema = "id_a long, id_b long, cos double"
 
+    _empty = {"id_a": np.int64, "id_b": np.int64, "cos": np.float64}
+
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col)
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
-        n = len(ids)
-        if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
-                {"id_a": np.int64, "id_b": np.int64, "cos": np.float64}
-            )
-        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            nm = mat / norms  # zero-norm rows become nan → never ≥ threshold
-        chunk = max(64, int(2**25 / max(n, 1)))  # ≤ ~256 MB of scores
-        col_idx = np.arange(n)
-        out_a, out_b, out_c = [], [], []
-        for s in range(0, n, chunk):
-            e = min(s + chunk, n)
-            scores = np.round(nm[s:e] @ nm.T, 6)
-            # i < j in vec_id order (ids are sorted): strict upper triangle
-            mask = (scores >= threshold) & (col_idx[None, :] > (s + np.arange(e - s))[:, None])
-            ri, ci = np.nonzero(mask)
-            out_a.append(ids[s + ri])
-            out_b.append(ids[ci])
-            out_c.append(scores[ri, ci])
-        return pd.DataFrame(
-            {
-                "id_a": np.concatenate(out_a),
-                "id_b": np.concatenate(out_b),
-                "cos": np.concatenate(out_c),
-            }
-        )
+        # NULL vectors never pair (the join's cosine is NULL); ragged
+        # dims only pair within their own length (mismatched-length
+        # array cosine is NULL in the join form) — np.stack would raise
+        # on either, so partition by length instead of assuming.
+        pdf = pdf[pdf[vec_col].notna()].copy()
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(_empty)
+        pdf["__dim"] = pdf[vec_col].map(len)
+        frames = []
+        for _, grp in pdf.groupby("__dim", sort=False):
+            grp = grp.sort_values(id_col)
+            ids = grp[id_col].to_numpy(dtype=np.int64)
+            n = len(ids)
+            if n < 2:
+                continue
+            mat = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                nm = mat / norms  # zero-norm rows become nan → never ≥ threshold
+            chunk = max(64, int(2**25 / max(n, 1)))  # ≤ ~256 MB of scores
+            out_a, out_b, out_c = [], [], []
+            for s in range(0, n, chunk):
+                e = min(s + chunk, n)
+                scores = np.round(nm[s:e] @ nm.T, 6)
+                # the join's predicate is id_a < id_b on VALUES, not
+                # positions: strict id inequality so duplicate ids never
+                # emit a self-pair (ids are sorted, so this is also the
+                # strict upper triangle for unique ids)
+                mask = (scores >= threshold) & (ids[None, :] > ids[s:e, None])
+                ri, ci = np.nonzero(mask)
+                out_a.append(ids[s + ri])
+                out_b.append(ids[ci])
+                out_c.append(scores[ri, ci])
+            if out_a:
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": np.concatenate(out_a),
+                            "id_b": np.concatenate(out_b),
+                            "cos": np.concatenate(out_c),
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(_empty)
+        return pd.concat(frames, ignore_index=True)
 
     return (
-        embeddings.filter(F.col(block_col).isNotNull())
+        embeddings.filter(F.col(block_col).isNotNull() & F.col(vec_col).isNotNull())
         .select(block_col, id_col, vec_col)
         .groupBy(block_col)
         .applyInPandas(per_block, schema)

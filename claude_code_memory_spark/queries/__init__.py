@@ -35,79 +35,80 @@ from claude_code_memory_spark.queries import (  # noqa: F401,E402
 # and 50 slots the rotation period is ~3 rounds, so the sweep must never
 # be preempted.
 #
-# Round-9 window, executing the round-8 queue exactly (r8 verdict item 1,
-# "rotate all 12 unwitnessed entries"): (a) the three round-8 additions —
-# never driver-checked (judge-selfchecked green at sf0.01 in the r8
-# verdict); (b) the nine r5-last-green entries deferred out of the
-# round-8 window — 3 driver rounds stale, top staleness priority;
-# (c) the first 38 of the 50-entry r6-last-green cohort, in catalog
-# order. 3 + 9 + 38 = 50; the remaining 12 r6 entries (agg_second_moments,
-# pivot_priority_by_year, text_language_id, text_quality_scores,
-# text_token_counts, text_fingerprints, text_complexity,
-# text_camel_spacing, corpus_filter_funnel, text_repetition_signals,
-# text_pii_redaction, text_c4_filter) lead the round-10 queue, followed
-# by any round-9 additions, then the r7 cohort.
+# Round-10 window, executing the round-9 queue exactly (r9 verdict item
+# 1): (a) the 12 r6-last-green cohort leftovers — 3 driver rounds stale,
+# top staleness priority (all judge-selfchecked green at sf0.01 in the
+# r9 verdict); (b) round 9 added no new catalog entries, so the rest of
+# the window is (c) the first 38 of the 50-entry r7-last-green cohort,
+# in catalog order. 12 + 38 = 50; the remaining 12 r7 entries
+# (sketch_heavy_hitters, feature_winsorize_clip, sketch_window_distinct,
+# privacy_pseudonymize, sketch_hll_mergeable, text_gopher_rules,
+# tokenizer_bpe_encode_top_symbols, text_token_entropy,
+# timeseries_gapfill_locf, timeseries_interpolate_linear,
+# anomaly_rolling_zscore, asof_join_salted_events) lead the round-11
+# queue, followed by any round-10 additions, then the r8 cohort.
+# After this rotation the full 162-entry catalog has cycled through the
+# driver window twice and no entry's latest green is older than r7.
 # tests/test_registry_order.py pins this window.
 _DRIVER_WINDOW = [
-    # -- (a) round-8 additions: never driver-checked --
-    "corpus_epoch_allocation",
-    "dedup_prefix_boilerplate",
-    "split_time_embargo",
-    # -- (b) the nine r5-last-green deferrals --
-    "diag_key_skew",
-    "sketch_countmin_freq",
-    "sketch_kmv_jaccard",
-    "sketch_approx_quantiles",
-    "agg_token_histogram",
-    "text_pmi_cooccurrence",
-    "tokenizer_bpe_pair_counts",
-    "lm_bigram_doc_scores",
-    "pack_training_sequences",
-    # -- (c) r6-last-green cohort, first 38 in catalog order --
-    "dedup_embedding_neardup",
-    "dedup_duplicate_clusters",
-    "split_train_val_test",
-    "sample_stratified_by_lang",
-    "graph_bfs2_brand_parts",
-    "q1_pricing_summary",
-    "filter_exclude_pattern",
-    "join_full_outer_diff",
-    "window_top_customers_per_nation",
-    "window_running_user_value",
-    "rrf_fusion_events",
-    "token_frequency_top50",
-    "weighted_content_assembly",
-    "ann_lsh_bucket",
-    "asof_join_events",
-    "multimodal_binary_stats",
-    "q19_disjunctive_filter",
-    "q2_top_supplier_per_part",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_priority_by_returnflag",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count_by_part",
-    "q18_large_volume_customers",
-    "q21_sole_returning_supplier",
-    "q22_idle_rich_customers",
-    "q11_important_stock",
-    "q20_dominant_supplier",
-    "dense_topk_filtered",
-    "knn_join_queries",
-    "vector_quantization_error",
-    "ann_ivf_probe",
-    "debounce_last_event_wins",
-    "events_json_props",
-    "agg_value_percentiles",
+    # -- (a) the twelve r6-last-green leftovers --
+    "agg_second_moments",
+    "pivot_priority_by_year",
+    "text_language_id",
+    "text_quality_scores",
+    "text_token_counts",
+    "text_fingerprints",
+    "text_complexity",
+    "text_camel_spacing",
+    "corpus_filter_funnel",
+    "text_repetition_signals",
+    "text_pii_redaction",
+    "text_c4_filter",
+    # -- (c) r7-last-green cohort, first 38 in catalog order --
+    "cluster_kmeans_sizes",
+    "dedup_semantic_cells",
+    "dedup_repeated_ngrams",
+    "sample_domain_mixture",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_minhash_delta",
+    "dedup_cross_substring",
+    "dedup_clusters_star",
+    "dedup_keep_best_per_cluster",
+    "dedup_ngram_exposure",
+    "graph_pagerank_nations",
+    "graph_triangle_counts",
+    "mixture_domain_weights",
+    "sample_dsir_importance",
+    "decontaminate_vs_benchmark",
+    "split_group_holdout",
+    "relations_orphan_cleanup",
+    "agg_percentiles",
+    "window_lag_lead",
+    "scroll_pagination",
+    "chunk_pack_running_budget",
+    "agg_grouping_sets",
+    "window_time_range_frame",
+    "agg_user_segments_bitmap",
+    "q17_small_quantity_revenue",
+    "range_join_click_to_purchase",
+    "layout_zorder_tiles",
+    "knn_per_label",
+    "ivf_knn_join_batch",
+    "vector_pq_error",
+    "vector_pq_adc_topk",
+    "ann_hard_negatives",
+    "tumbling_window_counts",
+    "sessionize_builtin_window",
+    "retention_cohorts",
+    "sliding_window_counts",
+    "sketch_approx_distinct",
 ]
-# Round-10 rotation queue (oldest-green-first after this round lands):
-# (a) the 12 r6-cohort entries deferred above (listed in the window
-#     comment); (b) any round-9 additions (never driver-checked);
-# (c) the 50-entry r7-last-green cohort — whatever fits after (a)+(b);
-#     remainder rotates in round 11 with the r8 cohort.
+# Round-11 rotation queue (oldest-green-first after this round lands):
+# (a) the 12 r7-cohort entries deferred above (listed in the window
+#     comment); (b) any round-10 additions (never driver-checked);
+# (c) the 50-entry r8-last-green cohort — whatever fits after (a)+(b);
+#     remainder rotates in round 12 with the r9 cohort.
 
 
 def _apply_driver_window() -> None:

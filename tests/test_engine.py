@@ -496,11 +496,17 @@ def test_bm25_model_is_storage_backed_after_index(spark, temp_repo, tmp_path):
     query_terms join — 572 s for one hybrid search on an 865-file corpus
     (fixed: 2.9 s). The vocabulary plan must therefore be a plain
     parquet scan, with no Python-eval (parse) stage in its lineage."""
+    import contextlib
+    import io
+
     eng = CodeMemoryEngine(spark, str(tmp_path / "store"))
     eng.index(temp_repo)
     vocab = eng.bm25_model().vocabulary
-    plan = vocab._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
-    )
+    # public explain() API (ADVICE r9: the py4j queryExecution() route is
+    # fragile across Spark versions and absent under Spark Connect)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        vocab.explain(mode="simple")
+    plan = buf.getvalue()
     assert "FileScan parquet" in plan
     assert "Python" not in plan and "mapInPandas" not in plan

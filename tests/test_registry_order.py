@@ -6,77 +6,74 @@ never silently shrink driver coverage.
 
 from claude_code_memory_spark.queries import REGISTRY, _DRIVER_WINDOW
 
-# Round-9 window: the 3 round-8 additions (never driver-checked), the
-# 9 r5-last-green entries deferred out of the round-8 window, and the
-# first 38 of the r6-last-green cohort (verdict r8 item 1 — "rotate all
-# 12 unwitnessed entries"). The 12 deferred r6 entries lead the
-# round-10 queue.
-R8_NEW = {
-    "corpus_epoch_allocation",
-    "dedup_prefix_boilerplate",
-    "split_time_embargo",
+# Round-10 window: the 12 r6-last-green cohort leftovers (3 driver
+# rounds stale — verdict r9 item 1: "rotate the final 12 r6-stale
+# entries"), then the first 38 of the r7-last-green cohort in catalog
+# order. Round 9 added no catalog entries, so there is no never-checked
+# segment this round. The 12 deferred r7 entries lead the round-11
+# queue.
+R6_LEFTOVERS = {
+    "agg_second_moments",
+    "pivot_priority_by_year",
+    "text_language_id",
+    "text_quality_scores",
+    "text_token_counts",
+    "text_fingerprints",
+    "text_complexity",
+    "text_camel_spacing",
+    "corpus_filter_funnel",
+    "text_repetition_signals",
+    "text_pii_redaction",
+    "text_c4_filter",
 }
 
-R5_DEFERRED = {
-    "diag_key_skew",
-    "sketch_countmin_freq",
-    "sketch_kmv_jaccard",
-    "sketch_approx_quantiles",
-    "agg_token_histogram",
-    "text_pmi_cooccurrence",
-    "tokenizer_bpe_pair_counts",
-    "lm_bigram_doc_scores",
-    "pack_training_sequences",
-}
-
-R6_COHORT_38 = {
-    "dedup_embedding_neardup",
-    "dedup_duplicate_clusters",
-    "split_train_val_test",
-    "sample_stratified_by_lang",
-    "graph_bfs2_brand_parts",
-    "q1_pricing_summary",
-    "filter_exclude_pattern",
-    "join_full_outer_diff",
-    "window_top_customers_per_nation",
-    "window_running_user_value",
-    "rrf_fusion_events",
-    "token_frequency_top50",
-    "weighted_content_assembly",
-    "ann_lsh_bucket",
-    "asof_join_events",
-    "multimodal_binary_stats",
-    "q19_disjunctive_filter",
-    "q2_top_supplier_per_part",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_priority_by_returnflag",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count_by_part",
-    "q18_large_volume_customers",
-    "q21_sole_returning_supplier",
-    "q22_idle_rich_customers",
-    "q11_important_stock",
-    "q20_dominant_supplier",
-    "dense_topk_filtered",
-    "knn_join_queries",
-    "vector_quantization_error",
-    "ann_ivf_probe",
-    "debounce_last_event_wins",
-    "events_json_props",
-    "agg_value_percentiles",
+R7_COHORT_38 = {
+    "cluster_kmeans_sizes",
+    "dedup_semantic_cells",
+    "dedup_repeated_ngrams",
+    "sample_domain_mixture",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_minhash_delta",
+    "dedup_cross_substring",
+    "dedup_clusters_star",
+    "dedup_keep_best_per_cluster",
+    "dedup_ngram_exposure",
+    "graph_pagerank_nations",
+    "graph_triangle_counts",
+    "mixture_domain_weights",
+    "sample_dsir_importance",
+    "decontaminate_vs_benchmark",
+    "split_group_holdout",
+    "relations_orphan_cleanup",
+    "agg_percentiles",
+    "window_lag_lead",
+    "scroll_pagination",
+    "chunk_pack_running_budget",
+    "agg_grouping_sets",
+    "window_time_range_frame",
+    "agg_user_segments_bitmap",
+    "q17_small_quantity_revenue",
+    "range_join_click_to_purchase",
+    "layout_zorder_tiles",
+    "knn_per_label",
+    "ivf_knn_join_batch",
+    "vector_pq_error",
+    "vector_pq_adc_topk",
+    "ann_hard_negatives",
+    "tumbling_window_counts",
+    "sessionize_builtin_window",
+    "retention_cohorts",
+    "sliding_window_counts",
+    "sketch_approx_distinct",
 }
 
 
 def test_driver_window_is_the_staleness_sweep():
     window = set(list(REGISTRY)[:50])
-    assert R8_NEW <= window, f"missing r8 additions: {sorted(R8_NEW - window)}"
-    assert R5_DEFERRED <= window, f"missing r5 deferrals: {sorted(R5_DEFERRED - window)}"
-    assert R6_COHORT_38 <= window, f"missing r6 cohort: {sorted(R6_COHORT_38 - window)}"
-    assert len(R8_NEW | R5_DEFERRED | R6_COHORT_38) == 50
+    assert R6_LEFTOVERS <= window, f"missing r6 leftovers: {sorted(R6_LEFTOVERS - window)}"
+    assert R7_COHORT_38 <= window, f"missing r7 cohort: {sorted(R7_COHORT_38 - window)}"
+    assert len(R6_LEFTOVERS | R7_COHORT_38) == 50
 
 
 def test_window_is_exactly_the_declared_list():

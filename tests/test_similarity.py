@@ -431,3 +431,43 @@ class TestBlockedCosinePairs:
         df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
         got = {(r["id_a"], r["id_b"]) for r in blocked_cosine_pairs(df, 0.5).collect()}
         assert got == {(1, 2)}
+
+    def test_null_and_ragged_vectors_drop(self, spark):
+        """NULL embeddings and mismatched-dim rows must not crash the
+        task (ADVICE r9: np.stack over None/ragged raised): the join form
+        this replaces yields NULL cosine for both, so a NULL vector
+        never pairs and cross-length rows never pair — but two rows of
+        the SAME unusual length still score against each other."""
+        from claude_code_memory_spark.operators.similarity import (
+            blocked_cosine_pairs,
+        )
+
+        rows = [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.1], 0),
+            (3, None, 0),                # NULL vector: dropped, no crash
+            (4, [1.0, 0.0, 0.0], 0),     # ragged: pairs only with same-dim
+            (5, [1.0, 0.0, 0.1], 0),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        got = {(r["id_a"], r["id_b"]) for r in blocked_cosine_pairs(df, 0.5).collect()}
+        assert got == {(1, 2), (4, 5)}
+
+    def test_duplicate_ids_never_self_pair(self, spark):
+        """The join's id_a < id_b predicate is on VALUES: two rows
+        sharing a vec_id must not emit an id_a == id_b pair (ADVICE r9:
+        the positional upper-triangle mask did)."""
+        from claude_code_memory_spark.operators.similarity import (
+            blocked_cosine_pairs,
+        )
+
+        rows = [
+            (7, [1.0, 0.0], 0),
+            (7, [1.0, 0.01], 0),  # duplicate id, near-identical vector
+            (9, [1.0, 0.02], 0),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        pairs = [(r["id_a"], r["id_b"]) for r in blocked_cosine_pairs(df, 0.5).collect()]
+        assert all(a < b for a, b in pairs)
+        # both id-7 rows still pair with 9, as the join would emit
+        assert sorted(pairs) == [(7, 9), (7, 9)]
