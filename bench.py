@@ -167,6 +167,30 @@ def main() -> None:
         if s and name in timings
     }
 
+    # per-SECTION load stamps for the extras (verdict r9 item 3): the
+    # run-level loaded_run flag samples load1 only at START, so a spike
+    # that arrives mid-run published ann_topk_qps_1m = 0.38 (idle truth
+    # 1.08) unflagged in the r9 driver artifact. Each extras section now
+    # records load1 before AND after itself; a section whose either
+    # sample exceeds nproc/4 is individually marked loaded and the
+    # artifact prints a qualifier naming it — the serving-qps sections
+    # are the most scheduling-sensitive numbers in the file.
+    section_load: dict[str, dict] = {}
+
+    def _load1() -> float:
+        try:
+            return round(os.getloadavg()[0], 2)
+        except OSError:
+            return -1.0
+
+    def _sect_end(name: str, l0: float) -> None:
+        l1 = _load1()
+        section_load[name] = {
+            "load1_before": l0,
+            "load1_after": l1,
+            "loaded": max(l0, l1) > ncpu / 4,
+        }
+
     # engine-specific extra: vector index-build throughput (embed every
     # document with the deterministic hash embedder — the pandas-UDF path
     # every real embedder provider shares — and materialize the vectors)
@@ -176,6 +200,7 @@ def main() -> None:
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = embed_sec = None
+    _l0 = _load1()
     try:
         # repartition: a single small parquet file reads as one partition,
         # which would measure one core; the metric is the embed stage's
@@ -192,6 +217,7 @@ def main() -> None:
         embed_sec = time.time() - t0
     except Exception as exc:  # noqa: BLE001
         errors["extra:embed"] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+    _sect_end("embed", _l0)
 
     # exact top-k QPS: sequential brute-force searches with distinct
     # query vectors (BASELINE.md benchmark plan: "queries/sec exact top-k
@@ -206,6 +232,7 @@ def main() -> None:
 
     n_vecs = topk_qps = None
     topk_curve: dict[str, float] = {}
+    _l0 = _load1()
     try:
         emb = table(spark, sf_dir, "embeddings").cache()
         n_vecs = emb.count()
@@ -247,6 +274,7 @@ def main() -> None:
             big.unpersist()
     except Exception as exc:  # noqa: BLE001
         errors["extra:topk_qps"] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+    _sect_end("topk_qps", _l0)
 
     # PQ: encode throughput + ADC recall@10-in-30 (operators/quantize.py)
     # — the bytes/recall trade the 100 TB scan path rides; ADC *latency*
@@ -254,6 +282,7 @@ def main() -> None:
     # overhead dominates (the win is scanned bytes, which local[32]
     # page-cached parquet cannot exhibit)
     pq_encode_rate = pq_recall = pq_resid_recall = None
+    _l0 = _load1()
     try:
         from claude_code_memory_spark.operators.quantize import (
             pq_encode,
@@ -327,6 +356,7 @@ def main() -> None:
         emb.unpersist()
     except Exception as exc:  # noqa: BLE001
         errors["extra:pq"] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+    _sect_end("pq", _l0)
 
     # incremental re-index ratio (BASELINE.md: "changed-only vs full";
     # reference claims 15x, README.md:178): full index of this engine's
@@ -339,6 +369,7 @@ def main() -> None:
     t_full = t_noop = None
     reindex_stages = None
     store = tempfile.mkdtemp(prefix="bench_store_")
+    _l0 = _load1()
     try:
         pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "claude_code_memory_spark")
@@ -362,6 +393,7 @@ def main() -> None:
         errors["extra:reindex"] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
     finally:
         shutil.rmtree(store, ignore_errors=True)
+    _sect_end("reindex", _l0)
 
     # file-level data skipping (plans/skipping.py): events as a
     # TableStore clustered by event_id -> a point lookup should scan ~1
@@ -369,6 +401,7 @@ def main() -> None:
     # ratio vs the same filter over the full table
     skip_fraction = skip_speedup = None
     store_dir = tempfile.mkdtemp(prefix="bench_skip_")
+    _l0 = _load1()
     try:
         from claude_code_memory_spark.plans.incremental import TableStore
         from claude_code_memory_spark.plans.skipping import pruned_read_stats
@@ -397,6 +430,7 @@ def main() -> None:
         errors["extra:skipping"] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
     finally:
         shutil.rmtree(store_dir, ignore_errors=True)
+    _sect_end("skipping", _l0)
 
     # storage-layer ANN serving (verdict r6 item 5): round 6 pinned that
     # IVF probing's win lives in the partitionBy(ivf_cluster) LAYOUT (the
@@ -413,6 +447,7 @@ def main() -> None:
     import tempfile
 
     ann_dir = tempfile.mkdtemp(prefix="bench_ann_")
+    _l0 = _load1()
     try:
         from claude_code_memory_spark.operators.similarity import (
             ivf_seeded_build,
@@ -589,6 +624,7 @@ def main() -> None:
         )
     finally:
         shutil.rmtree(ann_dir, ignore_errors=True)
+    _sect_end("ann_serving", _l0)
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -702,8 +738,21 @@ def main() -> None:
             ),
             "point_lookup_files_scanned_fraction": skip_fraction,
             "point_lookup_skip_speedup": skip_speedup,
+            # per-section load stamps (verdict r9 item 3): every extras
+            # metric inherits the annotation of the section that
+            # produced it; loaded sections are named so a mid-run spike
+            # can never publish an unqualified serving-qps number again
+            "section_load": section_load,
         },
     }
+    loaded_sections = sorted(n for n, s in section_load.items() if s["loaded"])
+    if loaded_sections:
+        out["extras"]["loaded_sections"] = loaded_sections
+        out["extras"]["loaded_sections_qualifier"] = (
+            f"load1 exceeded nproc/4 ({ncpu}/4) before or after these "
+            f"sections — their metrics (qps especially) inflate under "
+            f"concurrent load; treat deltas vs idle runs as suspect"
+        )
     # sf1 scale evidence (verdict r8 item 6): tools/gen_sf1.py builds a
     # 10x dataset, tools/sf1run.py measures the headline + heaviest
     # oracle queries there and records sf1_evidence.json — folded into
@@ -718,7 +767,11 @@ def main() -> None:
     # a real 500+-file codebase (installed pyspark; site-packages for
     # the 12k-file stress run) and records the stage split — folded in
     # for the same reason as sf1_evidence.
-    for bname in ("bigrepo_evidence.json", "bigrepo_stress_evidence.json"):
+    for bname in (
+        "bigrepo_evidence.json",
+        "bigrepo_stress_evidence.json",
+        "sf1_skew_evidence.json",
+    ):
         try:
             with open(os.path.join(here, bname)) as fh:
                 out["extras"][bname[:-5]] = json.load(fh)

@@ -144,13 +144,22 @@ def _normalize_targets(
         .select("__bid", F.col("__best.__cand").alias("__norm"))
     )
     return (
-        b.join(hits, "__bid", "left")
+        b.join(F.broadcast(hits), "__bid", "left")
         .withColumn("target_module", F.coalesce("__norm", "target_module"))
         .drop("__bid", "__norm")
     )
 
 
-def _pin(df: DataFrame) -> DataFrame:
+# Per-pin wall-clock profile of the most recent resolve_calls run,
+# populated only when CCMS_RESOLVE_PROFILE=1: list of (label, seconds).
+# Each _pin is a serial eager Spark job — the quantity the stage's wall
+# clock scales with — so this IS the stage profile (the round-9 "pin
+# profile" that attributed 38 s of 81 s to the attr materialization,
+# now reproducible instead of hand-instrumented).
+PIN_PROFILE: list[tuple[str, float]] = []
+
+
+def _pin(df: DataFrame, label: str = "?") -> DataFrame:
     """Materialize an entity-scale intermediate and truncate its lineage
     (eager localCheckpoint). The resolve plan reuses chased bindings,
     the class table, and the ancestor closure up to five times each;
@@ -162,7 +171,15 @@ def _pin(df: DataFrame) -> DataFrame:
     noise at any scale; on a cluster the executor-local blocks are
     rebuilt from lineage only if an executor dies mid-batch (acceptable:
     the index batch simply recomputes)."""
-    return df.localCheckpoint(eager=True)
+    import os
+    import time
+
+    if os.environ.get("CCMS_RESOLVE_PROFILE") != "1":
+        return df.localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    out = df.localCheckpoint(eager=True)
+    PIN_PROFILE.append((label, round(time.perf_counter() - t0, 3)))
+    return out
 
 
 def _chase(from_bindings: DataFrame, max_hops: int) -> DataFrame:
@@ -255,7 +272,7 @@ def _class_ancestors(
         # NULL positions sort last so a positioned duplicate wins
         .agg(F.min("e_bp").alias("e_bp"))
     )
-    edges = _pin(edges)  # reused max_inherit times by the closure loop
+    edges = _pin(edges, "anc_edges")  # reused max_inherit times by the closure loop
     self0 = classes.select(
         F.col("k_module").alias("c_module"),
         F.col("k_name").alias("c_name"),
@@ -344,7 +361,7 @@ def _mro_nearest_def(
     # replays `need`'s full upstream join tree and the plan grows
     # multiplicatively — measured as a driver heap OOM on a 3-file
     # index batch. Class-count-scale rows: pinning is noise.
-    cand = _pin(cand)
+    cand = _pin(cand, "mind_cand")
     per_depth = cand.groupBy("n_mod", "n_name", "n_method", "n_mind", "depth").agg(
         F.count_distinct(F.struct("dm_module", "dm_name")).alias("__ndefs"),
         F.min("dm_name").alias("__def"),
@@ -459,7 +476,8 @@ def resolve_calls(
             module_of_path("file_path").alias("def_module"),
             F.col("entity_name").alias("def_name"),
         )
-        .distinct()
+        .distinct(),
+        "defs",
     )
 
     # absolute import targets → the path-derived module namespace
@@ -467,7 +485,7 @@ def resolve_calls(
     known = defs.select(F.col("def_module").alias("module")).unionByName(
         b.select("module")
     )
-    b = _pin(_normalize_targets(b, known))
+    b = _pin(_normalize_targets(b, known), "normalize_targets")
     fromb = b.filter(F.col("import_type") == "from")
     modb = b.filter(F.col("import_type") == "module")
     # what a module exports to star consumers: its __all__ when declared
@@ -502,7 +520,8 @@ def resolve_calls(
             "left",
         )
         .withColumn("member", F.coalesce("dx_name", "member"))
-        .drop("dx_mod", "dx_name")
+        .drop("dx_mod", "dx_name"),
+        "chased_default",
     )
 
     # star hop: a chased terminal (module, name) that is NOT a definition,
@@ -586,7 +605,8 @@ def resolve_calls(
             "left",
         )
         .withColumn("target_module", F.coalesce("z_tgt", "target_module"))
-        .drop("z_file", "z_local", "z_tgt")
+        .drop("z_file", "z_local", "z_tgt"),
+        "chased_star",
     )
 
     calls = relations.filter(F.col("relation_type") == "calls")
@@ -622,11 +642,11 @@ def resolve_calls(
         F.col("member").alias("b_member"),
     )
     bare = bare.join(
-        cb,
+        F.broadcast(cb),
         (bare.file_path == cb.b_file) & (bare.to_entity == cb.b_local),
         "left",
     ).join(
-        defs,
+        F.broadcast(defs),
         (F.col("b_tmod") == defs.def_module) & (F.col("b_member") == defs.def_name),
         "left",
     )
@@ -728,7 +748,7 @@ def resolve_calls(
     )
     bare = (
         bare.join(
-            star_hits,
+            F.broadcast(star_hits),
             (F.col("file_path") == star_hits.st_file)
             & (F.col("to_entity") == star_hits.st_name),
             "left",
@@ -766,7 +786,7 @@ def resolve_calls(
         F.col("member").alias("e_member"),
     )
     attr = attr.join(
-        cb3, (attr.file_path == cb3.e_file) & (attr.context == cb3.e_local), "left"
+        F.broadcast(cb3), (attr.file_path == cb3.e_file) & (attr.context == cb3.e_local), "left"
     )
 
     # (a) base is a module: the head is a module-alias binding
@@ -778,7 +798,7 @@ def resolve_calls(
         F.col("target_module").alias("m_tmod"),
     )
     attr = attr.join(
-        mb, (attr.file_path == mb.m_file) & (attr.__b0 == mb.m_local), "left"
+        F.broadcast(mb), (attr.file_path == mb.m_file) & (attr.__b0 == mb.m_local), "left"
     ).withColumn(
         "__mod",
         F.coalesce(
@@ -800,7 +820,7 @@ def resolve_calls(
         F.col("member").alias("c_member"),
     )
     attr = attr.join(
-        cb2,
+        F.broadcast(cb2),
         (F.col("__mod") == cb2.c_module) & (attr.to_entity == cb2.c_local),
         "left",
     ).withColumn(
@@ -812,7 +832,7 @@ def resolve_calls(
         F.col("def_module").alias("d1_module"), F.col("def_name").alias("d1_name")
     )
     attr = attr.join(
-        d1,
+        F.broadcast(d1),
         (F.col("__mod_final") == d1.d1_module) & (F.col("__name_final") == d1.d1_name),
         "left",
     )
@@ -833,7 +853,8 @@ def resolve_calls(
             module_of_path("file_path").alias("k_module"),
             F.col("entity_name").alias("k_name"),
         )
-        .distinct()
+        .distinct(),
+        "classes",
     )
     # ancestor closure, built once here (the attribute/property lookup
     # below and the method/super lookups at the end all consume it):
@@ -844,7 +865,10 @@ def resolve_calls(
         rel_for_anc = relations.unionByName(
             stored_relations.select(*relations.columns)
         )
-    anc = _pin(_class_ancestors(rel_for_anc, chased, classes, max_inherit=max_inherit))
+    anc = _pin(
+        _class_ancestors(rel_for_anc, chased, classes, max_inherit=max_inherit),
+        "ancestors",
+    )
 
     # direct: the whole base names a chased from-import (e_* columns,
     # joined above) or a same-file class
@@ -854,7 +878,7 @@ def resolve_calls(
         F.col("k_name").alias("l1_name"),
     )
     attr = attr.join(
-        lc1,
+        F.broadcast(lc1),
         (F.col("file_path") == lc1.l1_file) & (F.col("context") == lc1.l1_name),
         "left",
     )
@@ -884,7 +908,7 @@ def resolve_calls(
     # calling function's locals, then the class scope (self.attrs),
     # then module scope.
     if type_binds is not None:
-        tb = _pin(type_binds.dropDuplicates(["file_path", "scope", "var"]))
+        tb = _pin(type_binds.dropDuplicates(["file_path", "scope", "var"]), "tb")
         tbf = tb.select(
             F.col("file_path").alias("tf_file"),
             F.col("scope").alias("tf_scope"),
@@ -905,14 +929,14 @@ def resolve_calls(
         )
         attr = (
             attr.join(
-                tbf,
+                F.broadcast(tbf),
                 (F.col("file_path") == tbf.tf_file)
                 & (F.col("from_entity") == tbf.tf_scope)
                 & (F.col("context") == tbf.tf_var),
                 "left",
             )
             .join(
-                tbs,
+                F.broadcast(tbs),
                 (F.col("file_path") == tbs.ts_file)
                 & (F.split(F.col("from_entity"), r"\.")[0] == tbs.ts_scope)
                 & (F.col("context") == tbs.ts_var)
@@ -923,7 +947,7 @@ def resolve_calls(
                 "left",
             )
             .join(
-                tbm,
+                F.broadcast(tbm),
                 (F.col("file_path") == tbm.tm_file)
                 & (F.col("file_path") == tbm.tm_scope)
                 & (F.col("context") == tbm.tm_var),
@@ -956,21 +980,21 @@ def resolve_calls(
     ctor_rem = F.regexp_replace(F.col("__ctor.base"), r"^[^.]+", "")
     attr = (
         attr.join(
-            cb4,
+            F.broadcast(cb4),
             F.col("__ctor.base").isNull()
             & (F.col("file_path") == cb4.c4_file)
             & (F.col("__ctor.ctor") == cb4.c4_local),
             "left",
         )
         .join(
-            lc2,
+            F.broadcast(lc2),
             F.col("__ctor.base").isNull()
             & (F.col("file_path") == lc2.l2_file)
             & (F.col("__ctor.ctor") == lc2.l2_name),
             "left",
         )
         .join(
-            mb2,
+            F.broadcast(mb2),
             F.col("__ctor.base").isNotNull()
             & (F.col("file_path") == mb2.m2_file)
             & (ctor_head == mb2.m2_local),
@@ -1038,7 +1062,7 @@ def resolve_calls(
     )
     attr = (
         attr.join(
-            cb5,
+            F.broadcast(cb5),
             (F.col("__cls.mod") == cb5.g_module) & (F.col("__cls.name") == cb5.g_local),
             "left",
         )
@@ -1144,11 +1168,12 @@ def resolve_calls(
                         F.coalesce("f_member", "fx_cls.name").alias("name"),
                     )
                 ).alias("fx_c")
-            )
+            ),
+            "fx",
         )
         attr = (
             attr.join(
-                fx,
+                F.broadcast(fx),
                 (F.col("__cm") == fx.fx_module) & (F.col("__cn") == fx.fx_func),
                 "left",
             )
@@ -1230,14 +1255,14 @@ def resolve_calls(
             )
             attr = (
                 attr.join(
-                    b7f,
+                    F.broadcast(b7f),
                     (F.col("file_path") == b7f.b7f_file)
                     & (F.col("from_entity") == b7f.b7f_scope)
                     & (F.col("__ctor.base") == b7f.b7f_var),
                     "left",
                 )
                 .join(
-                    b7s,
+                    F.broadcast(b7s),
                     (F.col("file_path") == b7s.b7s_file)
                     & (F.split(F.col("from_entity"), r"\.")[0] == b7s.b7s_scope)
                     & (F.col("__ctor.base") == b7s.b7s_var)
@@ -1248,7 +1273,7 @@ def resolve_calls(
                     "left",
                 )
                 .join(
-                    b7m,
+                    F.broadcast(b7m),
                     (F.col("file_path") == b7m.b7m_file)
                     & (F.col("file_path") == b7m.b7m_scope)
                     & (F.col("__ctor.base") == b7m.b7m_var),
@@ -1256,14 +1281,14 @@ def resolve_calls(
                 )
                 .withColumn("__bvar", F.coalesce("b7f_c", "b7s_c", "b7m_c"))
                 .join(
-                    x7,
+                    F.broadcast(x7),
                     F.col("__bvar.base").isNull()
                     & (F.col("file_path") == x7.x7_file)
                     & (F.col("__bvar.ctor") == x7.x7_local),
                     "left",
                 )
                 .join(
-                    l7,
+                    F.broadcast(l7),
                     F.col("__bvar.base").isNull()
                     & (F.col("file_path") == l7.l7_file)
                     & (F.col("__bvar.ctor") == l7.l7_name),
@@ -1327,7 +1352,8 @@ def resolve_calls(
                 )
                 .distinct()
                 .withColumn("mk_base", mk_base)
-                .withColumn("mk_ctor", mk_ctor)
+                .withColumn("mk_ctor", mk_ctor),
+                "mk_all",
             )
             mkf = mk_all
             m1f = tb.select(
@@ -1602,9 +1628,9 @@ def resolve_calls(
                     )
                 )
                 mkf = mkf.unionByName(typed)
-            mkf = _pin(mkf)
+            mkf = _pin(mkf, "mkf")
             attr = attr.join(
-                mkf,
+                F.broadcast(mkf),
                 (F.col("file_path") == mkf.mk_file)
                 & (F.col("from_entity") == mkf.mk_scope)
                 & (F.col("__ctor.base") == mkf.mk_marker),
@@ -1617,14 +1643,14 @@ def resolve_calls(
 
         attr = (
             attr.join(
-                cb6,
+                F.broadcast(cb6),
                 base_is_name
                 & (F.col("file_path") == cb6.x6_file)
                 & (F.col("__ctor.base") == cb6.x6_local),
                 "left",
             )
             .join(
-                lc3,
+                F.broadcast(lc3),
                 base_is_name
                 & (F.col("file_path") == lc3.l3_file)
                 & (F.col("__ctor.base") == lc3.l3_name),
@@ -1657,7 +1683,7 @@ def resolve_calls(
                 ),
             )
             .join(
-                fx2,
+                F.broadcast(fx2),
                 (F.col("__bcls.mod") == fx2.f2_module)
                 & (
                     F.concat_ws(".", F.col("__bcls.name"), F.col("__ctor.ctor"))
@@ -1744,14 +1770,14 @@ def resolve_calls(
             )
             attr = (
                 attr.join(
-                    v8f,
+                    F.broadcast(v8f),
                     (F.col("file_path") == v8f.v8f_file)
                     & (F.col("from_entity") == v8f.v8f_scope)
                     & (pv == v8f.v8f_var),
                     "left",
                 )
                 .join(
-                    v8m,
+                    F.broadcast(v8m),
                     (F.col("file_path") == v8m.v8m_file)
                     & (F.col("file_path") == v8m.v8m_scope)
                     & (pv == v8m.v8m_var),
@@ -1759,21 +1785,21 @@ def resolve_calls(
                 )
                 .withColumn("__pvb", F.coalesce("v8f_c", "v8m_c"))
                 .join(
-                    v9,
+                    F.broadcast(v9),
                     F.col("__pvb.base").isNull()
                     & (F.col("file_path") == v9.v9_file)
                     & (F.col("__pvb.ctor") == v9.v9_local),
                     "left",
                 )
                 .join(
-                    v10,
+                    F.broadcast(v10),
                     F.col("__pvb.base").isNull()
                     & (F.col("file_path") == v10.v10_file)
                     & (F.col("__pvb.ctor") == v10.v10_name),
                     "left",
                 )
                 .join(
-                    lp,
+                    F.broadcast(lp),
                     two_self
                     & (F.col("file_path") == lp.lp_file)
                     & (F.split(F.col("from_entity"), r"\.")[0] == lp.lp_name),
@@ -2031,7 +2057,7 @@ def resolve_calls(
             )
             attr = (
                 attr.join(
-                    ap_tbl,
+                    F.broadcast(ap_tbl),
                     (F.col("__hcls.mod") == ap_tbl.apt_mod)
                     & (F.col("__hcls.name") == ap_tbl.apt_name)
                     & (pp == ap_tbl.apt_attr),
@@ -2105,20 +2131,20 @@ def resolve_calls(
             )
             attr = (
                 attr.join(
-                    vtb,
+                    F.broadcast(vtb),
                     (F.col("e_tmod") == vtb.sg_mod)
                     & (F.col("e_member") == vtb.sg_var),
                     "left",
                 )
                 .join(
-                    sg9,
+                    F.broadcast(sg9),
                     F.col("sg_c.base").isNull()
                     & (F.col("sg_file") == sg9.sg9_file)
                     & (F.col("sg_c.ctor") == sg9.sg9_local),
                     "left",
                 )
                 .join(
-                    sg10,
+                    F.broadcast(sg10),
                     F.col("sg_c.base").isNull()
                     & (F.col("sg_file") == sg10.sg10_file)
                     & (F.col("sg_c.ctor") == sg10.sg10_name),
@@ -2186,7 +2212,25 @@ def resolve_calls(
     # attribute pipeline and the resolve stage ballooned to 46.8 s on
     # the engine's own repo (r9 head). Pinning collapses those replays
     # to one materialization — the round-9 resolve budget (PLANS.md).
-    attr = _pin(attr)
+    # Project to the 10 columns the post-pin lookups/terminal need
+    # BEFORE materializing: localCheckpoint computes and stores the
+    # frame's FULL schema (Catalyst cannot prune through an eager
+    # checkpoint), and the pipeline has accumulated ~50 helper columns
+    # by this point — pruning here lets the optimizer drop every join
+    # output that feeds none of these columns (round-10 resolve budget).
+    attr = attr.select(
+        "file_path",
+        "from_entity",
+        "to_entity",
+        "relation_type",
+        "context",
+        "confidence",
+        "import_type",
+        "__cm",
+        "__cn",
+        "d1_name",
+    )
+    attr = _pin(attr, "attr")
 
     # super dispatch: Python `super().close()` (the call-result marker
     # 'super()') and JS `super.close()` (bare base 'super') inside a
@@ -2206,7 +2250,7 @@ def resolve_calls(
         F.col("k_name").alias("sp_name"),
     )
     attr = attr.join(
-        sup_cls,
+        F.broadcast(sup_cls),
         is_super
         & (F.col("file_path") == sup_cls.sp_file)
         & (F.split(F.col("from_entity"), r"\.")[0] == sup_cls.sp_name),
@@ -2243,7 +2287,7 @@ def resolve_calls(
         "h_def",
     )
     attr = attr.join(
-        hits,
+        F.broadcast(hits),
         (F.col("__cm") == hits.h_mod)
         & (F.col("__cn") == hits.h_name)
         & (F.col("to_entity") == hits.h_method),
@@ -2256,7 +2300,7 @@ def resolve_calls(
         F.col("h_def").alias("hs_def"),
     )
     attr = attr.join(
-        hits_sup,
+        F.broadcast(hits_sup),
         (F.col("sp_mod") == hits_sup.hs_mod)
         & (F.col("sp_name") == hits_sup.hs_name)
         & (F.col("to_entity") == hits_sup.hs_method),

@@ -1834,9 +1834,9 @@ def test_resolve_pin_budget(spark, monkeypatch):
     calls = {"n": 0}
     orig = R._pin
 
-    def counting_pin(df):
+    def counting_pin(df, label="?"):
         calls["n"] += 1
-        return orig(df)
+        return orig(df, label)
 
     monkeypatch.setattr(R, "_pin", counting_pin)
     out = resolve_calls(

@@ -5,12 +5,24 @@ write `sf1_evidence.json` at the repo root. bench.py folds that file
 into its extras as `sf1_evidence` so the measurement rides the driver
 artifact without the driver needing the 10x dataset present.
 
-Usage: python tools/sf1run.py [sf1_dir]   (default /tmp/sf1_evidence)
+With ``--skew`` (verdict r9 item 4): runs the join-heavy subset against
+a hot-key dataset from ``gen_sf1.py --skew``, records per-query wall
+time AND whether AQE's skew-split fired in the executed plan
+(`skew=true` / `skewed` markers in the post-action explain), and writes
+``sf1_skew_evidence.json``. The asof plain/salted pair and the salted
+status-revenue query run side by side so the artifact shows which
+mechanism — AQE shuffle-split or the manual salt — carried each query
+on data that actually needs one.
+
+Usage: python tools/sf1run.py [sf1_dir] [--skew]
+(default sf1_dir /tmp/sf1_evidence; /tmp/sf1_skew for --skew)
 Run on an IDLE machine (memory: bench-needs-idle-machine).
 """
 
 from __future__ import annotations
 
+import contextlib
+import io
 import json
 import os
 import sys
@@ -34,9 +46,35 @@ HEAVY_ORACLES = [
     "knn_join_queries",
 ]
 
+# the skew run's subset: join-heavy headliners whose shuffles land on
+# the hot keys, the manual-salt operators, and their plain twins
+SKEW_QUERIES = [
+    "q1_pricing_summary",  # no-join baseline: skew-insensitive control
+    "q3_shipping_priority",  # customer⋈orders⋈lineitem on hot l_orderkey
+    "q9_product_profit",  # supplier joins on hot l_suppkey
+    "q18_large_volume_customers",  # per-order agg on the celebrity order
+    "join_salted_status_revenue",  # manual 16-way salt on l_orderkey
+    "asof_join_events",  # plain as-of, celebrity user
+    "asof_join_salted_events",  # salted as-of, same oracle
+    "sessionize_events",  # per-user sessions, celebrity user
+    "window_running_user_value",  # per-user running window
+]
+
+
+def _final_plan(df) -> str:
+    """Post-action explain: under AQE the DataFrame's QueryExecution
+    holds the FINAL adaptive plan after the action ran, so skew-split /
+    coalesce decisions are visible (isFinalPlan=true)."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    return buf.getvalue()
+
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_evidence"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    skew = "--skew" in sys.argv
+    sf_dir = args[0] if args else ("/tmp/sf1_skew" if skew else "/tmp/sf1_evidence")
     if not os.path.isdir(sf_dir):
         raise SystemExit(f"{sf_dir} missing — run tools/gen_sf1.py first")
     try:
@@ -47,12 +85,21 @@ def main() -> None:
 
     spark = get_spark("sf1run")
     spark.sparkContext.setLogLevel("ERROR")
-    names = [n for n, e in REGISTRY.items() if e.headline] + [
-        n for n in HEAVY_ORACLES if n in REGISTRY
-    ]
+    if skew:
+        names = [n for n in SKEW_QUERIES if n in REGISTRY]
+    else:
+        names = [n for n, e in REGISTRY.items() if e.headline] + [
+            n for n in HEAVY_ORACLES if n in REGISTRY
+        ]
     out: dict = {
         "sf": 1.0,
-        "generator": "tools/gen_sf1.py (sf0.1 x10, keys shifted)",
+        "generator": (
+            "tools/gen_sf1.py --skew (sf0.1 x10 + hot keys: ~10% of "
+            "lineitem on one l_orderkey, ~10% on one l_suppkey, ~10% of "
+            "events on one user_id)"
+            if skew
+            else "tools/gen_sf1.py (sf0.1 x10, keys shifted)"
+        ),
         "load1_at_start": load1,
         "queries": {},
         "errors": {},
@@ -62,24 +109,37 @@ def main() -> None:
         try:
             fn(spark, sf_dir).collect()  # warm: codegen + page cache
             spark.catalog.clearCache()
+            df = fn(spark, sf_dir)
             t0 = time.time()
-            n = len(fn(spark, sf_dir).collect())
-            out["queries"][name] = {
-                "sec": round(time.time() - t0, 3),
-                "rows": n,
-            }
-            print(f"{name}: {out['queries'][name]['sec']}s, {n} rows")
+            n = len(df.collect())
+            rec = {"sec": round(time.time() - t0, 3), "rows": n}
+            if skew:
+                plan = _final_plan(df)
+                rec["aqe_skew_split"] = ("skew=true" in plan) or ("skewed" in plan)
+            out["queries"][name] = rec
+            print(f"{name}: {rec['sec']}s, {n} rows"
+                  + (f", aqe_skew={rec['aqe_skew_split']}" if skew else ""))
         except Exception as exc:  # noqa: BLE001
             out["errors"][name] = (
                 f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
             )
             print(f"{name}: ERROR {out['errors'][name]}")
+    if skew:
+        q = out["queries"]
+        # which mechanism carried each pair (measured, not asserted)
+        if "asof_join_events" in q and "asof_join_salted_events" in q:
+            out["asof_salt_speedup"] = round(
+                q["asof_join_events"]["sec"]
+                / max(q["asof_join_salted_events"]["sec"], 1e-9),
+                2,
+            )
     if not out["errors"]:
         del out["errors"]
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "sf1_evidence.json"), "w") as fh:
+    out_name = "sf1_skew_evidence.json" if skew else "sf1_evidence.json"
+    with open(os.path.join(here, out_name), "w") as fh:
         json.dump(out, fh, indent=1)
-    print("wrote sf1_evidence.json")
+    print(f"wrote {out_name}")
     spark.stop()
 
 
