@@ -163,15 +163,20 @@ class CodeMemoryEngine:
         all_tbinds = tbinds
         stored_tbinds = self.store.read("type_bindings")
         if stored_tbinds is not None:
+            # allowMissingColumns: stores written before the round-10
+            # awaited/is_async columns read them as NULL (resolve.py
+            # coalesces NULL to false — the pre-async behavior)
             all_tbinds = tbinds.unionByName(
-                stored_tbinds.join(F.broadcast(replaced), "file_path", "left_anti")
+                stored_tbinds.join(F.broadcast(replaced), "file_path", "left_anti"),
+                allowMissingColumns=True,
             )
         rbinds = return_bindings(parsed)
         all_rbinds = rbinds
         stored_rbinds = self.store.read("return_binds")
         if stored_rbinds is not None:
             all_rbinds = rbinds.unionByName(
-                stored_rbinds.join(F.broadcast(replaced), "file_path", "left_anti")
+                stored_rbinds.join(F.broadcast(replaced), "file_path", "left_anti"),
+                allowMissingColumns=True,
             )
         def_cols = ["entity_name", "entity_type", "file_path"]
         defs = entities_raw.select(*def_cols)

@@ -746,6 +746,83 @@ def resolve_calls(
         .filter(F.col("__n") == 1)
         .select(F.col("sb_file").alias("st_file"), "st_name", "st_def")
     )
+    # module-keyed star hop for NAMESPACE imports through a barrel
+    # (`import * as lib from '../lib'; lib.helper()` — src.lib only
+    # star-exports helper): same candidate set and export/shadowing
+    # rules as star_hits, but keyed (module, name) instead of (file,
+    # name), for the attr path's module-alias branch. The `own`
+    # anti-join keeps a module's OWN definition shadowing its
+    # star-re-exports, so a hop row never competes with a direct def.
+    explicit_mod = chased.select(
+        F.col("module").alias("xm_mod"), F.col("local_name").alias("xm_name")
+    ).unionByName(
+        modb.select(
+            module_of_path("file_path").alias("xm_mod"),
+            F.col("local_name").alias("xm_name"),
+        )
+    )
+    # candidates come from `bar` (scope-binding stars AND export-stars:
+    # a namespace read `lib.helper` sees both kinds of re-export), not
+    # the bare-call `sb` set (scope-binding only)
+    sm_direct = bar.join(sd, F.col("bs_tgt") == F.col("sd_mod")).select(
+        F.col("bs_mod").alias("sb_mod"),
+        F.col("bs_tgt").alias("st_src"),
+        F.col("sd_name").alias("st_name"),
+        F.col("sd_mod").alias("st_dmod"),
+        F.col("sd_name").alias("st_def"),
+    )
+    sm_reexp = (
+        bar.join(ce, F.col("bs_tgt") == F.col("ce_mod"))
+        .join(
+            sd,
+            (F.col("ce_tmod") == F.col("sd_mod"))
+            & (F.col("ce_member") == F.col("sd_name")),
+        )
+        .select(
+            F.col("bs_mod").alias("sb_mod"),
+            F.col("bs_tgt").alias("st_src"),
+            F.col("ce_local").alias("st_name"),
+            F.col("sd_mod").alias("st_dmod"),
+            F.col("sd_name").alias("st_def"),
+        )
+    )
+    star_mod = (
+        sm_direct.unionByName(sm_reexp)
+        .join(
+            exp,
+            (F.col("st_src") == F.col("x_mod")) & (F.col("st_name") == F.col("x_name")),
+            "left",
+        )
+        .join(has_exp, F.col("st_src") == F.col("hx_mod"), "left")
+        .filter(
+            F.col("x_name").isNotNull()
+            | (F.col("hx_mod").isNull() & ~F.col("st_name").startswith("_"))
+        )
+        .join(
+            own,
+            (F.col("sb_mod") == F.col("o_mod")) & (F.col("st_name") == F.col("o_name")),
+            "left_anti",
+        )
+        .join(
+            explicit_mod,
+            (F.col("sb_mod") == F.col("xm_mod"))
+            & (F.col("st_name") == F.col("xm_name")),
+            "left_anti",
+        )
+        .groupBy(F.col("sb_mod").alias("sm_mod"), F.col("st_name").alias("sm_name"))
+        .agg(
+            F.count_distinct("st_dmod", "st_def").alias("__smn"),
+            F.min(F.struct("st_dmod", "st_def")).alias("__sm"),
+        )
+        .filter(F.col("__smn") == 1)
+        .select(
+            "sm_mod",
+            "sm_name",
+            F.col("__sm.st_dmod").alias("sm_dmod"),
+            F.col("__sm.st_def").alias("sm_def"),
+        )
+    )
+
     bare = (
         bare.join(
             F.broadcast(star_hits),
@@ -828,6 +905,18 @@ def resolve_calls(
     ).withColumn(
         "__name_final", F.coalesce("c_member", "to_entity")
     )
+    # namespace-through-barrel: a (module, name) the module only
+    # supplies via an unambiguous star-export hops once more (star_mod)
+    attr = attr.join(
+        F.broadcast(star_mod),
+        (F.col("__mod_final") == F.col("sm_mod"))
+        & (F.col("__name_final") == F.col("sm_name")),
+        "left",
+    ).withColumn(
+        "__mod_final", F.coalesce("sm_dmod", "__mod_final")
+    ).withColumn(
+        "__name_final", F.coalesce("sm_def", "__name_final")
+    )
     d1 = defs.select(
         F.col("def_module").alias("d1_module"), F.col("def_name").alias("d1_name")
     )
@@ -908,24 +997,34 @@ def resolve_calls(
     # calling function's locals, then the class scope (self.attrs),
     # then module scope.
     if type_binds is not None:
-        tb = _pin(type_binds.dropDuplicates(["file_path", "scope", "var"]), "tb")
+        tb = type_binds
+        if "awaited" not in tb.columns:  # caller-built legacy frame
+            tb = tb.withColumn("awaited", F.lit(False))
+        tb = _pin(
+            tb.withColumn("awaited", F.coalesce("awaited", F.lit(False)))
+            .dropDuplicates(["file_path", "scope", "var"]),
+            "tb",
+        )
         tbf = tb.select(
             F.col("file_path").alias("tf_file"),
             F.col("scope").alias("tf_scope"),
             F.col("var").alias("tf_var"),
             F.struct(F.col("ctor").alias("ctor"), F.col("ctor_base").alias("base")).alias("tf_c"),
+            F.col("awaited").alias("tf_aw"),
         )
         tbs = tb.select(
             F.col("file_path").alias("ts_file"),
             F.col("scope").alias("ts_scope"),
             F.col("var").alias("ts_var"),
             F.struct(F.col("ctor").alias("ctor"), F.col("ctor_base").alias("base")).alias("ts_c"),
+            F.col("awaited").alias("ts_aw"),
         )
         tbm = tb.select(
             F.col("file_path").alias("tm_file"),
             F.col("scope").alias("tm_scope"),
             F.col("var").alias("tm_var"),
             F.struct(F.col("ctor").alias("ctor"), F.col("ctor_base").alias("base")).alias("tm_c"),
+            F.col("awaited").alias("tm_aw"),
         )
         attr = (
             attr.join(
@@ -954,9 +1053,21 @@ def resolve_calls(
                 "left",
             )
             .withColumn("__ctor", F.coalesce("tf_c", "ts_c", "tm_c", call_ctor))
+            # the awaited flag of whichever bind __ctor took (call
+            # markers are never awaited — parenthesized awaits poison
+            # at the parser): drives the async-factory match below
+            .withColumn(
+                "__aw",
+                F.when(F.col("tf_c").isNotNull(), F.col("tf_aw"))
+                .when(F.col("ts_c").isNotNull(), F.col("ts_aw"))
+                .when(F.col("tm_c").isNotNull(), F.col("tm_aw"))
+                .otherwise(F.lit(False)),
+            )
         )
     else:
-        attr = attr.withColumn("__ctor", call_ctor)
+        attr = attr.withColumn("__ctor", call_ctor).withColumn(
+            "__aw", F.lit(False)
+        )
 
     # the ctor name itself resolves like a bare name (chased from-import
     # or same-file class) or, with a dotted base, through a module alias
@@ -1079,7 +1190,12 @@ def resolve_calls(
     # substituted (module, class) is terminal. Entity-scale equi-joins
     # throughout; built once, keyed by defining (module, function).
     if return_binds is not None:
-        rb = return_binds.withColumn("rb_module", module_of_path("file_path"))
+        rb = return_binds
+        if "is_async" not in rb.columns:  # caller-built legacy frame
+            rb = rb.withColumn("is_async", F.lit(False))
+        rb = rb.withColumn(
+            "is_async", F.coalesce("is_async", F.lit(False))
+        ).withColumn("rb_module", module_of_path("file_path"))
         rcb = chased.select(
             F.col("file_path").alias("rc_file"),
             F.col("local_name").alias("rc_local"),
@@ -1123,6 +1239,7 @@ def resolve_calls(
             .select(
                 F.col("rb_module").alias("fx_module"),
                 F.col("func").alias("fx_func"),
+                F.col("is_async"),
                 F.coalesce(
                     F.when(
                         F.col("rc_tmod").isNotNull(),
@@ -1167,18 +1284,40 @@ def resolve_calls(
                         F.coalesce("f_tmod", "fx_cls.mod").alias("mod"),
                         F.coalesce("f_member", "fx_cls.name").alias("name"),
                     )
-                ).alias("fx_c")
+                ).alias("fx_c"),
+                # an async factory types only AWAITED binds (its call
+                # value is a future); matched against __aw at every fx
+                # consumer below
+                F.max("is_async").alias("fx_async"),
             ),
             "fx",
         )
         attr = (
             attr.join(
                 F.broadcast(fx),
-                (F.col("__cm") == fx.fx_module) & (F.col("__cn") == fx.fx_func),
+                (F.col("__cm") == fx.fx_module)
+                & (F.col("__cn") == fx.fx_func)
+                & (fx.fx_async == F.col("__aw")),
                 "left",
             )
             .withColumn("__cm", F.coalesce("fx_c.mod", "__cm"))
             .withColumn("__cn", F.coalesce("fx_c.name", "__cn"))
+            # an AWAITED bind that did not match an async factory must
+            # not fall through as a direct class (`c = await Conn()`
+            # yields whatever the awaitable resolves to, not a Conn) —
+            # block the method lookup for it
+            .withColumn(
+                "__cm",
+                F.when(F.col("__aw") & F.col("fx_c").isNull(), F.lit(None)).otherwise(
+                    F.col("__cm")
+                ),
+            )
+            .withColumn(
+                "__cn",
+                F.when(F.col("__aw") & F.col("fx_c").isNull(), F.lit(None)).otherwise(
+                    F.col("__cn")
+                ),
+            )
         )
 
         # classmethod factories: `t = Tool.create(); t.run()` — the
@@ -1201,6 +1340,7 @@ def resolve_calls(
             F.col("fx_module").alias("f2_module"),
             F.col("fx_func").alias("f2_func"),
             F.col("fx_c").alias("f2_c"),
+            F.col("fx_async").alias("f2_async"),
         )
         base_is_name = F.col("__ctor.base").isNotNull() & ~F.col(
             "__ctor.base"
@@ -1218,7 +1358,7 @@ def resolve_calls(
         # Inherited factory methods are out of scope: the factory table
         # keys by the DEFINING class (documented approximation).
         if type_binds is not None:
-            b7f = tb.select(
+            b7f = tb.filter(~F.col("awaited")).select(
                 F.col("file_path").alias("b7f_file"),
                 F.col("scope").alias("b7f_scope"),
                 F.col("var").alias("b7f_var"),
@@ -1226,7 +1366,7 @@ def resolve_calls(
                     F.col("ctor").alias("ctor"), F.col("ctor_base").alias("base")
                 ).alias("b7f_c"),
             )
-            b7s = tb.select(
+            b7s = tb.filter(~F.col("awaited")).select(
                 F.col("file_path").alias("b7s_file"),
                 F.col("scope").alias("b7s_scope"),
                 F.col("var").alias("b7s_var"),
@@ -1234,7 +1374,7 @@ def resolve_calls(
                     F.col("ctor").alias("ctor"), F.col("ctor_base").alias("base")
                 ).alias("b7s_c"),
             )
-            b7m = tb.select(
+            b7m = tb.filter(~F.col("awaited")).select(
                 F.col("file_path").alias("b7m_file"),
                 F.col("scope").alias("b7m_scope"),
                 F.col("var").alias("b7m_var"),
@@ -1356,7 +1496,7 @@ def resolve_calls(
                 "mk_all",
             )
             mkf = mk_all
-            m1f = tb.select(
+            m1f = tb.filter(~F.col("awaited")).select(
                 F.col("file_path").alias("m1f_file"),
                 F.col("scope").alias("m1f_scope"),
                 F.col("var").alias("m1f_var"),
@@ -1364,7 +1504,7 @@ def resolve_calls(
                     F.col("ctor").alias("ctor"), F.col("ctor_base").alias("base")
                 ).alias("m1f_c"),
             )
-            m1s = tb.select(
+            m1s = tb.filter(~F.col("awaited")).select(
                 F.col("file_path").alias("m1s_file"),
                 F.col("scope").alias("m1s_scope"),
                 F.col("var").alias("m1s_var"),
@@ -1372,7 +1512,7 @@ def resolve_calls(
                     F.col("ctor").alias("ctor"), F.col("ctor_base").alias("base")
                 ).alias("m1s_c"),
             )
-            m1m = tb.select(
+            m1m = tb.filter(~F.col("awaited")).select(
                 F.col("file_path").alias("m1m_file"),
                 F.col("scope").alias("m1m_scope"),
                 F.col("var").alias("m1m_var"),
@@ -1405,12 +1545,16 @@ def resolve_calls(
             cls_by_mod = classes.select(
                 F.col("k_module").alias("m4_cmod"), F.col("k_name").alias("m4_cname")
             ).distinct()
-            fxm = fx.select(
+            # chain-marker links are never awaited (a parenthesized
+            # await is unmarkable at the parser), so the inner-link
+            # factory lookups take SYNC factories only — an async
+            # method mid-chain yields a future, never the instance
+            fxm = fx.filter(~F.col("fx_async")).select(
                 F.col("fx_module").alias("m4f_module"),
                 F.col("fx_func").alias("m4f_func"),
                 F.col("fx_c").alias("m4f_c"),
             )
-            fxh = fx.select(
+            fxh = fx.filter(~F.col("fx_async")).select(
                 F.col("fx_module").alias("m5f_module"),
                 F.col("fx_func").alias("m5f_func"),
                 F.col("fx_c").alias("m5f_c"),
@@ -1591,7 +1735,7 @@ def resolve_calls(
             # grammar (longest emitted chain = 3 links + the call row);
             # anything deeper matches no typed inner and stays
             # unresolved — unresolved beats guessed, as everywhere.
-            fx6 = fx.select(
+            fx6 = fx.filter(~F.col("fx_async")).select(
                 F.col("fx_module").alias("m6f_module"),
                 F.col("fx_func").alias("m6f_func"),
                 F.col("fx_c").alias("m6f_c"),
@@ -1688,7 +1832,8 @@ def resolve_calls(
                 & (
                     F.concat_ws(".", F.col("__bcls.name"), F.col("__ctor.ctor"))
                     == fx2.f2_func
-                ),
+                )
+                & (fx2.f2_async == F.col("__aw")),
                 "left",
             )
             .withColumn("__cm", F.coalesce("f2_c.mod", "__cm"))
@@ -1736,7 +1881,7 @@ def resolve_calls(
             ).withColumn("__pp", F.when(two_plain | two_self, ctx_parts[1]))
             # head var type: function- then module-scope bind (class
             # scope holds only self./this. keys, not bare names)
-            v8f = tb.select(
+            v8f = tb.filter(~F.col("awaited")).select(
                 F.col("file_path").alias("v8f_file"),
                 F.col("scope").alias("v8f_scope"),
                 F.col("var").alias("v8f_var"),
@@ -1744,7 +1889,7 @@ def resolve_calls(
                     F.col("ctor").alias("ctor"), F.col("ctor_base").alias("base")
                 ).alias("v8f_c"),
             )
-            v8m = tb.select(
+            v8m = tb.filter(~F.col("awaited")).select(
                 F.col("file_path").alias("v8m_file"),
                 F.col("scope").alias("v8m_scope"),
                 F.col("var").alias("v8m_var"),
@@ -1876,9 +2021,18 @@ def resolve_calls(
                     F.regexp_replace(F.col("var"), r"^(self|this)\.", "").alias(
                         "at_attr"
                     ),
+                    # an awaited attr bind (`self.c = await mk()`) still
+                    # EXISTS at its depth, so it must shadow/block like
+                    # any unresolvable bind — poison, never drop
                     F.struct(
-                        F.col("ctor").alias("ctor"),
-                        F.col("ctor_base").alias("base"),
+                        F.when(F.col("awaited"), F.lit("__poisoned__"))
+                        .otherwise(F.col("ctor"))
+                        .alias("ctor"),
+                        F.when(
+                            F.col("awaited"), F.lit(None).cast("string")
+                        )
+                        .otherwise(F.col("ctor_base"))
+                        .alias("base"),
                     ).alias("at_c"),
                 )
             )
@@ -1983,7 +2137,9 @@ def resolve_calls(
             fx3 = fx.select(
                 F.col("fx_module").alias("f3_module"),
                 F.col("fx_func").alias("f3_func"),
-                F.col("fx_c").alias("f3_c"),
+                # an async getter's value is a future: certainty gate
+                # below treats it like an uncertain return (blocks)
+                F.when(~F.col("fx_async"), F.col("fx_c")).alias("f3_c"),
             )
             # ANY function/method named `Ancestor.attr` is a candidate —
             # resolvable only when it is a @property/getter whose return
@@ -2094,7 +2250,9 @@ def resolve_calls(
             # context, that one needs two segments), so the
             # null-guarded __cm/__cn update below cannot race it.
             vtb = (
-                tb.filter(F.col("scope") == F.col("file_path"))
+                # awaited top-level singletons excluded: the named ctor
+                # is not the awaited value's type
+                tb.filter((F.col("scope") == F.col("file_path")) & ~F.col("awaited"))
                 .select(
                     module_of_path("file_path").alias("sg_mod"),
                     F.col("var").alias("sg_var"),

@@ -355,7 +355,7 @@ _THIS_ASSIGN = re.compile(r"\bthis\.([\w$]+)\s*=(?![=>])")
 # match nothing in the resolver)
 _CALL_ASSIGN = re.compile(
     r"(?<![.\w$])(?:const\s+|let\s+|var\s+)?([\w$]+)"
-    r"\s*(?::\s*[\w$.<>\[\], |&]+)?=\s*(?:await\s+)?([\w$]+(?:\.[\w$]+)*)\s*\("
+    r"\s*(?::\s*[\w$.<>\[\], |&]+)?=\s*(await\s+)?([\w$]+(?:\.[\w$]+)*)\s*\("
 )
 
 
@@ -376,12 +376,17 @@ def _local_type_binds(body: str) -> dict[str, str]:
             val = _chain_value(body, m.group(2), pos)
         news.setdefault(m.group(1), set()).add(val)
     for m in _CALL_ASSIGN.finditer(body):
-        callee = m.group(2)
+        callee = m.group(3)
         if callee.split(".")[0] in _CALL_KEYWORDS:
             continue  # require(, import(, await(, if(, ...
-        news.setdefault(m.group(1), set()).add(
-            _chain_value(body, callee, m.end() - 1)
-        )
+        val = _chain_value(body, callee, m.end() - 1)
+        if m.group(2):
+            # `x = await f()`: the awaited marker rides the value string
+            # through the merge/poison logic (awaited vs non-awaited
+            # same-callee binds genuinely differ -> poison) and is
+            # stripped into the bind's awaited flag at emission
+            val = "await " + val
+        news.setdefault(m.group(1), set()).add(val)
     counts: dict[str, int] = {}
     for m in _ANY_ASSIGN.finditer(body):
         counts[m.group(1)] = counts.get(m.group(1), 0) + 1
@@ -393,7 +398,7 @@ def _local_type_binds(body: str) -> dict[str, str]:
 
 
 _THIS_CALL = re.compile(
-    r"\bthis\.([\w$]+)\s*=\s*(?:await\s+)?([\w$]+(?:\.[\w$]+)*)\s*\("
+    r"\bthis\.([\w$]+)\s*=\s*(await\s+)?([\w$]+(?:\.[\w$]+)*)\s*\("
 )
 
 
@@ -414,12 +419,13 @@ def _this_type_binds(body: str) -> dict[str, str | None]:
             val = _chain_value(body, m.group(2), pos)
         news.setdefault(m.group(1), set()).add(val)
     for m in _THIS_CALL.finditer(body):
-        callee = m.group(2)
+        callee = m.group(3)
         if callee.split(".")[0] in _CALL_KEYWORDS:
             continue
-        news.setdefault(m.group(1), set()).add(
-            _chain_value(body, callee, m.end() - 1)
-        )
+        val = _chain_value(body, callee, m.end() - 1)
+        if m.group(2):
+            val = "await " + val
+        news.setdefault(m.group(1), set()).add(val)
     out: dict[str, str | None] = {}
     for m in _THIS_ASSIGN.finditer(body):
         v = m.group(1)
@@ -446,6 +452,11 @@ _RETURN_NEW = re.compile(r"^new\s+([\w$]+(?:\.[\w$]+)*)\s*\(")
 # fail the lookahead and bind nothing
 _PARAM_ANN = re.compile(r"([\w$]+)\??\s*:\s*([\w$]+(?:\.[\w$]+)*)\s*(?=[,)=])")
 _SIG_RET = re.compile(r"\)\s*:\s*([\w$]+(?:\.[\w$]+)*)\s*$")
+# `): Promise<Conn>` — the async factory's declared value type; the
+# awaited bind receives the T, so the return_bind carries T + is_async
+_SIG_RET_PROMISE = re.compile(
+    r"\)\s*:\s*Promise\s*<\s*([\w$]+(?:\.[\w$]+)*)\s*>\s*$"
+)
 _TS_BUILTIN_TYPES = frozenset(
     "string number boolean any unknown void never object symbol bigint".split()
 )
@@ -733,21 +744,34 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
 
     def add_return_bind(name, masked_body, sig_text=None):
         # a plain-name TS return annotation (`function make(): Tool`)
-        # is declared intent and wins over body inference; wrapped
-        # types (Promise<Tool>, Tool | null) fail the match and fall
-        # back — a Promise is not the instance
+        # is declared intent and wins over body inference; a
+        # `Promise<Tool>` annotation unwraps to Tool with is_async set
+        # (the AWAITED value is the instance); other wrapped types
+        # (Tool | null) fail the match and fall back to body inference
         rb = None
+        is_async = bool(sig_text and re.search(r"\basync\b", sig_text))
         if sig_text:
             ms = _SIG_RET.search(sig_text)
             if ms is not None:
                 base, _, nm = ms.group(1).rpartition(".")
                 rb = (nm, base or None)
+            else:
+                mp = _SIG_RET_PROMISE.search(sig_text)
+                if mp is not None:
+                    base, _, nm = mp.group(1).rpartition(".")
+                    rb = (nm, base or None)
+                    is_async = True  # a Promise value types only awaited
         if rb is None:
             rb = _function_return_bind(masked_body)
         if rb is not None:
             r = _relation_rec(name, rb[0], None, path)
             r["record_kind"] = "return_bind"
             r["content"] = rb[1]
+            if is_async:
+                # matched against the consumer bind's awaited flag: a
+                # non-awaited call of an async factory is a Promise and
+                # must not type the variable
+                r["import_type"] = "async"
             recs.append(r)
 
     def add_param_binds(scope, sig_text, masked_body):
@@ -769,8 +793,13 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
 
     def add_type_binds(scope, masked_body, cls=None):
         for var, ctor in sorted(_local_type_binds(masked_body).items()):
+            awaited = ctor.startswith("await ")
+            if awaited:
+                ctor = ctor[len("await ") :]
             base, _, name = ctor.rpartition(".")
-            recs.append(_type_bind_rec(scope, var, name, base or None, path))
+            recs.append(
+                _type_bind_rec(scope, var, name, base or None, path, awaited)
+            )
         if cls is not None:
             d = this_binds.setdefault(cls, {})
             for var, ctor in _this_type_binds(masked_body).items():
@@ -987,6 +1016,8 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
                 r = _relation_rec(name, iname, None, path)
                 r["record_kind"] = "return_bind"
                 r["content"] = ibase or None
+                if re.search(r"\basync\b", sig):
+                    r["import_type"] = "async"  # async arrow factory
                 recs.append(r)
             elif impl_expr.startswith("{"):
                 add_return_bind(name, body, sig)
@@ -1273,8 +1304,13 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
     for cls, binds in sorted(this_binds.items()):
         for var, ctor in sorted(binds.items()):
             if ctor is not None:
+                awaited = ctor.startswith("await ")
+                if awaited:
+                    ctor = ctor[len("await ") :]
                 base, _, name = ctor.rpartition(".")
-                recs.append(_type_bind_rec(cls, var, name, base or None, path))
+                recs.append(
+                    _type_bind_rec(cls, var, name, base or None, path, awaited)
+                )
             else:
                 # poison marker, same contract as the Python parser: a
                 # conflicted attr bind must BLOCK ancestor-level

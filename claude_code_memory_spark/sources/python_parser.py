@@ -275,6 +275,15 @@ def _collect_type_binds(
             note(selfa, f"self.{t.attr}", val)
 
     def call_val(v):
+        # `x = await f()` binds x to f's AWAITED value: unwrap the Await
+        # and carry awaited=True — the resolver matches it only against
+        # ASYNC factories (an async def's return_bind), so a non-awaited
+        # async result (a coroutine) and an awaited sync call (a runtime
+        # error in Python) both stay honestly unresolved.
+        awaited = False
+        if isinstance(v, ast.Await):
+            v = v.value
+            awaited = True
         if isinstance(v, ast.Call):
             name, base = _name_and_base(v.func)
             if name is None:
@@ -292,7 +301,7 @@ def _collect_type_binds(
                 base = _marker_of_call(v.func.value)
                 if base is None:
                     return None
-            return (name, base)
+            return (name, base, awaited)
         return None
 
     for n in _scope_nodes(root):
@@ -328,7 +337,9 @@ def _collect_type_binds(
             note_target(n.target, call_val(n.value))
         elif isinstance(n, ast.AnnAssign):
             name, base = _name_and_base(n.annotation)
-            note_target(n.target, (name, base) if name else call_val(n.value))
+            note_target(
+                n.target, (name, base, False) if name else call_val(n.value)
+            )
         elif isinstance(n, ast.AugAssign):
             note_target(n.target, None)
         elif isinstance(n, (ast.For, ast.AsyncFor)):
@@ -357,11 +368,21 @@ def _collect_type_binds(
     return local, selfa
 
 
-def _type_bind_rec(scope: str, var: str, ctor: str, base: str | None, path: str) -> dict:
+def _type_bind_rec(
+    scope: str,
+    var: str,
+    ctor: str,
+    base: str | None,
+    path: str,
+    awaited: bool = False,
+) -> dict:
     r = _relation_rec(scope, ctor, None, path)
     r["record_kind"] = "type_binding"
     r["entity_name"] = var
     r["content"] = base
+    if awaited:
+        # `x = await f()`: only an ASYNC factory may type this bind
+        r["import_type"] = "await"
     return r
 
 
@@ -545,7 +566,7 @@ def parse_python_source(path: str, source: str) -> list[dict]:
             if arg.annotation is not None:
                 ann_name, ann_base = _name_and_base(arg.annotation)
                 if ann_name is not None:
-                    val = (ann_name, ann_base)
+                    val = (ann_name, ann_base, False)
             if val is None or (arg.arg in local_binds and local_binds[arg.arg] != val):
                 local_binds[arg.arg] = None
             else:
@@ -555,7 +576,9 @@ def parse_python_source(path: str, source: str) -> list[dict]:
                 local_binds[arg.arg] = None
         for var, val in sorted(local_binds.items()):
             if val is not None:
-                recs.append(_type_bind_rec(qual, var, val[0], val[1], path))
+                recs.append(
+                    _type_bind_rec(qual, var, val[0], val[1], path, val[2])
+                )
         # factory pattern: a function whose every return is the same
         # constructor call types its callers' assignments (`x =
         # make_tool(); x.run()` — resolver joins this table). Methods
@@ -580,6 +603,14 @@ def parse_python_source(path: str, source: str) -> list[dict]:
                 r = _relation_rec(qual, name, None, path)
                 r["record_kind"] = "return_bind"
                 r["content"] = base
+                if isinstance(fn, ast.AsyncFunctionDef):
+                    # an async def's CALL result is a coroutine; only an
+                    # AWAITED bind receives the returned instance — the
+                    # resolver matches is_async against the bind's
+                    # awaited flag, so `x = get_conn()` (no await) on an
+                    # async factory stays unresolved instead of falsely
+                    # pinning to the instance type
+                    r["import_type"] = "async"
                 recs.append(r)
         return self_binds
 
@@ -712,7 +743,7 @@ def parse_python_source(path: str, source: str) -> list[dict]:
                     ann_name, ann_base = _name_and_base(item.annotation)
                     if ann_name is not None:
                         key = f"self.{item.target.id}"
-                        val = (ann_name, ann_base)
+                        val = (ann_name, ann_base, False)
                         if key in cls_binds and cls_binds[key] != val:
                             cls_binds[key] = None
                         elif key not in cls_binds:
@@ -726,7 +757,9 @@ def parse_python_source(path: str, source: str) -> list[dict]:
                             cls_binds[var] = val
             for var, val in sorted(cls_binds.items()):
                 if val is not None:
-                    recs.append(_type_bind_rec(node.name, var, val[0], val[1], path))
+                    recs.append(
+                        _type_bind_rec(node.name, var, val[0], val[1], path, val[2])
+                    )
                 else:
                     # POISON MARKER (class-scope attrs only): with the
                     # round-8 ancestor-aware attribute lookup, a silently
@@ -760,7 +793,7 @@ def parse_python_source(path: str, source: str) -> list[dict]:
     mod_binds, _ = _collect_type_binds(tree)
     for var, val in sorted(mod_binds.items()):
         if val is not None:
-            recs.append(_type_bind_rec(path, var, val[0], val[1], path))
+            recs.append(_type_bind_rec(path, var, val[0], val[1], path, val[2]))
     return recs
 
 
@@ -860,6 +893,9 @@ def type_bindings(parsed: DataFrame) -> DataFrame:
         F.col("entity_name").alias("var"),
         F.col("to_entity").alias("ctor"),
         F.col("content").alias("ctor_base"),
+        # `x = await f()` → True; legacy stored rows surface as NULL
+        # through allowMissingColumns and coalesce to False downstream
+        F.col("import_type").eqNullSafe("await").alias("awaited"),
     )
 
 
@@ -879,4 +915,8 @@ def return_bindings(parsed: DataFrame) -> DataFrame:
         F.col("from_entity").alias("func"),
         F.col("to_entity").alias("ctor"),
         F.col("content").alias("ctor_base"),
+        # async def / async method / Promise<T> factory: its CALL value
+        # is a future, its AWAITED value is the instance — matched
+        # against the bind's `awaited` flag in the resolver
+        F.col("import_type").eqNullSafe("async").alias("is_async"),
     )

@@ -354,3 +354,51 @@ function use(db, x, arr) {
     assert cov["links"] - cov["captured"] == 1
     reset_chain_coverage()
     assert chain_coverage() == {"links": 0, "captured": 0}
+
+
+def test_js_async_await_records():
+    """Round 10 twins of the Python async records: `await` call binds
+    flag 'await', async functions / Promise<T> annotations flag their
+    return_bind 'async' (with the Promise<T> unwrapped to T)."""
+    from claude_code_memory_spark.sources.javascript_parser import (
+        parse_javascript_source,
+    )
+
+    src = (
+        "import { Conn } from './db';\n"
+        "\n"
+        "export async function mkConn(): Promise<Conn> { return new Conn(); }\n"
+        "\n"
+        "export function sk(): Conn { return new Conn(); }\n"
+        "\n"
+        "export class Repo {\n"
+        "  async fetchConn(): Promise<Conn> { return new Conn(); }\n"
+        "}\n"
+        "\n"
+        "export const mkArrow = async () => new Conn();\n"
+        "\n"
+        "export async function use() {\n"
+        "  const a = await mkConn();\n"
+        "  const b = mkConn();\n"
+        "  return [a, b];\n"
+        "}\n"
+    )
+    recs = parse_javascript_source("src/lib/a.ts", src)
+    tb = {
+        (r["from_entity"], r["entity_name"]): r["import_type"]
+        for r in recs
+        if r["record_kind"] == "type_binding"
+    }
+    assert tb[("use", "a")] == "await"
+    assert tb[("use", "b")] is None
+    rb = {
+        (r["from_entity"], r["to_entity"]): r["import_type"]
+        for r in recs
+        if r["record_kind"] == "return_bind"
+    }
+    # Promise<Conn> unwraps to Conn AND carries the async flag — on the
+    # function, the method, and the async arrow factory
+    assert rb[("mkConn", "Conn")] == "async"
+    assert rb[("Repo.fetchConn", "Conn")] == "async"
+    assert rb[("mkArrow", "Conn")] == "async"
+    assert rb[("sk", "Conn")] is None

@@ -247,3 +247,43 @@ def test_tuple_unpack_and_walrus_type_binds():
     assert tbinds.get(("h", "t")) == "Tool"
     # PEP 572: a walrus inside a comprehension binds the ENCLOSING scope
     assert tbinds.get(("h", "m")) == "Conn"
+
+
+def test_async_await_records():
+    """Round 10: `x = await f()` emits a type_binding flagged 'await'
+    (import_type), an `async def` factory emits its return_bind flagged
+    'async' — the resolver matches the two so a coroutine never types a
+    variable (soundness) and an awaited async factory does (capability)."""
+    from claude_code_memory_spark.sources.python_parser import parse_python_source
+
+    src = (
+        "class Conn:\n"
+        "    def query(self):\n"
+        "        return 1\n"
+        "\n"
+        "async def aget() -> Conn:\n"
+        "    return Conn()\n"
+        "\n"
+        "def sget() -> Conn:\n"
+        "    return Conn()\n"
+        "\n"
+        "async def use():\n"
+        "    a = await aget()\n"
+        "    b = aget()\n"
+        "    return a, b\n"
+    )
+    recs = parse_python_source("app.py", src)
+    tb = {
+        (r["from_entity"], r["entity_name"]): r["import_type"]
+        for r in recs
+        if r["record_kind"] == "type_binding"
+    }
+    assert tb[("use", "a")] == "await"
+    assert tb[("use", "b")] is None  # plain call bind, not awaited
+    rb = {
+        r["from_entity"]: r["import_type"]
+        for r in recs
+        if r["record_kind"] == "return_bind"
+    }
+    assert rb["aget"] == "async"
+    assert rb["sget"] is None

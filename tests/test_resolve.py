@@ -1858,3 +1858,50 @@ def test_resolve_pin_budget(spark, monkeypatch):
     assert ("use", "Tool.run") in got
     assert ("Tool.run", "Base.close") in got
     assert calls["n"] <= 13, f"resolve pin budget exceeded: {calls['n']} > 13"
+
+
+def test_resolve_accepts_legacy_bind_schemas(spark):
+    """Stores written before round 10 lack the awaited/is_async columns;
+    resolve_calls must accept such frames (adds the columns as False)
+    and behave exactly as the pre-async engine did."""
+    from claude_code_memory_spark.sources.python_parser import (
+        PARSED_SCHEMA,
+        return_bindings,
+    )
+
+    fixture = {
+        "lib.py": (
+            "class Tool:\n"
+            "    def run(self):\n"
+            "        return 1\n"
+            "\n"
+            "def make_tool():\n"
+            "    return Tool()\n"
+        ),
+        "app.py": (
+            "from lib import make_tool\n"
+            "\n"
+            "def use():\n"
+            "    t = make_tool()\n"
+            "    return t.run()\n"
+        ),
+    }
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_python_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    legacy_tb = type_bindings(parsed).drop("awaited")
+    legacy_rb = return_bindings(parsed).drop("is_async")
+    out = resolve_calls(
+        relations,
+        import_bindings(parsed),
+        entities,
+        legacy_tb,
+        return_binds=legacy_rb,
+    )
+    got = {
+        (r["from_entity"], r["to_entity"])
+        for r in out.filter(out.import_type == "resolved").collect()
+    }
+    assert ("use", "Tool.run") in got

@@ -266,6 +266,44 @@ FIXTURE = {
         "    d = Database()\n"
         "    return d.get_conn().query().again().query()\n"
     ),
+    # round 10: async factories (verdict r9 item 7 — Python twins of
+    # the JS await/async sites; one awaited/is_async rule, zero false)
+    "lib/asyncdb.py": (
+        "from lib.db import Conn\n"
+        "\n"
+        "async def aget_conn() -> Conn:\n"
+        "    return Conn()\n"
+        "\n"
+        "class ARepo:\n"
+        "    async def fetch_conn(self) -> Conn:\n"
+        "        return Conn()\n"
+    ),
+    "use/asyncuse.py": (
+        "from lib.asyncdb import ARepo, aget_conn\n"
+        "from lib.factories import make_tool\n"
+        "from lib.db import Conn\n"
+        "\n"
+        "async def a07_await_factory():\n"
+        "    c = await aget_conn()\n"
+        "    return c.query()\n"
+        "\n"
+        "async def a08_await_method():\n"
+        "    r = ARepo()\n"
+        "    c = await r.fetch_conn()\n"
+        "    return c.query()\n"
+        "\n"
+        "def n19_async_no_await():\n"
+        "    c = aget_conn()\n"  # a coroutine, not a Conn
+        "    return c.query()\n"
+        "\n"
+        "async def n20_await_class():\n"
+        "    c = await Conn()\n"  # await on an instance: not a Conn
+        "    return c.query()\n"
+        "\n"
+        "async def n21_await_sync_factory():\n"
+        "    t = await make_tool()\n"  # runtime error in Python
+        "    return t.run()\n"
+    ),
     "use/negatives.py": (
         "from os.path import join\n"
         "from lib.core import Tool, helper\n"
@@ -585,6 +623,10 @@ POSITIVES = [
     # round 9: three-hop chains — the deep-marker peel types
     # d.get_conn().query().again() through two extra fx lookups
     ("a06_three_hop", "Conn.query"),
+    # round 10: awaited async factories — the awaited value is the
+    # instance; the is_async/awaited match gates every fx lookup
+    ("a07_await_factory", "Conn.query"),
+    ("a08_await_method", "Conn.query"),
 ]
 
 # (site, target a full static analysis reaches, raw method name) —
@@ -632,6 +674,12 @@ NEGATIVES = [
     ("n14_method_shadows_property", "query"),  # method over base property
     ("n15_uncertain_property_shadow", "query"),  # divergent prop override
     ("n16_method_shadows_ann", "maybe"),  # method shadows base annotation
+    # round 10: async soundness — a non-awaited async call is a
+    # coroutine; awaiting a class instance or a sync factory never
+    # yields the named class (Python raises at runtime)
+    ("n19_async_no_await", "query"),
+    ("n20_await_class", "query"),
+    ("n21_await_sync_factory", "run"),
 ]
 
 
@@ -707,4 +755,4 @@ def test_fidelity_rate(fidelity):
     # round 9: three diamond MRO positives green (equal-depth ties by
     # base-list order) AND a06 three-hop chain closed by the deep-
     # marker peel → full denominator
-    assert rate >= 44 / 44 - 1e-9
+    assert rate >= 46 / 46 - 1e-9

