@@ -1876,9 +1876,37 @@ def resolve_calls(
                 & is_selfish
                 & F.col("ts_c").isNull()  # class attr bind didn't type it
             )
+            # round 10 (getter-chain): a call marker whose BASE is an
+            # attribute path (`s.conn.query()` → __ctor.base 's.conn')
+            # types its base through the same ancestor-aware
+            # attr/property table — __pv/__pp fire for those rows too,
+            # and the typed base class keys a SECOND factory join below
+            # (f2b) instead of writing __cm directly (the called method
+            # belongs to the FACTORY's return class, not the base).
+            # __cm.isNull() excludes dotted-module ctor bases the
+            # module-alias join already resolved; __bvar.isNull()
+            # excludes self-attr bases the whole-var bind already typed.
+            base_parts = F.split(F.col("__ctor.base"), r"\.")
+            base_selfish = F.col("__ctor.base").startswith("self.") | F.col(
+                "__ctor.base"
+            ).startswith("this.")
+            base_two = (
+                F.col("__ctor.base").isNotNull()
+                & ~F.col("__ctor.base").contains("(")
+                & (F.size(base_parts) == 2)
+                & F.col("__cm").isNull()
+            )
+            base_prop = base_two & ~base_selfish
+            base_prop_self = base_two & base_selfish & F.col("__bvar").isNull()
             attr = attr.withColumn(
-                "__pv", F.when(two_plain, ctx_parts[0])
-            ).withColumn("__pp", F.when(two_plain | two_self, ctx_parts[1]))
+                "__pv",
+                F.when(two_plain, ctx_parts[0]).when(base_prop, base_parts[0]),
+            ).withColumn(
+                "__pp",
+                F.when(two_plain | two_self, ctx_parts[1]).when(
+                    base_prop | base_prop_self, base_parts[1]
+                ),
+            )
             # head var type: function- then module-scope bind (class
             # scope holds only self./this. keys, not bare names)
             v8f = tb.filter(~F.col("awaited")).select(
@@ -1945,7 +1973,7 @@ def resolve_calls(
                 )
                 .join(
                     F.broadcast(lp),
-                    two_self
+                    (two_self | base_prop_self)
                     & (F.col("file_path") == lp.lp_file)
                     & (F.split(F.col("from_entity"), r"\.")[0] == lp.lp_name),
                     "left",
@@ -2220,20 +2248,57 @@ def resolve_calls(
                     "left",
                 )
                 .withColumn("__aacls", F.col("apt_c"))
+                # context rows only (__ctor null): for a marker-base row
+                # the __aacls class is the BASE's type, not the called
+                # method's class — writing it here would let a same-named
+                # method on the base class falsely win; those rows go
+                # through the f2b factory join below instead
                 .withColumn(
                     "__cm",
                     F.when(
-                        F.col("__cm").isNull() & F.col("__aacls").isNotNull(),
+                        F.col("__cm").isNull()
+                        & F.col("__aacls").isNotNull()
+                        & F.col("__ctor").isNull(),
                         F.col("__aacls.mod"),
                     ).otherwise(F.col("__cm")),
                 )
                 .withColumn(
                     "__cn",
                     F.when(
-                        F.col("__cn").isNull() & F.col("__aacls").isNotNull(),
+                        F.col("__cn").isNull()
+                        & F.col("__aacls").isNotNull()
+                        & F.col("__ctor").isNull(),
                         F.col("__aacls.name"),
                     ).otherwise(F.col("__cn")),
                 )
+            )
+            # getter-chain tail: the property-typed base class keys the
+            # factory table for the marker's own call — `s.conn` typed
+            # Conn above, so 'Conn.query' yields Result and the outer
+            # `.unwrap()` proceeds as a Result method lookup
+            f2b = fx.select(
+                F.col("fx_module").alias("f2b_module"),
+                F.col("fx_func").alias("f2b_func"),
+                F.col("fx_c").alias("f2b_c"),
+                F.col("fx_async").alias("f2b_async"),
+            )
+            attr = (
+                attr.join(
+                    F.broadcast(f2b),
+                    F.col("__ctor").isNotNull()
+                    & F.col("__aacls").isNotNull()
+                    & (F.col("__aacls.mod") == f2b.f2b_module)
+                    & (
+                        F.concat_ws(
+                            ".", F.col("__aacls.name"), F.col("__ctor.ctor")
+                        )
+                        == f2b.f2b_func
+                    )
+                    & (f2b.f2b_async == F.col("__aw")),
+                    "left",
+                )
+                .withColumn("__cm", F.coalesce("f2b_c.mod", "__cm"))
+                .withColumn("__cn", F.coalesce("f2b_c.name", "__cn"))
             )
 
             # --- imported module-scope singletons: `shared = Tool()` at

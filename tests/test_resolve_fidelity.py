@@ -304,6 +304,17 @@ FIXTURE = {
         "    t = await make_tool()\n"  # runtime error in Python
         "    return t.run()\n"
     ),
+    "use/getterchain.py": (
+        "from lib.svc import Service\n"
+        "\n"
+        "def a09_getter_chain():\n"
+        "    s = Service()\n"
+        "    return s.conn.query().unwrap()\n"
+        "\n"
+        "def n22_divergent_getter_chain():\n"
+        "    s = Service()\n"
+        "    return s.badprop.query().unwrap()\n"
+    ),
     "use/negatives.py": (
         "from os.path import join\n"
         "from lib.core import Tool, helper\n"
@@ -627,6 +638,10 @@ POSITIVES = [
     # instance; the is_async/awaited match gates every fx lookup
     ("a07_await_factory", "Conn.query"),
     ("a08_await_method", "Conn.query"),
+    # round 10 (late): getter-chain tail — `s.conn.query().unwrap()`
+    # types the marker's base through the property table, then the
+    # chain link through the factory join (f2b)
+    ("a09_getter_chain", "Result.unwrap"),
 ]
 
 # (site, target a full static analysis reaches, raw method name) —
@@ -680,6 +695,8 @@ NEGATIVES = [
     ("n19_async_no_await", "query"),
     ("n20_await_class", "query"),
     ("n21_await_sync_factory", "run"),
+    # a divergent @property base poisons the whole chain tail
+    ("n22_divergent_getter_chain", "unwrap"),
 ]
 
 
@@ -755,4 +772,4 @@ def test_fidelity_rate(fidelity):
     # round 9: three diamond MRO positives green (equal-depth ties by
     # base-list order) AND a06 three-hop chain closed by the deep-
     # marker peel → full denominator
-    assert rate >= 46 / 46 - 1e-9
+    assert rate >= 47 / 47 - 1e-9
