@@ -207,6 +207,11 @@ class CodeMemoryEngine:
             all_tbinds,
             return_binds=all_rbinds,
             stored_relations=stored_rels,
+            # lookup-side broadcast hints pay a fixed ~100-200 ms build
+            # per hinted join (~42 of them) and win only when the fact
+            # side is large: measured crossover between 80 files (SMJ
+            # faster) and 865 files (broadcast faster) — see resolve._bc
+            broadcast_lookups=n_changed >= 500,
         )
 
         # J4: pre-storage orphan filter — entity universe = stored ∪ batch.

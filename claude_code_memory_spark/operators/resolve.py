@@ -134,7 +134,7 @@ def _normalize_targets(
         F.sequence(F.lit(1), F.size(segs)),
         lambda k: F.array_join(F.slice(segs, 1, k), "."),
     )
-    km = F.broadcast(
+    km = _bc(
         known_modules.select(F.explode(prefixes).alias("__km")).distinct()
     )
     hits = (
@@ -144,7 +144,7 @@ def _normalize_targets(
         .select("__bid", F.col("__best.__cand").alias("__norm"))
     )
     return (
-        b.join(F.broadcast(hits), "__bid", "left")
+        b.join(_bc(hits), "__bid", "left")
         .withColumn("target_module", F.coalesce("__norm", "target_module"))
         .drop("__bid", "__norm")
     )
@@ -157,6 +157,22 @@ def _normalize_targets(
 # profile" that attributed 38 s of 81 s to the attr materialization,
 # now reproducible instead of hand-instrumented).
 PIN_PROFILE: list[tuple[str, float]] = []
+
+
+# Whether lookup-side BROADCAST hints are applied (set per resolve_calls
+# call via broadcast_lookups). The ~42 hinted joins each cost a fixed
+# driver-side broadcast build (~100-200 ms), which pays for itself only
+# when the fact side is large enough to make ~40 sort-merge shuffles
+# the bigger bill: measured crossover sits between the engine's own
+# 80-file repo (SMJ 16 s vs hinted 27 s) and the 865-file pyspark
+# corpus (SMJ 38 s vs hinted 21 s); the 31k-file stress corpus is 81 s
+# vs 47 s. api.index passes batch-file-count >= 500.
+_USE_BC = False
+
+
+def _bc(df: DataFrame) -> DataFrame:
+    """Broadcast hint, applied only for large-batch resolves (_USE_BC)."""
+    return F.broadcast(df) if _USE_BC else df
 
 
 def _pin(df: DataFrame, label: str = "?") -> DataFrame:
@@ -444,6 +460,7 @@ def resolve_calls(
     stored_relations: DataFrame | None = None,
     max_hops: int = 3,
     max_inherit: int = 3,
+    broadcast_lookups: bool = False,
 ) -> DataFrame:
     """Rewrite `calls` relations through the import graph.
 
@@ -465,6 +482,8 @@ def resolve_calls(
     to_entity rewritten to the defining entity's name and
     import_type='resolved'. Non-call rows and unresolvable calls pass
     through unchanged."""
+    global _USE_BC
+    _USE_BC = bool(broadcast_lookups)
     # last-import-wins isn't statically knowable row-order-free; dedupe
     # so a re-imported name can't fan a call out into duplicate rows
     b = _absolutize(bindings).dropDuplicates(["file_path", "local_name", "import_type"])
@@ -642,11 +661,11 @@ def resolve_calls(
         F.col("member").alias("b_member"),
     )
     bare = bare.join(
-        F.broadcast(cb),
+        _bc(cb),
         (bare.file_path == cb.b_file) & (bare.to_entity == cb.b_local),
         "left",
     ).join(
-        F.broadcast(defs),
+        _bc(defs),
         (F.col("b_tmod") == defs.def_module) & (F.col("b_member") == defs.def_name),
         "left",
     )
@@ -825,7 +844,7 @@ def resolve_calls(
 
     bare = (
         bare.join(
-            F.broadcast(star_hits),
+            _bc(star_hits),
             (F.col("file_path") == star_hits.st_file)
             & (F.col("to_entity") == star_hits.st_name),
             "left",
@@ -863,7 +882,7 @@ def resolve_calls(
         F.col("member").alias("e_member"),
     )
     attr = attr.join(
-        F.broadcast(cb3), (attr.file_path == cb3.e_file) & (attr.context == cb3.e_local), "left"
+        _bc(cb3), (attr.file_path == cb3.e_file) & (attr.context == cb3.e_local), "left"
     )
 
     # (a) base is a module: the head is a module-alias binding
@@ -875,7 +894,7 @@ def resolve_calls(
         F.col("target_module").alias("m_tmod"),
     )
     attr = attr.join(
-        F.broadcast(mb), (attr.file_path == mb.m_file) & (attr.__b0 == mb.m_local), "left"
+        _bc(mb), (attr.file_path == mb.m_file) & (attr.__b0 == mb.m_local), "left"
     ).withColumn(
         "__mod",
         F.coalesce(
@@ -897,7 +916,7 @@ def resolve_calls(
         F.col("member").alias("c_member"),
     )
     attr = attr.join(
-        F.broadcast(cb2),
+        _bc(cb2),
         (F.col("__mod") == cb2.c_module) & (attr.to_entity == cb2.c_local),
         "left",
     ).withColumn(
@@ -908,7 +927,7 @@ def resolve_calls(
     # namespace-through-barrel: a (module, name) the module only
     # supplies via an unambiguous star-export hops once more (star_mod)
     attr = attr.join(
-        F.broadcast(star_mod),
+        _bc(star_mod),
         (F.col("__mod_final") == F.col("sm_mod"))
         & (F.col("__name_final") == F.col("sm_name")),
         "left",
@@ -921,7 +940,7 @@ def resolve_calls(
         F.col("def_module").alias("d1_module"), F.col("def_name").alias("d1_name")
     )
     attr = attr.join(
-        F.broadcast(d1),
+        _bc(d1),
         (F.col("__mod_final") == d1.d1_module) & (F.col("__name_final") == d1.d1_name),
         "left",
     )
@@ -967,7 +986,7 @@ def resolve_calls(
         F.col("k_name").alias("l1_name"),
     )
     attr = attr.join(
-        F.broadcast(lc1),
+        _bc(lc1),
         (F.col("file_path") == lc1.l1_file) & (F.col("context") == lc1.l1_name),
         "left",
     )
@@ -1028,14 +1047,14 @@ def resolve_calls(
         )
         attr = (
             attr.join(
-                F.broadcast(tbf),
+                _bc(tbf),
                 (F.col("file_path") == tbf.tf_file)
                 & (F.col("from_entity") == tbf.tf_scope)
                 & (F.col("context") == tbf.tf_var),
                 "left",
             )
             .join(
-                F.broadcast(tbs),
+                _bc(tbs),
                 (F.col("file_path") == tbs.ts_file)
                 & (F.split(F.col("from_entity"), r"\.")[0] == tbs.ts_scope)
                 & (F.col("context") == tbs.ts_var)
@@ -1046,7 +1065,7 @@ def resolve_calls(
                 "left",
             )
             .join(
-                F.broadcast(tbm),
+                _bc(tbm),
                 (F.col("file_path") == tbm.tm_file)
                 & (F.col("file_path") == tbm.tm_scope)
                 & (F.col("context") == tbm.tm_var),
@@ -1091,21 +1110,21 @@ def resolve_calls(
     ctor_rem = F.regexp_replace(F.col("__ctor.base"), r"^[^.]+", "")
     attr = (
         attr.join(
-            F.broadcast(cb4),
+            _bc(cb4),
             F.col("__ctor.base").isNull()
             & (F.col("file_path") == cb4.c4_file)
             & (F.col("__ctor.ctor") == cb4.c4_local),
             "left",
         )
         .join(
-            F.broadcast(lc2),
+            _bc(lc2),
             F.col("__ctor.base").isNull()
             & (F.col("file_path") == lc2.l2_file)
             & (F.col("__ctor.ctor") == lc2.l2_name),
             "left",
         )
         .join(
-            F.broadcast(mb2),
+            _bc(mb2),
             F.col("__ctor.base").isNotNull()
             & (F.col("file_path") == mb2.m2_file)
             & (ctor_head == mb2.m2_local),
@@ -1173,7 +1192,7 @@ def resolve_calls(
     )
     attr = (
         attr.join(
-            F.broadcast(cb5),
+            _bc(cb5),
             (F.col("__cls.mod") == cb5.g_module) & (F.col("__cls.name") == cb5.g_local),
             "left",
         )
@@ -1294,7 +1313,7 @@ def resolve_calls(
         )
         attr = (
             attr.join(
-                F.broadcast(fx),
+                _bc(fx),
                 (F.col("__cm") == fx.fx_module)
                 & (F.col("__cn") == fx.fx_func)
                 & (fx.fx_async == F.col("__aw")),
@@ -1395,14 +1414,14 @@ def resolve_calls(
             )
             attr = (
                 attr.join(
-                    F.broadcast(b7f),
+                    _bc(b7f),
                     (F.col("file_path") == b7f.b7f_file)
                     & (F.col("from_entity") == b7f.b7f_scope)
                     & (F.col("__ctor.base") == b7f.b7f_var),
                     "left",
                 )
                 .join(
-                    F.broadcast(b7s),
+                    _bc(b7s),
                     (F.col("file_path") == b7s.b7s_file)
                     & (F.split(F.col("from_entity"), r"\.")[0] == b7s.b7s_scope)
                     & (F.col("__ctor.base") == b7s.b7s_var)
@@ -1413,7 +1432,7 @@ def resolve_calls(
                     "left",
                 )
                 .join(
-                    F.broadcast(b7m),
+                    _bc(b7m),
                     (F.col("file_path") == b7m.b7m_file)
                     & (F.col("file_path") == b7m.b7m_scope)
                     & (F.col("__ctor.base") == b7m.b7m_var),
@@ -1421,14 +1440,14 @@ def resolve_calls(
                 )
                 .withColumn("__bvar", F.coalesce("b7f_c", "b7s_c", "b7m_c"))
                 .join(
-                    F.broadcast(x7),
+                    _bc(x7),
                     F.col("__bvar.base").isNull()
                     & (F.col("file_path") == x7.x7_file)
                     & (F.col("__bvar.ctor") == x7.x7_local),
                     "left",
                 )
                 .join(
-                    F.broadcast(l7),
+                    _bc(l7),
                     F.col("__bvar.base").isNull()
                     & (F.col("file_path") == l7.l7_file)
                     & (F.col("__bvar.ctor") == l7.l7_name),
@@ -1774,7 +1793,7 @@ def resolve_calls(
                 mkf = mkf.unionByName(typed)
             mkf = _pin(mkf, "mkf")
             attr = attr.join(
-                F.broadcast(mkf),
+                _bc(mkf),
                 (F.col("file_path") == mkf.mk_file)
                 & (F.col("from_entity") == mkf.mk_scope)
                 & (F.col("__ctor.base") == mkf.mk_marker),
@@ -1787,14 +1806,14 @@ def resolve_calls(
 
         attr = (
             attr.join(
-                F.broadcast(cb6),
+                _bc(cb6),
                 base_is_name
                 & (F.col("file_path") == cb6.x6_file)
                 & (F.col("__ctor.base") == cb6.x6_local),
                 "left",
             )
             .join(
-                F.broadcast(lc3),
+                _bc(lc3),
                 base_is_name
                 & (F.col("file_path") == lc3.l3_file)
                 & (F.col("__ctor.base") == lc3.l3_name),
@@ -1827,7 +1846,7 @@ def resolve_calls(
                 ),
             )
             .join(
-                F.broadcast(fx2),
+                _bc(fx2),
                 (F.col("__bcls.mod") == fx2.f2_module)
                 & (
                     F.concat_ws(".", F.col("__bcls.name"), F.col("__ctor.ctor"))
@@ -1943,14 +1962,14 @@ def resolve_calls(
             )
             attr = (
                 attr.join(
-                    F.broadcast(v8f),
+                    _bc(v8f),
                     (F.col("file_path") == v8f.v8f_file)
                     & (F.col("from_entity") == v8f.v8f_scope)
                     & (pv == v8f.v8f_var),
                     "left",
                 )
                 .join(
-                    F.broadcast(v8m),
+                    _bc(v8m),
                     (F.col("file_path") == v8m.v8m_file)
                     & (F.col("file_path") == v8m.v8m_scope)
                     & (pv == v8m.v8m_var),
@@ -1958,21 +1977,21 @@ def resolve_calls(
                 )
                 .withColumn("__pvb", F.coalesce("v8f_c", "v8m_c"))
                 .join(
-                    F.broadcast(v9),
+                    _bc(v9),
                     F.col("__pvb.base").isNull()
                     & (F.col("file_path") == v9.v9_file)
                     & (F.col("__pvb.ctor") == v9.v9_local),
                     "left",
                 )
                 .join(
-                    F.broadcast(v10),
+                    _bc(v10),
                     F.col("__pvb.base").isNull()
                     & (F.col("file_path") == v10.v10_file)
                     & (F.col("__pvb.ctor") == v10.v10_name),
                     "left",
                 )
                 .join(
-                    F.broadcast(lp),
+                    _bc(lp),
                     (two_self | base_prop_self)
                     & (F.col("file_path") == lp.lp_file)
                     & (F.split(F.col("from_entity"), r"\.")[0] == lp.lp_name),
@@ -2241,7 +2260,7 @@ def resolve_calls(
             )
             attr = (
                 attr.join(
-                    F.broadcast(ap_tbl),
+                    _bc(ap_tbl),
                     (F.col("__hcls.mod") == ap_tbl.apt_mod)
                     & (F.col("__hcls.name") == ap_tbl.apt_name)
                     & (pp == ap_tbl.apt_attr),
@@ -2284,7 +2303,7 @@ def resolve_calls(
             )
             attr = (
                 attr.join(
-                    F.broadcast(f2b),
+                    _bc(f2b),
                     F.col("__ctor").isNotNull()
                     & F.col("__aacls").isNotNull()
                     & (F.col("__aacls.mod") == f2b.f2b_module)
@@ -2354,20 +2373,20 @@ def resolve_calls(
             )
             attr = (
                 attr.join(
-                    F.broadcast(vtb),
+                    _bc(vtb),
                     (F.col("e_tmod") == vtb.sg_mod)
                     & (F.col("e_member") == vtb.sg_var),
                     "left",
                 )
                 .join(
-                    F.broadcast(sg9),
+                    _bc(sg9),
                     F.col("sg_c.base").isNull()
                     & (F.col("sg_file") == sg9.sg9_file)
                     & (F.col("sg_c.ctor") == sg9.sg9_local),
                     "left",
                 )
                 .join(
-                    F.broadcast(sg10),
+                    _bc(sg10),
                     F.col("sg_c.base").isNull()
                     & (F.col("sg_file") == sg10.sg10_file)
                     & (F.col("sg_c.ctor") == sg10.sg10_name),
@@ -2473,7 +2492,7 @@ def resolve_calls(
         F.col("k_name").alias("sp_name"),
     )
     attr = attr.join(
-        F.broadcast(sup_cls),
+        _bc(sup_cls),
         is_super
         & (F.col("file_path") == sup_cls.sp_file)
         & (F.split(F.col("from_entity"), r"\.")[0] == sup_cls.sp_name),
@@ -2510,7 +2529,7 @@ def resolve_calls(
         "h_def",
     )
     attr = attr.join(
-        F.broadcast(hits),
+        _bc(hits),
         (F.col("__cm") == hits.h_mod)
         & (F.col("__cn") == hits.h_name)
         & (F.col("to_entity") == hits.h_method),
@@ -2523,7 +2542,7 @@ def resolve_calls(
         F.col("h_def").alias("hs_def"),
     )
     attr = attr.join(
-        F.broadcast(hits_sup),
+        _bc(hits_sup),
         (F.col("sp_mod") == hits_sup.hs_mod)
         & (F.col("sp_name") == hits_sup.hs_name)
         & (F.col("to_entity") == hits_sup.hs_method),

@@ -1905,3 +1905,63 @@ def test_resolve_accepts_legacy_bind_schemas(spark):
         for r in out.filter(out.import_type == "resolved").collect()
     }
     assert ("use", "Tool.run") in got
+
+
+def test_broadcast_lookups_plan_shape(spark):
+    """broadcast_lookups=True must plan the attr pipeline's lookup joins
+    as BroadcastHashJoins (the 362k-entity stress corpus measured 81s of
+    ~40 sort-merge shuffles without it, 47s with); False (the default,
+    right for small batches where ~42 broadcast builds cost more than
+    the shuffles) must keep the legacy sort-merge shape. Same results
+    either way — only the physical strategy moves."""
+    import contextlib
+    import io
+
+    from claude_code_memory_spark.sources.python_parser import (
+        PARSED_SCHEMA,
+        return_bindings,
+    )
+
+    fixture = {
+        "lib.py": (
+            "class Tool:\n"
+            "    def run(self):\n"
+            "        return 1\n"
+        ),
+        "app.py": (
+            "from lib import Tool\n"
+            "\n"
+            "def use():\n"
+            "    t = Tool()\n"
+            "    return t.run()\n"
+        ),
+    }
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_python_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+
+    def plan_of(bc):
+        out = resolve_calls(
+            relations,
+            import_bindings(parsed),
+            entities,
+            type_bindings(parsed),
+            return_binds=return_bindings(parsed),
+            broadcast_lookups=bc,
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain(mode="simple")
+        rows = {
+            (r["from_entity"], r["to_entity"])
+            for r in out.filter(out.import_type == "resolved").collect()
+        }
+        return buf.getvalue(), rows
+
+    plan_bc, rows_bc = plan_of(True)
+    plan_smj, rows_smj = plan_of(False)
+    assert rows_bc == rows_smj and ("use", "Tool.run") in rows_bc
+    assert plan_bc.count("BroadcastHashJoin") > plan_smj.count("BroadcastHashJoin")
+    assert plan_smj.count("SortMergeJoin") > plan_bc.count("SortMergeJoin")
