@@ -35,80 +35,79 @@ from claude_code_memory_spark.queries import (  # noqa: F401,E402
 # and 50 slots the rotation period is ~3 rounds, so the sweep must never
 # be preempted.
 #
-# Round-10 window, executing the round-9 queue exactly (r9 verdict item
-# 1): (a) the 12 r6-last-green cohort leftovers — 3 driver rounds stale,
-# top staleness priority (all judge-selfchecked green at sf0.01 in the
-# r9 verdict); (b) round 9 added no new catalog entries, so the rest of
-# the window is (c) the first 38 of the 50-entry r7-last-green cohort,
-# in catalog order. 12 + 38 = 50; the remaining 12 r7 entries
-# (sketch_heavy_hitters, feature_winsorize_clip, sketch_window_distinct,
-# privacy_pseudonymize, sketch_hll_mergeable, text_gopher_rules,
-# tokenizer_bpe_encode_top_symbols, text_token_entropy,
-# timeseries_gapfill_locf, timeseries_interpolate_linear,
-# anomaly_rolling_zscore, asof_join_salted_events) lead the round-11
-# queue, followed by any round-10 additions, then the r8 cohort.
-# After this rotation the full 162-entry catalog has cycled through the
-# driver window twice and no entry's latest green is older than r7.
+# Round-11 window, executing the round-10 queue exactly (r10 verdict
+# item 1): (a) the 12 r7-last-green cohort leftovers — 3 driver rounds
+# stale, top staleness priority (all judge-selfchecked green at sf0.01
+# in the r10 verdict); (b) round 10 added no new catalog entries, so
+# the rest of the window is (c) the first 38 of the 50-entry
+# r8-last-green cohort, in catalog order. 12 + 38 = 50; the remaining
+# 12 r8 entries (transition_matrix_events, scd2_user_state_intervals,
+# stickiness_dau_wau, vector_pca_covariance, sketch_kmv_mergeable,
+# sample_bottomk_per_type, corr_matrix_lineitem, anomaly_mad_outliers,
+# pareto_nation_revenue, text_ttr_hapax, text_sliding_chunks,
+# timeseries_ewma_window) lead the round-12 queue, followed by any
+# round-11 additions, then the r9 cohort. After this rotation no
+# catalog entry's latest driver green is older than r8.
 # tests/test_registry_order.py pins this window.
 _DRIVER_WINDOW = [
-    # -- (a) the twelve r6-last-green leftovers --
-    "agg_second_moments",
-    "pivot_priority_by_year",
-    "text_language_id",
-    "text_quality_scores",
-    "text_token_counts",
-    "text_fingerprints",
-    "text_complexity",
-    "text_camel_spacing",
-    "corpus_filter_funnel",
-    "text_repetition_signals",
-    "text_pii_redaction",
-    "text_c4_filter",
-    # -- (c) r7-last-green cohort, first 38 in catalog order --
-    "cluster_kmeans_sizes",
-    "dedup_semantic_cells",
-    "dedup_repeated_ngrams",
-    "sample_domain_mixture",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_minhash_delta",
-    "dedup_cross_substring",
-    "dedup_clusters_star",
-    "dedup_keep_best_per_cluster",
-    "dedup_ngram_exposure",
-    "graph_pagerank_nations",
-    "graph_triangle_counts",
-    "mixture_domain_weights",
-    "sample_dsir_importance",
-    "decontaminate_vs_benchmark",
-    "split_group_holdout",
-    "relations_orphan_cleanup",
-    "agg_percentiles",
-    "window_lag_lead",
-    "scroll_pagination",
-    "chunk_pack_running_budget",
-    "agg_grouping_sets",
-    "window_time_range_frame",
-    "agg_user_segments_bitmap",
-    "q17_small_quantity_revenue",
-    "range_join_click_to_purchase",
-    "layout_zorder_tiles",
-    "knn_per_label",
-    "ivf_knn_join_batch",
-    "vector_pq_error",
-    "vector_pq_adc_topk",
-    "ann_hard_negatives",
-    "tumbling_window_counts",
-    "sessionize_builtin_window",
-    "retention_cohorts",
-    "sliding_window_counts",
-    "sketch_approx_distinct",
+    # -- (a) the twelve r7-last-green leftovers --
+    "sketch_heavy_hitters",
+    "feature_winsorize_clip",
+    "sketch_window_distinct",
+    "privacy_pseudonymize",
+    "sketch_hll_mergeable",
+    "text_gopher_rules",
+    "tokenizer_bpe_encode_top_symbols",
+    "text_token_entropy",
+    "timeseries_gapfill_locf",
+    "timeseries_interpolate_linear",
+    "anomaly_rolling_zscore",
+    "asof_join_salted_events",
+    # -- (c) r8-last-green cohort, first 38 in catalog order --
+    "dedup_exact_kept",
+    "dedup_minhash_lsh",
+    "dedup_edit_distance",
+    "ml_logreg_quality",
+    "knn_classify_majority",
+    "mixture_lang_source_mi",
+    "cap_docs_per_source",
+    "sample_weighted_bottomk",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "agg_cube_orders",
+    "agg_event_stats",
+    "filter_payload_equality",
+    "filter_must_should_not",
+    "filter_score_threshold",
+    "join_anti_customers_without_urgent",
+    "join_semi_customers_with_urgent",
+    "join_hash_dedup_probe",
+    "set_union_distinct_nations",
+    "set_except_intersect",
+    "hash_ids_documents",
+    "scalar_regex_extract",
+    "window_rank_ntile",
+    "pivot_status_by_priority",
+    "scalar_datetime_parts",
+    "q6_revenue_delta",
+    "q10_returned_items",
+    "agg_rollup_orders",
+    "join_salted_status_revenue",
+    "q4_order_priority",
+    "quality_constraint_report",
+    "dense_topk",
+    "bm25_keyword_topk",
+    "hybrid_rrf_search",
+    "vector_pq_trained_error",
+    "vector_ivfpq_adc_topk",
+    "sessionize_events",
+    "funnel_view_click_purchase",
 ]
-# Round-11 rotation queue (oldest-green-first after this round lands):
-# (a) the 12 r7-cohort entries deferred above (listed in the window
-#     comment); (b) any round-10 additions (never driver-checked);
-# (c) the 50-entry r8-last-green cohort — whatever fits after (a)+(b);
-#     remainder rotates in round 12 with the r9 cohort.
+# Round-12 rotation queue (oldest-green-first after this round lands):
+# (a) the 12 r8-cohort entries deferred above (listed in the window
+#     comment); (b) any round-11 additions (never driver-checked);
+# (c) the 50-entry r9-last-green cohort — whatever fits after (a)+(b);
+#     remainder rotates in round 13 with the r10 cohort.
 
 
 def _apply_driver_window() -> None:

@@ -6,74 +6,74 @@ never silently shrink driver coverage.
 
 from claude_code_memory_spark.queries import REGISTRY, _DRIVER_WINDOW
 
-# Round-10 window: the 12 r6-last-green cohort leftovers (3 driver
-# rounds stale — verdict r9 item 1: "rotate the final 12 r6-stale
-# entries"), then the first 38 of the r7-last-green cohort in catalog
-# order. Round 9 added no catalog entries, so there is no never-checked
-# segment this round. The 12 deferred r7 entries lead the round-11
+# Round-11 window: the 12 r7-last-green cohort leftovers (3 driver
+# rounds stale — verdict r10 item 1: the pre-named round-11 queue),
+# then the first 38 of the r8-last-green cohort in catalog order.
+# Round 10 added no catalog entries, so there is no never-checked
+# segment this round. The 12 deferred r8 entries lead the round-12
 # queue.
-R6_LEFTOVERS = {
-    "agg_second_moments",
-    "pivot_priority_by_year",
-    "text_language_id",
-    "text_quality_scores",
-    "text_token_counts",
-    "text_fingerprints",
-    "text_complexity",
-    "text_camel_spacing",
-    "corpus_filter_funnel",
-    "text_repetition_signals",
-    "text_pii_redaction",
-    "text_c4_filter",
+R7_LEFTOVERS = {
+    "sketch_heavy_hitters",
+    "feature_winsorize_clip",
+    "sketch_window_distinct",
+    "privacy_pseudonymize",
+    "sketch_hll_mergeable",
+    "text_gopher_rules",
+    "tokenizer_bpe_encode_top_symbols",
+    "text_token_entropy",
+    "timeseries_gapfill_locf",
+    "timeseries_interpolate_linear",
+    "anomaly_rolling_zscore",
+    "asof_join_salted_events",
 }
 
-R7_COHORT_38 = {
-    "cluster_kmeans_sizes",
-    "dedup_semantic_cells",
-    "dedup_repeated_ngrams",
-    "sample_domain_mixture",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_minhash_delta",
-    "dedup_cross_substring",
-    "dedup_clusters_star",
-    "dedup_keep_best_per_cluster",
-    "dedup_ngram_exposure",
-    "graph_pagerank_nations",
-    "graph_triangle_counts",
-    "mixture_domain_weights",
-    "sample_dsir_importance",
-    "decontaminate_vs_benchmark",
-    "split_group_holdout",
-    "relations_orphan_cleanup",
-    "agg_percentiles",
-    "window_lag_lead",
-    "scroll_pagination",
-    "chunk_pack_running_budget",
-    "agg_grouping_sets",
-    "window_time_range_frame",
-    "agg_user_segments_bitmap",
-    "q17_small_quantity_revenue",
-    "range_join_click_to_purchase",
-    "layout_zorder_tiles",
-    "knn_per_label",
-    "ivf_knn_join_batch",
-    "vector_pq_error",
-    "vector_pq_adc_topk",
-    "ann_hard_negatives",
-    "tumbling_window_counts",
-    "sessionize_builtin_window",
-    "retention_cohorts",
-    "sliding_window_counts",
-    "sketch_approx_distinct",
+R8_COHORT_38 = {
+    "dedup_exact_kept",
+    "dedup_minhash_lsh",
+    "dedup_edit_distance",
+    "ml_logreg_quality",
+    "knn_classify_majority",
+    "mixture_lang_source_mi",
+    "cap_docs_per_source",
+    "sample_weighted_bottomk",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "agg_cube_orders",
+    "agg_event_stats",
+    "filter_payload_equality",
+    "filter_must_should_not",
+    "filter_score_threshold",
+    "join_anti_customers_without_urgent",
+    "join_semi_customers_with_urgent",
+    "join_hash_dedup_probe",
+    "set_union_distinct_nations",
+    "set_except_intersect",
+    "hash_ids_documents",
+    "scalar_regex_extract",
+    "window_rank_ntile",
+    "pivot_status_by_priority",
+    "scalar_datetime_parts",
+    "q6_revenue_delta",
+    "q10_returned_items",
+    "agg_rollup_orders",
+    "join_salted_status_revenue",
+    "q4_order_priority",
+    "quality_constraint_report",
+    "dense_topk",
+    "bm25_keyword_topk",
+    "hybrid_rrf_search",
+    "vector_pq_trained_error",
+    "vector_ivfpq_adc_topk",
+    "sessionize_events",
+    "funnel_view_click_purchase",
 }
 
 
 def test_driver_window_is_the_staleness_sweep():
     window = set(list(REGISTRY)[:50])
-    assert R6_LEFTOVERS <= window, f"missing r6 leftovers: {sorted(R6_LEFTOVERS - window)}"
-    assert R7_COHORT_38 <= window, f"missing r7 cohort: {sorted(R7_COHORT_38 - window)}"
-    assert len(R6_LEFTOVERS | R7_COHORT_38) == 50
+    assert R7_LEFTOVERS <= window, f"missing r7 leftovers: {sorted(R7_LEFTOVERS - window)}"
+    assert R8_COHORT_38 <= window, f"missing r8 cohort: {sorted(R8_COHORT_38 - window)}"
+    assert len(R7_LEFTOVERS | R8_COHORT_38) == 50
 
 
 def test_window_is_exactly_the_declared_list():
