@@ -191,6 +191,34 @@ def main() -> None:
             "loaded": max(l0, l1) > ncpu / 4,
         }
 
+    # execution-only timings (verdict r10 items 3+5): the per-sample
+    # loop above builds a FRESH DataFrame every run, so each sample pays
+    # Catalyst analysis + whole-stage-codegen compilation again — at
+    # sf0.1 that fixed cost dominates every sub-second query (measured:
+    # bm25's execution is ~0.05 s of a ~0.7 s sample) and it is exactly
+    # the part that does NOT extrapolate to cluster scale. Re-collecting
+    # the SAME DataFrame object reuses the compiled plan, so the median
+    # of those runs is the execution-only number. Measured for every
+    # sub-second headline query (the ones compile cost distorts most)
+    # plus the hybrid/dense pair that defines the RRF overhead ratio.
+    exec_only_sec: dict[str, float] = {}
+    for name in sorted(
+        {q for q, t in timings.items() if t < 1.0}
+        | ({"dense_topk", "hybrid_rrf_search"} & set(timings))
+    ):
+        try:
+            df = headline[name](spark, sf_dir)
+            df.collect()  # compile + first execution
+            es = []
+            for _ in range(5):
+                spark.catalog.clearCache()  # recompute data, reuse the plan
+                t0 = time.time()
+                df.collect()
+                es.append(time.time() - t0)
+            exec_only_sec[name] = round(sorted(es)[len(es) // 2], 3)
+        except Exception:  # noqa: BLE001
+            pass
+
     # engine-specific extra: vector index-build throughput (embed every
     # document with the deterministic hash embedder — the pandas-UDF path
     # every real embedder provider shares — and materialize the vectors)
@@ -446,6 +474,19 @@ def main() -> None:
     import shutil
     import tempfile
 
+    # inter-section cooldown (verdict r10 item 2): load1 lags ~2 min
+    # behind actual CPU use, so this section inherited the PREVIOUS
+    # sections' heat and self-flagged loaded in every full run — the 1M
+    # qps numbers could never be published unqualified. Wait (bounded)
+    # for the reported load to decay below the flag threshold; on a
+    # genuinely busy machine the wait times out and the section flags
+    # loaded as before, which is then a true statement about external
+    # load rather than an artifact of the bench measuring itself.
+    _t_cool = time.time()
+    while _load1() > ncpu / 4 and time.time() - _t_cool < 240:
+        time.sleep(5)
+    ann_qps["cooldown_sec"] = round(time.time() - _t_cool, 1)
+
     ann_dir = tempfile.mkdtemp(prefix="bench_ann_")
     _l0 = _load1()
     try:
@@ -694,6 +735,32 @@ def main() -> None:
                 trend["regressions"].append(
                     f"hybrid_rrf_overhead_vs_dense>{5.0} ({round(hybrid_t / dense_t, 2)})"
                 )
+            # attribute compile-bound flags (verdict r10 item 5): a
+            # sub-second query whose execution-only time is under half
+            # its fresh-plan median is dominated by Catalyst+codegen
+            # compile, which varies run-to-run on identical code — name
+            # those so the regression list separates plan problems from
+            # compile noise instead of tripping on dense_topk every
+            # round (flagged 1.4x in r10 at 0.26→0.37 s absolute).
+            compile_bound = {
+                q: {
+                    "median": timings[q],
+                    "exec_only": exec_only_sec[q],
+                    "compile_share": round(1 - exec_only_sec[q] / timings[q], 2),
+                }
+                for q in trend["regressions"]
+                if q in exec_only_sec
+                and timings.get(q)
+                and exec_only_sec[q] < 0.5 * timings[q]
+            }
+            if compile_bound:
+                trend["compile_bound_regressions"] = compile_bound
+                trend["compile_bound_note"] = (
+                    "these flagged queries are plan-compile-bound at this "
+                    "SF: their execution-only medians (same DataFrame "
+                    "re-collected, plan reused) are the numbers that "
+                    "extrapolate to cluster scale"
+                )
             break
         except (json.JSONDecodeError, OSError):
             continue
@@ -720,6 +787,22 @@ def main() -> None:
             "hybrid_rrf_overhead_vs_dense": (
                 round(hybrid_t / dense_t, 2) if dense_t and hybrid_t else None
             ),
+            # execution-only twin of the ratio above (verdict r10 item
+            # 3): same DataFrame re-collected so Catalyst analysis +
+            # codegen compile are paid once — the residual above the
+            # ≤3.0 design target in the fresh-plan ratio is compile
+            # cost, and this is the measurement that proves it
+            "hybrid_rrf_overhead_exec": (
+                round(
+                    exec_only_sec["hybrid_rrf_search"]
+                    / exec_only_sec["dense_topk"],
+                    2,
+                )
+                if exec_only_sec.get("dense_topk")
+                and exec_only_sec.get("hybrid_rrf_search")
+                else None
+            ),
+            "exec_only_sec": exec_only_sec,
             # the ratio divides by a ~1.5 s denominator, so 0.3 s of
             # no-op drift moves it 5+ points — the raw pair makes any
             # round-over-round swing attributable to the right side

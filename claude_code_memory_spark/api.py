@@ -48,6 +48,13 @@ from claude_code_memory_spark.sources.files import (
 from claude_code_memory_spark.sources.python_parser import split_parsed
 from claude_code_memory_spark.sources.registry import parse_files
 
+# Resolve broadcast-hint gate (see the resolve_calls call in index()):
+# activate once the stored entity+bind tables reach the measured
+# broadcast-beats-SMJ crossover corpus, cap where ~42 corpus-scale
+# broadcast builds would strain the driver.
+_BC_LOOKUP_MIN_BYTES = 4 << 20  # ≈ the 865-file crossover corpus
+_BC_LOOKUP_MAX_BYTES = 64 << 20  # ≈ 1.5 M entities; past this, SMJ + AQE
+
 
 class CodeMemoryEngine:
     """One instance per collection (= per project namespace)."""
@@ -152,6 +159,9 @@ class CodeMemoryEngine:
         )
 
         stored_entities = self.store.read("entities")
+        stored_lookup_bytes = self.store.table_bytes("entities") + self.store.table_bytes(
+            "bindings"
+        )
         bindings = import_bindings(parsed)
         all_bindings = bindings
         stored_bindings = self.store.read("bindings")
@@ -208,10 +218,21 @@ class CodeMemoryEngine:
             return_binds=all_rbinds,
             stored_relations=stored_rels,
             # lookup-side broadcast hints pay a fixed ~100-200 ms build
-            # per hinted join (~42 of them) and win only when the fact
-            # side is large: measured crossover between 80 files (SMJ
-            # faster) and 865 files (broadcast faster) — see resolve._bc
-            broadcast_lookups=n_changed >= 500,
+            # per hinted join (~42 of them), and the hinted frames scale
+            # with the WHOLE corpus (stored ∪ batch), so the gate keys on
+            # stored-corpus size, not batch size: hint once the stored
+            # entity/bind tables pass the measured crossover (~865-file
+            # corpus, entities parquet ≈ 2-4 MB; an 80-file repo is
+            # ~0.26 MB and SMJ wins there) or the batch alone is
+            # full-index-sized (the only proxy before the first write).
+            # Never hint past the cap: ~42 corpus-scale broadcast builds
+            # at >64 MB parquet (~1.5 M entities) would hold GBs on the
+            # driver — SMJ + AQE take over there. See resolve._bc.
+            broadcast_lookups=(
+                n_changed >= 500
+                or stored_lookup_bytes >= _BC_LOOKUP_MIN_BYTES
+            )
+            and stored_lookup_bytes <= _BC_LOOKUP_MAX_BYTES,
         )
 
         # J4: pre-storage orphan filter — entity universe = stored ∪ batch.

@@ -49,6 +49,9 @@ fixed ``max_hops`` join chain.
 
 from __future__ import annotations
 
+import contextvars
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -118,10 +121,24 @@ def _normalize_targets(
         ),
         lambda s: (s["trim"] < F.size(parts)) & (s["cand"] != ""),
     )
-    b = bindings.withColumn("__bid", F.monotonically_increasing_id())
-    exploded = b.select(
-        "__bid", F.explode(cands).alias("c")
-    ).select("__bid", F.col("c.trim").alias("__trim"), F.col("c.cand").alias("__cand"))
+    # the candidate set is a pure function of target_module, so the
+    # normalization maps DISTINCT target values (import-vocabulary-
+    # scale) and joins back by value — the old per-row __bid self-join
+    # computed the full bindings lineage twice (once through the
+    # explode, once as the left side) and leaned on
+    # monotonically_increasing_id staying stable across the two
+    # computations; here the second traversal is a one-column distinct
+    # and the join-back key is the value itself.
+    exploded = (
+        bindings.select("target_module")
+        .distinct()
+        .select("target_module", F.explode(cands).alias("c"))
+        .select(
+            "target_module",
+            F.col("c.trim").alias("__trim"),
+            F.col("c.cand").alias("__cand"),
+        )
+    )
     # "cand equals a known module, or is a dot-boundary prefix of one"
     # as an EQUI-join: explode every known module into its dot-prefix
     # set (≤ path-depth rows each) and hash-join on equality. The
@@ -139,14 +156,14 @@ def _normalize_targets(
     )
     hits = (
         exploded.join(km, F.col("__cand") == F.col("__km"))
-        .groupBy("__bid")
+        .groupBy("target_module")
         .agg(F.min(F.struct("__trim", "__cand")).alias("__best"))
-        .select("__bid", F.col("__best.__cand").alias("__norm"))
+        .select("target_module", F.col("__best.__cand").alias("__norm"))
     )
     return (
-        b.join(_bc(hits), "__bid", "left")
+        bindings.join(_bc(hits), "target_module", "left")
         .withColumn("target_module", F.coalesce("__norm", "target_module"))
-        .drop("__bid", "__norm")
+        .drop("__norm")
     )
 
 
@@ -167,12 +184,17 @@ PIN_PROFILE: list[tuple[str, float]] = []
 # 80-file repo (SMJ 16 s vs hinted 27 s) and the 865-file pyspark
 # corpus (SMJ 38 s vs hinted 21 s); the 31k-file stress corpus is 81 s
 # vs 47 s. api.index passes batch-file-count >= 500.
-_USE_BC = False
+#
+# A ContextVar (not a module global) so two engines resolving
+# concurrently on different threads in one process can't pick up each
+# other's hint setting — the value is scoped to the calling thread and
+# restored on resolve_calls exit.
+_USE_BC: contextvars.ContextVar[bool] = contextvars.ContextVar("ccms_use_bc", default=False)
 
 
 def _bc(df: DataFrame) -> DataFrame:
     """Broadcast hint, applied only for large-batch resolves (_USE_BC)."""
-    return F.broadcast(df) if _USE_BC else df
+    return F.broadcast(df) if _USE_BC.get() else df
 
 
 def _pin(df: DataFrame, label: str = "?") -> DataFrame:
@@ -187,7 +209,6 @@ def _pin(df: DataFrame, label: str = "?") -> DataFrame:
     noise at any scale; on a cluster the executor-local blocks are
     rebuilt from lineage only if an executor dies mid-batch (acceptable:
     the index batch simply recomputes)."""
-    import os
     import time
 
     if os.environ.get("CCMS_RESOLVE_PROFILE") != "1":
@@ -355,6 +376,30 @@ def _mro_nearest_def(
     """
     if "n_mind" not in need.columns:
         need = need.withColumn("n_mind", F.lit(int(min_depth)))
+    # soundness blocker (round 11): a class with __getattribute__
+    # anywhere in its ancestry intercepts EVERY attribute read at
+    # runtime, so a def-table hit for any of its methods may be wrong —
+    # drop those needs entirely (unresolved beats guessed, as
+    # everywhere). __getattr__ needs no blocker: it fires only when
+    # normal lookup FAILS, and a failed lookup is already unresolved
+    # here. Class-count-scale equi-join on the pinned closure.
+    dyn = (
+        anc.join(
+            dm,
+            (F.col("a_module") == dm.dm_module)
+            & (
+                F.concat_ws(".", F.col("a_name"), F.lit("__getattribute__"))
+                == dm.dm_name
+            ),
+        )
+        .select(F.col("c_module").alias("dy_mod"), F.col("c_name").alias("dy_name"))
+        .distinct()
+    )
+    need = need.join(
+        dyn,
+        (need.n_mod == dyn.dy_mod) & (need.n_name == dyn.dy_name),
+        "left_anti",
+    )
     cond = (
         (need.n_mod == anc.c_module)
         & (need.n_name == anc.c_name)
@@ -482,8 +527,9 @@ def resolve_calls(
     to_entity rewritten to the defining entity's name and
     import_type='resolved'. Non-call rows and unresolvable calls pass
     through unchanged."""
-    global _USE_BC
-    _USE_BC = bool(broadcast_lookups)
+    _USE_BC.set(bool(broadcast_lookups))  # thread-local; plans build eagerly here
+    if os.environ.get("CCMS_RESOLVE_PROFILE") == "1":
+        PIN_PROFILE.clear()  # profile is per-run, not accumulated across runs
     # last-import-wins isn't statically knowable row-order-free; dedupe
     # so a re-imported name can't fan a call out into duplicate rows
     b = _absolutize(bindings).dropDuplicates(["file_path", "local_name", "import_type"])
@@ -1791,7 +1837,12 @@ def resolve_calls(
                     )
                 )
                 mkf = mkf.unionByName(typed)
-            mkf = _pin(mkf, "mkf")
+            # no second pin here (round-11, fusing the back-to-back
+            # mk_all/mkf materializations): every copy of the mkf build
+            # the peel loop creates (3 after two peels) is rooted at the
+            # PINNED mk_all, so leaving mkf lazy adds only ~40
+            # dimension-scale join nodes to the attr plan — no
+            # relation-scale replay — and saves one serial eager job.
             attr = attr.join(
                 _bc(mkf),
                 (F.col("file_path") == mkf.mk_file)
@@ -2440,6 +2491,19 @@ def resolve_calls(
                     ),
                 )
             )
+    else:
+        # No factory table supplied: an awaited bind can never be typed
+        # (`c = await Conn()` yields whatever the awaitable resolves to,
+        # not a Conn, and without return_binds no async factory can
+        # justify it) — block the method lookup for those rows. Mirrors
+        # the __aw-and-no-async-factory-match blocker inside the branch
+        # above; reachable only via direct resolve_calls calls
+        # (CodeMemoryEngine.index always passes return_binds).
+        attr = attr.withColumn(
+            "__cm", F.when(F.col("__aw"), F.lit(None)).otherwise(F.col("__cm"))
+        ).withColumn(
+            "__cn", F.when(F.col("__aw"), F.lit(None)).otherwise(F.col("__cn"))
+        )
 
     # method lookup with inheritance: the DISTINCT (class, method) pairs
     # walk the ancestor closure (built above, beside `classes`) to the

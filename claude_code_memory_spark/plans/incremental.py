@@ -173,6 +173,22 @@ class TableStore:
                     out.append(json.loads(line))
         return out
 
+    def table_bytes(self, table: str) -> int:
+        """On-disk parquet bytes across the table's current snapshots —
+        pure filesystem metadata, no Spark job (0 for absent tables).
+        Used as the corpus-size signal for plan decisions that must be
+        made before any job runs (e.g. resolve's broadcast-hint gate)."""
+        meta = self._manifest(table)
+        if meta is None:
+            return 0
+        total = 0
+        for s in meta["snapshots"]:
+            for root, _dirs, files in os.walk(os.path.join(self.root, table, s)):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += os.path.getsize(os.path.join(root, f))
+        return total
+
     def read_version(self, table: str, version: int) -> DataFrame:
         """Time-travel read: the table as of commit ``version`` (0-based,
         see `history`). Raises if the version never existed or its

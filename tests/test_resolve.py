@@ -1965,3 +1965,47 @@ def test_broadcast_lookups_plan_shape(spark):
     assert rows_bc == rows_smj and ("use", "Tool.run") in rows_bc
     assert plan_bc.count("BroadcastHashJoin") > plan_smj.count("BroadcastHashJoin")
     assert plan_smj.count("SortMergeJoin") > plan_bc.count("SortMergeJoin")
+
+
+def test_awaited_bind_blocks_without_return_binds(spark):
+    """`c = await mk()` must never type c as the factory's class when NO
+    return_binds frame is supplied: without a factory table nothing can
+    justify an awaited bind (the call value is a future, not the
+    instance). The engine always passes return_binds, so this pins the
+    direct-library-call path (ADVICE r10)."""
+    from claude_code_memory_spark.sources.python_parser import PARSED_SCHEMA
+
+    fixture = {
+        "lib.py": (
+            "class Conn:\n"
+            "    def query(self):\n"
+            "        return 1\n"
+        ),
+        "app.py": (
+            "from lib import Conn\n"
+            "\n"
+            "async def use():\n"
+            "    c = await Conn()\n"
+            "    return c.query()\n"
+        ),
+    }
+    recs = []
+    for path, src in fixture.items():
+        recs.extend(parse_python_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    out = resolve_calls(
+        relations,
+        import_bindings(parsed),
+        entities,
+        type_bindings(parsed),
+        return_binds=None,
+    )
+    got = {
+        (r["from_entity"], r["to_entity"])
+        for r in out.filter(out.import_type == "resolved").collect()
+    }
+    assert ("use", "Conn.query") not in got, (
+        "awaited bind falsely resolved as a direct class with "
+        "return_binds=None"
+    )

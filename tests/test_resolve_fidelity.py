@@ -575,6 +575,71 @@ FIXTURE = {
         "    p = PropShadow()\n"
         "    return p.conn.query()\n"
     ),
+    # round 11: dynamic-attribute soundness sites + property setters
+    "lib/dynamic.py": (
+        "class Lazy:\n"
+        "    def __get__(self, obj, owner):\n"
+        "        return 'computed'\n"
+        "\n"
+        "    def query(self):\n"
+        "        return 'descriptor instance'\n"
+        "\n"
+        "class Proxy:\n"
+        "    def __getattribute__(self, name):\n"
+        "        return lambda: 'dyn'\n"
+        "\n"
+        "    def run(self):\n"
+        "        return 1\n"
+        "\n"
+        "class ProxySub(Proxy):\n"
+        "    def go(self):\n"
+        "        return 2\n"
+    ),
+    "lib/setterprop.py": (
+        "class Conn3:\n"
+        "    def ping(self):\n"
+        "        return 1\n"
+        "\n"
+        "class Svc:\n"
+        "    @property\n"
+        "    def conn(self) -> 'Conn3':\n"
+        "        return self._c\n"
+        "\n"
+        "    @conn.setter\n"
+        "    def conn(self, v):\n"
+        "        self._c = v\n"
+    ),
+    "use/dynamic_use.py": (
+        "from lib.dynamic import Lazy, Proxy, ProxySub\n"
+        "\n"
+        "class DescHolder:\n"
+        "    field = Lazy()\n"
+        "\n"
+        "    def n23_descriptor_class_attr(self):\n"
+        "        return self.field.query()\n"
+        "\n"
+        "class DescInit:\n"
+        "    def __init__(self):\n"
+        "        self.field = Lazy()\n"
+        "\n"
+        "    def c49_descriptor_instance_attr(self):\n"
+        "        return self.field.query()\n"
+        "\n"
+        "def n24_getattribute_head():\n"
+        "    p = Proxy()\n"
+        "    return p.run()\n"
+        "\n"
+        "def n25_getattribute_inherited():\n"
+        "    s = ProxySub()\n"
+        "    return s.go()\n"
+    ),
+    "use/setterprop_use.py": (
+        "from lib.setterprop import Svc\n"
+        "\n"
+        "def c48_property_setter_chain():\n"
+        "    s = Svc()\n"
+        "    return s.conn.ping()\n"
+    ),
 }
 
 # (site, expected defining name) — the engine must resolve these
@@ -642,6 +707,13 @@ POSITIVES = [
     # types the marker's base through the property table, then the
     # chain link through the factory join (f2b)
     ("a09_getter_chain", "Result.unwrap"),
+    # round 11: a getter+setter property PAIR still types through the
+    # getter's return annotation (the setter def does not conflict it),
+    # and an INSTANCE-assigned descriptor object is read as the object
+    # itself — Python's descriptor protocol only fires for class
+    # attributes, so Lazy.query is the semantically correct target here
+    ("c48_property_setter_chain", "Conn3.ping"),
+    ("DescInit.c49_descriptor_instance_attr", "Lazy.query"),
 ]
 
 # (site, target a full static analysis reaches, raw method name) —
@@ -697,6 +769,15 @@ NEGATIVES = [
     ("n21_await_sync_factory", "run"),
     # a divergent @property base poisons the whole chain tail
     ("n22_divergent_getter_chain", "unwrap"),
+    # round 11: dynamic-attribute soundness — a CLASS-scope descriptor
+    # attribute reads through __get__ at runtime (resolving field.query
+    # to the DESCRIPTOR class's method would be wrong), and a class
+    # with __getattribute__ anywhere in its ancestry intercepts every
+    # attribute read, so no method on it may resolve (the
+    # _mro_nearest_def dyn blocker)
+    ("DescHolder.n23_descriptor_class_attr", "query"),
+    ("n24_getattribute_head", "run"),
+    ("n25_getattribute_inherited", "go"),
 ]
 
 
@@ -769,7 +850,6 @@ def test_fidelity_rate(fidelity):
     denom = len(POSITIVES) + len(ASPIRATIONAL)
     rate = resolved / denom
     print(f"resolver fidelity: {resolved}/{denom} = {rate:.3f}")
-    # round 9: three diamond MRO positives green (equal-depth ties by
-    # base-list order) AND a06 three-hop chain closed by the deep-
-    # marker peel → full denominator
-    assert rate >= 47 / 47 - 1e-9
+    # round 11: c48 (setter-paired property) and c49 (instance-assigned
+    # descriptor) join the positives → full denominator at 49
+    assert rate >= 49 / 49 - 1e-9

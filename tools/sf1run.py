@@ -166,6 +166,64 @@ def main() -> None:
                 ts.append(time.time() - t0)
             pair[lbl] = round(sorted(ts)[1], 3)
         out["status_revenue_plain_vs_salted_sec"] = pair
+
+        # forced skew split (verdict r10 item 4): at sf1 the hot
+        # partition (~12 MB) never reaches the production 256 MB
+        # skewedPartitionThresholdInBytes, so AQE's split had never
+        # been OBSERVED firing on real data — only demonstrated
+        # unnecessary. Lower the thresholds so the same hot-orderkey
+        # join trips it, pin `skew=true` in the executed plan, and pin
+        # result identity vs the default config. The probe filter
+        # references BOTH sides (hash of two post-join columns) so it
+        # cannot push below the join, and the join feeds no downstream
+        # shuffle (OptimizeSkewedJoin declines those — the pinned
+        # subtlety behind operators/skew.py::salted_join).
+        def _skew_probe():
+            li = spark.read.parquet(
+                os.path.join(sf_dir, "lineitem.parquet")
+            ).select("l_orderkey", "l_extendedprice")
+            o = spark.read.parquet(
+                os.path.join(sf_dir, "orders.parquet")
+            ).select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+            j = li.join(o, "l_orderkey")
+            probe = j.filter(
+                F.pmod(F.hash("l_extendedprice", "o_totalprice"), F.lit(100)) == 0
+            )
+            t0 = time.time()
+            rows = sorted(map(tuple, probe.collect()))
+            sec = round(time.time() - t0, 3)
+            return rows, _final_plan(probe), sec
+
+        forced_confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",  # keep both runs SMJ
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8MB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2MB",
+        }
+        old_confs = {k: spark.conf.get(k) for k in forced_confs}
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            base_rows, base_plan, base_sec = _skew_probe()
+            for k, v in forced_confs.items():
+                spark.conf.set(k, v)
+            forced_rows, forced_plan, forced_sec = _skew_probe()
+        finally:
+            for k, v in old_confs.items():
+                spark.conf.set(k, v)
+        out["forced_skew_split"] = {
+            "confs": forced_confs,
+            "default_fired": "skew=true" in base_plan,
+            "forced_fired": "skew=true" in forced_plan,
+            "rows": len(forced_rows),
+            "identical_to_default": forced_rows == base_rows,
+            "sec_default": base_sec,
+            "sec_forced": forced_sec,
+        }
+        print(
+            f"forced_skew_split: fired={out['forced_skew_split']['forced_fired']}"
+            f" identical={out['forced_skew_split']['identical_to_default']}"
+            f" ({len(forced_rows)} probe rows)"
+        )
         out["finding"] = (
             "At this scale the hot keys do NOT degrade the plain plans: "
             "AQE's skew split never fired (shuffle partitions stay far "
@@ -178,7 +236,11 @@ def main() -> None:
             "in one task to exceed the s-times right-side shuffle — a "
             "100 TB hot task, not an sf1 one. The machinery is "
             "semantics-pinned (oracle-identical) and measured here as "
-            "scale-dependent, not asserted as universally faster."
+            "scale-dependent, not asserted as universally faster. The "
+            "forced_skew_split record demonstrates the split MECHANISM "
+            "working on this data: with the threshold lowered into reach "
+            "(8MB/factor 2) the same hot-orderkey join plans skew=true "
+            "and returns results identical to the default config."
         )
     if not out["errors"]:
         del out["errors"]
