@@ -194,13 +194,18 @@ def main() -> None:
             sec = round(time.time() - t0, 3)
             return rows, _final_plan(probe), sec
 
+        # thresholds sized to the data: the hot partition's COMPRESSED
+        # shuffle bytes at sf1 are a few MB (8MB did not trip), so 1MB +
+        # factor 1.2 puts the split genuinely in reach while advisory
+        # 512KB gives it a target size to split toward
         forced_confs = {
             "spark.sql.autoBroadcastJoinThreshold": "-1",  # keep both runs SMJ
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8MB",
-            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2MB",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512KB",
         }
-        old_confs = {k: spark.conf.get(k) for k in forced_confs}
+        old_confs = {k: spark.conf.get(k, None) for k in forced_confs}
         try:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
             base_rows, base_plan, base_sec = _skew_probe()
@@ -209,7 +214,8 @@ def main() -> None:
             forced_rows, forced_plan, forced_sec = _skew_probe()
         finally:
             for k, v in old_confs.items():
-                spark.conf.set(k, v)
+                # a conf with no default reads back None — restore = unset
+                spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
         out["forced_skew_split"] = {
             "confs": forced_confs,
             "default_fired": "skew=true" in base_plan,
