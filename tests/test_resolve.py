@@ -2009,3 +2009,34 @@ def test_awaited_bind_blocks_without_return_binds(spark):
         "awaited bind falsely resolved as a direct class with "
         "return_binds=None"
     )
+
+
+def test_normalize_targets_is_row_id_free(spark):
+    """_normalize_targets must not key its join-back on
+    monotonically_increasing_id: the pre-round-11 __bid self-join
+    computed the bindings lineage twice and relied on the two id
+    assignments aligning — at 31k-file scale they did NOT (multi-
+    partition + AQE), silently losing ~95k resolutions and misapplying
+    ~200 onto wrong rows (e.g. pc.any resolved to an unrelated module's
+    `any`). The value-keyed formulation is deterministic by
+    construction; this pins the plan property so the id join can never
+    come back."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from claude_code_memory_spark.operators.resolve import _normalize_targets
+
+    b = spark.createDataFrame(
+        [("pkg/a.py", "m", "from", "proj.pkg.mod", "f")],
+        "file_path string, local_name string, import_type string, "
+        "target_module string, member string",
+    ).withColumn("module", F.lit("pkg.a"))
+    known = spark.createDataFrame([("pkg.mod",)], "module string")
+    out = _normalize_targets(b, known)
+    assert [r["target_module"] for r in out.collect()] == ["pkg.mod"]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="extended")
+    assert "monotonically_increasing_id" not in buf.getvalue()
