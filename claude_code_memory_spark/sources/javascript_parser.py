@@ -132,7 +132,7 @@ _FIELD = re.compile(
 # dataclass-style annotation; generics/unions/parens fail the match and
 # bind nothing (declared-intent certainty only)
 _FIELD_ANN = re.compile(
-    r":\s*([\w$]+(?:\.[\w$]+)*)\s*(?:;|=|$)"
+    r":\s*([\w$]+(?:\.[\w$]+)*)\s*(?:<[^<>]*>)?\s*(?:;|=|$)"
 )
 _FIELD_NEW = re.compile(r"=\s*new\s+([\w$]+(?:\.[\w$]+)*)\s*\(")
 # instance members only: a static field/getter lives on the class, not
@@ -447,11 +447,15 @@ _RETURN_NEW = re.compile(r"^new\s+([\w$]+(?:\.[\w$]+)*)\s*\(")
 
 
 # TS annotations, conservatively: a parameter `t: Tool` (optionally
-# `t?:`) whose type is a plain dotted name immediately followed by
-# `,` `)` or `=` — unions (`Tool | null`) and generics (`Array<Tool>`)
-# fail the lookahead and bind nothing
-_PARAM_ANN = re.compile(r"([\w$]+)\??\s*:\s*([\w$]+(?:\.[\w$]+)*)\s*(?=[,)=])")
-_SIG_RET = re.compile(r"\)\s*:\s*([\w$]+(?:\.[\w$]+)*)\s*$")
+# `t?:`) whose type is a plain dotted name — or, since round 11, a
+# single-level generic instantiation `r: Repo<User>`, which binds the
+# HEAD class (methods live on Repo regardless of the type argument;
+# the element type is NOT bound). Unions (`Tool | null`) and nested
+# generics still fail the match and bind nothing.
+_PARAM_ANN = re.compile(
+    r"([\w$]+)\??\s*:\s*([\w$]+(?:\.[\w$]+)*)\s*(?:<[^<>]*>)?\s*(?=[,)=])"
+)
+_SIG_RET = re.compile(r"\)\s*:\s*([\w$]+(?:\.[\w$]+)*)\s*(?:<[^<>]*>)?\s*$")
 # `): Promise<Conn>` — the async factory's declared value type; the
 # awaited bind receives the T, so the return_bind carries T + is_async
 _SIG_RET_PROMISE = re.compile(
@@ -751,16 +755,18 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
         rb = None
         is_async = bool(sig_text and re.search(r"\basync\b", sig_text))
         if sig_text:
-            ms = _SIG_RET.search(sig_text)
-            if ms is not None:
-                base, _, nm = ms.group(1).rpartition(".")
+            # Promise FIRST: the generic-extended _SIG_RET would match
+            # `): Promise<Conn>` with head Promise, losing the unwrap
+            mp = _SIG_RET_PROMISE.search(sig_text)
+            if mp is not None:
+                base, _, nm = mp.group(1).rpartition(".")
                 rb = (nm, base or None)
+                is_async = True  # a Promise value types only awaited
             else:
-                mp = _SIG_RET_PROMISE.search(sig_text)
-                if mp is not None:
-                    base, _, nm = mp.group(1).rpartition(".")
+                ms = _SIG_RET.search(sig_text)
+                if ms is not None:
+                    base, _, nm = ms.group(1).rpartition(".")
                     rb = (nm, base or None)
-                    is_async = True  # a Promise value types only awaited
         if rb is None:
             rb = _function_return_bind(masked_body)
         if rb is not None:

@@ -109,6 +109,15 @@ def _name_and_base(f: ast.AST) -> tuple[str | None, str | None]:
             return None, None
     if isinstance(f, ast.Subscript) and isinstance(f.value, ast.Name) and f.value.id == "Optional":
         return _name_and_base(f.slice)
+    if isinstance(f, ast.Subscript):
+        # user-generic instantiation (`Repo[User]`): the annotated value
+        # is an instance of the HEAD class — its methods live on Repo
+        # regardless of the type argument, so bind the head (round 11).
+        # Typing containers (List[...], ClassVar[...]) head-bind to
+        # external typing names and stay unresolved — missed capability
+        # at worst, never a false resolution; the element type is NOT
+        # bound (List[Tool] still doesn't mean the value is a Tool).
+        return _name_and_base(f.value)
     if isinstance(f, ast.BinOp) and isinstance(f.op, ast.BitOr):
         sides = [f.left, f.right]
         none_sides = [

@@ -640,6 +640,23 @@ FIXTURE = {
         "    s = Svc()\n"
         "    return s.conn.ping()\n"
     ),
+    # round 11: generic head-class binds (`Repo[User]` → Repo)
+    "lib/repo.py": (
+        "from typing import Generic, TypeVar\n"
+        "\n"
+        "T = TypeVar('T')\n"
+        "\n"
+        "class Repo(Generic[T]):\n"
+        "    def get_one(self):\n"
+        "        return self._x\n"
+    ),
+    "use/generic_use.py": (
+        "from lib.repo import Repo\n"
+        "from lib.core import Tool\n"
+        "\n"
+        "def c50_generic_annotation(r: Repo[Tool]):\n"
+        "    return r.get_one()\n"
+    ),
 }
 
 # (site, expected defining name) — the engine must resolve these
@@ -714,6 +731,9 @@ POSITIVES = [
     # attributes, so Lazy.query is the semantically correct target here
     ("c48_property_setter_chain", "Conn3.ping"),
     ("DescInit.c49_descriptor_instance_attr", "Lazy.query"),
+    # round 11: a subscripted annotation binds its HEAD class
+    # (`r: Repo[Tool]` types r as Repo; the element is NOT bound)
+    ("c50_generic_annotation", "Repo.get_one"),
 ]
 
 # (site, target a full static analysis reaches, raw method name) —
@@ -850,6 +870,7 @@ def test_fidelity_rate(fidelity):
     denom = len(POSITIVES) + len(ASPIRATIONAL)
     rate = resolved / denom
     print(f"resolver fidelity: {resolved}/{denom} = {rate:.3f}")
-    # round 11: c48 (setter-paired property) and c49 (instance-assigned
-    # descriptor) join the positives → full denominator at 49
-    assert rate >= 49 / 49 - 1e-9
+    # round 11: c48 (setter-paired property), c49 (instance-assigned
+    # descriptor) and c50 (generic head-class bind) join the positives
+    # → full denominator at 50
+    assert rate >= 50 / 50 - 1e-9

@@ -245,7 +245,7 @@ def main() -> None:
             "scale-dependent, not asserted as universally faster. The "
             "forced_skew_split record demonstrates the split MECHANISM "
             "working on this data: with the threshold lowered into reach "
-            "(8MB/factor 2) the same hot-orderkey join plans skew=true "
+            "(see forced_skew_split.confs) the same hot-orderkey join plans skew=true "
             "and returns results identical to the default config."
         )
     if not out["errors"]:
