@@ -183,12 +183,60 @@ def main() -> None:
         except OSError:
             return -1.0
 
-    def _sect_end(name: str, l0: float) -> None:
-        l1 = _load1()
+    def _cpu_totals() -> tuple[int, int]:
+        """(system busy jiffies, our process tree's jiffies). The r10
+        loadavg stamps conflated the bench's OWN load with external load
+        (load1 lags ~2 min and the 1M build is minutes of 32-thread
+        work, so the serving section flagged itself in every full run).
+        External CPU = system busy delta MINUS our tree's delta — the
+        number that actually distinguishes a noisy neighbour from our
+        own burst. Reaped children fold into cutime/cstime, so worker
+        processes that die mid-section stay accounted."""
+        with open("/proc/stat") as fh:
+            f = fh.readline().split()
+        busy = sum(int(x) for x in f[1:]) - int(f[4]) - int(f[5])  # -idle -iowait
+        parents: dict[int, int] = {}
+        jiffies: dict[int, int] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as fh:
+                    s = fh.read()
+            except OSError:
+                continue
+            rp = s.rsplit(")", 1)[1].split()
+            parents[int(d)] = int(rp[1])
+            # utime+stime+cutime+cstime (fields 14-17, 0-based 11-14)
+            jiffies[int(d)] = sum(int(rp[i]) for i in (11, 12, 13, 14))
+        tree = {os.getpid()}
+        grew = True
+        while grew:
+            grew = False
+            for pid, ppid in parents.items():
+                if ppid in tree and pid not in tree:
+                    tree.add(pid)
+                    grew = True
+        return busy, sum(jiffies.get(pid, 0) for pid in tree)
+
+    def _sect_begin() -> dict:
+        busy, tree = _cpu_totals()
+        return {"l0": _load1(), "busy": busy, "tree": tree, "t": time.time()}
+
+    def _sect_end(name: str, st: dict) -> None:
+        busy1, tree1 = _cpu_totals()
+        wall = max(time.time() - st["t"], 1e-9)
+        ext = max((busy1 - st["busy"]) - (tree1 - st["tree"]), 0)
+        # jiffies are USER_HZ (100/s) per cpu; external share of the
+        # machine over the section's wall time
+        ext_share = ext / (ncpu * wall * 100)
         section_load[name] = {
-            "load1_before": l0,
-            "load1_after": l1,
-            "loaded": max(l0, l1) > ncpu / 4,
+            "load1_before": st["l0"],
+            "load1_after": _load1(),
+            "external_cpu_share": round(ext_share, 3),
+            # >10% of the machine spent OUTSIDE the bench's own process
+            # tree while this section ran — its timings are suspect
+            "loaded": ext_share > 0.10,
         }
 
     # execution-only timings (verdict r10 items 3+5): the per-sample
@@ -228,7 +276,7 @@ def main() -> None:
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = embed_sec = None
-    _l0 = _load1()
+    _l0 = _sect_begin()
     try:
         # repartition: a single small parquet file reads as one partition,
         # which would measure one core; the metric is the embed stage's
@@ -260,7 +308,7 @@ def main() -> None:
 
     n_vecs = topk_qps = None
     topk_curve: dict[str, float] = {}
-    _l0 = _load1()
+    _l0 = _sect_begin()
     try:
         emb = table(spark, sf_dir, "embeddings").cache()
         n_vecs = emb.count()
@@ -310,7 +358,7 @@ def main() -> None:
     # overhead dominates (the win is scanned bytes, which local[32]
     # page-cached parquet cannot exhibit)
     pq_encode_rate = pq_recall = pq_resid_recall = None
-    _l0 = _load1()
+    _l0 = _sect_begin()
     try:
         from claude_code_memory_spark.operators.quantize import (
             pq_encode,
@@ -397,7 +445,7 @@ def main() -> None:
     t_full = t_noop = None
     reindex_stages = None
     store = tempfile.mkdtemp(prefix="bench_store_")
-    _l0 = _load1()
+    _l0 = _sect_begin()
     try:
         pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "claude_code_memory_spark")
@@ -429,7 +477,7 @@ def main() -> None:
     # ratio vs the same filter over the full table
     skip_fraction = skip_speedup = None
     store_dir = tempfile.mkdtemp(prefix="bench_skip_")
-    _l0 = _load1()
+    _l0 = _sect_begin()
     try:
         from claude_code_memory_spark.plans.incremental import TableStore
         from claude_code_memory_spark.plans.skipping import pruned_read_stats
@@ -488,7 +536,7 @@ def main() -> None:
     ann_qps["cooldown_sec"] = round(time.time() - _t_cool, 1)
 
     ann_dir = tempfile.mkdtemp(prefix="bench_ann_")
-    _l0 = _load1()
+    _l0 = _sect_begin()
     try:
         from claude_code_memory_spark.operators.similarity import (
             ivf_seeded_build,
