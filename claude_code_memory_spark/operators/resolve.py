@@ -1065,6 +1065,8 @@ def resolve_calls(
         tb = type_binds
         if "awaited" not in tb.columns:  # caller-built legacy frame
             tb = tb.withColumn("awaited", F.lit(False))
+        if "targ" not in tb.columns:  # pre-round-11 frame: no generics
+            tb = tb.withColumn("targ", F.lit(None).cast("string"))
         tb = _pin(
             tb.withColumn("awaited", F.coalesce("awaited", F.lit(False)))
             .dropDuplicates(["file_path", "scope", "var"]),
@@ -1326,8 +1328,12 @@ def resolve_calls(
                         ),
                     ),
                 ).alias("fx_cls"),
+                # `-> T` where T is the owner class's single type param
+                # (parse-time certainty): the return is the BIND's type
+                # argument, substituted at the marker path (fxh) only
+                (F.col("ctor") == "__typeparam__").alias("is_param"),
             )
-            .filter(F.col("fx_cls").isNotNull())
+            .filter(F.col("fx_cls").isNotNull() | F.col("is_param"))
         )
         fcb = cb5.select(
             F.col("g_module").alias("f_module"),
@@ -1344,19 +1350,34 @@ def resolve_calls(
             )
             .groupBy("fx_module", "fx_func")
             .agg(
+                # min() skips NULLs, so a (theoretical) mixed group
+                # prefers its concrete returns; an all-param group gets
+                # a genuinely NULL fx_c — consumers that coalesce it
+                # fall through, never a half-null struct
                 F.min(
-                    F.struct(
-                        F.coalesce("f_tmod", "fx_cls.mod").alias("mod"),
-                        F.coalesce("f_member", "fx_cls.name").alias("name"),
+                    F.when(
+                        ~F.col("is_param"),
+                        F.struct(
+                            F.coalesce("f_tmod", "fx_cls.mod").alias("mod"),
+                            F.coalesce("f_member", "fx_cls.name").alias("name"),
+                        ),
                     )
                 ).alias("fx_c"),
                 # an async factory types only AWAITED binds (its call
                 # value is a future); matched against __aw at every fx
                 # consumer below
                 F.max("is_async").alias("fx_async"),
+                F.max("is_param").alias("fx_param"),
             ),
             "fx",
         )
+        # generic factories type ONLY through the marker substitution
+        # path (fxh below): everywhere else they must look like a join
+        # MISS — a generic row matching e.g. the awaited-block check
+        # with a non-null-but-empty struct would skip the blocker, and
+        # a NULL mk_cls row in the deep peel would duplicate attr rows
+        fx_all = fx
+        fx = fx.filter(~F.col("fx_param"))
         attr = (
             attr.join(
                 _bc(fx),
@@ -1401,11 +1422,12 @@ def resolve_calls(
             F.col("k_module").alias("l3_module"),
             F.col("k_name").alias("l3_name"),
         )
-        fx2 = fx.select(
+        fx2 = fx_all.select(
             F.col("fx_module").alias("f2_module"),
             F.col("fx_func").alias("f2_func"),
             F.col("fx_c").alias("f2_c"),
             F.col("fx_async").alias("f2_async"),
+            F.col("fx_param").alias("f2_param"),
         )
         base_is_name = F.col("__ctor.base").isNotNull() & ~F.col(
             "__ctor.base"
@@ -1428,7 +1450,9 @@ def resolve_calls(
                 F.col("scope").alias("b7f_scope"),
                 F.col("var").alias("b7f_var"),
                 F.struct(
-                    F.col("ctor").alias("ctor"), F.col("ctor_base").alias("base")
+                    F.col("ctor").alias("ctor"),
+                    F.col("ctor_base").alias("base"),
+                    F.col("targ").alias("targ"),
                 ).alias("b7f_c"),
             )
             b7s = tb.filter(~F.col("awaited")).select(
@@ -1436,7 +1460,9 @@ def resolve_calls(
                 F.col("scope").alias("b7s_scope"),
                 F.col("var").alias("b7s_var"),
                 F.struct(
-                    F.col("ctor").alias("ctor"), F.col("ctor_base").alias("base")
+                    F.col("ctor").alias("ctor"),
+                    F.col("ctor_base").alias("base"),
+                    F.col("targ").alias("targ"),
                 ).alias("b7s_c"),
             )
             b7m = tb.filter(~F.col("awaited")).select(
@@ -1444,7 +1470,9 @@ def resolve_calls(
                 F.col("scope").alias("b7m_scope"),
                 F.col("var").alias("b7m_var"),
                 F.struct(
-                    F.col("ctor").alias("ctor"), F.col("ctor_base").alias("base")
+                    F.col("ctor").alias("ctor"),
+                    F.col("ctor_base").alias("base"),
+                    F.col("targ").alias("targ"),
                 ).alias("b7m_c"),
             )
             x7 = chased.select(
@@ -1522,6 +1550,9 @@ def resolve_calls(
         else:
             attr = attr.withColumn(
                 "__ivcls", F.lit(None).cast("struct<mod:string,name:string>")
+            ).withColumn(
+                "__bvar",
+                F.lit(None).cast("struct<ctor:string,base:string,targ:string>"),
             )
 
         # --- two-hop chained markers: __ctor.base is ITSELF a marker
@@ -1566,7 +1597,9 @@ def resolve_calls(
                 F.col("scope").alias("m1f_scope"),
                 F.col("var").alias("m1f_var"),
                 F.struct(
-                    F.col("ctor").alias("ctor"), F.col("ctor_base").alias("base")
+                    F.col("ctor").alias("ctor"),
+                    F.col("ctor_base").alias("base"),
+                    F.col("targ").alias("targ"),
                 ).alias("m1f_c"),
             )
             m1s = tb.filter(~F.col("awaited")).select(
@@ -1574,7 +1607,9 @@ def resolve_calls(
                 F.col("scope").alias("m1s_scope"),
                 F.col("var").alias("m1s_var"),
                 F.struct(
-                    F.col("ctor").alias("ctor"), F.col("ctor_base").alias("base")
+                    F.col("ctor").alias("ctor"),
+                    F.col("ctor_base").alias("base"),
+                    F.col("targ").alias("targ"),
                 ).alias("m1s_c"),
             )
             m1m = tb.filter(~F.col("awaited")).select(
@@ -1582,7 +1617,9 @@ def resolve_calls(
                 F.col("scope").alias("m1m_scope"),
                 F.col("var").alias("m1m_var"),
                 F.struct(
-                    F.col("ctor").alias("ctor"), F.col("ctor_base").alias("base")
+                    F.col("ctor").alias("ctor"),
+                    F.col("ctor_base").alias("base"),
+                    F.col("targ").alias("targ"),
                 ).alias("m1m_c"),
             )
             m2c = chased.select(
@@ -1619,10 +1656,11 @@ def resolve_calls(
                 F.col("fx_func").alias("m4f_func"),
                 F.col("fx_c").alias("m4f_c"),
             )
-            fxh = fx.filter(~F.col("fx_async")).select(
+            fxh = fx_all.filter(~F.col("fx_async")).select(
                 F.col("fx_module").alias("m5f_module"),
                 F.col("fx_func").alias("m5f_func"),
                 F.col("fx_c").alias("m5f_c"),
+                F.col("fx_param").alias("m5f_param"),
             )
             base_is_plain = (
                 F.col("mk_base").isNotNull()
@@ -1775,13 +1813,58 @@ def resolve_calls(
                     ),
                     "left",
                 )
+                # generic substitution (round 11): the fxh hit is a
+                # method returning its class's single type param, so the
+                # call's value is the BIND's type argument, resolved in
+                # the binding file's own import context (chased
+                # from-import first, then same-file class). Unresolved
+                # or absent arguments fall through to NULL — unresolved
+                # beats guessed, as everywhere.
+                .join(
+                    chased.select(
+                        F.col("file_path").alias("tg1_file"),
+                        F.col("local_name").alias("tg1_local"),
+                        F.col("target_module").alias("tg1_tmod"),
+                        F.col("member").alias("tg1_member"),
+                    ),
+                    F.col("m5f_param")
+                    & (F.col("mk_file") == F.col("tg1_file"))
+                    & (F.col("__mvb.targ") == F.col("tg1_local")),
+                    "left",
+                )
+                .join(
+                    classes.select(
+                        F.col("file_path").alias("tg2_file"),
+                        F.col("k_module").alias("tg2_module"),
+                        F.col("k_name").alias("tg2_name"),
+                    ),
+                    F.col("m5f_param")
+                    & (F.col("mk_file") == F.col("tg2_file"))
+                    & (F.col("__mvb.targ") == F.col("tg2_name")),
+                    "left",
+                )
                 .select(
                     "mk_file",
                     "mk_scope",
                     "mk_marker",
                     F.coalesce(
                         # inner link typed through its base's class
+                        # (NULL by construction on generic fxh hits)
                         F.col("m5f_c"),
+                        F.when(
+                            F.col("m5f_param") & F.col("tg1_tmod").isNotNull(),
+                            F.struct(
+                                F.col("tg1_tmod").alias("mod"),
+                                F.col("tg1_member").alias("name"),
+                            ),
+                        ),
+                        F.when(
+                            F.col("m5f_param") & F.col("tg2_module").isNotNull(),
+                            F.struct(
+                                F.col("tg2_module").alias("mod"),
+                                F.col("__mvb.targ").alias("name"),
+                            ),
+                        ),
                         # bare inner name: a constructor wins over a
                         # same-named factory (Python shadows likewise)
                         F.when(
@@ -1906,8 +1989,62 @@ def resolve_calls(
                 & (fx2.f2_async == F.col("__aw")),
                 "left",
             )
-            .withColumn("__cm", F.coalesce("f2_c.mod", "__cm"))
-            .withColumn("__cn", F.coalesce("f2_c.name", "__cn"))
+            # generic substitution (round 11): an f2_param hit is a
+            # method returning its class's single type parameter, so the
+            # marker's value is the base VAR's type argument — resolved
+            # in the call site's file context (chased from-import first,
+            # then same-file class). Absent/unresolved arguments leave
+            # __gsub NULL and the row falls through unresolved; f2_c is
+            # NULL on param rows by construction, so the two candidates
+            # never compete.
+            .join(
+                _bc(
+                    chased.select(
+                        F.col("file_path").alias("tg7_file"),
+                        F.col("local_name").alias("tg7_local"),
+                        F.col("target_module").alias("tg7_tmod"),
+                        F.col("member").alias("tg7_member"),
+                    )
+                ),
+                F.col("f2_param")
+                & (F.col("file_path") == F.col("tg7_file"))
+                & (F.col("__bvar.targ") == F.col("tg7_local")),
+                "left",
+            )
+            .join(
+                _bc(
+                    classes.select(
+                        F.col("file_path").alias("tl7_file"),
+                        F.col("k_module").alias("tl7_module"),
+                        F.col("k_name").alias("tl7_name"),
+                    )
+                ),
+                F.col("f2_param")
+                & (F.col("file_path") == F.col("tl7_file"))
+                & (F.col("__bvar.targ") == F.col("tl7_name")),
+                "left",
+            )
+            .withColumn(
+                "__gsub",
+                F.coalesce(
+                    F.when(
+                        F.col("f2_param") & F.col("tg7_tmod").isNotNull(),
+                        F.struct(
+                            F.col("tg7_tmod").alias("mod"),
+                            F.col("tg7_member").alias("name"),
+                        ),
+                    ),
+                    F.when(
+                        F.col("f2_param") & F.col("tl7_module").isNotNull(),
+                        F.struct(
+                            F.col("tl7_module").alias("mod"),
+                            F.col("__bvar.targ").alias("name"),
+                        ),
+                    ),
+                ),
+            )
+            .withColumn("__cm", F.coalesce("f2_c.mod", "__gsub.mod", "__cm"))
+            .withColumn("__cn", F.coalesce("f2_c.name", "__gsub.name", "__cn"))
         )
 
         # --- attribute-of-attribute bases (verdict r7 item 3): context

@@ -453,7 +453,7 @@ _RETURN_NEW = re.compile(r"^new\s+([\w$]+(?:\.[\w$]+)*)\s*\(")
 # the element type is NOT bound). Unions (`Tool | null`) and nested
 # generics still fail the match and bind nothing.
 _PARAM_ANN = re.compile(
-    r"([\w$]+)\??\s*:\s*([\w$]+(?:\.[\w$]+)*)\s*(?:<[^<>]*>)?\s*(?=[,)=])"
+    r"([\w$]+)\??\s*:\s*([\w$]+(?:\.[\w$]+)*)\s*(?:<([^<>]*)>)?\s*(?=[,)=])"
 )
 _SIG_RET = re.compile(r"\)\s*:\s*([\w$]+(?:\.[\w$]+)*)\s*(?:<[^<>]*>)?\s*$")
 # `): Promise<Conn>` — the async factory's declared value type; the
@@ -746,7 +746,7 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
 
     this_binds: dict[str, dict[str, str | None]] = {}  # class → attr binds
 
-    def add_return_bind(name, masked_body, sig_text=None):
+    def add_return_bind(name, masked_body, sig_text=None, typeparam=None):
         # a plain-name TS return annotation (`function make(): Tool`)
         # is declared intent and wins over body inference; a
         # `Promise<Tool>` annotation unwraps to Tool with is_async set
@@ -766,7 +766,12 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
                 ms = _SIG_RET.search(sig_text)
                 if ms is not None:
                     base, _, nm = ms.group(1).rpartition(".")
-                    rb = (nm, base or None)
+                    if typeparam is not None and not base and nm == typeparam:
+                        # `get(): T` where T is the class's single type
+                        # param — the value is the bind's type argument
+                        rb = ("__typeparam__", None)
+                    else:
+                        rb = (nm, base or None)
         if rb is None:
             rb = _function_return_bind(masked_body)
         if rb is not None:
@@ -791,11 +796,16 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
             return
         assigned = {m.group(1) for m in _ANY_ASSIGN.finditer(masked_body)}
         for m in _PARAM_ANN.finditer(sig_text[o : c + 1]):
-            var, typ = m.groups()
+            var, typ, targs = m.group(1), m.group(2), m.group(3)
             if var in assigned or typ.split(".")[0] in _TS_BUILTIN_TYPES:
                 continue
             base, _, nm = typ.rpartition(".")
-            recs.append(_type_bind_rec(scope, var, nm, base or None, path))
+            targ = None
+            if targs is not None and re.fullmatch(r"[\w$]+", targs.strip()):
+                targ = targs.strip()  # single plain-name type argument
+            recs.append(
+                _type_bind_rec(scope, var, nm, base or None, path, targ=targ)
+            )
 
     def add_type_binds(scope, masked_body, cls=None):
         for var, ctor in sorted(_local_type_binds(masked_body).items()):
@@ -815,6 +825,7 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
                     d[var] = ctor
 
     class_stack: list[tuple[str, int]] = []  # (name, entry depth)
+    class_typeparams: dict[str, str] = {}  # class → its single type param
     toplevel_masked: list[str] = []  # module-scope lines, for module binds
     depth = 0
     pending_decorators: list[str] = []
@@ -894,6 +905,16 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
                     iface = re.sub(r"<.*", "", iface).strip()
                     if iface:
                         recs.append(_relation_rec(name, iface, "implements", path))
+            # single declared type parameter (`class Repo<T>` → 'T'):
+            # methods returning exactly T emit the __typeparam__
+            # sentinel the resolver substitutes with the bind's type
+            # argument; multi-param classes (comma fails the match)
+            # emit nothing (round 11)
+            tp = re.search(
+                rf"class\s+{re.escape(name)}\s*<\s*([\w$]+)\s*>", msk
+            )
+            if tp:
+                class_typeparams[name] = tp.group(1)
             class_stack.append((name, depth))
             # enter the class body: continue scanning inside it
             depth += msk.count("{") - msk.count("}")
@@ -1056,7 +1077,10 @@ def parse_javascript_source(path: str, source: str) -> list[dict]:
                 add_calls(qual, mbody)
                 add_type_binds(qual, mbody, cls=in_class)
                 add_param_binds(qual, sig, mbody)
-                add_return_bind(qual, mbody, sig)  # static factory: Tool.create()
+                add_return_bind(
+                    qual, mbody, sig,
+                    typeparam=class_typeparams.get(in_class),
+                )  # static factory: Tool.create(); generic returns sentinel
                 consume_decorators(qual)
                 if _GETTER.match(dmsk) and not _STATIC_MEMBER.match(dmsk):
                     # TS getter = property: same marker row as @property

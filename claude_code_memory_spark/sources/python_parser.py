@@ -140,6 +140,52 @@ def _name_and_base(f: ast.AST) -> tuple[str | None, str | None]:
     return None, None
 
 
+def _generic_arg(f: ast.AST) -> str | None:
+    """The single plain-name type ARGUMENT of a single-level generic
+    annotation: ``Repo[User]`` → 'User'. Mirrors _name_and_base's
+    unwrapping (string forward refs, Optional, `X | None`) so the two
+    always see the same annotation. Anything else — multiple arguments,
+    dotted/nested arguments, typing containers via Optional — yields
+    None: the head-class bind still applies, only the element
+    substitution is withheld (round 11, TS-generics slice)."""
+    if isinstance(f, ast.Constant) and isinstance(f.value, str):
+        try:
+            return _generic_arg(ast.parse(f.value, mode="eval").body)
+        except SyntaxError:
+            return None
+    if isinstance(f, ast.Subscript) and isinstance(f.value, ast.Name) and f.value.id == "Optional":
+        return _generic_arg(f.slice)
+    if isinstance(f, ast.BinOp) and isinstance(f.op, ast.BitOr):
+        sides = [f.left, f.right]
+        none_sides = [
+            s for s in sides if isinstance(s, ast.Constant) and s.value is None
+        ]
+        if len(none_sides) == 1:
+            other = sides[0] if sides[1] in none_sides else sides[1]
+            return _generic_arg(other)
+        return None
+    if isinstance(f, ast.Subscript) and isinstance(f.slice, ast.Name):
+        return f.slice.id
+    return None
+
+
+def _class_typeparams(node: ast.ClassDef) -> frozenset[str]:
+    """The class's declared type parameters, but ONLY when there is
+    exactly one (the substitution contract needs the param↔argument
+    pairing to be positionally unambiguous): ``class Repo(Generic[T])``
+    → {'T'}; multi-param, no-param, and non-Generic bases → empty."""
+    for base in node.bases:
+        if (
+            isinstance(base, ast.Subscript)
+            and isinstance(base.value, ast.Name)
+            and base.value.id in ("Generic", "Protocol")
+        ):
+            if isinstance(base.slice, ast.Name):
+                return frozenset({base.slice.id})
+            return frozenset()  # Tuple slice = multiple params
+    return frozenset()
+
+
 def _marker_of_call(call: ast.Call, depth: int = 3) -> str | None:
     """Synthetic marker string for a call whose result is used as a
     base value: ``d.get_conn()`` → 'd.get_conn()',
@@ -346,8 +392,12 @@ def _collect_type_binds(
             note_target(n.target, call_val(n.value))
         elif isinstance(n, ast.AnnAssign):
             name, base = _name_and_base(n.annotation)
+            ta = _generic_arg(n.annotation)
             note_target(
-                n.target, (name, base, False) if name else call_val(n.value)
+                n.target,
+                ((name, base, False, ta) if ta else (name, base, False))
+                if name
+                else call_val(n.value)
             )
         elif isinstance(n, ast.AugAssign):
             note_target(n.target, None)
@@ -384,6 +434,7 @@ def _type_bind_rec(
     base: str | None,
     path: str,
     awaited: bool = False,
+    targ: str | None = None,
 ) -> dict:
     r = _relation_rec(scope, ctor, None, path)
     r["record_kind"] = "type_binding"
@@ -392,6 +443,11 @@ def _type_bind_rec(
     if awaited:
         # `x = await f()`: only an ASYNC factory may type this bind
         r["import_type"] = "await"
+    # single type ARGUMENT of a generic annotation (`r: Repo[User]` →
+    # 'User'), riding the otherwise-unused signature field; the
+    # resolver substitutes it for a method returning the class's own
+    # type param (round 11)
+    r["signature"] = targ
     return r
 
 
@@ -531,7 +587,10 @@ def parse_python_source(path: str, source: str) -> list[dict]:
         )
     )
 
-    def handle_function(fn, parent_name: str | None, etype: str):
+    def handle_function(
+        fn, parent_name: str | None, etype: str,
+        parent_typeparams: frozenset[str] = frozenset(),
+    ):
         """Emits the function's records; returns its self-attribute type
         binds for class-level merging."""
         qual = f"{parent_name}.{fn.name}" if parent_name else fn.name
@@ -575,7 +634,12 @@ def parse_python_source(path: str, source: str) -> list[dict]:
             if arg.annotation is not None:
                 ann_name, ann_base = _name_and_base(arg.annotation)
                 if ann_name is not None:
-                    val = (ann_name, ann_base, False)
+                    ta = _generic_arg(arg.annotation)
+                    val = (
+                        (ann_name, ann_base, False, ta)
+                        if ta
+                        else (ann_name, ann_base, False)
+                    )
             if val is None or (arg.arg in local_binds and local_binds[arg.arg] != val):
                 local_binds[arg.arg] = None
             else:
@@ -586,7 +650,10 @@ def parse_python_source(path: str, source: str) -> list[dict]:
         for var, val in sorted(local_binds.items()):
             if val is not None:
                 recs.append(
-                    _type_bind_rec(qual, var, val[0], val[1], path, val[2])
+                    _type_bind_rec(
+                        qual, var, val[0], val[1], path, val[2],
+                        targ=val[3] if len(val) > 3 else None,
+                    )
                 )
         # factory pattern: a function whose every return is the same
         # constructor call types its callers' assignments (`x =
@@ -601,7 +668,19 @@ def parse_python_source(path: str, source: str) -> list[dict]:
             rb = None
             if fn.returns is not None:
                 ann_name, ann_base = _name_and_base(fn.returns)
-                if ann_name is not None:
+                if (
+                    ann_base is None
+                    and ann_name in parent_typeparams
+                    and not isinstance(fn.returns, ast.Subscript)
+                ):
+                    # `-> T` where T is the enclosing class's SINGLE
+                    # declared type parameter: the value is whatever the
+                    # instance was parameterized with at the BIND site —
+                    # emit a sentinel the resolver substitutes with the
+                    # bind's type argument (round 11). `-> list[T]` etc.
+                    # keep the head-class bind (the value is the list).
+                    rb = ("__typeparam__", None)
+                elif ann_name is not None:
                     rb = (ann_name, ann_base)
             if rb is None:
                 rb = _function_return_bind(fn)
@@ -752,14 +831,22 @@ def parse_python_source(path: str, source: str) -> list[dict]:
                     ann_name, ann_base = _name_and_base(item.annotation)
                     if ann_name is not None:
                         key = f"self.{item.target.id}"
-                        val = (ann_name, ann_base, False)
+                        ta = _generic_arg(item.annotation)
+                        val = (
+                            (ann_name, ann_base, False, ta)
+                            if ta
+                            else (ann_name, ann_base, False)
+                        )
                         if key in cls_binds and cls_binds[key] != val:
                             cls_binds[key] = None
                         elif key not in cls_binds:
                             cls_binds[key] = val
             for item in node.body:
                 if isinstance(item, (ast.FunctionDef, ast.AsyncFunctionDef)):
-                    for var, val in handle_function(item, node.name, "method").items():
+                    for var, val in handle_function(
+                        item, node.name, "method",
+                        parent_typeparams=_class_typeparams(node),
+                    ).items():
                         if var in cls_binds and cls_binds[var] != val:
                             cls_binds[var] = None
                         elif var not in cls_binds:
@@ -767,7 +854,10 @@ def parse_python_source(path: str, source: str) -> list[dict]:
             for var, val in sorted(cls_binds.items()):
                 if val is not None:
                     recs.append(
-                        _type_bind_rec(node.name, var, val[0], val[1], path, val[2])
+                        _type_bind_rec(
+                            node.name, var, val[0], val[1], path, val[2],
+                            targ=val[3] if len(val) > 3 else None,
+                        )
                     )
                 else:
                     # POISON MARKER (class-scope attrs only): with the
@@ -802,7 +892,12 @@ def parse_python_source(path: str, source: str) -> list[dict]:
     mod_binds, _ = _collect_type_binds(tree)
     for var, val in sorted(mod_binds.items()):
         if val is not None:
-            recs.append(_type_bind_rec(path, var, val[0], val[1], path, val[2]))
+            recs.append(
+                _type_bind_rec(
+                    path, var, val[0], val[1], path, val[2],
+                    targ=val[3] if len(val) > 3 else None,
+                )
+            )
     return recs
 
 
@@ -905,6 +1000,9 @@ def type_bindings(parsed: DataFrame) -> DataFrame:
         # `x = await f()` → True; legacy stored rows surface as NULL
         # through allowMissingColumns and coalesce to False downstream
         F.col("import_type").eqNullSafe("await").alias("awaited"),
+        # single type ARGUMENT of a generic annotation (`r: Repo[User]`
+        # → 'User'); NULL for non-generic binds and legacy stored rows
+        F.col("signature").alias("targ"),
     )
 
 

@@ -647,7 +647,7 @@ FIXTURE = {
         "T = TypeVar('T')\n"
         "\n"
         "class Repo(Generic[T]):\n"
-        "    def get_one(self):\n"
+        "    def get_one(self) -> T:\n"
         "        return self._x\n"
     ),
     "use/generic_use.py": (
@@ -656,6 +656,15 @@ FIXTURE = {
         "\n"
         "def c50_generic_annotation(r: Repo[Tool]):\n"
         "    return r.get_one()\n"
+        "\n"
+        "def c51_generic_element_method(r: Repo[Tool]):\n"
+        "    return r.get_one().run()\n"
+        "\n"
+        "def n26_generic_no_arg(r: Repo):\n"
+        "    return r.get_one().run()\n"
+        "\n"
+        "def n27_generic_ghost_arg(r: 'Repo[Ghost]'):\n"
+        "    return r.get_one().run()\n"
     ),
 }
 
@@ -732,8 +741,10 @@ POSITIVES = [
     ("c48_property_setter_chain", "Conn3.ping"),
     ("DescInit.c49_descriptor_instance_attr", "Lazy.query"),
     # round 11: a subscripted annotation binds its HEAD class
-    # (`r: Repo[Tool]` types r as Repo; the element is NOT bound)
+    # (`r: Repo[Tool]` types r as Repo), and a method returning the
+    # class's single type param types its call as the bind's ARGUMENT
     ("c50_generic_annotation", "Repo.get_one"),
+    ("c51_generic_element_method", "Tool.run"),
 ]
 
 # (site, target a full static analysis reaches, raw method name) —
@@ -798,6 +809,12 @@ NEGATIVES = [
     ("DescHolder.n23_descriptor_class_attr", "query"),
     ("n24_getattribute_head", "run"),
     ("n25_getattribute_inherited", "go"),
+    # round 11 (late): generic substitution soundness — no type
+    # argument, or an argument that resolves to no class, must leave
+    # the element call unresolved (the get_one link itself may and
+    # should still resolve to Repo.get_one)
+    ("n26_generic_no_arg", "run"),
+    ("n27_generic_ghost_arg", "run"),
 ]
 
 
@@ -871,6 +888,6 @@ def test_fidelity_rate(fidelity):
     rate = resolved / denom
     print(f"resolver fidelity: {resolved}/{denom} = {rate:.3f}")
     # round 11: c48 (setter-paired property), c49 (instance-assigned
-    # descriptor) and c50 (generic head-class bind) join the positives
-    # → full denominator at 50
-    assert rate >= 50 / 50 - 1e-9
+    # descriptor), c50 (generic head-class bind) and c51 (generic
+    # element substitution) join the positives → full denominator at 51
+    assert rate >= 51 / 51 - 1e-9

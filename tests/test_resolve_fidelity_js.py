@@ -592,17 +592,16 @@ POSITIVES = [
     # (`r: Repo<User>` types r as Repo — get() lives on Repo whatever
     # T is); the element-type substitution (ja02) stays aspirational
     ("ja01_generic_annotation", "Repo.get"),
+    # round 11 (late): generic ELEMENT substitution — a method returning
+    # its class's single type param types the call as the bind's type
+    # argument, resolved in the call site's import context
+    ("ja02_generic_element_method", "User.save"),
 ]
 
 # (site, target a full static analysis reaches, raw method name)
 ASPIRATIONAL: list[tuple[str, str, str]] = [
-    # round 11: generic ELEMENT substitution — resolving r.get().save()
-    # to User.save requires a generic-aware type table (Repo<T>
-    # declaration binding + T-substitution through method returns);
-    # the head-class bind (ja01, now a positive) deliberately does not
-    # type the get() RESULT, so this stays unresolved — resolving it to
-    # anything other than User.save is a false resolution
-    ("ja02_generic_element_method", "User.save", "save"),
+    # empty since round 11 closed the TS-generics slice (ja01 head bind
+    # + ja02 element substitution both moved to POSITIVES)
 ]
 
 NEGATIVES = [
@@ -699,6 +698,6 @@ def test_js_fidelity_rate(fidelity_js):
     denom = len(POSITIVES) + len(ASPIRATIONAL)
     rate = resolved / denom
     print(f"JS resolver fidelity: {resolved}/{denom} = {rate:.3f}")
-    # round 11: ja01 (generic head-class bind) resolves; ja02 (element
-    # substitution) sits in the denominator as aspirational
-    assert rate >= 49 / 50 - 1e-9
+    # round 11 (late): the __typeparam__ sentinel + bind type-argument
+    # substitution closed ja02 — full denominator again
+    assert rate >= 50 / 50 - 1e-9
