@@ -35,79 +35,77 @@ from claude_code_memory_spark.queries import (  # noqa: F401,E402
 # and 50 slots the rotation period is ~3 rounds, so the sweep must never
 # be preempted.
 #
-# Round-11 window, executing the round-10 queue exactly (r10 verdict
-# item 1): (a) the 12 r7-last-green cohort leftovers — 3 driver rounds
-# stale, top staleness priority (all judge-selfchecked green at sf0.01
-# in the r10 verdict); (b) round 10 added no new catalog entries, so
-# the rest of the window is (c) the first 38 of the 50-entry
-# r8-last-green cohort, in catalog order. 12 + 38 = 50; the remaining
-# 12 r8 entries (transition_matrix_events, scd2_user_state_intervals,
-# stickiness_dau_wau, vector_pca_covariance, sketch_kmv_mergeable,
-# sample_bottomk_per_type, corr_matrix_lineitem, anomaly_mad_outliers,
-# pareto_nation_revenue, text_ttr_hapax, text_sliding_chunks,
-# timeseries_ewma_window) lead the round-12 queue, followed by any
-# round-11 additions, then the r9 cohort. After this rotation no
-# catalog entry's latest driver green is older than r8.
+# Round-12 window, executing the round-11 queue exactly (r11 verdict
+# item 1): (a) the 12 r8-last-green deferrals — 3 driver rounds stale,
+# top staleness priority (all judge-selfchecked green at sf0.01 in the
+# r11 verdict); (b) round 11 added no new catalog entries, so the rest
+# of the window is the first 38 of the 50-entry r9-last-green cohort,
+# in catalog order. 12 + 38 = 50; the remaining 12 r9 entries
+# (debounce_last_event_wins, events_json_props, agg_value_percentiles,
+# diag_key_skew, sketch_countmin_freq, sketch_kmv_jaccard,
+# sketch_approx_quantiles, agg_token_histogram, text_pmi_cooccurrence,
+# tokenizer_bpe_pair_counts, lm_bigram_doc_scores,
+# pack_training_sequences) lead the round-13 queue, followed by any
+# round-12 additions, then the r10 cohort. After this rotation no
+# catalog entry's latest driver green is older than r9.
 # tests/test_registry_order.py pins this window.
 _DRIVER_WINDOW = [
-    # -- (a) the twelve r7-last-green leftovers --
-    "sketch_heavy_hitters",
-    "feature_winsorize_clip",
-    "sketch_window_distinct",
-    "privacy_pseudonymize",
-    "sketch_hll_mergeable",
-    "text_gopher_rules",
-    "tokenizer_bpe_encode_top_symbols",
-    "text_token_entropy",
-    "timeseries_gapfill_locf",
-    "timeseries_interpolate_linear",
-    "anomaly_rolling_zscore",
-    "asof_join_salted_events",
-    # -- (c) r8-last-green cohort, first 38 in catalog order --
-    "dedup_exact_kept",
-    "dedup_minhash_lsh",
-    "dedup_edit_distance",
-    "ml_logreg_quality",
-    "knn_classify_majority",
-    "mixture_lang_source_mi",
-    "cap_docs_per_source",
-    "sample_weighted_bottomk",
-    "q3_shipping_priority",
-    "q5_revenue_by_nation",
-    "agg_cube_orders",
-    "agg_event_stats",
-    "filter_payload_equality",
-    "filter_must_should_not",
-    "filter_score_threshold",
-    "join_anti_customers_without_urgent",
-    "join_semi_customers_with_urgent",
-    "join_hash_dedup_probe",
-    "set_union_distinct_nations",
-    "set_except_intersect",
-    "hash_ids_documents",
-    "scalar_regex_extract",
-    "window_rank_ntile",
-    "pivot_status_by_priority",
-    "scalar_datetime_parts",
-    "q6_revenue_delta",
-    "q10_returned_items",
-    "agg_rollup_orders",
-    "join_salted_status_revenue",
-    "q4_order_priority",
-    "quality_constraint_report",
-    "dense_topk",
-    "bm25_keyword_topk",
-    "hybrid_rrf_search",
-    "vector_pq_trained_error",
-    "vector_ivfpq_adc_topk",
-    "sessionize_events",
-    "funnel_view_click_purchase",
+    "transition_matrix_events",
+    "scd2_user_state_intervals",
+    "stickiness_dau_wau",
+    "vector_pca_covariance",
+    "sketch_kmv_mergeable",
+    "sample_bottomk_per_type",
+    "corr_matrix_lineitem",
+    "anomaly_mad_outliers",
+    "pareto_nation_revenue",
+    "text_ttr_hapax",
+    "text_sliding_chunks",
+    "timeseries_ewma_window",
+    "dedup_embedding_neardup",
+    "dedup_duplicate_clusters",
+    "dedup_prefix_boilerplate",
+    "corpus_epoch_allocation",
+    "split_train_val_test",
+    "sample_stratified_by_lang",
+    "graph_bfs2_brand_parts",
+    "split_time_embargo",
+    "q1_pricing_summary",
+    "filter_exclude_pattern",
+    "join_full_outer_diff",
+    "window_top_customers_per_nation",
+    "window_running_user_value",
+    "rrf_fusion_events",
+    "token_frequency_top50",
+    "weighted_content_assembly",
+    "ann_lsh_bucket",
+    "asof_join_events",
+    "multimodal_binary_stats",
+    "q19_disjunctive_filter",
+    "q2_top_supplier_per_part",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_by_returnflag",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q18_large_volume_customers",
+    "q21_sole_returning_supplier",
+    "q22_idle_rich_customers",
+    "q11_important_stock",
+    "q20_dominant_supplier",
+    "dense_topk_filtered",
+    "knn_join_queries",
+    "vector_quantization_error",
+    "ann_ivf_probe",
 ]
-# Round-12 rotation queue (oldest-green-first after this round lands):
-# (a) the 12 r8-cohort entries deferred above (listed in the window
-#     comment); (b) any round-11 additions (never driver-checked);
-# (c) the 50-entry r9-last-green cohort — whatever fits after (a)+(b);
-#     remainder rotates in round 13 with the r10 cohort.
+# Round-13 rotation queue (oldest-green-first after this round lands):
+# (a) the 12 r9-cohort entries deferred above (listed in the window
+#     comment); (b) any round-12 additions (never driver-checked);
+# (c) the 50-entry r10-last-green cohort — whatever fits after (a)+(b);
+#     remainder rotates in round 14 with the r11 cohort.
 
 
 def _apply_driver_window() -> None:

@@ -6,74 +6,73 @@ never silently shrink driver coverage.
 
 from claude_code_memory_spark.queries import REGISTRY, _DRIVER_WINDOW
 
-# Round-11 window: the 12 r7-last-green cohort leftovers (3 driver
-# rounds stale — verdict r10 item 1: the pre-named round-11 queue),
-# then the first 38 of the r8-last-green cohort in catalog order.
-# Round 10 added no catalog entries, so there is no never-checked
-# segment this round. The 12 deferred r8 entries lead the round-12
-# queue.
-R7_LEFTOVERS = {
-    "sketch_heavy_hitters",
-    "feature_winsorize_clip",
-    "sketch_window_distinct",
-    "privacy_pseudonymize",
-    "sketch_hll_mergeable",
-    "text_gopher_rules",
-    "tokenizer_bpe_encode_top_symbols",
-    "text_token_entropy",
-    "timeseries_gapfill_locf",
-    "timeseries_interpolate_linear",
-    "anomaly_rolling_zscore",
-    "asof_join_salted_events",
+# Round-12 window: the 12 r8-last-green deferrals (3 driver rounds
+# stale — verdict r11 item 1: the pre-named round-12 queue), then the
+# first 38 of the r9-last-green cohort in catalog order. Round 11
+# added no catalog entries, so there is no never-checked segment this
+# round. The 12 deferred r9 entries lead the round-13 queue.
+R8_DEFERRALS = {
+    "transition_matrix_events",
+    "scd2_user_state_intervals",
+    "stickiness_dau_wau",
+    "vector_pca_covariance",
+    "sketch_kmv_mergeable",
+    "sample_bottomk_per_type",
+    "corr_matrix_lineitem",
+    "anomaly_mad_outliers",
+    "pareto_nation_revenue",
+    "text_ttr_hapax",
+    "text_sliding_chunks",
+    "timeseries_ewma_window",
 }
 
-R8_COHORT_38 = {
-    "dedup_exact_kept",
-    "dedup_minhash_lsh",
-    "dedup_edit_distance",
-    "ml_logreg_quality",
-    "knn_classify_majority",
-    "mixture_lang_source_mi",
-    "cap_docs_per_source",
-    "sample_weighted_bottomk",
-    "q3_shipping_priority",
-    "q5_revenue_by_nation",
-    "agg_cube_orders",
-    "agg_event_stats",
-    "filter_payload_equality",
-    "filter_must_should_not",
-    "filter_score_threshold",
-    "join_anti_customers_without_urgent",
-    "join_semi_customers_with_urgent",
-    "join_hash_dedup_probe",
-    "set_union_distinct_nations",
-    "set_except_intersect",
-    "hash_ids_documents",
-    "scalar_regex_extract",
-    "window_rank_ntile",
-    "pivot_status_by_priority",
-    "scalar_datetime_parts",
-    "q6_revenue_delta",
-    "q10_returned_items",
-    "agg_rollup_orders",
-    "join_salted_status_revenue",
-    "q4_order_priority",
-    "quality_constraint_report",
-    "dense_topk",
-    "bm25_keyword_topk",
-    "hybrid_rrf_search",
-    "vector_pq_trained_error",
-    "vector_ivfpq_adc_topk",
-    "sessionize_events",
-    "funnel_view_click_purchase",
+R9_COHORT_38 = {
+    "dedup_embedding_neardup",
+    "dedup_duplicate_clusters",
+    "dedup_prefix_boilerplate",
+    "corpus_epoch_allocation",
+    "split_train_val_test",
+    "sample_stratified_by_lang",
+    "graph_bfs2_brand_parts",
+    "split_time_embargo",
+    "q1_pricing_summary",
+    "filter_exclude_pattern",
+    "join_full_outer_diff",
+    "window_top_customers_per_nation",
+    "window_running_user_value",
+    "rrf_fusion_events",
+    "token_frequency_top50",
+    "weighted_content_assembly",
+    "ann_lsh_bucket",
+    "asof_join_events",
+    "multimodal_binary_stats",
+    "q19_disjunctive_filter",
+    "q2_top_supplier_per_part",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_by_returnflag",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q18_large_volume_customers",
+    "q21_sole_returning_supplier",
+    "q22_idle_rich_customers",
+    "q11_important_stock",
+    "q20_dominant_supplier",
+    "dense_topk_filtered",
+    "knn_join_queries",
+    "vector_quantization_error",
+    "ann_ivf_probe",
 }
 
 
 def test_driver_window_is_the_staleness_sweep():
     window = set(list(REGISTRY)[:50])
-    assert R7_LEFTOVERS <= window, f"missing r7 leftovers: {sorted(R7_LEFTOVERS - window)}"
-    assert R8_COHORT_38 <= window, f"missing r8 cohort: {sorted(R8_COHORT_38 - window)}"
-    assert len(R7_LEFTOVERS | R8_COHORT_38) == 50
+    assert R8_DEFERRALS <= window, f"missing r8 deferrals: {sorted(R8_DEFERRALS - window)}"
+    assert R9_COHORT_38 <= window, f"missing r9 cohort: {sorted(R9_COHORT_38 - window)}"
+    assert len(R8_DEFERRALS | R9_COHORT_38) == 50
 
 
 def test_window_is_exactly_the_declared_list():
