@@ -527,7 +527,37 @@ def resolve_calls(
     to_entity rewritten to the defining entity's name and
     import_type='resolved'. Non-call rows and unresolvable calls pass
     through unchanged."""
-    _USE_BC.set(bool(broadcast_lookups))  # thread-local; plans build eagerly here
+    # Scope the broadcast hint to this call: every _bc() site runs
+    # eagerly inside the impl, so reset on exit keeps a later caller on
+    # the same thread from inheriting this batch's hint.
+    token = _USE_BC.set(bool(broadcast_lookups))
+    try:
+        return _resolve_calls_impl(
+            relations,
+            bindings,
+            entities,
+            type_binds,
+            return_binds=return_binds,
+            stored_relations=stored_relations,
+            max_hops=max_hops,
+            max_inherit=max_inherit,
+        )
+    finally:
+        _USE_BC.reset(token)
+
+
+def _resolve_calls_impl(
+    relations: DataFrame,
+    bindings: DataFrame,
+    entities: DataFrame,
+    type_binds: DataFrame | None = None,
+    *,
+    return_binds: DataFrame | None = None,
+    stored_relations: DataFrame | None = None,
+    max_hops: int = 3,
+    max_inherit: int = 3,
+) -> DataFrame:
+    """resolve_calls body; _USE_BC is set/reset by the public wrapper."""
     if os.environ.get("CCMS_RESOLVE_PROFILE") == "1":
         PIN_PROFILE.clear()  # profile is per-run, not accumulated across runs
     # last-import-wins isn't statically knowable row-order-free; dedupe

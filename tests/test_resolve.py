@@ -2040,3 +2040,26 @@ def test_normalize_targets_is_row_id_free(spark):
     with contextlib.redirect_stdout(buf):
         out.explain(mode="extended")
     assert "monotonically_increasing_id" not in buf.getvalue()
+
+
+def test_use_bc_contextvar_reset_on_exit(spark):
+    """resolve_calls(broadcast_lookups=True) must not leak the hint to a
+    later resolve on the same thread (_USE_BC is token-reset on exit)."""
+    from claude_code_memory_spark.operators import resolve as R
+
+    recs = []
+    for path, src in FIXTURE.items():
+        recs.extend(parse_python_source(path, src))
+    from claude_code_memory_spark.sources.python_parser import PARSED_SCHEMA
+
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA)
+    entities, relations, _ = split_parsed(parsed)
+    assert R._USE_BC.get() is False
+    resolve_calls(
+        relations,
+        import_bindings(parsed),
+        entities,
+        type_bindings(parsed),
+        broadcast_lookups=True,
+    ).count()
+    assert R._USE_BC.get() is False, "broadcast hint leaked past resolve_calls exit"
