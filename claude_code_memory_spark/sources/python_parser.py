@@ -169,11 +169,37 @@ def _generic_arg(f: ast.AST) -> str | None:
     return None
 
 
+def _unwrap_nullable(f: ast.AST) -> ast.AST:
+    """Strip the nullability wrappers _name_and_base sees through —
+    string forward refs, ``Optional[X]``, ``X | None`` — and return the
+    inner annotation node, so shape decisions (Name vs Subscript) are
+    made on the SAME node whose name _name_and_base reports. Without
+    this, ``-> Optional[T]`` looks like a Subscript at the top level
+    while _name_and_base already unwrapped it to the bare name 'T'."""
+    if isinstance(f, ast.Constant) and isinstance(f.value, str):
+        try:
+            return _unwrap_nullable(ast.parse(f.value, mode="eval").body)
+        except SyntaxError:
+            return f
+    if isinstance(f, ast.Subscript) and isinstance(f.value, ast.Name) and f.value.id == "Optional":
+        return _unwrap_nullable(f.slice)
+    if isinstance(f, ast.BinOp) and isinstance(f.op, ast.BitOr):
+        sides = [f.left, f.right]
+        none_sides = [
+            s for s in sides if isinstance(s, ast.Constant) and s.value is None
+        ]
+        if len(none_sides) == 1:
+            other = sides[0] if sides[1] in none_sides else sides[1]
+            return _unwrap_nullable(other)
+    return f
+
+
 def _class_typeparams(node: ast.ClassDef) -> frozenset[str]:
     """The class's declared type parameters, but ONLY when there is
     exactly one (the substitution contract needs the param↔argument
     pairing to be positionally unambiguous): ``class Repo(Generic[T])``
-    → {'T'}; multi-param, no-param, and non-Generic bases → empty."""
+    and PEP 695 ``class Repo[T]`` → {'T'}; multi-param, no-param, and
+    non-Generic bases → empty."""
     for base in node.bases:
         if (
             isinstance(base, ast.Subscript)
@@ -183,7 +209,35 @@ def _class_typeparams(node: ast.ClassDef) -> frozenset[str]:
             if isinstance(base.slice, ast.Name):
                 return frozenset({base.slice.id})
             return frozenset()  # Tuple slice = multiple params
+    tp = getattr(node, "type_params", ())
+    if len(tp) == 1 and type(tp[0]).__name__ == "TypeVar":
+        return frozenset({tp[0].name})
     return frozenset()
+
+
+def _class_typeparams_all(node: ast.ClassDef) -> frozenset[str]:
+    """EVERY declared type parameter name of the class, regardless of
+    arity — ``class Pair(Generic[K, V])`` → {'K', 'V'}. Used to
+    SUPPRESS return/param binds whose annotation names a type parameter
+    the single-param substitution contract can't handle: a TypeVar name
+    is never a class, so binding it literally risks a false resolution
+    whenever a real class shares the name (advice r11)."""
+    out: set[str] = set()
+    for base in node.bases:
+        if (
+            isinstance(base, ast.Subscript)
+            and isinstance(base.value, ast.Name)
+            and base.value.id in ("Generic", "Protocol")
+        ):
+            sl = base.slice
+            if isinstance(sl, ast.Name):
+                out.add(sl.id)
+            elif isinstance(sl, ast.Tuple):
+                out.update(e.id for e in sl.elts if isinstance(e, ast.Name))
+    for tp in getattr(node, "type_params", ()):
+        if type(tp).__name__ == "TypeVar":
+            out.add(tp.name)
+    return frozenset(out)
 
 
 def _marker_of_call(call: ast.Call, depth: int = 3) -> str | None:
@@ -590,6 +644,7 @@ def parse_python_source(path: str, source: str) -> list[dict]:
     def handle_function(
         fn, parent_name: str | None, etype: str,
         parent_typeparams: frozenset[str] = frozenset(),
+        parent_typeparams_all: frozenset[str] = frozenset(),
     ):
         """Emits the function's records; returns its self-attribute type
         binds for class-level merging."""
@@ -633,8 +688,19 @@ def parse_python_source(path: str, source: str) -> list[dict]:
             val = None
             if arg.annotation is not None:
                 ann_name, ann_base = _name_and_base(arg.annotation)
-                if ann_name is not None:
+                # `def m(self, x: T)` where T is a class type parameter:
+                # same literal-name hole as return binds — a TypeVar is
+                # never a class, so stay poisoned rather than risk a
+                # false resolution against a real class named like it
+                if ann_name is not None and not (
+                    ann_base is None and ann_name in parent_typeparams_all
+                ):
                     ta = _generic_arg(arg.annotation)
+                    if ta in parent_typeparams_all:
+                        # `x: Repo[T]` — the element is itself a type
+                        # parameter; keep the head bind, withhold the
+                        # (unsubstitutable) element argument
+                        ta = None
                     val = (
                         (ann_name, ann_base, False, ta)
                         if ta
@@ -666,23 +732,36 @@ def parse_python_source(path: str, source: str) -> list[dict]:
             # intent and wins over body inference; otherwise infer from
             # the return statements
             rb = None
+            suppress_rb = False
             if fn.returns is not None:
                 ann_name, ann_base = _name_and_base(fn.returns)
-                if (
-                    ann_base is None
-                    and ann_name in parent_typeparams
-                    and not isinstance(fn.returns, ast.Subscript)
-                ):
-                    # `-> T` where T is the enclosing class's SINGLE
-                    # declared type parameter: the value is whatever the
-                    # instance was parameterized with at the BIND site —
-                    # emit a sentinel the resolver substitutes with the
-                    # bind's type argument (round 11). `-> list[T]` etc.
-                    # keep the head-class bind (the value is the list).
-                    rb = ("__typeparam__", None)
+                if ann_base is None and ann_name in parent_typeparams_all:
+                    # The annotation names a declared type parameter of
+                    # the enclosing class. Shape-check the UNWRAPPED
+                    # node so `-> Optional[T]` / `-> 'T | None'` land
+                    # here too (advice r11: the top-level-node test let
+                    # Optional[T] fall through and bind a literal class
+                    # named 'T').
+                    inner = _unwrap_nullable(fn.returns)
+                    if ann_name in parent_typeparams and isinstance(inner, ast.Name):
+                        # single-param class, bare `-> T`: the value is
+                        # whatever the instance was parameterized with
+                        # at the BIND site — emit a sentinel the
+                        # resolver substitutes with the bind's type
+                        # argument (round 11).
+                        rb = ("__typeparam__", None)
+                    else:
+                        # multi-param `-> K` (pairing ambiguous) or a
+                        # subscripted typeparam head (`-> T[int]`): no
+                        # substitution contract — suppress the bind
+                        # entirely; a TypeVar name is never a class, so
+                        # binding it literally risks a false resolution.
+                        # Body inference is skipped too: the declared
+                        # intent IS the typeparam.
+                        suppress_rb = True
                 elif ann_name is not None:
                     rb = (ann_name, ann_base)
-            if rb is None:
+            if rb is None and not suppress_rb:
                 rb = _function_return_bind(fn)
             if rb is not None:
                 name, base = rb
@@ -846,6 +925,7 @@ def parse_python_source(path: str, source: str) -> list[dict]:
                     for var, val in handle_function(
                         item, node.name, "method",
                         parent_typeparams=_class_typeparams(node),
+                        parent_typeparams_all=_class_typeparams_all(node),
                     ).items():
                         if var in cls_binds and cls_binds[var] != val:
                             cls_binds[var] = None

@@ -641,14 +641,100 @@ FIXTURE = {
         "    return s.conn.ping()\n"
     ),
     # round 11: generic head-class binds (`Repo[User]` → Repo)
+    # round 12: Optional[T] return (sentinel must fire through the
+    # nullability unwrap) and a typeparam-annotated PARAMETER (must stay
+    # poisoned — a TypeVar name is never a class)
     "lib/repo.py": (
-        "from typing import Generic, TypeVar\n"
+        "from typing import Generic, Optional, TypeVar\n"
         "\n"
         "T = TypeVar('T')\n"
         "\n"
         "class Repo(Generic[T]):\n"
         "    def get_one(self) -> T:\n"
         "        return self._x\n"
+        "\n"
+        "    def get_maybe(self) -> Optional[T]:\n"
+        "        return self._x\n"
+        "\n"
+        "    def touch(self, item: T):\n"
+        "        return item.run()\n"
+    ),
+    # round 12: multi-param generic — the K↔argument pairing is
+    # positionally ambiguous, so typeparam-named return/param binds are
+    # suppressed outright (advice r11: the literal-name hole)
+    "lib/kv.py": (
+        "from typing import Generic, TypeVar\n"
+        "\n"
+        "K = TypeVar('K')\n"
+        "V = TypeVar('V')\n"
+        "\n"
+        "class Pair(Generic[K, V]):\n"
+        "    def key(self) -> K:\n"
+        "        return self._k\n"
+        "\n"
+        "    def put(self, k: K):\n"
+        "        return k.run()\n"
+    ),
+    "use/generic_multi_use.py": (
+        "from lib.kv import Pair\n"
+        "from lib.core import Tool\n"
+        "\n"
+        "class K:\n"
+        "    def run(self):\n"
+        "        return 9\n"
+        "\n"
+        "def c52_multiparam_head_method(p: Pair[Tool, K]):\n"
+        "    return p.key()\n"
+        "\n"
+        "def n28_multiparam_typeparam_return(p: Pair[Tool, K]):\n"
+        "    return p.key().run()\n"
+    ),
+    # round 12: Protocol / ABC structural-dispatch soundness — the
+    # declared member on the protocol/abstract base resolves (declared
+    # intent, the Jedi answer), but a member that exists only on an
+    # IMPLEMENTOR must never resolve through the interface-typed
+    # variable (structural dispatch is not statically traceable)
+    "lib/proto.py": (
+        "from typing import Protocol\n"
+        "from abc import ABC, abstractmethod\n"
+        "\n"
+        "class Drawable(Protocol):\n"
+        "    def draw(self) -> int:\n"
+        "        ...\n"
+        "\n"
+        "class Circle:\n"
+        "    def draw(self):\n"
+        "        return 1\n"
+        "\n"
+        "    def extra(self):\n"
+        "        return 2\n"
+        "\n"
+        "class Runner(ABC):\n"
+        "    @abstractmethod\n"
+        "    def go(self):\n"
+        "        ...\n"
+        "\n"
+        "class FastRunner(Runner):\n"
+        "    def go(self):\n"
+        "        return 1\n"
+        "\n"
+        "    def sprint(self):\n"
+        "        return 2\n"
+    ),
+    "use/proto_use.py": (
+        "from lib.proto import Drawable, Runner\n"
+        "\n"
+        "def c54_protocol_declared(d: Drawable):\n"
+        "    return d.draw()\n"
+        "\n"
+        "def n30_structural_undeclared(d: Drawable):\n"
+        "    return d.extra()\n"
+        "\n"
+        "def c55_abc_declared(r: Runner):\n"
+        "    return r.go()\n"
+        "\n"
+        "def n31_abc_undeclared(r: Runner):\n"
+        "    return r.sprint()\n"
     ),
     "use/generic_use.py": (
         "from lib.repo import Repo\n"
@@ -659,6 +745,9 @@ FIXTURE = {
         "\n"
         "def c51_generic_element_method(r: Repo[Tool]):\n"
         "    return r.get_one().run()\n"
+        "\n"
+        "def c53_optional_typeparam(r: Repo[Tool]):\n"
+        "    return r.get_maybe().run()\n"
         "\n"
         "def n26_generic_no_arg(r: Repo):\n"
         "    return r.get_one().run()\n"
@@ -745,6 +834,15 @@ POSITIVES = [
     # class's single type param types its call as the bind's ARGUMENT
     ("c50_generic_annotation", "Repo.get_one"),
     ("c51_generic_element_method", "Tool.run"),
+    # round 12: the sentinel fires through the nullability unwrap
+    # (`-> Optional[T]` ≡ `-> T` whenever the value is used), the head
+    # method of a MULTI-param generic still resolves (only the element
+    # substitution is withheld), and Protocol/ABC DECLARED members
+    # resolve to the declaring interface (the Jedi answer)
+    ("c53_optional_typeparam", "Tool.run"),
+    ("c52_multiparam_head_method", "Pair.key"),
+    ("c54_protocol_declared", "Drawable.draw"),
+    ("c55_abc_declared", "Runner.go"),
 ]
 
 # (site, target a full static analysis reaches, raw method name) —
@@ -815,6 +913,18 @@ NEGATIVES = [
     # should still resolve to Repo.get_one)
     ("n26_generic_no_arg", "run"),
     ("n27_generic_ghost_arg", "run"),
+    # round 12 (advice r11): the literal-name hole — a multi-param
+    # class's `-> K` return and typeparam-annotated parameters must not
+    # bind a literal class named like the TypeVar (use/generic_multi_use
+    # defines a REAL class K precisely to make a false hit observable)
+    ("n28_multiparam_typeparam_return", "run"),
+    ("Pair.put", "run"),
+    ("Repo.touch", "run"),
+    # round 12: structural dispatch is not statically traceable — a
+    # member that exists only on an implementor never resolves through
+    # the protocol/ABC-typed variable
+    ("n30_structural_undeclared", "extra"),
+    ("n31_abc_undeclared", "sprint"),
 ]
 
 
@@ -890,4 +1000,6 @@ def test_fidelity_rate(fidelity):
     # round 11: c48 (setter-paired property), c49 (instance-assigned
     # descriptor), c50 (generic head-class bind) and c51 (generic
     # element substitution) join the positives → full denominator at 51
-    assert rate >= 51 / 51 - 1e-9
+    # round 12: c52-c55 (multi-param head, Optional[T] sentinel,
+    # Protocol/ABC declared members) → 55
+    assert rate >= 55 / 55 - 1e-9

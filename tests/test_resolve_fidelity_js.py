@@ -185,6 +185,7 @@ FIXTURE = {
     "src/use/iface.ts": (
         "export interface Shape {\n"
         "  area(): number;\n"
+        "  ignite?(): number;\n"
         "}\n"
         "\n"
         "export function j14_interface(s: Shape) { return s.area(); }\n"
@@ -354,6 +355,20 @@ FIXTURE = {
         "}\n"
         "\n"
         "export function j47_implements(s: Impl) { return s.area(); }\n"
+        "\n"
+        "// round 12: `implements` is a type-level contract, NOT\n"
+        "// inheritance — a declared-only optional interface member is\n"
+        "// not reachable through the implementing class (at runtime\n"
+        "// s.ignite is undefined), and an interface-typed variable\n"
+        "// holding a concrete ctor resolves through its runtime class\n"
+        "export function jn18_implements_not_ancestor(s: Impl) {\n"
+        "  return s.ignite();\n"
+        "}\n"
+        "\n"
+        "export function j50_iface_typed_ctor() {\n"
+        "  const s: Shape = new Impl();\n"
+        "  return s.area();\n"
+        "}\n"
     ),
     "src/use/getterchain.ts": (
         "import { Service } from '../lib/db';\n"
@@ -596,6 +611,11 @@ POSITIVES = [
     # its class's single type param types the call as the bind's type
     # argument, resolved in the call site's import context
     ("ja02_generic_element_method", "User.save"),
+    # round 12: an interface-typed variable holding a concrete ctor
+    # resolves through its RUNTIME class (the implements contract:
+    # class, never the interface — test_implements_never_interface
+    # asserts the Shape.area edge is absent)
+    ("j50_iface_typed_ctor", "Impl.area"),
 ]
 
 # (site, target a full static analysis reaches, raw method name)
@@ -633,6 +653,10 @@ NEGATIVES = [
     ("jn16_ns_two_stars", "dupFn"),
     # a divergent getter base poisons the whole chain tail
     ("jn17_divergent_getter_chain", "unwrap"),
+    # round 12: `implements` is a type-level contract, not inheritance —
+    # a declared-only optional interface member must not resolve through
+    # the implementing class (at runtime s.ignite is undefined)
+    ("jn18_implements_not_ancestor", "ignite"),
 ]
 
 
@@ -700,4 +724,14 @@ def test_js_fidelity_rate(fidelity_js):
     print(f"JS resolver fidelity: {resolved}/{denom} = {rate:.3f}")
     # round 11 (late): the __typeparam__ sentinel + bind type-argument
     # substitution closed ja02 — full denominator again
-    assert rate >= 50 / 50 - 1e-9
+    # round 12: j50 (interface-typed ctor → runtime class) joins → 51
+    assert rate >= 51 / 51 - 1e-9
+
+
+def test_implements_never_interface(fidelity_js):
+    """The implements-soundness contract in its sharpest form: calls on
+    Impl-typed (j47) and Impl-constructed (j50) values must carry NO
+    edge to the interface's declaration — the runtime class is the
+    target, never the interface."""
+    for site in ("j47_implements", "j50_iface_typed_ctor"):
+        assert (site, "Shape.area", "resolved") not in fidelity_js, site
