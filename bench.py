@@ -183,41 +183,15 @@ def main() -> None:
         except OSError:
             return -1.0
 
-    def _cpu_totals() -> tuple[int, int]:
-        """(system busy jiffies, our process tree's jiffies). The r10
-        loadavg stamps conflated the bench's OWN load with external load
-        (load1 lags ~2 min and the 1M build is minutes of 32-thread
-        work, so the serving section flagged itself in every full run).
-        External CPU = system busy delta MINUS our tree's delta — the
-        number that actually distinguishes a noisy neighbour from our
-        own burst. Reaped children fold into cutime/cstime, so worker
-        processes that die mid-section stay accounted."""
-        with open("/proc/stat") as fh:
-            f = fh.readline().split()
-        busy = sum(int(x) for x in f[1:]) - int(f[4]) - int(f[5])  # -idle -iowait
-        parents: dict[int, int] = {}
-        jiffies: dict[int, int] = {}
-        for d in os.listdir("/proc"):
-            if not d.isdigit():
-                continue
-            try:
-                with open(f"/proc/{d}/stat") as fh:
-                    s = fh.read()
-            except OSError:
-                continue
-            rp = s.rsplit(")", 1)[1].split()
-            parents[int(d)] = int(rp[1])
-            # utime+stime+cutime+cstime (fields 14-17, 0-based 11-14)
-            jiffies[int(d)] = sum(int(rp[i]) for i in (11, 12, 13, 14))
-        tree = {os.getpid()}
-        grew = True
-        while grew:
-            grew = False
-            for pid, ppid in parents.items():
-                if ppid in tree and pid not in tree:
-                    tree.add(pid)
-                    grew = True
-        return busy, sum(jiffies.get(pid, 0) for pid in tree)
+    # (system busy jiffies, our process tree's jiffies). The r10
+    # loadavg stamps conflated the bench's OWN load with external load
+    # (load1 lags ~2 min and the 1M build is minutes of 32-thread
+    # work, so the serving section flagged itself in every full run).
+    # External CPU = system busy delta MINUS our tree's delta — the
+    # number that actually distinguishes a noisy neighbour from our
+    # own burst. Implementation shared with the stage-level evidence
+    # runs since r12 (claude_code_memory_spark/cpuacct.py).
+    from claude_code_memory_spark.cpuacct import cpu_totals as _cpu_totals
 
     def _sect_begin() -> dict:
         busy, tree = _cpu_totals()

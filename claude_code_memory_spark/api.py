@@ -88,13 +88,24 @@ class CodeMemoryEngine:
         noise of unprofiled runs."""
         import time as _time
 
+        from claude_code_memory_spark.cpuacct import StageAccountant
+
         stage_sec: dict[str, float] = {}
+        # per-stage process-CPU + external-CPU share alongside the wall
+        # clock (verdict r11 item 2): raw stage_sec on a shared machine
+        # swung 3× on identical code, so stage-level targets are set in
+        # process-CPU terms and wall clock is flagged when >10% of the
+        # machine was busy outside our tree
+        _acct = StageAccountant()
+        if profile:
+            _acct.begin()
         _t0 = _time.time()
 
         def _mark(stage: str) -> None:
             nonlocal _t0
             now = _time.time()
             stage_sec[stage] = round(now - _t0, 2)
+            _acct.end(stage, now - _t0)
             _t0 = now
 
         self.store.vacuum()  # safe point: no pipeline in flight
@@ -414,6 +425,8 @@ class CodeMemoryEngine:
         if profile:
             vectors.unpersist()
             counters["stage_sec"] = stage_sec
+            if _acct.stages:
+                counters["stage_cpu"] = _acct.stages
         return counters
 
     @staticmethod
