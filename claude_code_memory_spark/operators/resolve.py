@@ -219,6 +219,17 @@ def _pin(df: DataFrame, label: str = "?") -> DataFrame:
     return out
 
 
+def _pin_dbg(df: DataFrame, label: str) -> DataFrame:
+    """Profile-ONLY pin (verdict r11 item 4): attributes a terminal-
+    section block under CCMS_RESOLVE_PROFILE=1 and is the identity
+    otherwise — the terminal frames are consumed once, so a production
+    checkpoint would be pure overhead and would also shift cost out of
+    the write stage the round artifacts track."""
+    if os.environ.get("CCMS_RESOLVE_PROFILE") != "1":
+        return df
+    return _pin(df, label)
+
+
 def _chase(from_bindings: DataFrame, max_hops: int) -> DataFrame:
     """Follow re-export chains: a from-binding whose (target_module,
     member) is itself a from-binding in that module keeps hopping, up to
@@ -2747,12 +2758,14 @@ def _resolve_calls_impl(
         )
         .distinct()
     )
+    need = _pin_dbg(need, "term_need")
     # nearest-ancestor lookup with the ambiguity guard (advice r7) plus
     # the depth-1 MRO base-order tie-break (verdict r8 item 5); n_mind=1
     # rows are super dispatch — equal-depth-1 diamonds break by
     # base-list position, so super() in D(B, C) dispatches to B's def,
     # the next class in D's MRO
     hits_all = _mro_nearest_def(need, anc, dm)
+    hits_all = _pin_dbg(hits_all, "term_mind_hits")
     hits = hits_all.filter(F.col("n_mind") == 0).select(
         F.col("n_mod").alias("h_mod"),
         F.col("n_name").alias("h_name"),
@@ -2797,4 +2810,6 @@ def _resolve_calls_impl(
         "file_path",
     )
 
-    return passthrough.unionByName(bare).unionByName(attr)
+    return _pin_dbg(
+        passthrough.unionByName(bare).unionByName(attr), "term_assemble"
+    )

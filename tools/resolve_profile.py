@@ -45,11 +45,14 @@ def main() -> None:
     print(f"\ntarget: {target}")
     print(f"entities={counters.get('entities')} relations={counters.get('relations')}")
     print("stage_sec:", counters.get("stage_sec"))
+    print("stage_cpu:", counters.get("stage_cpu"))
     print(f"full_index_sec: {total:.2f}")
     pins = rmod.PIN_PROFILE
     print(f"\npin profile ({len(pins)} pins, {sum(s for _, s in pins):.2f}s total):")
     for label, sec in sorted(pins, key=lambda x: -x[1]):
         print(f"  {label:20s} {sec:8.3f}s")
+    term = sum(s for lbl, s in pins if lbl.startswith("term_"))
+    print(f"\nterminal section (term_* pins, r12): {term:.2f}s")
 
 
 if __name__ == "__main__":
