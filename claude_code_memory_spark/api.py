@@ -262,7 +262,14 @@ class CodeMemoryEngine:
         # reuses one computation instead of replaying the join tree
         relations = relations.persist()
         if profile:
+            _tv = _time.time()
             relations.count()  # force the resolve+validate join tree
+            # sub-split (r12): under CCMS_RESOLVE_PROFILE the resolver
+            # output is already checkpointed (term_assemble pin), so
+            # this count executes only J4 validate + universe distinct —
+            # the last block of the resolve stage the pin profile
+            # couldn't see
+            stage_sec["resolve.validate"] = round(_time.time() - _tv, 2)
             _mark("resolve")
 
         meta = entity_metadata_chunks(entities, impl)

@@ -97,11 +97,29 @@ class StageAccountant:
             self._snap = None
             return
         busy0, tree0 = self._snap
-        ext = max((busy1 - busy0) - (tree1 - tree0), 0)
-        ext_share = ext / (self._ncpu * max(wall_sec, 1e-9) * JIFFY_HZ)
-        self.stages[name] = {
-            "process_cpu_sec": round((tree1 - tree0) / JIFFY_HZ, 2),
-            "external_cpu_share": round(ext_share, 3),
-            "loaded": ext_share > 0.10,
-        }
+        tree_delta = tree1 - tree0
+        if tree_delta < 0:
+            # /proc walks are not atomic: during heavy PySpark worker
+            # churn a worker can be counted early in the walk, then die
+            # and fold into its daemon's cutime before the daemon is
+            # read — double-counting that snapshot and driving the NEXT
+            # stage's delta negative (observed -215 s on the stress
+            # corpus chunks stage, r12). A negative delta is an
+            # accounting anomaly, not a measurement: report it as such
+            # instead of publishing garbage, and keep the stage marked
+            # suspect.
+            self.stages[name] = {
+                "process_cpu_sec": None,
+                "external_cpu_share": None,
+                "loaded": True,
+                "anomaly": "tree_shrank",
+            }
+        else:
+            ext = max((busy1 - busy0) - tree_delta, 0)
+            ext_share = ext / (self._ncpu * max(wall_sec, 1e-9) * JIFFY_HZ)
+            self.stages[name] = {
+                "process_cpu_sec": round(tree_delta / JIFFY_HZ, 2),
+                "external_cpu_share": round(min(ext_share, 1.0), 3),
+                "loaded": ext_share > 0.10,
+            }
         self._snap = (busy1, tree1)
