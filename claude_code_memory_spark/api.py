@@ -544,10 +544,17 @@ class CodeMemoryEngine:
             if invalid.isEmpty():
                 return
             relations = self.store.read("relations")
-            cleaned = relations.join(
-                F.broadcast(invalid), on=list(self._REL_KEY), how="left_anti"
-            )
-            self.store.write("relations", cleaned)
+            # scoped removal through the delta-merge path (r12): the
+            # invalid rows live in a handful of files, so re-commit only
+            # THOSE files' relation rows (minus the invalid ones) as a
+            # delta instead of rewriting the corpus-scale table — the
+            # same merge-on-read commit every other incremental write
+            # takes
+            affected = invalid.select("file_path").distinct()
+            kept_of_affected = relations.join(
+                F.broadcast(affected), "file_path", "left_semi"
+            ).join(F.broadcast(invalid), on=list(self._REL_KEY), how="left_anti")
+            merge_replace_by_file(self.store, "relations", kept_of_affected, affected)
         finally:
             invalid.unpersist()
 

@@ -56,10 +56,7 @@ class TableStore:
             meta["snapshots"] = [meta.pop("snapshot")]
         return meta
 
-    def read(self, table: str) -> DataFrame | None:
-        meta = self._manifest(table)
-        if meta is None:
-            return None
+    def _reader_for(self, meta):
         reader = self.spark.read
         if "schema" in meta:
             # an empty table writes no parquet part files (Spark skips
@@ -68,20 +65,73 @@ class TableStore:
             from pyspark.sql.types import StructType
 
             reader = reader.schema(StructType.fromJson(json.loads(meta["schema"])))
+        return reader
+
+    def _assemble(self, table: str, meta: dict) -> DataFrame:
+        """Manifest → DataFrame: lazily-unioned snapshot dirs, with the
+        delta-merge survivor rule applied when any commit carried a
+        tombstone (r12). A tombstoned file_path kills rows in EARLIER
+        snapshots only — the delta commit that tombstones a file also
+        carries its replacement rows, which must survive — so each row
+        joins the latest tombstone ordinal for its file and survives iff
+        its own snapshot ordinal is >= that (or no tombstone exists)."""
+        from pyspark.sql import functions as F
+
+        reader = self._reader_for(meta)
+        snaps = meta["snapshots"]
+        tss = meta.get("tombstones") or [None] * len(snaps)
         parts = [
-            reader.parquet(os.path.join(self.root, table, s))
-            for s in meta["snapshots"]
+            reader.parquet(os.path.join(self.root, table, s)) for s in snaps
         ]
-        # one DataFrame per manifest entry, unioned lazily: partition
-        # pruning (e.g. chunk_type=metadata) still applies inside each
-        # snapshot dir, and no snapshot is rewritten to serve a read
-        df = parts[0]
+        if not any(tss):
+            # fast path (all plain commits): one union, no join —
+            # partition pruning still applies inside each snapshot dir
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            return df
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        parts = [p.withColumn("__snap_ord", F.lit(i)) for i, p in enumerate(parts)]
+        rows = parts[0]
         for p in parts[1:]:
-            df = df.unionByName(p)
-        return df
+            rows = rows.unionByName(p)
+        ts_schema = StructType([StructField("file_path", StringType())])
+        ts_parts = [
+            self.spark.read.schema(ts_schema)
+            .parquet(os.path.join(self.root, table, t))
+            .withColumn("__ts_ord", F.lit(i))
+            for i, t in enumerate(tss)
+            if t
+        ]
+        ts = ts_parts[0]
+        for p in ts_parts[1:]:
+            ts = ts.unionByName(p)
+        last = ts.groupBy(F.col("file_path").alias("__ts_fp")).agg(
+            F.max("__ts_ord").alias("__ts_ord")
+        )
+        # tombstone maps are rows-∝-touched-files — broadcast hash join,
+        # never a shuffle of the fact side
+        return (
+            rows.join(
+                F.broadcast(last), rows["file_path"] == F.col("__ts_fp"), "left"
+            )
+            .filter(
+                F.col("__ts_ord").isNull()
+                | (F.col("__snap_ord") >= F.col("__ts_ord"))
+            )
+            .drop("__snap_ord", "__ts_fp", "__ts_ord")
+        )
+
+    def read(self, table: str) -> DataFrame | None:
+        meta = self._manifest(table)
+        if meta is None:
+            return None
+        return self._assemble(table, meta)
 
     def _new_snapshot_dir(self, table: str, df: DataFrame,
-                          partition_by: list[str] | None) -> str:
+                          partition_by: list[str] | None,
+                          stats: str = "always") -> str:
         self._counter = getattr(self, "_counter", 0) + 1
         snap = f"snap-{int(time.time() * 1000)}-{os.getpid()}-{self._counter}"
         writer = df.write.mode("overwrite")
@@ -92,22 +142,45 @@ class TableStore:
             # search never lists the implementation partitions
             writer = writer.partitionBy(*partition_by)
         writer.parquet(os.path.join(self.root, table, snap))
+        snap_dir = os.path.join(self.root, table, snap)
         # file-level min/max stats manifest (plans/skipping.py) — footer
         # metadata only, written before the commit pointer ever references
-        # this dir; read_pruned consults it to skip whole files
+        # this dir; read_pruned consults it to skip whole files. Under
+        # stats="auto" (delta commits) tiny snapshots skip the stats
+        # job: a statless dir scans fully, which for KB-scale deltas
+        # costs less than the fixed Spark job that would prune it (r12 —
+        # seven per-table stats jobs dominated a 1-file commit).
+        if stats == "auto":
+            size = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(snap_dir)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+            if size < self.STATS_MIN_BYTES:
+                return snap
         from claude_code_memory_spark.plans.skipping import collect_file_stats
 
-        collect_file_stats(self.spark, os.path.join(self.root, table, snap))
+        collect_file_stats(self.spark, snap_dir)
         return snap
 
     def _log_path(self, table: str) -> str:
         return os.path.join(self.root, table, "_log")
 
-    def _commit(self, table: str, snapshots: list[str], schema_json: str) -> None:
+    def _commit(
+        self,
+        table: str,
+        snapshots: list[str],
+        schema_json: str,
+        tombstones: list | None = None,
+    ) -> None:
         tmp = self._pointer(table) + ".tmp"
         os.makedirs(os.path.dirname(tmp), exist_ok=True)
+        meta = {"snapshots": snapshots, "schema": schema_json}
+        if tombstones is not None and any(tombstones):
+            meta["tombstones"] = tombstones
         with open(tmp, "w") as fh:
-            json.dump({"snapshots": snapshots, "schema": schema_json}, fh)
+            json.dump(meta, fh)
         # append the version to the commit log BEFORE the pointer swap:
         # a crash between the two leaves a log entry whose snapshots are
         # fully written (the parquet write preceded _commit), readable by
@@ -115,17 +188,7 @@ class TableStore:
         # never a pointer to missing data
         version = self._next_version(table)
         with open(self._log_path(table), "a") as fh:
-            fh.write(
-                json.dumps(
-                    {
-                        "version": version,
-                        "ts": time.time(),
-                        "snapshots": snapshots,
-                        "schema": schema_json,
-                    }
-                )
-                + "\n"
-            )
+            fh.write(json.dumps({"version": version, "ts": time.time(), **meta}) + "\n")
         os.replace(tmp, self._pointer(table))  # atomic pointer swap
         # No GC here: lazy DataFrames captured earlier in the pipeline may
         # still reference older snapshots (Delta's time-travel + deferred
@@ -204,7 +267,7 @@ class TableStore:
         meta = matches[-1]
         missing = [
             s
-            for s in meta["snapshots"]
+            for s in meta["snapshots"] + [t for t in meta.get("tombstones") or [] if t]
             if not os.path.isdir(os.path.join(self.root, table, s))
         ]
         if missing:
@@ -212,19 +275,7 @@ class TableStore:
                 f"version {version} of {table!r} was vacuumed "
                 f"(missing snapshots: {missing})"
             )
-        from pyspark.sql.types import StructType
-
-        reader = self.spark.read.schema(
-            StructType.fromJson(json.loads(meta["schema"]))
-        )
-        parts = [
-            reader.parquet(os.path.join(self.root, table, s))
-            for s in meta["snapshots"]
-        ]
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        return df
+        return self._assemble(table, meta)
 
     def write(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
         snap = self._new_snapshot_dir(table, df, partition_by)
@@ -235,6 +286,11 @@ class TableStore:
     # into one periodically is exactly Delta/Iceberg OPTIMIZE. O(corpus)
     # once per MAX_SNAPSHOTS appends = amortized O(1) per append.
     MAX_SNAPSHOTS = 32
+
+    # snapshots smaller than this skip the footer-stats job (see
+    # _new_snapshot_dir): a full scan of a sub-4MB dir is cheaper than
+    # the pruning job that would avoid it
+    STATS_MIN_BYTES = 4 << 20
 
     def append(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
         """Append rows as an additional manifest snapshot — O(new rows) IO,
@@ -254,7 +310,42 @@ class TableStore:
             )
             self.write(table, merged, partition_by)
             return
-        self._commit(table, snapshots, meta.get("schema", df.schema.json()))
+        tombstones = (meta.get("tombstones") or [None] * (len(snapshots) - 1)) + [None]
+        self._commit(
+            table, snapshots, meta.get("schema", df.schema.json()), tombstones
+        )
+
+    # merge_replace_by_file delta bound: a 1-file commit must not
+    # rewrite a corpus-scale table (measured r12: the write stage of a
+    # 1-file incremental on the 865-file corpus was ~21 s of pure
+    # rewrite), but unbounded deltas grow read amplification — compact
+    # every MAX_MERGE_SNAPSHOTS delta commits (the postings serving
+    # index measured 1.52x read-amp at 8 deltas; same bound).
+    MAX_MERGE_SNAPSHOTS = 8
+
+    def merge_delta(
+        self,
+        table: str,
+        new_rows: DataFrame,
+        replaced_files: DataFrame,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """O(batch) MERGE commit: append the batch's rows as a delta
+        snapshot plus a tombstone sidecar of the replaced/deleted
+        file_paths. Readers apply last-writer-wins per file (see
+        _assemble); rows of replaced files in earlier snapshots are
+        dead without being rewritten — Delta/Iceberg's merge-on-read."""
+        meta = self._manifest(table)
+        assert meta is not None, "merge_delta requires an existing table"
+        snap = self._new_snapshot_dir(table, new_rows, partition_by, stats="auto")
+        self._counter = getattr(self, "_counter", 0) + 1
+        ts = f"ts-{int(time.time() * 1000)}-{os.getpid()}-{self._counter}"
+        replaced_files.select("file_path").write.mode("overwrite").parquet(
+            os.path.join(self.root, table, ts)
+        )
+        snapshots = meta["snapshots"] + [snap]
+        tombstones = (meta.get("tombstones") or [None] * (len(snapshots) - 1)) + [ts]
+        self._commit(table, snapshots, meta.get("schema", new_rows.schema.json()), tombstones)
 
     def optimize(
         self,
@@ -300,7 +391,9 @@ class TableStore:
         BM25 postings index) can cache-key on it and invalidate exactly
         when the base table changes."""
         meta = self._manifest(table)
-        return tuple(meta["snapshots"]) if meta else None
+        if meta is None:
+            return None
+        return tuple(meta["snapshots"]) + tuple(meta.get("tombstones") or ())
 
     def vacuum(self, retain_versions: int = 1) -> None:
         """Delete snapshots unreachable from the last ``retain_versions``
@@ -314,12 +407,14 @@ class TableStore:
             if meta is None:
                 continue
             keep = set(meta["snapshots"])
+            keep.update(t for t in meta.get("tombstones") or [] if t)
             if retain_versions > 1:
                 for entry in self.history(table)[-retain_versions:]:
                     keep.update(entry["snapshots"])
+                    keep.update(t for t in entry.get("tombstones") or [] if t)
             tdir = os.path.join(self.root, table)
             for d in os.listdir(tdir):
-                if d.startswith("snap-") and d not in keep:
+                if d.startswith(("snap-", "ts-")) and d not in keep:
                     shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
 
 
@@ -330,14 +425,47 @@ def merge_replace_by_file(
     replaced_files: DataFrame,
     partition_by: list[str] | None = None,
 ) -> None:
-    """MERGE emulation: drop all rows of replaced/deleted files, append new.
+    """MERGE emulation: drop all rows of replaced/deleted files, insert new.
 
-    `replaced_files` is a 1-column DF (file_path). The anti-join is the
-    delete; union is the insert. Order is fixed: the delete set is computed
-    from the *current* snapshot before the write starts."""
+    `replaced_files` is a 1-column DF (file_path).
+
+    Since r12 this is merge-on-READ: an incremental commit appends an
+    O(batch) delta snapshot + tombstone sidecar (`merge_delta`), so a
+    1-file change on a 100 TB corpus writes KBs, not the corpus. Every
+    MAX_MERGE_SNAPSHOTS delta commits the table compacts back to one
+    snapshot (bounded read amplification), and a batch whose schema
+    adds columns also compacts (snapshot dirs must stay
+    union-compatible). The compaction path keeps the original
+    anti-join-then-union shape; the delete set is computed from the
+    *current* snapshot before the write starts."""
     current = store.read(table)
     if current is None:
         store.write(table, new_rows, partition_by)
+        return
+    meta = store._manifest(table)
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    stored_cols = set(
+        StructType.fromJson(_json.loads(meta["schema"])).fieldNames()
+        if "schema" in meta
+        else current.columns
+    )
+    if len(meta["snapshots"]) < store.MAX_MERGE_SNAPSHOTS and set(
+        new_rows.columns
+    ) <= stored_cols:
+        from pyspark.sql import functions as F
+
+        if set(new_rows.columns) < stored_cols:
+            # align to the stored schema so snapshot dirs stay
+            # union-compatible (the full rewrite used allowMissingColumns)
+            stored_schema = StructType.fromJson(_json.loads(meta["schema"]))
+            missing = [f for f in stored_schema.fields if f.name not in new_rows.columns]
+            for f in missing:
+                new_rows = new_rows.withColumn(f.name, F.lit(None).cast(f.dataType))
+            new_rows = new_rows.select(*stored_schema.fieldNames())
+        store.merge_delta(table, new_rows, replaced_files, partition_by)
         return
     from pyspark.sql import functions as F
 

@@ -287,18 +287,18 @@ def pruned_read_stats(store, table: str, predicates: list[tuple]):
             r = r.schema(StructType.fromJson(json.loads(meta["schema"])))
         return r
 
-    parts = []
+    parts = []  # (snapshot ordinal, DataFrame)
     kept_n = 0
     total_n = 0
     cond = None
     for p in predicates:
         c = _predicate_column(p)
         cond = c if cond is None else (cond & c)
-    for snap in meta["snapshots"]:
+    for ord_i, snap in enumerate(meta["snapshots"]):
         snap_dir = os.path.join(store.root, table, snap)
         manifest = load_file_stats(snap_dir)
         if manifest is None:
-            parts.append(fresh_reader().parquet(snap_dir))
+            parts.append((ord_i, fresh_reader().parquet(snap_dir)))
             # unknown file count: count parts for honest reporting
             n = sum(
                 1
@@ -317,17 +317,56 @@ def pruned_read_stats(store, table: str, predicates: list[tuple]):
                 # basePath recovers partition columns (chunk_type=... dir
                 # values) when scanning an explicit file list inside a
                 # partitioned snapshot — without it they'd read as NULL
-                fresh_reader().option("basePath", snap_dir).parquet(
-                    *[os.path.join(snap_dir, rel) for rel in kept]
+                (
+                    ord_i,
+                    fresh_reader().option("basePath", snap_dir).parquet(
+                        *[os.path.join(snap_dir, rel) for rel in kept]
+                    ),
                 )
             )
     if not parts:
         # everything pruned: empty frame with the table schema
         empty = store.read(table).limit(0)
         return (empty.filter(cond) if cond is not None else empty), kept_n, total_n
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p)
+    tss = meta.get("tombstones") or []
+    if any(tss):
+        # delta-merge survivor rule (r12): mirror TableStore._assemble —
+        # a tombstoned file_path kills rows in EARLIER snapshots only
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        rows = None
+        for ord_i, p in parts:
+            p = p.withColumn("__snap_ord", F.lit(ord_i))
+            rows = p if rows is None else rows.unionByName(p)
+        ts_schema = StructType([StructField("file_path", StringType())])
+        ts = None
+        for ord_i, t in enumerate(tss):
+            if not t:
+                continue
+            tp = (
+                store.spark.read.schema(ts_schema)
+                .parquet(os.path.join(store.root, table, t))
+                .withColumn("__ts_ord", F.lit(ord_i))
+            )
+            ts = tp if ts is None else ts.unionByName(tp)
+        last = ts.groupBy(F.col("file_path").alias("__ts_fp")).agg(
+            F.max("__ts_ord").alias("__ts_ord")
+        )
+        df = (
+            rows.join(
+                F.broadcast(last), rows["file_path"] == F.col("__ts_fp"), "left"
+            )
+            .filter(
+                F.col("__ts_ord").isNull()
+                | (F.col("__snap_ord") >= F.col("__ts_ord"))
+            )
+            .drop("__snap_ord", "__ts_fp", "__ts_ord")
+        )
+    else:
+        df = parts[0][1]
+        for _ord, p in parts[1:]:
+            df = df.unionByName(p)
     if cond is not None:
         df = df.filter(cond)
     return df, kept_n, total_n

@@ -74,7 +74,7 @@ def test_crash_between_snapshot_and_commit_preserves_old_state(spark, tmp_path):
 
     real_commit = store._commit
 
-    def crash_commit(table, snapshots, schema_json):
+    def crash_commit(table, snapshots, schema_json, tombstones=None):
         raise OSError("simulated kill before pointer swap")
 
     store._commit = crash_commit
