@@ -80,6 +80,52 @@ def main() -> None:
         out["noop_reindex_sec"] = round(time.time() - t0, 2)
         acct.end("noop_reindex", time.time() - t0)
         out["noop_files_changed"] = noop.get("files_changed")
+
+        # forced 1-file incremental (r12): drop one file_state row so
+        # exactly one unchanged file re-indexes. Two things are under
+        # test: the merge-on-read commit cost (time ∝ batch, not corpus)
+        # and the RESOLUTION INVARIANT — re-indexing an unchanged file
+        # must leave the relations multiset bit-identical (the oracle
+        # any future resolve-scoping optimization must keep green).
+        from pyspark.sql import functions as F
+
+        def rel_fingerprint():
+            agg = (
+                eng.store.read("relations")
+                .select(
+                    F.xxhash64(
+                        "from_entity",
+                        "to_entity",
+                        "relation_type",
+                        "import_type",
+                        "file_path",
+                    )
+                    .cast("decimal(38,0)")
+                    .alias("h")
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("h").cast("string").alias("hs"),
+                )
+                .collect()[0]
+            )
+            return int(agg["n"]), agg["hs"]
+        fs = eng.store.read("file_state")
+        victim = fs.orderBy("relative_path").limit(1).collect()[0]["relative_path"]
+        before = rel_fingerprint()
+        eng.store.write("file_state", fs.filter(F.col("relative_path") != victim))
+        t0 = time.time()
+        one = eng.index(target)
+        out["one_file_reindex_sec"] = round(time.time() - t0, 2)
+        acct.end("one_file_reindex", time.time() - t0)
+        after = rel_fingerprint()
+        out["one_file_reindex"] = {
+            "victim": victim,
+            "files_changed": one.get("files_changed"),
+            "relations_before": before[0],
+            "relations_after": after[0],
+            "relations_multiset_equal": before == after,
+        }
         # a search against the big index — the serving path at this scale
         t0 = time.time()
         hits = eng.search("read parquet schema", mode="hybrid", k=10).collect()
