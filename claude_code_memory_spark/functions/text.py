@@ -39,7 +39,22 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     2n times per row, ~1.7x slower end-to-end). Shingles are built by
     index (`element_at` is O(1)); the `when` guard keeps `sequence` from
     producing a descending [1,0,...] range for texts with fewer than n
-    tokens — those yield an empty array."""
+    tokens — those yield an empty array.
+
+    r12: when ``col`` is a column NAME the identical tree is built as one
+    F.expr string (the nested-lambda form costs ~70 py4j round-trips per
+    use; the SQL parses JVM-side to the same expressions — guide §7.3)."""
+    if isinstance(col, str):
+        cw = ", ".join(
+            f"element_at(t, i + {k})" if k else "element_at(t, i)" for k in range(n)
+        )
+        return F.expr(
+            f"element_at(transform(array(filter(split(lower({col}), '[^a-z0-9]+'), "
+            f"t -> length(t) > 1)), t -> CASE WHEN size(t) >= {n} THEN "
+            f"array_distinct(transform(sequence(1, size(t) - {n - 1}), "
+            f"i -> concat_ws(' ', {cw}))) "
+            f"ELSE cast(array() as array<string>) END), 1)"
+        )
 
     def build(t: Column) -> Column:
         idx = F.sequence(F.lit(1), F.size(t) - (n - 1))

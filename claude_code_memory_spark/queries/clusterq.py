@@ -147,25 +147,36 @@ def dedup_semantic_cells(spark, sf_dir):
     O(N * cell_size), linear in N; at scale the assignment is stored
     partitioned by cell so the self-join is co-located. Complements `dedup_embedding_neardup` (label-blocked)
     with the unsupervised blocking a real corpus needs."""
+    # k derives from corpus size so cell size stays ~256 as N grows.
+    # r12: the count runs on the RAW scan, not the spread/persisted
+    # frame — count(*) over a zero-column parquet projection is answered
+    # from row-group metadata (no column decode, no repartition), while
+    # counting the persisted frame forced scan + repartition + cache
+    # write into a ~0.2 s job whose only output was N.
+    k = _semdedup_k(table(spark, sf_dir, "embeddings").count())
     # persist the spread input: Lloyd re-reads it iters+2 times (two
     # assignment passes, the final assignment, and the seeding take) and
     # each replay re-runs the scan + repartition lineage — measured 3.3x
     # of the whole query at sf0.1. The iterative-input cache is the
     # standard Lloyd-on-Spark move (MLlib persists its training input the
-    # same way); at cluster scale MEMORY_AND_DISK spills, and the count
-    # below materializes it while deriving k.
+    # same way); at cluster scale MEMORY_AND_DISK spills; the seeding
+    # collect materializes it.
     emb = _spread(spark, table(spark, sf_dir, "embeddings")).persist()
-    # k derives from corpus size so cell size stays ~256 as N grows
-    k = _semdedup_k(emb.count())
     assigned, _ = kmeans_lloyd(emb, k=k, iters=2)
     # three consumers (both self-join sides + the verdict join) — persist
     # so the assignment computes once; at scale this is the write-
     # partitioned-by-cell materialization the docstring describes.
-    # Salt the pairwise join only while cells < local parallelism
-    # (identical pair set; see semantic_dedup's strategy note): with
-    # dynamic k the salt shrinks as cells multiply, hitting n_salt=1
-    # (the bucketed co-located regime) once k alone saturates the cores.
-    n_salt = max(1, -(-64 // k))
+    # Salt the pairwise join only while cells < the parallelism actually
+    # available (identical pair set; see semantic_dedup's strategy
+    # note): with dynamic k the salt shrinks as cells multiply, hitting
+    # n_salt=1 (the bucketed co-located regime) once k alone saturates
+    # the cores. r12: the salt target derives from defaultParallelism
+    # (2x, the same oversubscription the old constant encoded at
+    # local[32]) instead of a hard-coded 64, so a lower-core bench run
+    # replicates fewer build-side copies — scale-adaptive, per the
+    # optimization brief; the pair set (and thus the result) is
+    # salt-invariant.
+    n_salt = max(1, -(-(2 * spark.sparkContext.defaultParallelism) // k))
     return semantic_dedup(assigned.persist(), threshold=0.4, n_salt=n_salt)
 
 

@@ -228,8 +228,18 @@ def dedup_edit_distance(spark, sf_dir):
     per pair. Length-straddling pairs across bucket edges are out of
     contract (same documented trade as the shingle-frequency cap); the
     oracle replays the blocking exactly."""
+    # r12 (guide §2.5 input skew): the probe side MUST be spread — the
+    # one-file fixture reads as a single partition, the blocked join
+    # broadcasts the build side into that same single task, and the
+    # banded Levenshtein DP over the ~600k candidate pairs ran there
+    # alone: measured 22 s wall at 1.2-core utilization (23 CPU-s of
+    # actual work). Spreading the probe scan puts the join + DP in every
+    # scan task; a real corpus takes spread()'s no-op branch. (A
+    # repartition of the PAIRS was tried first and did nothing —
+    # Catalyst pushes the deterministic projection below the exchange,
+    # so the DP stayed on the single map task.)
     d = table(spark, sf_dir, "documents")
-    a = d.select(
+    a = spread(spark, d).select(
         F.col("doc_id").alias("id_a"),
         F.col("text").alias("ta"),
         "lang",

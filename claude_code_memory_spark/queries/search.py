@@ -144,8 +144,6 @@ def _bm25_scores_spark(spark, sf_dir, terms):
     Corpus stats (n_docs, avgdl) ride along as a broadcast 1-row cross
     join instead of driver-side count()/collect() actions — the whole
     score is a single Spark job."""
-    from claude_code_memory_spark.functions.text import tokenize
-
     d = table(spark, sf_dir, "documents")
     term_list = list(terms)
     # ZERO-shuffle per-doc stats: doc length and the tf of every query
@@ -157,16 +155,18 @@ def _bm25_scores_spark(spark, sf_dir, terms):
     # hybrid_rrf_search to 4.4x dense (verdict r9 item 6). Same rows out
     # (a doc with dl=0 simply carries zero tfs, which the tf>0 /
     # avgdl dl>0 filters below drop exactly as the groupBy form did).
-    def _eq(term):
-        # one-arg lambda factory: a `lambda x, t=t:` default would make
-        # pyspark read TWO parameters and bind the (element, index) form
-        return lambda x: x == F.lit(term)
-
-    per_doc = d.select("doc_id", tokenize("text").alias("__toks")).select(
+    # r12: the whole per-doc projection is built from F.expr strings —
+    # the lambda/HOF form cost ~1,550 py4j round-trips per query build
+    # (measured 0.47-0.58 s, paid by bm25_keyword_topk AND the hybrid
+    # query's sparse arm); the SQL strings parse JVM-side to the same
+    # expressions (split/lower/filter == tokenize(); x = 'term' ==
+    # x == lit(term)). Terms are fixed alphanumeric constants.
+    _tok_sql = "filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 1)"
+    per_doc = d.select("doc_id", F.expr(_tok_sql).alias("__toks")).select(
         "doc_id",
-        F.size("__toks").alias("dl"),
+        F.expr("size(__toks)").alias("dl"),
         *[
-            F.size(F.filter("__toks", _eq(t))).alias(f"__tf_{i}")
+            F.expr(f"size(filter(__toks, x -> x = '{t}'))").alias(f"__tf_{i}")
             for i, t in enumerate(term_list)
         ],
     )
@@ -190,19 +190,23 @@ def _bm25_scores_spark(spark, sf_dir, terms):
             # a per_doc row in this formulation, zero-token docs
             # included); avgdl averages docs that produced tokens (avg
             # ignores the NULLed rest)
-            F.count("*").cast("double").alias("n_docs"),
-            F.avg(F.when(F.col("dl") > 0, F.col("dl"))).alias("avgdl"),
+            F.expr("cast(count(*) as double)").alias("n_docs"),
+            F.expr("avg(CASE WHEN dl > 0 THEN dl END)").alias("avgdl"),
             *[
-                F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+                F.expr(f"sum(cast(__tf_{i} > 0 as bigint))").alias(f"__df_{i}")
                 for i in range(len(term_list))
             ],
         )
     )
-    token_tf = F.explode(
-        F.arrays_zip(
-            F.array(*[F.lit(t) for t in term_list]).alias("token"),
-            F.array(*[F.col(f"__tf_{i}") for i in range(len(term_list))]).alias("tf"),
+    # named_struct array == arrays_zip(array(terms) as token, array(tfs)
+    # as tf): same (token, tf) pairs in the same order, same field names
+    token_tf = F.expr(
+        "explode(array("
+        + ",".join(
+            f"named_struct('token', '{t}', 'tf', __tf_{i})"
+            for i, t in enumerate(term_list)
         )
+        + "))"
     )
     tf = (
         per_doc.select("doc_id", "dl", token_tf.alias("z"))
@@ -210,21 +214,27 @@ def _bm25_scores_spark(spark, sf_dir, terms):
         .filter(F.col("tf") > 0)
     )
     # same float expression tree as the joined-idf form: ln((n_docs - df
-    # + 0.5) / (df + 0.5)) with df a bigint count, n_docs double
-    idf_expr = F.lit(None).cast("double")
+    # + 0.5) / (df + 0.5)) with df a bigint count, n_docs double. The
+    # double literals carry the D suffix so SQL parses them as DOUBLE
+    # (bare 0.5 would be DECIMAL and change the arithmetic).
+    idf_sql = "cast(null as double)"
     for i, t in reversed(list(enumerate(term_list))):
-        idf_expr = F.when(
-            F.col("token") == t,
-            F.log(
-                (F.col("n_docs") - F.col(f"__df_{i}") + 0.5)
-                / (F.col(f"__df_{i}") + 0.5)
-            ),
-        ).otherwise(idf_expr)
+        idf_sql = (
+            f"CASE WHEN token = '{t}' THEN "
+            f"ln((n_docs - __df_{i} + 0.5D) / (__df_{i} + 0.5D)) "
+            f"ELSE {idf_sql} END"
+        )
+    from claude_code_memory_spark.functions.vector import double_sql_literal as _dl
+
+    k1p1, k1, one_minus_b, b = (
+        _dl(BM25_K1 + 1), _dl(BM25_K1), _dl(1 - BM25_B), _dl(BM25_B)
+    )
     scored = tf.crossJoin(g).withColumn(
         "term_score",
-        idf_expr
-        * (F.col("tf") * (BM25_K1 + 1))
-        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))),
+        F.expr(
+            f"{idf_sql} * (tf * {k1p1}) / "
+            f"(tf + {k1} * ({one_minus_b} + {b} * dl / avgdl))"
+        ),
     )
     return scored.groupBy("doc_id").agg(F.round(F.sum("term_score"), 6).alias("score"))
 

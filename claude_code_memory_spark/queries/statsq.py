@@ -384,8 +384,12 @@ def vector_pca_covariance(spark, sf_dir):
     (pca_fit) consumes exactly these values. The shuffle carries
     partitions x d² rows, never the corpus."""
     from claude_code_memory_spark.operators.pca import covariance_long
+    from claude_code_memory_spark.queries.base import spread
 
-    e = table(spark, sf_dir, "embeddings")
+    # r12 (guide §2.5): spread the one-partition fixture scan — the
+    # n x d² product-row fan-out (8.2M rows at sf0.1) ran in a single
+    # task otherwise (9.9 s wall at 1.1-core utilization)
+    e = spread(spark, table(spark, sf_dir, "embeddings"))
     return covariance_long(e, "embedding").select(
         "i", "j", F.round("cov", 10).alias("cov")
     )
@@ -511,8 +515,11 @@ def corr_matrix_lineitem(spark, sf_dir):
     normalization joins the broadcast diagonal. Exact decimal sums →
     the matrix replays bit-for-bit in DuckDB."""
     from claude_code_memory_spark.operators.pca import covariance_long
+    from claude_code_memory_spark.queries.base import spread
 
-    li = table(spark, sf_dir, "lineitem").select(
+    # r12 (guide §2.5): spread — n x 16 product rows from a one-split
+    # scan ran single-task (6.5 s wall at 1.8-core utilization)
+    li = spread(spark, table(spark, sf_dir, "lineitem")).select(
         F.array("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .cast("array<double>")
         .alias("v")

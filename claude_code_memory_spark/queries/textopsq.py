@@ -229,18 +229,29 @@ def text_repetition_signals(spark, sf_dir):
     two-level aggregate per signal, all map-side combinable; the bigram
     build is a JVM array transform, no UDF."""
     from claude_code_memory_spark.functions.text import tokenize
+    from claude_code_memory_spark.queries.base import spread
 
-    d = table(spark, sf_dir, "documents")
+    # r12 (guide §2.5 input skew): without spread the one-file fixture
+    # scans as a single partition and the explode + map-side partial
+    # aggregation of every token/bigram ran in that one task — measured
+    # 10.1 s wall at 1.5-core utilization (15 CPU-s of work). A real
+    # corpus has >> cores input splits and takes spread's no-op branch.
+    d = spread(spark, table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", tokenize("text").alias("toks"))
+    # r12: bigrams via zip_with over two slices — the indexed-transform
+    # form (transform(slice(toks,...), (x, i) -> concat_ws(' ', x,
+    # get(toks, i+1)))) measured 7.3 s under the downstream explode vs
+    # 1.1 s for this one (the outer-array indexed get is pathological in
+    # interpreted Generate evaluation); element values are identical
+    # (verified: 0 mismatching rows, and the oracle hash pins it)
     bigrams = toks.withColumn(
         "bgs",
-        F.when(
-            F.size("toks") >= 2,
-            F.transform(
-                F.slice("toks", 1, F.size("toks") - 1),
-                lambda x, i: F.concat_ws(" ", x, F.get(F.col("toks"), i + F.lit(1))),
-            ),
-        ).otherwise(F.array().cast("array<string>")),
+        F.expr(
+            "CASE WHEN size(toks) >= 2 THEN "
+            "zip_with(slice(toks, 1, size(toks) - 1), "
+            "slice(toks, 2, size(toks) - 1), (x, y) -> concat_ws(' ', x, y)) "
+            "ELSE cast(array() as array<string>) END"
+        ),
     )
 
     def modal_frac(df, arr_col, out_name):
@@ -668,27 +679,46 @@ def lm_bigram_doc_scores(spark, sf_dir, min_count: int = 0):
         .select("doc_id", "a", F.expr("ts[i + 1]").alias("b"))
     )
     bc = big.groupBy("a", "b").agg(F.count("*").alias("c2"))
+    logp_expr = (
+        F.round(
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+                / (F.col("c1") + F.col("vocab"))
+            ),
+            6,
+        )
+        .cast("decimal(20,6)")
+        .alias("logp")
+    )
     if min_count > 1:
         # left join + coalesce(0): a pruned bigram scores as unseen,
-        # never drops from the doc's bigram count
+        # never drops from the doc's bigram count. The pruned path keeps
+        # the per-row uni join — a missed bigram's fallback probability
+        # needs the DOC-side token's c1.
         bc = bc.filter(F.col("c2") >= min_count)
-    scored = (
-        big.join(bc, ["a", "b"], "left")
-        .join(uni, big.a == uni.tok)
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "doc_id",
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
-                    / (F.col("c1") + F.col("vocab"))
-                ),
-                6,
-            )
-            .cast("decimal(20,6)")
-            .alias("logp"),
+        scored = (
+            big.join(bc, ["a", "b"], "left")
+            .join(uni, big.a == uni.tok)
+            .crossJoin(F.broadcast(vocab))
+            .select("doc_id", logp_expr)
         )
-    )
+    else:
+        # r12 join reorder (guide §2.3/§2.4 — shuffle fewer bytes, drop a
+        # shuffle): score each DISTINCT bigram once — attach c1 and vocab
+        # to the vocabulary²-sparse count table, then join the per-pair
+        # logp back to the corpus bigram stream on (a, b). The unpruned
+        # count table contains every (a, b) the corpus emits, so the
+        # inner join keeps exactly the old rows, and logp is the same
+        # float expression over the same c1/c2/vocab values — identical
+        # results. Removes the corpus-sized re-shuffle by `a` the per-row
+        # uni join required (4 → 3 corpus-scale exchanges; the uni join
+        # now moves only distinct bigrams).
+        pair_logp = (
+            bc.join(uni, bc.a == uni.tok)
+            .crossJoin(F.broadcast(vocab))
+            .select("a", "b", logp_expr)
+        )
+        scored = big.join(pair_logp, ["a", "b"]).select("doc_id", "logp")
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.round(F.sum("logp") / F.count("*"), 4).cast("double").alias("avg_logp"),
