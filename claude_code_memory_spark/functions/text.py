@@ -158,22 +158,53 @@ def language_scores(col: Column | str) -> dict[str, Column]:
 
 def detect_language(col: Column | str, default: str = "und") -> Column:
     """Heuristic language ID: language with max stopword ratio, ties broken
-    by language code ascending; 'und' when no stopwords hit at all."""
-    scores = language_scores(col)
-    # struct max compares fields in order: score first, then the negated
-    # alphabetical rank — so ties break toward the smaller language code.
-    ranked = F.array(
-        *[
-            F.struct(
-                scores[lang].alias("score"),
-                F.lit(-i).alias("tie"),
-                F.lit(lang).alias("lang"),
-            )
-            for i, lang in enumerate(sorted(STOPWORDS))
-        ]
+    by language code ascending; 'und' when no stopwords hit at all.
+
+    r12 (guide §1.2 per-task work): the token array and the ranked-max
+    struct are each bound ONCE via the transform-over-one-element-array
+    trick (the `word_shingles` pattern) instead of re-tokenizing the
+    text per language — the old tree evaluated `tokenize` 4x and the
+    argmax 2x per row in interpreted HOF evaluation (no codegen CSE
+    there), measured ~2x of this whole operator. The per-language
+    ratio, the (score, tie, lang) struct ordering, and the final
+    when/otherwise are node-for-node the old expressions over the same
+    values, so results are identical (the language-ID oracles pin it)."""
+
+    def _ratio(toks: Column, lang: str) -> Column:
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        return hits / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+    def _best(toks: Column) -> Column:
+        # struct max compares fields in order: score first, then the
+        # negated alphabetical rank — ties break to the smaller code.
+        ranked = F.array(
+            *[
+                F.struct(
+                    _ratio(toks, lang).alias("score"),
+                    F.lit(-i).alias("tie"),
+                    F.lit(lang).alias("lang"),
+                )
+                for i, lang in enumerate(sorted(STOPWORDS))
+            ]
+        )
+        return F.array_max(ranked)
+
+    return F.element_at(
+        F.transform(
+            F.array(tokenize(col)),
+            lambda toks: F.element_at(
+                F.transform(
+                    F.array(_best(toks)),
+                    lambda b: F.when(b["score"] > 0, b["lang"]).otherwise(
+                        F.lit(default)
+                    ),
+                ),
+                1,
+            ),
+        ),
+        1,
     )
-    best = F.array_max(ranked)
-    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit(default))
 
 
 def punctuation_ratio(col: Column | str) -> Column:

@@ -332,9 +332,138 @@ def kmeans_lloyd_grouped(
             ).alias("__cvec")
         )
 
+    # r12 iteration restructure (same move as kmeans_lloyd, guide
+    # §2.4/§7.3): the lazy 2-iteration chain serialized ~12 AQE stages —
+    # per-iteration broadcast builds over unmaterialized aggregate
+    # lineage, plus a k-way fan-out join + row_number window per
+    # assignment. The loop now collects the per-(group, cluster, pos)
+    # decimal means each round (m x k x dim scalars — PQ: 8 x 16 x 8)
+    # and assigns from per-group literal centroid arrays via the same
+    # argmin expression family as assign_clusters: d2 is the identical
+    # (dot(v,v) - 2*dot(v,c)) + <c,c> tree over the identical rounded
+    # values (<c,c> pre-folded driver-side in exactly the aggregate's
+    # 0.0 + x*x + ... order), and the (d2, cluster_id) array_min
+    # tie-break equals the old row_number-over-orderBy selection, so the
+    # whole chain replays bit-identically (the trained-PQ oracles pin
+    # it). The literal path is gated: pathological group counts (this is
+    # also the per-tenant trainer) or non-finite values keep the
+    # broadcast-join form above.
+    seed_rows = cent.collect()
+    literal_ok = bool(seed_rows) and len(seed_rows) * len(
+        seed_rows[0]["__cvec"]
+    ) <= 100_000
+    if literal_ok:
+        import math as _math
+
+        literal_ok = all(
+            _math.isfinite(x) for r in seed_rows for x in r["__cvec"]
+        ) and all(
+            isinstance(r[c], int)
+            or (isinstance(r[c], str) and r[c].isalnum())
+            for r in seed_rows
+            for c in g
+        )
+    if not literal_ok:
+        for _ in range(iters):
+            cent = update(assign(cent)).persist()  # m x k rows
+        return assign(cent), cent
+
+    def _group_key(row) -> tuple:
+        return tuple(row[c] for c in g)
+
+    def _to_cents(rows) -> dict[tuple, list[tuple[int, list[float]]]]:
+        by_g: dict[tuple, list] = {}
+        for r in rows:
+            by_g.setdefault(_group_key(r), []).append(
+                (int(r[cluster_col]), [float(x) for x in r["__cvec"]])
+            )
+        return {gk: sorted(cv) for gk, cv in by_g.items()}
+
+    def _self_dot(cv: list[float]) -> float:
+        acc = 0.0  # mirrors the zip_with+aggregate fold: 0.0 + x0*x0 + ...
+        for x in cv:
+            acc = acc + x * x
+        return acc
+
+    from claude_code_memory_spark.functions.vector import double_sql_literal as _dl
+
+    def _case_expr(cents: dict, of) -> Column:
+        """CASE over the group key selecting a per-group literal array."""
+        parts = []
+        for gk, cv in cents.items():
+            cond = " AND ".join(
+                f"{c} = {v!r}" if isinstance(v, str) else f"{c} = {v}"
+                for c, v in zip(g, gk)
+            )
+            parts.append(f"WHEN {cond} THEN {of(cv)}")
+        return F.expr("CASE " + " ".join(parts) + " END")
+
+    def assign_lit(cents: dict) -> DataFrame:
+        cand_mat = _case_expr(
+            cents,
+            lambda cv: "array("
+            + ",".join(
+                "array(" + ",".join(_dl(x) for x in vec) + ")" for _, vec in cv
+            )
+            + ")",
+        )
+        cand_ids = _case_expr(
+            cents, lambda cv: "array(" + ",".join(str(cid) for cid, _ in cv) + ")"
+        )
+        cand_self = _case_expr(
+            cents,
+            lambda cv: "array(" + ",".join(_dl(_self_dot(vec)) for _, vec in cv) + ")",
+        )
+        v = F.col(vec_col).cast("array<double>")
+        dvv = dot(v, v)
+        cand = F.transform(
+            F.lit(cand_mat),
+            lambda c, i: F.struct(
+                (dvv - 2 * dot(v, c) + F.element_at(F.lit(cand_self), i + 1)).alias(
+                    "d2"
+                ),
+                F.element_at(F.lit(cand_ids), i + 1).alias("cid"),
+            ),
+        )
+        best = F.array_min(cand)
+        out_cols = [
+            *g,
+            *[c for c in vectors.columns if c not in g],
+        ]
+        return vectors.withColumn(cluster_col, best["cid"]).select(
+            *out_cols, cluster_col
+        )
+
+    def _mean_rows(assigned: DataFrame):
+        return update(assigned).collect()
+
+    cents = _to_cents(seed_rows)
     for _ in range(iters):
-        cent = update(assign(cent)).persist()  # m x k rows; same rationale
-    return assign(cent), cent
+        cents = _to_cents(_mean_rows(assign_lit(cents)))
+    final = assign_lit(cents)
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    g_fields = [vectors.schema[c] for c in g]
+    cent_rows = [
+        (*gk, cid, vec) for gk, cv in sorted(cents.items()) for cid, vec in cv
+    ]
+    cent_df = vectors.sparkSession.createDataFrame(
+        cent_rows,
+        StructType(
+            [
+                *[StructField(f.name, f.dataType, f.nullable) for f in g_fields],
+                StructField(cluster_col, IntegerType(), False),
+                StructField("__cvec", ArrayType(DoubleType()), False),
+            ]
+        ),
+    )
+    return final, cent_df
 
 
 def semantic_dedup(

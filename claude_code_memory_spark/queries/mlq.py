@@ -366,7 +366,11 @@ def knn_classify_majority(spark, sf_dir):
         F.col("embedding").alias("q_vec"),
         F.col("label").alias("true_label"),
     )
-    corpus = emb.filter(F.col("vec_id") >= 20)
+    # r12 (guide §2.5): spread — the 20 dot products per corpus row ran
+    # in the fixture's single scan partition (measured 1.5-core util)
+    from claude_code_memory_spark.queries.base import spread
+
+    corpus = spread(spark, emb.filter(F.col("vec_id") >= 20))
     nn = knn_join_sql(queries, corpus, k=5).join(
         corpus.select(F.col("vec_id"), F.col("label").alias("n_label")), "vec_id"
     )

@@ -548,10 +548,14 @@ def vector_pq_error(spark, sf_dir):
         pq_seeded_codebook,
     )
 
+    from claude_code_memory_spark.queries.base import spread
+
     emb = table(spark, sf_dir, "embeddings")
     # dim=64 matches the fixture; pq_split raises loudly on a mismatch
     cb = pq_seeded_codebook(emb, dim=64, m=8, k_codes=16)
-    codes = pq_encode(emb, cb, dim=64, m=8, keep=("vec_id", "label"))
+    # r12 (guide §2.5): spread the encode input — the m x k argmin per
+    # row ran in the fixture's single scan partition otherwise
+    codes = pq_encode(spread(spark, emb), cb, dim=64, m=8, keep=("vec_id", "label"))
     per_vec = codes.groupBy("vec_id", "label").agg(
         F.sum(F.col("sub_err").cast("decimal(18,6)")).alias("e")
     )
@@ -630,7 +634,13 @@ def vector_pq_trained_error(spark, sf_dir):
         pq_trained_codebook,
     )
 
-    emb = table(spark, sf_dir, "embeddings")
+    from claude_code_memory_spark.queries.base import spread
+
+    # r12 (guide §2.5 input skew): spread — the one-file fixture scans
+    # as a single partition, and both the Lloyd iteration jobs and the
+    # m x k-candidate argmin encode ran in that one task (measured
+    # ~2.6-core utilization). A real corpus takes spread's no-op branch.
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
     cb = pq_trained_codebook(emb, dim=64, m=8, k_codes=16, iters=2)
     codes = pq_encode(emb, cb, dim=64, m=8, keep=("vec_id", "label"))
     per_vec = codes.groupBy("vec_id", "label").agg(
@@ -690,9 +700,13 @@ def vector_pq_adc_topk(spark, sf_dir):
         pq_topk,
     )
 
+    from claude_code_memory_spark.queries.base import spread
+
     emb = table(spark, sf_dir, "embeddings")
     cb = pq_seeded_codebook(emb, dim=64, m=8, k_codes=16)
-    codes = pq_encode(emb, cb, dim=64, m=8)
+    # r12 (guide §2.5): spread the encode input (single-split fixture
+    # scan); the query-vector fetch stays on the raw scan
+    codes = pq_encode(spread(spark, emb), cb, dim=64, m=8)
     q = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
     return pq_topk(codes, cb, q, k=10)
 
@@ -769,8 +783,13 @@ def vector_ivfpq_adc_topk(spark, sf_dir):
     )
     from claude_code_memory_spark.operators.similarity import ivf_seeded_build
 
+    from claude_code_memory_spark.queries.base import spread
+
     emb = table(spark, sf_dir, "embeddings")
-    assigned, _centers = ivf_seeded_build(emb, 8)
+    # r12 (guide §2.5): spread the IVF-assignment + PQ-encode input —
+    # argmin over centroids plus the m x k encode ran in the fixture's
+    # single scan partition otherwise
+    assigned, _centers = ivf_seeded_build(spread(spark, emb), 8)
     cb = pq_seeded_codebook(emb, dim=64, m=8, k_codes=16)
     codes = pq_encode(assigned, cb, dim=64, m=8, keep=("vec_id", "ivf_cluster"))
     cent = emb.filter(F.col("vec_id") < 8).select(
