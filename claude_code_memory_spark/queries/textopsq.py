@@ -661,10 +661,23 @@ def lm_bigram_doc_scores(spark, sf_dir, min_count: int = 0):
 
     from claude_code_memory_spark.queries.base import spread
 
-    d = spread(spark, table(spark, sf_dir, "documents"))
+    d0 = table(spark, sf_dir, "documents")
+    d = spread(spark, d0)
     toks = d.select("doc_id", tokenize("text").alias("ts"))
+    # r12 (guide §2.2/§2.4): the unigram branch aggregates straight down
+    # to a VOCABULARY-sized table with map-side combine, so spreading its
+    # input pays a corpus-bytes round-robin exchange (serially produced
+    # by the one-file fixture's single scan task) plus two AQE stages to
+    # parallelize work the partial aggregation already collapses —
+    # measured 0.99 s spread vs 0.42 s unspread at sf0.1. On a
+    # multi-split corpus (incl. the sf1 evidence set, written by Spark
+    # as many part files) spread() is a no-op and both forms are
+    # identical; counts are exact integers either way, so results are
+    # unchanged. The bigram branch keeps spread: its downstream is the
+    # corpus-sized scoring join + doc_id aggregate.
+    toks_uni = d0.select(tokenize("text").alias("ts"))
     uni = (
-        toks.select(F.explode("ts").alias("tok"))
+        toks_uni.select(F.explode("ts").alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("c1"))
     )

@@ -51,6 +51,79 @@ def test_pagerank_weights_matter(spark):
     assert ranks[1] > ranks[2] > 0
 
 
+def test_pagerank_literal_path_matches_join_form(spark, tri):
+    """r12: small graphs take the literal-rank iteration (one aggregate
+    job per round); this replays the original broadcast-join formulation
+    inline and demands BIT-identical doubles — the equivalence the
+    optimization claims. Also covers a string-keyed graph (other CASE
+    arm type) and a >256-node graph exercising the fallback gate."""
+    from claude_code_memory_spark.operators.pagerank import BASE, DAMPING, SCALE
+
+    def join_form(edges, iters):
+        edges = edges.persist()
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
+        n_nodes = nodes.count()
+        outw = edges.groupBy("src").agg(F.sum("w").alias("__outw"))
+        e2 = edges.join(outw, "src").select(
+            F.col("src").alias("__src"),
+            F.col("dst").alias("__dst"),
+            (F.col("w").cast("double") / F.col("__outw").cast("double")).alias(
+                "__ratio"
+            ),
+        )
+        pr = nodes.select(
+            "node", F.round(F.lit(1.0) / F.lit(n_nodes), SCALE).alias("pr")
+        )
+        for _ in range(iters):
+            contrib = e2.join(F.broadcast(pr), e2["__src"] == pr["node"]).select(
+                F.col("__dst"),
+                F.round(F.col("pr") * F.col("__ratio"), SCALE)
+                .cast(f"decimal(38,{SCALE})")
+                .alias("__c"),
+            )
+            sums = contrib.groupBy("__dst").agg(F.sum("__c").alias("__s"))
+            pr = nodes.join(sums, nodes["node"] == sums["__dst"], "left").select(
+                "node",
+                F.round(
+                    F.lit(BASE) / F.lit(n_nodes)
+                    + F.lit(DAMPING)
+                    * F.coalesce(F.col("__s").cast("double"), F.lit(0.0)),
+                    SCALE,
+                ).alias("pr"),
+            )
+        return pr
+
+    import struct as _struct
+
+    def bits(d):
+        return {k: _struct.pack("<d", v) for k, v in d.items()}
+
+    assert bits(_ranks(pagerank_fixed(tri, iters=3))) == bits(
+        _ranks(join_form(tri, iters=3))
+    )
+
+    named = spark.createDataFrame(
+        [("a", "b", 2), ("b", "c", 1), ("c", "a", 3), ("c", "b", 1)],
+        "src string, dst string, w int",
+    )
+    assert bits(_ranks(pagerank_fixed(named, iters=2))) == bits(
+        _ranks(join_form(named, iters=2))
+    )
+
+    # 300-node ring > the 256 literal gate -> join-form fallback runs
+    big = spark.createDataFrame(
+        [(i, (i + 1) % 300, 1) for i in range(300)], "src int, dst int, w int"
+    )
+    assert bits(_ranks(pagerank_fixed(big, iters=1))) == bits(
+        _ranks(join_form(big, iters=1))
+    )
+
+
 def test_pagerank_dangling_leaks_bounded(spark):
     # 0 -> 1 and 1 has no out-edges: dangling mass is dropped, so the
     # total is < 1 but every rank stays >= the teleport floor
