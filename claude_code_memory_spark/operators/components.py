@@ -26,6 +26,76 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# r12 (guide §2.4/§7.3, the pagerank/Lloyd literal-path pattern): every
+# propagation/star round costs TWO blocking driver jobs (localCheckpoint
+# materialization + convergence count) at a measured ~0.3-0.5 s/job
+# scheduler floor, so a shallow near-dup graph pays ~8 sequential jobs
+# to move a few thousand integer labels. When the edge list is small,
+# collect it once and run union-find driver-side — the result, (node,
+# min reachable id), is pure integer graph connectivity: no floats, no
+# ordering subtleties, bit-free equivalence by definition. Big graphs
+# (the 100 TB path) keep the iterative joins. Gated on int-typed,
+# null-free keys; the cap is edges, probed with limit(cap+1).
+_DRIVER_EDGE_CAP = 100_000
+
+
+def _driver_components(pairs: list[tuple]) -> list[tuple]:
+    """Union-find; returns sorted (node, min-id-in-component) rows."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min: the smaller id becomes the root, so the root
+            # IS the component's min — no second pass needed
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return sorted((n, find(n)) for n in parent)
+
+
+def _try_driver_components(
+    edges: DataFrame, src: str, dst: str
+) -> DataFrame | None:
+    """The gated driver path shared by both component operators; None
+    when the graph is too big or the keys unsuitable."""
+    probe = edges.select(src, dst).limit(_DRIVER_EDGE_CAP + 1).collect()
+    if len(probe) > _DRIVER_EDGE_CAP:
+        return None
+    pairs = [(r[0], r[1]) for r in probe]
+    if not all(
+        isinstance(a, int) and isinstance(b, int) for a, b in pairs
+    ):
+        return None
+    from pyspark.sql.types import StructField, StructType
+
+    sym_type = (
+        edges.select(F.col(src).alias("s"))
+        .unionByName(edges.select(F.col(dst).alias("s")))
+        .schema["s"]
+    )
+    return edges.sparkSession.createDataFrame(
+        _driver_components(pairs),
+        StructType(
+            [
+                StructField("node", sym_type.dataType, sym_type.nullable),
+                StructField("comp", sym_type.dataType, sym_type.nullable),
+            ]
+        ),
+    )
+
 
 def connected_components(
     edges: DataFrame,
@@ -36,6 +106,9 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node appearing in `edges`; component =
     min node id reachable. Raises if not converged within max_iter."""
+    local = _try_driver_components(edges, src, dst)
+    if local is not None:
+        return local
     sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionByName(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     )
@@ -95,6 +168,14 @@ def connected_components_star(
     components. Converges when the edge set reaches a fixpoint: a star
     per component centered on its minimum id.
     """
+    # driver path (see _try_driver_components): the star contract drops
+    # self-loop-only nodes (the x != y filter below), so self-edges are
+    # filtered from the collected pairs before union-find — the node set
+    # then matches `all_nodes` exactly.
+    nonself = edges.filter(F.col(src) != F.col(dst))
+    local = _try_driver_components(nonself, src, dst)
+    if local is not None:
+        return local
     e = (
         edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
         .filter(F.col("x") != F.col("y"))

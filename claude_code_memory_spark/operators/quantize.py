@@ -206,17 +206,28 @@ def pq_encode(
     the exploded row key). Errors are rounded to 6 dp BEFORE the argmin so
     cross-engine last-ulp noise cannot flip a code choice (ties then break
     on code_id)."""
-    from pyspark.sql import Window
-
     subs = pq_split(df, dim, m, vec_col=vec_col, keep=keep)
     joined = subs.join(F.broadcast(codebook), "sub_idx")
     d2r = F.round(_d2(F.col("sv"), F.col("cv")), 6)
-    w = Window.partitionBy(*keep, "sub_idx").orderBy("__d2r", "code_id")
+    # r12 (guide §2.3 partial aggregation): the argmin used to be a
+    # row_number window over the (row x k_codes) fan-out — shuffling and
+    # sorting every candidate row by the exploded row key. min(struct)
+    # under groupBy is the identical (d2r, code_id)-ascending selection
+    # (round-6 BEFORE the min, so tie-breaks replay cross-engine exactly
+    # as before), but the map-side partial aggregate collapses the k
+    # candidates per (row, subspace) inside the scan stage — only one
+    # row per group reaches the exchange, and the sort disappears.
+    best = F.min(F.struct(F.col("__d2r"), F.col("code_id"))).alias("__best")
     return (
         joined.withColumn("__d2r", d2r)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(*keep, "sub_idx", "code_id", F.col("__d2r").alias("sub_err"))
+        .groupBy(*keep, "sub_idx")
+        .agg(best)
+        .select(
+            *keep,
+            "sub_idx",
+            F.col("__best.code_id").alias("code_id"),
+            F.col("__best.__d2r").alias("sub_err"),
+        )
     )
 
 

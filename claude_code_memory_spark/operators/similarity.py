@@ -364,19 +364,23 @@ def ivf_seeded_build(
             "ids must be dense from 0 (re-key hashed ids first)"
         )
     centers = np.array([[float(x) for x in r[vec_col]] for r in rows])
-    cent = embeddings.sparkSession.createDataFrame(
+    # r12 (guide §2.3/§2.4): the assignment used to be a broadcast
+    # crossJoin (n_centroids-way row fan-out) + row_number window —
+    # i.e. a full shuffle-and-sort of the fanned-out corpus by row id.
+    # The centroid rows are ALREADY collected driver-side (they are this
+    # function's return contract), so the assignment reuses the Lloyd
+    # literal-candidate argmin (`_assign_from_cents`): a NARROW
+    # projection, no fan-out, no shuffle. The d2 expression family, the
+    # driver-side <c,c> fold order, and the (d2, cluster)-ascending
+    # tie-break are node-for-node what the window form computed, so
+    # assignments are identical (the IVF oracles pin it).
+    from claude_code_memory_spark.operators.clustering import _assign_from_cents
+
+    assigned = _assign_from_cents(
+        embeddings,
         [(int(i), [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)],
-        "ivf_cluster int, __cvec array<double>",
-    )
-    v = F.col(vec_col).cast("array<double>")
-    d2 = dot(v, v) - 2 * dot(v, F.col("__cvec")) + dot(F.col("__cvec"), F.col("__cvec"))
-    w = Window.partitionBy(id_col).orderBy("__d2", "ivf_cluster")
-    assigned = (
-        embeddings.crossJoin(F.broadcast(cent))
-        .withColumn("__d2", d2)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__d2", "__rn", "__cvec")
+        vec_col=vec_col,
+        cluster_col="ivf_cluster",
     )
     return assigned, centers
 

@@ -239,10 +239,21 @@ def join_salted_status_revenue(spark, sf_dir):
     manual path for skew that AQE's shuffle-split can't reach."""
     from claude_code_memory_spark.operators.skew import salted_join
 
+    from claude_code_memory_spark.queries.base import spread
+
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
-    o = (
-        table(spark, sf_dir, "orders")
-        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus")
+    # r12 (guide §2.5): spread the REPLICATED side only — the 16x salt
+    # explode ran inside the one-file fixture's single scan task,
+    # serializing the build-side production (measured 4% core util).
+    # Interleaved A/B at sf0.1: unspread 2.43 s, spread-orders 1.16 s;
+    # spreading the probe side too flips the plan against the broadcast
+    # and measured WORSE (2.35 s) — left alone. Multi-split corpora
+    # no-op.
+    o = spread(
+        spark,
+        table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+        ),
     )
     return (
         salted_join(li, o, "l_orderkey", num_salts=16)

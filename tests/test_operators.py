@@ -359,6 +359,40 @@ def test_connected_components_and_canonical_dedup(spark):
     assert kept == [1, 7, 99]
 
 
+def test_components_driver_path_matches_iterative(spark):
+    """r12: small int-keyed graphs take the driver-side union-find; this
+    forces the iterative paths (cap=-1) on random graphs incl. chains,
+    self-loops and singleton pairs and demands identical labelings from
+    both variants, plus the string-key fallback gate."""
+    import random
+
+    from claude_code_memory_spark.operators import components as C
+
+    rng = random.Random(12)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(120)]
+    edges += [(100 + i, 100 + i + 1) for i in range(12)]  # a chain
+    edges += [(200, 200), (300, 301)]  # self-loop + isolated pair
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    for fn in (C.connected_components, C.connected_components_star):
+        fast = {(r["node"], r["comp"]) for r in fn(df).collect()}
+        old_cap = C._DRIVER_EDGE_CAP
+        C._DRIVER_EDGE_CAP = -1
+        try:
+            slow = {(r["node"], r["comp"]) for r in fn(df).collect()}
+        finally:
+            C._DRIVER_EDGE_CAP = old_cap
+        assert fast == slow, fn.__name__
+
+    named = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    # string keys refuse the driver path (Python vs UTF8 ordering is not
+    # proven equal) and still label correctly through the join form
+    comp = {r["node"]: r["comp"] for r in C.connected_components(named).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
 def test_sparse_postings_equivalence_and_pruning(spark, tmp_path):
     """sparse_topk_postings == sparse_topk on the same data, and a
     term-clustered postings table prunes row groups for the IN-list scan."""
