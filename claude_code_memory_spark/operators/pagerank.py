@@ -30,6 +30,81 @@ from pyspark.sql import functions as F
 DAMPING = 0.85
 BASE = 0.15  # literal, NOT 1 - DAMPING (different double)
 SCALE = 12  # rounding of the per-iteration rank vector
+# driver-path gate: collect the (src, dst, ratio) edge list and iterate
+# driver-side only under this row cap (module-level so tests can force
+# the in-plan fallbacks)
+DRIVER_EDGE_CAP = 100_000
+
+
+def _driver_pagerank(e2_rows, iters: int) -> dict | None:
+    """All ``iters`` rounds over an already-collected (src, dst, ratio)
+    edge list, replicating the in-plan literal-CASE iteration bit for bit
+    (returns None when any gate fails, so the caller falls back to the
+    Spark paths):
+
+    - contribution ``round(pr * ratio, 12)`` — Python float multiplication
+      is the same IEEE double op, and Spark's Round(DoubleType) is
+      BigDecimal.valueOf(x) (shortest round-trip repr, == Python ``repr``)
+      .setScale(12, HALF_UP).toDouble — correctly rounded back, as is
+      ``float(Decimal)``;
+    - the double→DECIMAL(38,12) cast is the same shortest-repr quantize
+      (HALF_UP), and the per-dst sum of 12-dp decimals is exact integer
+      arithmetic — associative, so driver summation order cannot differ
+      from the partition-order-free Spark aggregate;
+    - the per-node update replays ``round(0.15/n + 0.85 * double(s), 12)``
+      with the identical operator order and the correctly-rounded
+      decimal→double cast.
+
+    Gates: node keys must be ints or alnum strings (the literal-CASE
+    contract), ≤ 256 nodes (same bound as the in-plan literal path), and
+    every ratio finite in [0, 1] — the regime of non-negative weights,
+    where rank mass stays ≤ 1 and the decimal sums can never reach the
+    DECIMAL(38,12) overflow-to-NULL edge the driver form does not model.
+    """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    node_keys = set()
+    for r in e2_rows:
+        node_keys.add(r["__src"])
+        node_keys.add(r["__dst"])
+    if not node_keys or len(node_keys) > 256:
+        return None
+    for k in node_keys:
+        if isinstance(k, bool) or not (
+            isinstance(k, int) or (isinstance(k, str) and k.isalnum())
+        ):
+            return None
+    edge_list = []
+    for r in e2_rows:
+        ratio = r["__ratio"]
+        if ratio is None or not math.isfinite(ratio) or not 0.0 <= ratio <= 1.0:
+            return None
+        edge_list.append((r["__src"], r["__dst"], ratio))
+    n_nodes = len(node_keys)
+    q12 = Decimal(1).scaleb(-SCALE)
+
+    def _jround(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(q12, rounding=ROUND_HALF_UP))
+
+    pr = {k: _jround(1.0 / n_nodes) for k in node_keys}
+    with localcontext() as ctx:
+        ctx.prec = 38
+        for _ in range(iters):
+            sums: dict = {}
+            for s, d, ratio in edge_list:
+                c = Decimal(repr(_jround(pr[s] * ratio))).quantize(
+                    q12, rounding=ROUND_HALF_UP
+                )
+                sums[d] = sums.get(d, Decimal(0)) + c
+            pr = {
+                k: _jround(
+                    BASE / n_nodes
+                    + DAMPING * (float(sums[k]) if k in sums else 0.0)
+                )
+                for k in node_keys
+            }
+    return pr
 
 
 def pagerank_fixed(
@@ -50,6 +125,56 @@ def pagerank_fixed(
     Caching the aggregated edge table (|nodes|^2 rows at most) makes
     every subsequent pass an in-memory scan."""
     edges = edges.persist()
+    outw = edges.groupBy(src).agg(F.sum(weight).alias("__outw"))
+    # ratio is exact when weights are integers (IEEE division, both engines).
+    # LEFT join (not inner): a null-src edge has no outw match and an inner
+    # join would silently drop it from e2 — invisible to the driver-path
+    # probe below, which must SEE the null to refuse the collapsed form
+    # (the node universe includes null and such an edge's dst). On the
+    # in-plan paths the extra null-ratio rows contribute nothing: null
+    # never matches the rank CASE or the broadcast-join condition, and
+    # the decimal sum skips the resulting nulls.
+    e2 = (
+        edges.join(outw, src, "left")
+        .select(
+            F.col(src).alias("__src"),
+            F.col(dst).alias("__dst"),
+            (F.col(weight).cast("double") / F.col("__outw").cast("double")).alias("__ratio"),
+        )
+    )
+    # r12 session 3 (guide §2.4/§7.3, same gate family as the components
+    # union-find): for graphs whose weighted edge list fits a bounded
+    # driver collect, EVERY iteration runs driver-side — the whole
+    # operator is then ONE Spark job (the e2 limit-probe doubles as the
+    # edge gather) instead of a probe + one aggregate job per round.
+    # The arithmetic is the literal-CASE path's, replicated step by step
+    # (see _driver_pagerank); the bit-equivalence is pinned by
+    # test_pagerank_literal_path_matches_join_form, which compares both
+    # small-graph paths against the original broadcast-join form packed
+    # to raw double bits. 100 TB graphs blow the cap and keep the
+    # iterative aggregates below, whose cost model is the scale story.
+    probe_e2 = e2.limit(DRIVER_EDGE_CAP + 1).collect()
+    if len(probe_e2) <= DRIVER_EDGE_CAP:
+        driver_pr = _driver_pagerank(probe_e2, iters)
+        if driver_pr is not None:
+            src_f = e2.schema["__src"]
+            dst_f = e2.schema["__dst"]
+            if src_f.dataType == dst_f.dataType:
+                from pyspark.sql.types import DoubleType, StructField, StructType
+
+                return edges.sparkSession.createDataFrame(
+                    sorted(driver_pr.items()),
+                    StructType(
+                        [
+                            StructField(
+                                "node",
+                                src_f.dataType,
+                                src_f.nullable or dst_f.nullable,
+                            ),
+                            StructField("pr", DoubleType(), False),
+                        ]
+                    ),
+                )
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -66,16 +191,6 @@ def pagerank_fixed(
         n_nodes = len(probe_rows)
     else:
         n_nodes = nodes.count()
-    outw = edges.groupBy(src).agg(F.sum(weight).alias("__outw"))
-    # ratio is exact when weights are integers (IEEE division, both engines)
-    e2 = (
-        edges.join(outw, src)
-        .select(
-            F.col(src).alias("__src"),
-            F.col(dst).alias("__dst"),
-            (F.col(weight).cast("double") / F.col("__outw").cast("double")).alias("__ratio"),
-        )
-    )
     # r12 (guide §2.4/§7.3, same move as the Lloyd loops): when the rank
     # vector is small enough to inline, the iteration collapses from a
     # broadcast-join + groupBy + node-left-join chain per round — whose

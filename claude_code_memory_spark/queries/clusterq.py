@@ -14,7 +14,7 @@ from claude_code_memory_spark.functions.text import word_shingles
 from claude_code_memory_spark.functions.vector import dot
 from claude_code_memory_spark.operators.clustering import kmeans_lloyd, semantic_dedup
 from claude_code_memory_spark.operators.sampling import hash_bucket
-from claude_code_memory_spark.queries.base import register, table
+from claude_code_memory_spark.queries.base import register, table, table_rowcount
 from claude_code_memory_spark.queries.base import spread as _spread
 
 
@@ -148,12 +148,11 @@ def dedup_semantic_cells(spark, sf_dir):
     partitioned by cell so the self-join is co-located. Complements `dedup_embedding_neardup` (label-blocked)
     with the unsupervised blocking a real corpus needs."""
     # k derives from corpus size so cell size stays ~256 as N grows.
-    # r12: the count runs on the RAW scan, not the spread/persisted
-    # frame — count(*) over a zero-column parquet projection is answered
-    # from row-group metadata (no column decode, no repartition), while
-    # counting the persisted frame forced scan + repartition + cache
-    # write into a ~0.2 s job whose only output was N.
-    k = _semdedup_k(table(spark, sf_dir, "embeddings").count())
+    # r12: the count comes from the parquet FOOTER driver-side (the same
+    # row-group metadata a zero-column count(*) job reads) — one fewer
+    # blocking Spark action (~0.2 s of scheduler floor); re-read every
+    # call, falls back to a real count() job on any surprise.
+    k = _semdedup_k(table_rowcount(spark, sf_dir, "embeddings"))
     # persist the spread input: Lloyd re-reads it iters+2 times (two
     # assignment passes, the final assignment, and the seeding take) and
     # each replay re-runs the scan + repartition lineage — measured 3.3x

@@ -337,6 +337,17 @@ def test_approx_aggregates_within_tolerance(spark, sf_dir):
     assert abs(row["p50_approx"] - row["p50_exact"]) <= 1.0
 
 
+def test_table_rowcount_matches_count_job(spark, sf_dir):
+    """r12: dedup_semantic_cells derives k from a driver-side parquet
+    footer read instead of a count() job — the two must always agree."""
+    from claude_code_memory_spark.queries.base import table, table_rowcount
+
+    for name in ("embeddings", "lineitem"):
+        assert table_rowcount(spark, sf_dir, name) == table(
+            spark, sf_dir, name
+        ).count()
+
+
 def test_connected_components_and_canonical_dedup(spark):
     """Chain 1-2-3-4 and pair 7-8 collapse to two components; min-id
     survives dedup_keep_canonical, untouched docs pass through."""

@@ -124,6 +124,47 @@ def test_pagerank_literal_path_matches_join_form(spark, tri):
     )
 
 
+def test_pagerank_driver_path_matches_inplan_paths(spark, tri, monkeypatch):
+    """r12 session 3: small graphs now run EVERY iteration driver-side
+    (one Spark job). Force each in-plan fallback and demand bit-identical
+    doubles against the driver path on the same graph."""
+    import struct as _struct
+
+    from claude_code_memory_spark.operators import pagerank as pg
+
+    def bits(df):
+        return {r["node"]: _struct.pack("<d", r["pr"]) for r in df.collect()}
+
+    driver = bits(pagerank_fixed(tri, iters=3))
+    # cap 0 -> the probe always overflows -> in-plan literal-CASE path
+    monkeypatch.setattr(pg, "DRIVER_EDGE_CAP", 0)
+    assert bits(pagerank_fixed(tri, iters=3)) == driver
+    monkeypatch.undo()
+
+    # null src: the driver path must refuse (node universe includes null
+    # and the dangling dst), falling back to the join form — compare the
+    # result with and without the cap to prove the refusal is the gate,
+    # not the arithmetic
+    nullg = spark.createDataFrame(
+        [(None, 5, 1), (1, 2, 1), (2, 1, 1)], "src int, dst int, w int"
+    )
+    with_gate = bits(pagerank_fixed(nullg, iters=2))
+    monkeypatch.setattr(pg, "DRIVER_EDGE_CAP", 0)
+    assert bits(pagerank_fixed(nullg, iters=2)) == with_gate
+    monkeypatch.undo()
+    assert set(with_gate) == {None, 5, 1, 2}  # null node + its dst survive
+
+    # negative weight -> ratio outside [0, 1] -> driver path refuses,
+    # in-plan literal path (which has no ratio gate) handles it; both
+    # cap settings must agree
+    neg = spark.createDataFrame(
+        [(0, 1, -2), (1, 0, 1), (0, 2, 3)], "src int, dst int, w int"
+    )
+    r_gated = bits(pagerank_fixed(neg, iters=2))
+    monkeypatch.setattr(pg, "DRIVER_EDGE_CAP", 0)
+    assert bits(pagerank_fixed(neg, iters=2)) == r_gated
+
+
 def test_pagerank_dangling_leaks_bounded(spark):
     # 0 -> 1 and 1 has no out-edges: dangling mass is dropped, so the
     # total is < 1 but every rank stays >= the teleport floor

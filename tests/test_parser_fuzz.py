@@ -16,7 +16,7 @@ from __future__ import annotations
 import pytest
 
 hypothesis = pytest.importorskip("hypothesis")
-from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import HealthCheck, example, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
 from claude_code_memory_spark.sources.config_parsers import (  # noqa: E402
@@ -62,12 +62,24 @@ _text = st.text(
 @pytest.mark.parametrize("fname,parser", PARSERS, ids=[p[0] for p in PARSERS])
 @settings(max_examples=150, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(source=_text)
+@example(source="A:A")  # module-level annotated stmt -> a type_binding row
 def test_parser_total_on_arbitrary_text(fname, parser, source):
     rows = parser(fname, source)
     assert isinstance(rows, list)
     for r in rows:
         assert isinstance(r, dict)
-        assert r.get("record_kind") in ("entity", "relation", "implementation")
+        # the full record-kind contract split_parsed consumes — the
+        # resolver-support kinds (type/return/import bindings) joined the
+        # contract in rounds 10-11 and this allowed set had gone stale
+        # (hypothesis found it via 'A:A' in round 12)
+        assert r.get("record_kind") in (
+            "entity",
+            "relation",
+            "implementation",
+            "type_binding",
+            "return_bind",
+            "import_binding",
+        )
 
 
 @settings(max_examples=100, deadline=None)
