@@ -221,6 +221,28 @@ class CodeMemoryEngine:
                     & (F.col("to_entity") == "property")
                 )
             ).join(F.broadcast(replaced), "file_path", "left_anti")
+        # reachable-module scoping seeds (r13): a small incremental batch
+        # hands resolve_calls its file list so the corpus-scale lookup
+        # tables are pre-filtered to the batch's import-reachable modules
+        # (result-identical; see resolve_calls docstring). Full/large
+        # indexes skip it — their reachable closure is ~the corpus, so
+        # the filter would cost two collects and buy nothing. The path
+        # collect is one tiny job on the already-cached `changed` frame.
+        import os as _os
+
+        scope_seed_files = None
+        if (
+            state is not None
+            and 0 < n_changed <= 500
+            # A/B kill switch (evidence runs + the forced-equivalence
+            # test): scoping is result-identical by construction, so the
+            # only way to MEASURE it is to disable it on the same tree
+            and _os.environ.get("CCMS_NO_SCOPE") != "1"
+        ):
+            scope_seed_files = [
+                r["relative_path"]
+                for r in changed.select("relative_path").collect()
+            ]
         relations = resolve_calls(
             relations,
             all_bindings,
@@ -228,6 +250,7 @@ class CodeMemoryEngine:
             all_tbinds,
             return_binds=all_rbinds,
             stored_relations=stored_rels,
+            scope_seed_files=scope_seed_files,
             # lookup-side broadcast hints pay a fixed ~100-200 ms build
             # per hinted join (~42 of them), and the hinted frames scale
             # with the WHOLE corpus (stored ∪ batch), so the gate keys on
@@ -375,13 +398,29 @@ class CodeMemoryEngine:
         # (Measured and rejected: thread-pooling the six merges — they
         # re-execute the shared chunk lineage concurrently and contend
         # for the same cores, 38 s → 48 s on a 1-file batch.)
+        # write-stage sub-attribution (r13, profile only): the write stage
+        # lumped 7 merges + cleanup + refit-compact + state into one
+        # number, so its growth could not be attributed. Sub-marks use
+        # their own clock so the series-comparable "write" total (from
+        # _t0) is untouched.
+        _sub_t = [_time.time()]
+
+        def _sub(stage: str) -> None:
+            if profile:
+                now = _time.time()
+                stage_sec[stage] = round(now - _sub_t[0], 2)
+                _sub_t[0] = now
+
         merge_replace_by_file(self.store, "entities", entities, replaced)
         merge_replace_by_file(self.store, "relations", relations, replaced)
         merge_replace_by_file(self.store, "bindings", bindings, replaced)
         merge_replace_by_file(self.store, "type_bindings", tbinds, replaced)
         merge_replace_by_file(self.store, "return_binds", rbinds, replaced)
+        _sub("write.merge_meta")
         merge_replace_by_file(self.store, "chunks", chunks, replaced, ["chunk_type"])
+        _sub("write.merge_chunks")
         merge_replace_by_file(self.store, "vectors", vectors, replaced, ["chunk_type"])
+        _sub("write.merge_vectors")
 
         # J2/J3 scoped by J7: only relations touching entities that were
         # added, changed, or deleted in THIS batch can have become invalid;
@@ -394,7 +433,10 @@ class CodeMemoryEngine:
                     F.broadcast(replaced), "file_path", "left_semi"
                 ).select("entity_name")
             )
-        self._orphan_cleanup(changed_names.distinct())
+        self._orphan_cleanup(
+            changed_names.distinct(), first_build=stored_entities is None
+        )
+        _sub("write.orphan_cleanup")
 
         if refit and stored_chunks is not None:
             # periodic compaction: re-encode every stored sparse vector
@@ -408,9 +450,11 @@ class CodeMemoryEngine:
                 vec.join(sparse, "point_id", "left").select(*vector_cols),
                 ["chunk_type"],
             )
+        _sub("write.refit_compact")
 
         # K4: state update
         self.store.write("file_state", to_file_state(files))
+        _sub("write.state")
         if profile:
             _mark("write")
 
@@ -460,25 +504,38 @@ class CodeMemoryEngine:
     # non-null by construction in split_parsed
     _REL_KEY = ("from_entity", "to_entity", "relation_type", "file_path")
 
-    def _invalid_relations(self, changed_names: DataFrame | None) -> DataFrame | None:
+    def _invalid_relations(
+        self, changed_names: DataFrame | None, *, first_build: bool = False
+    ) -> DataFrame | None:
         """The J2/J3 delta: relations that became invalid this batch.
 
         Candidates are scoped to relations touching a changed entity (J7,
         reference storage/diff_layers.py:80-110) so a 1-file incremental
         index validates O(delta) relations, not the whole table. Returns
-        None when there is nothing to validate against."""
+        None when there is nothing to validate against.
+
+        ``first_build`` (r13): on the FIRST build of a collection the
+        missing-endpoint branch is provably empty — J4 just filtered the
+        only relations that exist against exactly the entity universe
+        this table now holds, and no stored rows predate the batch — and
+        the J7 scope is the identity (every relation touches a changed
+        name), so both the branch and the double semi-join + distinct
+        are skipped. The invalid SET is unchanged: the final union is
+        distinct'd, and relations_touching only deduped rows."""
         entities = self.store.read("entities")
         relations = self.store.read("relations")
         if entities is None or relations is None:
             return None
         candidates = relations
-        if changed_names is not None:
+        if changed_names is not None and not first_build:
             candidates = relations_touching(relations, changed_names)
         names = entities.select("entity_name")
         needs_target = candidates.filter(
             F.col("relation_type").isin("calls", "inherits")
         )
         missing_endpoint = orphan_relations(needs_target, names)
+        if first_build:
+            missing_endpoint = missing_endpoint.limit(0)
         impl = self.store.read("chunks").filter(
             F.col("chunk_type") == "implementation"
         )
@@ -492,7 +549,7 @@ class CodeMemoryEngine:
         # last segment matches a changed file's basename — a broadcast
         # semi-join against the tiny changed set.
         import_cands = relations.filter(F.col("relation_type") == "imports")
-        if changed_names is not None:
+        if changed_names is not None and not first_build:
             from claude_code_memory_spark.operators.joins import _SOURCE_EXT_RE
 
             changed_base = (
@@ -528,7 +585,9 @@ class CodeMemoryEngine:
             .distinct()
         )
 
-    def _orphan_cleanup(self, changed_names: DataFrame | None = None) -> None:
+    def _orphan_cleanup(
+        self, changed_names: DataFrame | None = None, *, first_build: bool = False
+    ) -> None:
         """J2/J3: drop relations with missing endpoints or phantom calls.
 
         The invalid set is a small delta (scoped by J7): removal is one
@@ -536,7 +595,7 @@ class CodeMemoryEngine:
         table is not rewritten at all — the common no-orphan incremental
         batch costs zero table IO here (vs the round-1 full `exceptAll`
         rewrite the judge flagged as a 100x-scale killer)."""
-        invalid = self._invalid_relations(changed_names)
+        invalid = self._invalid_relations(changed_names, first_build=first_build)
         if invalid is None:
             return
         invalid = invalid.cache()

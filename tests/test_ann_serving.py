@@ -29,6 +29,7 @@ def _ids(df):
     return [r["point_id"] for r in df.select("point_id").collect()]
 
 
+@pytest.mark.slow
 def test_full_probe_equals_brute(eng):
     """nprobe == n_centroids scans every cell → exactly the brute-force
     result (same scores, same tie-breaks)."""
@@ -63,6 +64,7 @@ def test_index_is_materialized_partitioned_and_cached(eng):
     assert df1 is df2
 
 
+@pytest.mark.slow
 def test_append_maintains_index_incrementally(eng):
     """A pure append refreshes the index with a ROLLING delta dir — new
     vectors assigned against the SAVED centroids and folded together

@@ -86,6 +86,7 @@ def test_no_constraints_raises(dirty):
         C.constraint_report(dirty, [])
 
 
+@pytest.mark.slow
 def test_engine_validate_and_profile(spark, tmp_path):
     """The engine's own store passes its integrity constraints after an
     index pass, and the profiler summarizes store tables in one scan."""

@@ -4,6 +4,7 @@ deletion propagation (the reference's integration-test surface)."""
 import os
 import textwrap
 
+import pytest
 from pyspark.sql import functions as F
 
 from claude_code_memory_spark.api import CodeMemoryEngine
@@ -35,6 +36,7 @@ def test_index_and_search(spark, temp_repo, tmp_path):
     assert all(row["chunk_type"] in ("metadata", "implementation", "relation") for row in cls)
 
 
+@pytest.mark.slow
 def test_incremental_noop_and_change(spark, temp_repo, tmp_path):
     eng = CodeMemoryEngine(spark, str(tmp_path / "store"))
     eng.index(temp_repo)
@@ -59,6 +61,7 @@ def test_incremental_noop_and_change(spark, temp_repo, tmp_path):
     assert n_vectors == n_chunks
 
 
+@pytest.mark.slow
 def test_deletion_propagation(spark, temp_repo, tmp_path):
     eng = CodeMemoryEngine(spark, str(tmp_path / "store"))
     eng.index(temp_repo)
@@ -73,6 +76,7 @@ def test_deletion_propagation(spark, temp_repo, tmp_path):
     assert rels.filter(F.col("to_entity") == "Base").count() == 0
 
 
+@pytest.mark.slow
 def test_graph_and_implementation(spark, temp_repo, tmp_path):
     eng = CodeMemoryEngine(spark, str(tmp_path / "store"))
     eng.index(temp_repo)
@@ -102,6 +106,7 @@ def test_graph_and_implementation(spark, temp_repo, tmp_path):
     assert sum(r["n"] for r in st) > 10
 
 
+@pytest.mark.slow
 def test_manual_memory_and_clear(spark, temp_repo, tmp_path):
     """K3: clear(preserve_manual=True) keeps manual memories (NULL
     file_path), drops all auto-indexed content and relation chunks
@@ -129,6 +134,7 @@ def test_manual_memory_and_clear(spark, temp_repo, tmp_path):
     assert eng.store.read("chunks").count() == 0
 
 
+@pytest.mark.slow
 def test_noop_reindex_rewrites_nothing(spark, temp_repo, tmp_path):
     """Early exit: an unchanged project must not produce new table
     snapshots (at scale the scheduled re-index is a listing join, not a
@@ -150,6 +156,7 @@ def test_noop_reindex_rewrites_nothing(spark, temp_repo, tmp_path):
     assert pointers() == before  # no table advanced to a new snapshot
 
 
+@pytest.mark.slow
 def test_renamed_module_import_cleanup(spark, tmp_path):
     """Renaming a module drops the stale import edges of its (unchanged)
     importers, while stdlib imports survive — reference resolve_module_name
@@ -176,6 +183,7 @@ def test_renamed_module_import_cleanup(spark, tmp_path):
     assert "os" in imports, "stdlib import was wrongly cleaned"
 
 
+@pytest.mark.slow
 def test_counters_match_stored_tables(spark, temp_repo, tmp_path):
     """index() counters come from observe() metrics piggybacked on the
     pipeline's own actions (no dedicated .count() jobs) — they must equal
@@ -189,6 +197,7 @@ def test_counters_match_stored_tables(spark, temp_repo, tmp_path):
     assert c["chunks_skipped_unchanged"] == 0  # nothing stored yet
 
 
+@pytest.mark.slow
 def test_incremental_cleanup_is_delta_scoped(spark, temp_repo, tmp_path):
     """A 1-file incremental index with no resulting orphans must write the
     relations table exactly once (the file-replace merge) — the J2/J3
@@ -215,6 +224,7 @@ def test_incremental_cleanup_is_delta_scoped(spark, temp_repo, tmp_path):
     # (deletion case covered by test_deletion_propagation)
 
 
+@pytest.mark.slow
 def test_get_implementation_logical_scope(spark, tmp_path):
     """scope='logical' returns the entity plus its containment group —
     for a method, the class's other members (README.md:322 '+ helpers')."""
@@ -353,6 +363,7 @@ def test_index_chat_summarizer_outage_does_not_poison_content(spark, tmp_path):
     assert r2["chunks_new"] == 1
 
 
+@pytest.mark.slow
 def test_keyword_search_uses_postings_and_matches_explode_path(spark, tmp_path, temp_repo):
     """T2 scale path: unfiltered keyword search runs over the materialized
     term-clustered postings index; results must be identical to the
@@ -395,6 +406,7 @@ def test_keyword_search_uses_postings_and_matches_explode_path(spark, tmp_path, 
     assert after  # and the original terms still hit
 
 
+@pytest.mark.slow
 def test_postings_torn_write_self_heals(spark, tmp_path, temp_repo):
     """A postings dir without Spark's _SUCCESS marker (interrupted
     write_clustered) must be discarded and rebuilt, not silently served —
@@ -427,6 +439,7 @@ def test_postings_torn_write_self_heals(spark, tmp_path, temp_repo):
     )
 
 
+@pytest.mark.slow
 def test_bloat_report(spark, tmp_path, temp_repo):
     """Storage-efficiency report: all sections present, values sane."""
     eng = CodeMemoryEngine(spark, str(tmp_path / "bstore"))
@@ -444,6 +457,7 @@ def test_bloat_report(spark, tmp_path, temp_repo):
     assert any("main.py" in m for m in by_section["files_top10"])
 
 
+@pytest.mark.slow
 def test_near_dup_report(spark, tmp_path):
     """Two nearly-identical function docstrings must surface as a
     near-dup pair; an empty collection reports zero rows."""
@@ -469,6 +483,7 @@ def test_near_dup_report(spark, tmp_path):
     assert empty.near_dup_report().count() == 0
 
 
+@pytest.mark.slow
 def test_sql_surface(spark, tmp_path):
     from claude_code_memory_spark.api import CodeMemoryEngine
 
@@ -488,6 +503,7 @@ def test_sql_surface(spark, tmp_path):
     assert joined.count() > 0
 
 
+@pytest.mark.slow
 def test_bm25_model_is_storage_backed_after_index(spark, temp_repo, tmp_path):
     """Round-9 regression pin: engine state that outlives a batch must be
     STORAGE-backed. index() once kept fit's lazy vocabulary frame as the
@@ -510,3 +526,26 @@ def test_bm25_model_is_storage_backed_after_index(spark, temp_repo, tmp_path):
     plan = buf.getvalue()
     assert "FileScan parquet" in plan
     assert "Python" not in plan and "mapInPandas" not in plan
+
+
+@pytest.mark.slow
+def test_first_build_missing_endpoint_branch_is_provably_empty(
+    spark, temp_repo, tmp_path
+):
+    """r13: on a FIRST build the orphan cleanup skips the missing-endpoint
+    branch and the J7 scoping (J4 just validated the only relations that
+    exist against exactly this entity universe). Equivalence is asserted
+    directly: the invalid-relations set with the skip equals the full
+    (round-12) validation's on the same freshly built store."""
+    eng = CodeMemoryEngine(spark, str(tmp_path / "store_fb"))
+    eng.index(str(temp_repo))
+
+    def key_set(df):
+        return {
+            (r["from_entity"], r["to_entity"], r["relation_type"], r["file_path"])
+            for r in df.collect()
+        }
+
+    full = eng._invalid_relations(None, first_build=False)
+    skipped = eng._invalid_relations(None, first_build=True)
+    assert key_set(skipped) == key_set(full)

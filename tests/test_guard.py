@@ -114,6 +114,7 @@ def test_guard_fails_open_without_transport_and_on_error(spark, tmp_path):
     assert res2["decision"] == "approve" and "unavailable" in res2["reason"]
 
 
+@pytest.mark.slow
 def test_guard_end_to_end_with_real_engine(spark, tmp_path):
     """Index a tiny project, then try to re-define one of its functions:
     the candidate search must surface the existing entity."""

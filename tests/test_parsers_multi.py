@@ -2,6 +2,7 @@
 CSV/INI) and the chat pipeline — mirroring the reference's unit cases
 (test_parser.py:266-419 markdown; javascript_parser coverage)."""
 
+import pytest
 import json
 import textwrap
 
@@ -202,6 +203,7 @@ def test_chat_pipeline(spark, tmp_path):
     assert len({c["point_id"] for c in chunks}) == 3  # deterministic distinct ids
 
 
+@pytest.mark.slow
 def test_engine_indexes_mixed_languages(spark, tmp_path):
     proj = tmp_path / "mixed"
     proj.mkdir()
@@ -261,6 +263,7 @@ requests = "*"
     assert len(broken) == 1 and broken[0]["entity_type"] == "file"
 
 
+@pytest.mark.slow
 def test_engine_indexes_toml(spark, tmp_path):
     from claude_code_memory_spark.api import CodeMemoryEngine
 

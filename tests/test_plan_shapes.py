@@ -9,6 +9,8 @@ fleet-wide at 100 TB.
 
 from __future__ import annotations
 
+import pytest
+
 
 from claude_code_memory_spark.queries.base import REGISTRY
 
@@ -97,6 +99,7 @@ def test_knn_per_label_no_global_sort(spark, sf_dir):
     assert "BroadcastExchange" in plan
 
 
+@pytest.mark.slow
 def test_no_unbounded_single_partition_window_anywhere(spark, sf_dir):
     """Catalog-wide scale invariant: a Window fed by Exchange
     SinglePartition is only acceptable when a Limit/TakeOrdered upstream

@@ -10,6 +10,7 @@ parser's import-binding and call-base columns."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from claude_code_memory_spark.operators.resolve import (
     module_of_path,
@@ -280,6 +281,7 @@ def test_resolution_is_refinement_never_loss(resolved, spark):
         relations.relation_type == "calls"
     ).count()
 
+@pytest.mark.slow
 def test_engine_index_resolves_and_incremental_uses_stored_bindings(spark, tmp_path):
     """End-to-end through CodeMemoryEngine: the aliased call survives J4
     under its defining name; an incremental re-index of ONLY the calling
@@ -331,6 +333,7 @@ def test_engine_index_resolves_and_incremental_uses_stored_bindings(spark, tmp_p
     assert not any(t in ("uh", "uh2") for _, t, _ in rels2)
 
 
+@pytest.mark.slow
 def test_engine_instance_typed_and_inherited_resolution(spark, tmp_path):
     """End-to-end through CodeMemoryEngine: `t = Tool(); t.run()`
     resolves to Tool.run and the inherited `t.close()` to Base.close —
@@ -1907,6 +1910,7 @@ def test_resolve_accepts_legacy_bind_schemas(spark):
     assert ("use", "Tool.run") in got
 
 
+@pytest.mark.slow
 def test_broadcast_lookups_plan_shape(spark):
     """broadcast_lookups=True must plan the attr pipeline's lookup joins
     as BroadcastHashJoins (the 362k-entity stress corpus measured 81s of
@@ -2063,3 +2067,235 @@ def test_use_bc_contextvar_reset_on_exit(spark):
         broadcast_lookups=True,
     ).count()
     assert R._USE_BC.get() is False, "broadcast hint leaked past resolve_calls exit"
+
+
+# --- reachable-module scoping (r13) ----------------------------------------
+
+SCOPE_FIXTURE = {
+    # seed file: exercises aliased from-import, module-alias submodule
+    # attribute call (pkg.sub NOT imported by pkg/__init__ — only the
+    # prefix-descendant rule makes it reachable), star import, instance-
+    # typed method through a 3-module inheritance chain, and a factory
+    "app_s.py": (
+        "import pkg\n"
+        "from pkg.core import Tool, make_tool\n"
+        "from pkg.star_src import *\n"
+        "\n"
+        "def use_sub():\n"
+        "    return pkg.sub.sub_helper(1)\n"
+        "\n"
+        "def use_method():\n"
+        "    t = Tool()\n"
+        "    return t.run() + t.close() + t.deep()\n"
+        "\n"
+        "def use_star():\n"
+        "    return starry(2)\n"
+        "\n"
+        "def use_factory():\n"
+        "    x = make_tool()\n"
+        "    return x.run()\n"
+    ),
+    "pkg/__init__.py": "",  # does NOT import pkg.sub
+    "pkg/sub.py": "def sub_helper(x):\n    return x\n",
+    "pkg/core.py": (
+        "from pkg.base import Base\n"
+        "\n"
+        "class Tool(Base):\n"
+        "    def run(self):\n"
+        "        return 1\n"
+        "\n"
+        "def make_tool():\n"
+        "    return Tool()\n"
+    ),
+    "pkg/base.py": (
+        "from pkg.deepbase import DeepBase\n"
+        "\n"
+        "class Base(DeepBase):\n"
+        "    def close(self):\n"
+        "        return 0\n"
+    ),
+    "pkg/deepbase.py": "class DeepBase:\n    def deep(self):\n        return 2\n",
+    "pkg/star_src.py": "def starry(x):\n    return x\n",
+    # UNREACHABLE from app_s.py — defines colliding names; scoping must
+    # neither use nor miss them differently than the unscoped path
+    "island/__init__.py": "",
+    "island/core.py": (
+        "class Tool:\n"
+        "    def run(self):\n"
+        "        return 9\n"
+        "\n"
+        "def sub_helper(x):\n"
+        "    return -x\n"
+        "\n"
+        "def starry(x):\n"
+        "    return -x\n"
+    ),
+    "island/user.py": (
+        "from island.core import Tool\n"
+        "\n"
+        "def island_use():\n"
+        "    t = Tool()\n"
+        "    return t.run()\n"
+    ),
+}
+
+
+def _scope_fixture_frames(spark):
+    from claude_code_memory_spark.sources.python_parser import (
+        PARSED_SCHEMA,
+        return_bindings,
+    )
+
+    recs = []
+    for path, src in SCOPE_FIXTURE.items():
+        recs.extend(parse_python_source(path, src))
+    parsed = spark.createDataFrame(recs, PARSED_SCHEMA).cache()
+    entities, relations, _ = split_parsed(parsed)
+    return parsed, entities, relations, return_bindings(parsed)
+
+
+def _rows(df):
+    return sorted(
+        (r["from_entity"], r["to_entity"], r["relation_type"],
+         r["import_type"], r["file_path"])
+        for r in df.collect()
+    )
+
+
+def test_module_of_path_py_matches_column(spark):
+    """Driver-side twin of module_of_path (scope seeds) stays pinned to
+    the Column version over every path shape the rule mentions."""
+    from claude_code_memory_spark.operators.resolve import module_of_path_py
+
+    paths = [
+        "a/b/c.py", "a/b/__init__.py", "./x.py", "__init__.py", "top.py",
+        "src/lib/index.ts", "src/lib/index.js", "index.js", "a/index.py",
+        "a/b/mod.tsx", "a/b/mod.mjs", "pkg/sub/__init__.py",
+    ]
+    col_rows = (
+        spark.createDataFrame([(p,) for p in paths], "p string")
+        .select("p", module_of_path("p").alias("m"))
+        .collect()
+    )
+    for r in col_rows:
+        assert module_of_path_py(r["p"]) == r["m"], r["p"]
+
+
+def test_scoped_resolution_matches_unscoped(spark):
+    """Lookup-side reachability scoping is result-identical: the seed
+    file's batch resolves to the same multiset with the lookup tables
+    filtered to its reachable modules (incl. the prefix-descendant
+    pkg.sub case and a 3-module inherits chain), with colliding
+    same-named entities in an unreachable module present either way."""
+    from claude_code_memory_spark.operators import resolve as R
+
+    parsed, entities, relations, rbinds = _scope_fixture_frames(spark)
+    batch = relations.filter(F.col("file_path") == "app_s.py")
+    # the cross-file inherits edges ride stored_relations in the real
+    # pipeline (api.index hands the resolver the stored inherits rows)
+    stored = relations.filter(
+        (F.col("file_path") != "app_s.py")
+        & (F.col("relation_type") == "inherits")
+    )
+    kwargs = dict(
+        type_binds=type_bindings(parsed), return_binds=rbinds,
+        stored_relations=stored,
+    )
+    unscoped = _rows(
+        resolve_calls(batch, import_bindings(parsed), entities, **kwargs)
+    )
+    scoped = _rows(
+        resolve_calls(
+            batch,
+            import_bindings(parsed),
+            entities,
+            scope_seed_files=["app_s.py"],
+            **kwargs,
+        )
+    )
+    assert R.LAST_SCOPE_INFO["scoped"] is True
+    # the island modules must actually have been filtered out
+    assert R.LAST_SCOPE_INFO["reach"] < R.LAST_SCOPE_INFO["modules"]
+    assert scoped == unscoped
+    # and the batch genuinely resolved things through every machinery
+    resolved = {(f, t) for f, t, _rt, it, _fp in scoped if it == "resolved"}
+    assert ("use_sub", "sub_helper") in resolved  # prefix-descendant probe
+    assert ("use_method", "Tool.run") in resolved
+    assert ("use_method", "Base.close") in resolved  # 1-hop inherit
+    assert ("use_method", "DeepBase.deep") in resolved  # 2-hop inherit
+    assert ("use_star", "starry") in resolved  # star import
+    assert ("use_factory", "Tool.run") in resolved  # factory return
+
+
+@pytest.mark.slow
+def test_scope_cap_breach_falls_back_unscoped(spark, monkeypatch):
+    """Any cap breach keeps the full (round-12) path: same results,
+    LAST_SCOPE_INFO names the gate that refused."""
+    from claude_code_memory_spark.operators import resolve as R
+
+    parsed, entities, relations, rbinds = _scope_fixture_frames(spark)
+    batch = relations.filter(F.col("file_path") == "app_s.py")
+    monkeypatch.setattr(R, "SCOPE_MAX_EDGES", 0)
+    out = _rows(
+        resolve_calls(
+            batch,
+            import_bindings(parsed),
+            entities,
+            type_binds=type_bindings(parsed),
+            return_binds=rbinds,
+            scope_seed_files=["app_s.py"],
+        )
+    )
+    assert R.LAST_SCOPE_INFO["scoped"] is False
+    assert R.LAST_SCOPE_INFO["why"] == "edge cap"
+    unscoped = _rows(
+        resolve_calls(
+            batch,
+            import_bindings(parsed),
+            entities,
+            type_binds=type_bindings(parsed),
+            return_binds=rbinds,
+        )
+    )
+    assert out == unscoped
+
+
+@pytest.mark.slow
+def test_engine_incremental_scoped_matches_unscoped(spark, tmp_path, monkeypatch):
+    """End-to-end: a 1-file incremental reindex takes the scoped path and
+    leaves the relations table bit-identical to a CCMS_NO_SCOPE=1 run
+    (the bigrepo relations_multiset_equal oracle, at fixture scale)."""
+    import os
+
+    from claude_code_memory_spark.api import CodeMemoryEngine
+    from claude_code_memory_spark.operators import resolve as R
+
+    proj = tmp_path / "proj"
+    (proj / "pkg").mkdir(parents=True)
+    for path, src in SCOPE_FIXTURE.items():
+        p = proj / path
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(src)
+
+    def one_file_rels(store_dir, no_scope):
+        if no_scope:
+            monkeypatch.setenv("CCMS_NO_SCOPE", "1")
+        else:
+            monkeypatch.delenv("CCMS_NO_SCOPE", raising=False)
+        eng = CodeMemoryEngine(spark, str(store_dir))
+        eng.index(str(proj))
+        fs = eng.store.read("file_state")
+        eng.store.write(
+            "file_state",
+            fs.filter(F.col("relative_path") != "app_s.py"),
+        )
+        eng.index(str(proj))
+        return sorted(
+            tuple(r) for r in eng.store.read("relations").collect()
+        ), dict(R.LAST_SCOPE_INFO)
+
+    rels_scoped, info_scoped = one_file_rels(tmp_path / "s1", no_scope=False)
+    rels_plain, info_plain = one_file_rels(tmp_path / "s2", no_scope=True)
+    assert info_scoped["scoped"] is True
+    assert info_plain["why"] == "no seeds"
+    assert rels_scoped == rels_plain

@@ -2,6 +2,7 @@
 add/remove/status + one incremental pass over every enabled project on
 a single SparkSession."""
 
+import pytest
 import os
 
 from claude_code_memory_spark.service import IndexingService
@@ -26,6 +27,7 @@ def test_registry_add_remove_enable(spark, tmp_path):
     assert svc.load_config()["projects"] == []
 
 
+@pytest.mark.slow
 def test_run_once_indexes_all_enabled(spark, tmp_path):
     svc = IndexingService(spark, home=str(tmp_path / "home"))
     p1 = _mkproj(tmp_path, "alpha", "def alpha_fn():\n    return 1\n")

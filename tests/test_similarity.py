@@ -238,6 +238,7 @@ class TestMMR:
         assert mmr_rerank(empty, k=3).count() == 0
         assert mmr_rerank(self._cands(spark), k=2, lam=1.0).count() == 2
 
+    @pytest.mark.slow
     def test_engine_mmr_search_surface(self, spark, tmp_path):
         from claude_code_memory_spark.api import CodeMemoryEngine
 

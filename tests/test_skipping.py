@@ -149,6 +149,7 @@ def test_engine_store_writes_still_work(spark, store):
     assert types == {"metadata", "implementation"}
 
 
+@pytest.mark.slow
 def test_engine_optimize_makes_get_implementation_file_skip(spark, tmp_path, temp_repo):
     """End-to-end serving path: after optimize() clusters chunks by
     entity_name, a get_implementation point lookup reads fewer files

@@ -61,6 +61,7 @@ def test_debounced_stream_drops_duplicates(spark, tmp_path):
     assert pairs == [("a.py", "h1"), ("b.py", "h2")]
 
 
+@pytest.mark.slow
 def test_streaming_incremental_index(spark, temp_repo, tmp_path):
     """ST4 end-to-end: an event file lands → foreachBatch re-enters the
     batch pipeline → new entity appears in the store."""

@@ -33,7 +33,10 @@ step() {
 
 step "oracle output dtypes (HUGEINT lint)" python tools/dtypecheck.py
 step "full-catalog oracle gate (sf0.01)" python tools/selfcheck.py /root/testdata/sf0.01
-step "pytest" python -m pytest tests/ -x -q
+# CI runs the FULL suite including @pytest.mark.slow end-to-end tests;
+# a bare `pytest tests/` skips them so the driver's bounded verify
+# window completes (r13, verdict r12 item 2)
+step "pytest (full, incl. slow)" env CCMS_FULL_TESTS=1 python -m pytest tests/ -x -q
 if [ "$fast" = 0 ]; then
   step "bench" python bench.py
 fi
