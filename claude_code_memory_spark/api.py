@@ -411,16 +411,40 @@ class CodeMemoryEngine:
                 stage_sec[stage] = round(now - _sub_t[0], 2)
                 _sub_t[0] = now
 
-        merge_replace_by_file(self.store, "entities", entities, replaced)
-        merge_replace_by_file(self.store, "relations", relations, replaced)
-        merge_replace_by_file(self.store, "bindings", bindings, replaced)
-        merge_replace_by_file(self.store, "type_bindings", tbinds, replaced)
-        merge_replace_by_file(self.store, "return_binds", rbinds, replaced)
-        _sub("write.merge_meta")
-        merge_replace_by_file(self.store, "chunks", chunks, replaced, ["chunk_type"])
-        _sub("write.merge_chunks")
-        merge_replace_by_file(self.store, "vectors", vectors, replaced, ["chunk_type"])
-        _sub("write.merge_vectors")
+        # shared tombstone (r13): the 7 merges tombstone the SAME replaced
+        # set; write it once, file-copy into the other tables' ts dirs
+        from claude_code_memory_spark.plans.incremental import TombstoneSource
+
+        tsrc = TombstoneSource(self.store, replaced)
+        try:
+            merge_replace_by_file(
+                self.store, "entities", entities, replaced, tombstone_src=tsrc
+            )
+            merge_replace_by_file(
+                self.store, "relations", relations, replaced, tombstone_src=tsrc
+            )
+            merge_replace_by_file(
+                self.store, "bindings", bindings, replaced, tombstone_src=tsrc
+            )
+            merge_replace_by_file(
+                self.store, "type_bindings", tbinds, replaced, tombstone_src=tsrc
+            )
+            merge_replace_by_file(
+                self.store, "return_binds", rbinds, replaced, tombstone_src=tsrc
+            )
+            _sub("write.merge_meta")
+            merge_replace_by_file(
+                self.store, "chunks", chunks, replaced, ["chunk_type"],
+                tombstone_src=tsrc,
+            )
+            _sub("write.merge_chunks")
+            merge_replace_by_file(
+                self.store, "vectors", vectors, replaced, ["chunk_type"],
+                tombstone_src=tsrc,
+            )
+            _sub("write.merge_vectors")
+        finally:
+            tsrc.cleanup()
 
         # J2/J3 scoped by J7: only relations touching entities that were
         # added, changed, or deleted in THIS batch can have become invalid;

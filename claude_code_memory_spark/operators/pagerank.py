@@ -68,7 +68,9 @@ def _driver_pagerank(e2_rows, iters: int) -> dict | None:
     for r in e2_rows:
         node_keys.add(r["__src"])
         node_keys.add(r["__dst"])
-    if not node_keys or len(node_keys) > 256:
+        if len(node_keys) > 256:  # bail during the scan, not after it
+            return None
+    if not node_keys:
         return None
     for k in node_keys:
         if isinstance(k, bool) or not (
@@ -162,6 +164,11 @@ def pagerank_fixed(
             if src_f.dataType == dst_f.dataType:
                 from pyspark.sql.types import DoubleType, StructField, StructType
 
+                # the persist existed for the iterative fallbacks' reuse;
+                # on this path the probe was the only consumer — release
+                # the cached blocks instead of holding them for nothing
+                # (advice r12)
+                edges.unpersist()
                 return edges.sparkSession.createDataFrame(
                     sorted(driver_pr.items()),
                     StructType(

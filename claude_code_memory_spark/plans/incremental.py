@@ -329,20 +329,32 @@ class TableStore:
         new_rows: DataFrame,
         replaced_files: DataFrame,
         partition_by: list[str] | None = None,
+        tombstone_src: "TombstoneSource | None" = None,
     ) -> None:
         """O(batch) MERGE commit: append the batch's rows as a delta
         snapshot plus a tombstone sidecar of the replaced/deleted
         file_paths. Readers apply last-writer-wins per file (see
         _assemble); rows of replaced files in earlier snapshots are
-        dead without being rewritten — Delta/Iceberg's merge-on-read."""
+        dead without being rewritten — Delta/Iceberg's merge-on-read.
+
+        ``tombstone_src`` (r13): the 7 per-batch merges all tombstone the
+        SAME replaced set, so writing it as 7 separate Spark jobs was 6
+        redundant job round-trips + lineage replays per incremental
+        batch. A shared TombstoneSource writes the parquet once and the
+        other tables receive a driver-side file copy of the identical
+        bytes."""
         meta = self._manifest(table)
         assert meta is not None, "merge_delta requires an existing table"
         snap = self._new_snapshot_dir(table, new_rows, partition_by, stats="auto")
         self._counter = getattr(self, "_counter", 0) + 1
         ts = f"ts-{int(time.time() * 1000)}-{os.getpid()}-{self._counter}"
-        replaced_files.select("file_path").write.mode("overwrite").parquet(
-            os.path.join(self.root, table, ts)
-        )
+        ts_path = os.path.join(self.root, table, ts)
+        if tombstone_src is not None:
+            shutil.copytree(tombstone_src.materialize(), ts_path)
+        else:
+            replaced_files.select("file_path").write.mode("overwrite").parquet(
+                ts_path
+            )
         snapshots = meta["snapshots"] + [snap]
         tombstones = (meta.get("tombstones") or [None] * (len(snapshots) - 1)) + [ts]
         self._commit(table, snapshots, meta.get("schema", new_rows.schema.json()), tombstones)
@@ -403,6 +415,11 @@ class TableStore:
         vacuumed commit raises, while its log entry remains as an audit
         record — Delta's VACUUM + logRetention split."""
         for table in os.listdir(self.root):
+            # stranded shared-tombstone sources (crash between write and
+            # cleanup): safe to sweep here — vacuum runs between pipelines
+            if table.startswith("_tsrc-"):
+                shutil.rmtree(os.path.join(self.root, table), ignore_errors=True)
+                continue
             meta = self._manifest(table)
             if meta is None:
                 continue
@@ -418,12 +435,39 @@ class TableStore:
                     shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
 
 
+class TombstoneSource:
+    """One-per-batch tombstone parquet, written lazily on first delta
+    commit and file-copied into every later table's ts dir (identical
+    bytes, one Spark job instead of seven). The caller (api.index) owns
+    the lifecycle: ``cleanup()`` after the last merge of the batch."""
+
+    def __init__(self, store: TableStore, replaced_files: DataFrame):
+        self.store = store
+        self.replaced = replaced_files
+        self._dir: str | None = None
+
+    def materialize(self) -> str:
+        if self._dir is None:
+            path = os.path.join(
+                self.store.root, f"_tsrc-{int(time.time() * 1000)}-{os.getpid()}"
+            )
+            self.replaced.select("file_path").write.mode("overwrite").parquet(path)
+            self._dir = path
+        return self._dir
+
+    def cleanup(self) -> None:
+        if self._dir is not None:
+            shutil.rmtree(self._dir, ignore_errors=True)
+            self._dir = None
+
+
 def merge_replace_by_file(
     store: TableStore,
     table: str,
     new_rows: DataFrame,
     replaced_files: DataFrame,
     partition_by: list[str] | None = None,
+    tombstone_src: TombstoneSource | None = None,
 ) -> None:
     """MERGE emulation: drop all rows of replaced/deleted files, insert new.
 
@@ -465,7 +509,10 @@ def merge_replace_by_file(
             for f in missing:
                 new_rows = new_rows.withColumn(f.name, F.lit(None).cast(f.dataType))
             new_rows = new_rows.select(*stored_schema.fieldNames())
-        store.merge_delta(table, new_rows, replaced_files, partition_by)
+        store.merge_delta(
+            table, new_rows, replaced_files, partition_by,
+            tombstone_src=tombstone_src,
+        )
         return
     from pyspark.sql import functions as F
 

@@ -118,3 +118,44 @@ def test_manifest_key_changes_per_delta_commit(spark, store):
     k0 = store.manifest_key("t")
     merge_replace_by_file(store, "t", _rows(spark, [("a", 2)]), _files(spark, ["a"]))
     assert store.manifest_key("t") != k0
+
+
+def test_shared_tombstone_source_copies_identical_bytes(spark, store, tmp_path):
+    """r13: multiple tables merging the same replaced set through one
+    TombstoneSource read back exactly as per-table tombstone writes, the
+    source writes its parquet ONCE, and cleanup leaves no _tsrc dir."""
+    import os
+
+    from claude_code_memory_spark.plans.incremental import TombstoneSource
+
+    for t in ("t1", "t2", "t3"):
+        merge_replace_by_file(
+            store, t, _rows(spark, [("a", 1), ("b", 2)]), _files(spark, [])
+        )
+    tsrc = TombstoneSource(store, _files(spark, ["a"]))
+    for t in ("t1", "t2", "t3"):
+        merge_replace_by_file(
+            store, t, _rows(spark, [("a", 10)]), _files(spark, ["a"]),
+            tombstone_src=tsrc,
+        )
+    first = tsrc.materialize()
+    assert tsrc.materialize() == first, "source must write once"
+    tsrc.cleanup()
+    assert not any(d.startswith("_tsrc-") for d in os.listdir(store.root))
+    for t in ("t1", "t2", "t3"):
+        assert _as_set(store.read(t)) == {("a", 10), ("b", 2)}
+        meta = store._manifest(t)
+        assert meta["tombstones"][1], "delta commit must carry a tombstone"
+
+
+def test_vacuum_sweeps_stranded_tombstone_source(spark, store):
+    import os
+
+    from claude_code_memory_spark.plans.incremental import TombstoneSource
+
+    merge_replace_by_file(store, "t", _rows(spark, [("a", 1)]), _files(spark, []))
+    tsrc = TombstoneSource(store, _files(spark, ["a"]))
+    tsrc.materialize()  # simulate a crash: no cleanup()
+    assert any(d.startswith("_tsrc-") for d in os.listdir(store.root))
+    store.vacuum()
+    assert not any(d.startswith("_tsrc-") for d in os.listdir(store.root))

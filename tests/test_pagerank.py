@@ -173,3 +173,53 @@ def test_pagerank_dangling_leaks_bounded(spark):
     assert set(ranks) == {0, 1}
     assert sum(ranks.values()) < 1.0
     assert all(v >= 0.15 / 2 - 1e-12 for v in ranks.values())
+
+
+def test_driver_pagerank_refuses_bad_ratio_directly():
+    """Advice r12: assert the ratio gate ITSELF fires — calling
+    _driver_pagerank on rows whose ratio is outside [0, 1] (negative
+    weight) or non-finite must return None, independent of which Spark
+    path a caller would then take."""
+    from claude_code_memory_spark.operators.pagerank import _driver_pagerank
+
+    def row(s, d, r):
+        return {"__src": s, "__dst": d, "__ratio": r}
+
+    ok = [row(0, 1, 0.5), row(1, 0, 1.0)]
+    assert _driver_pagerank(ok, iters=1) is not None
+    assert _driver_pagerank([row(0, 1, -0.5)] + ok, iters=1) is None
+    assert _driver_pagerank([row(0, 1, 1.5)] + ok, iters=1) is None
+    assert _driver_pagerank([row(0, 1, float("nan"))] + ok, iters=1) is None
+    assert _driver_pagerank([row(0, 1, None)] + ok, iters=1) is None
+    # >256 nodes bails during the scan
+    many = [row(i, i + 1, 0.5) for i in range(300)]
+    assert _driver_pagerank(many, iters=1) is None
+
+
+def test_pagerank_driver_matches_literal_on_random_graphs(spark, monkeypatch):
+    """Advice r12: the driver path replicates round(pr*ratio, 12) via the
+    repr==shortest-toString assumption on a NEW operation class — pin it
+    with randomized graphs (irregular weights drive the 12-dp rounding
+    through many halfway-ish products) bit-compared against the in-plan
+    literal path."""
+    import random
+    import struct as _struct
+
+    from claude_code_memory_spark.operators import pagerank as pg
+
+    def bits(df):
+        return {r["node"]: _struct.pack("<d", r["pr"]) for r in df.collect()}
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        n = rng.randint(5, 24)
+        edges = [
+            (rng.randrange(n), rng.randrange(n), rng.randint(1, 9))
+            for _ in range(3 * n)
+        ]
+        df = spark.createDataFrame(edges, "src int, dst int, w int")
+        driver = bits(pagerank_fixed(df, iters=3))
+        monkeypatch.setattr(pg, "DRIVER_EDGE_CAP", 0)
+        inplan = bits(pagerank_fixed(df, iters=3))
+        monkeypatch.undo()
+        assert driver == inplan, f"seed {seed}: driver/in-plan bit mismatch"
